@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session bootstrap for the graft engine.
+  *
+  * Replaces the reference's `SparkSessionTrait`
+  * (reference: src/main/scala/SparkSessionTrait.scala:4-41), which set only
+  * appName/master and inherited Spark's default 200 shuffle partitions.
+  * Differences by design:
+  *
+  *  - shuffle partitions sized to the executor-thread count (local mode) —
+  *    on a real cluster this would be ~2-3x total cores and AQE coalesces;
+  *  - Adaptive Query Execution on: runtime partition coalescing and
+  *    skew-join splitting are the 100 TB safety net for mis-sized shuffles;
+  *  - UTC session timezone for deterministic timestamp semantics;
+  *  - auto-broadcast threshold left at default (10 MB): dimension tables
+  *    (region/nation/customer at small SF) broadcast automatically, and we
+  *    add explicit `broadcast()` hints where the optimizer lacks stats.
+  */
+object GraftSession {
+
+  def defaultParallelism: Int =
+    sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$defaultParallelism]")
+      .config("spark.sql.shuffle.partitions", defaultParallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.ui.enabled", "false")
+
+  def get(appName: String = "graft"): SparkSession =
+    tune(builder(appName).getOrCreate())
+
+  /** Dynamic SQL confs safe to (re)apply to an externally created session
+    * (the driver's Verify/Bench mains build their own SparkSession; query
+    * functions call this so behavior does not depend on who built it). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+}

@@ -1,13 +1,486 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (reference: Yahia-Ferchouli/SparkStreaming), plus the
+  * LLM-data-pipeline extension (dedup / similarity / text analysis /
+  * multimodal). Every SQL-expressible query has a DuckDB oracle in
+  * [[oracleSql]]; hash-compare requires identical column names, types,
+  * and (conservatively) row order, so every query carries a total
+  * ORDER BY and explicit casts on both sides.
+  *
+  * Float safety: fixture numerics are doubles. Aggregates over
+  * fractional doubles are summed through `decimal(18,x)` (prices have
+  * ≤2, price*(1−disc) products ≤4 decimals — the cast recovers the exact
+  * rational, decimal sums are order-independent, and the final double
+  * cast is exact below 2^53). Integer-valued doubles (l_quantity) sum
+  * exactly as doubles. Means are computed as exact-sum / count — one
+  * IEEE division, identical across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact money arithmetic: see class doc. */
+  private def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary joined to order priority —
+    * exercises scan pushdown, sort-merge join, multi-agg, ordering. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    val o = t(spark, dir, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
+  }
+
+  // ====================================================================
+  // Aggregations (reference KPI shapes A1-A8, Consumer.scala:129-145)
+  // ====================================================================
+
+  private val a1 = (s: SparkSession, d: String) =>
+    RelationalOps.groupCount(t(s, d, "customer"), Seq("c_mktsegment"), "cnt")
+      .orderBy(col("c_mktsegment"))
+
+  private val a2 = (s: SparkSession, d: String) =>
+    RelationalOps.groupCount(t(s, d, "orders"), Seq("o_orderstatus"), "cnt")
+      .orderBy(col("o_orderstatus"))
+
+  private val a3 = (s: SparkSession, d: String) =>
+    RelationalOps.groupCount(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "cnt")
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val a4 = (s: SparkSession, d: String) =>
+    RelationalOps.groupCount(Tables.events(s, d), Seq("event_type"), "cnt")
+      .orderBy(col("event_type"))
+
+  private val a5 = (s: SparkSession, d: String) =>
+    RelationalOps.groupCount(t(s, d, "customer"), Seq("c_nationkey"), "cnt")
+      .orderBy(col("c_nationkey"))
+
+  private val a6 = (s: SparkSession, d: String) =>
+    RelationalOps.conditionalPair(
+      t(s, d, "orders"), "o_orderpriority",
+      col("o_orderstatus") === "F", "o_orderstatus",
+      "finished_cnt", "other_cnt")
+      .orderBy(col("o_orderpriority"))
+
+  private val a7 = (s: SparkSession, d: String) =>
+    RelationalOps.unpivotMean(
+      t(s, d, "lineitem"),
+      col("l_returnflag") === "R",
+      Seq("l_linenumber", "l_quantity"),
+      "mean_return")
+      .orderBy(col("feature_name"), col("feature_value"))
+
+  private val a8 = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
+
+  // ====================================================================
+  // Projections / filters / conditionals (P1-P8, U1/U2 as native when)
+  // ====================================================================
+
+  private val p1RangeSlice = (s: SparkSession, d: String) =>
+    RelationalOps.rangeSlice(
+      t(s, d, "lineitem").filter(col("l_shipdate") < lit("1997-01-01")),
+      "l_quantity", 10L, 20L,
+      Seq("l_tax"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("int").as("qty_int"),
+        col("l_returnflag").as("rflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val p2DerivedFlag = (s: SparkSession, d: String) =>
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 100000d, 1).otherwise(0).as("high_value"),
+        when(col("o_orderstatus") === "O", lit("open")).otherwise(lit("closed")).as("status_label"))
+      .orderBy(col("o_orderkey"))
+
+  private val p3CastAlias = (s: SparkSession, d: String) =>
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        floor(col("c_acctbal")).cast("long").as("acctbal_floor"),
+        col("c_name").as("customer_name"))
+      .orderBy(col("c_custkey"))
+
+  // ====================================================================
+  // Joins (J1 — broadcast-hash + sort-merge + semi)
+  // ====================================================================
+
+  private val j1Broadcast = (s: SparkSession, d: String) => {
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("c_acctbal"), 2).as("sum_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  private val j2SortMerge = (s: SparkSession, d: String) => {
+    val l = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val j3Semi = (s: SparkSession, d: String) => {
+    val o = t(s, d, "orders")
+    val big = t(s, d, "lineitem").filter(col("l_quantity") >= 48d)
+    o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ====================================================================
+  // Sort / limit / union / window (W1-W3 + analytic windows)
+  // ====================================================================
+
+  private val w1Union = (s: SparkSession, d: String) => {
+    val n = t(s, d, "nation")
+    RelationalOps.unionAll(Seq(
+      n.filter(col("n_regionkey") === 0),
+      n.filter(col("n_regionkey") === 1)))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private val w2TopK = (s: SparkSession, d: String) =>
+    RelationalOps.topK(
+      t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+      10, Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+
+  private val w3WindowRank = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, d, "customer")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_nationkey"), col("c_custkey"), col("rk"))
+      .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  // ====================================================================
+  // Segmentation / replay (G1 — Producer.scala:20-53, off-by-one fixed)
+  // ====================================================================
+
+  private val g1Segments = (s: SparkSession, d: String) =>
+    Segmentation.segmented(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber")),
+      1000L, Seq("l_orderkey", "l_linenumber"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("segment"))
+
+  // ====================================================================
+  // Text analysis (F1/F2 + LLM extension)
+  // ====================================================================
+
+  private val t1Normalize = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.normalize(col("text")).as("norm_text"))
+      .orderBy(col("doc_id"))
+
+  private val t2RegexExtract = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"))
+      .orderBy(col("doc_id"))
+
+  private val t3TokenCount = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val t4Quality = (s: SparkSession, d: String) =>
+    TextAnalysis.qualityScore(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        col("punct_ratio"), col("digit_ratio"), col("mean_word_len"),
+        col("quality_ok"))
+      .orderBy(col("doc_id"))
+
+  private val t5Fingerprint = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private val t6LangId = (s: SparkSession, d: String) =>
+    TextAnalysis.langId(t(s, d, "documents"), "text", "lang_pred")
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  // ====================================================================
+  // Deduplication (exact + fingerprint + LSH + simhash)
+  // ====================================================================
+
+  private val d1ExactDedup = (s: SparkSession, d: String) =>
+    Dedup.exactDedup(t(s, d, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  private val d2FpDedup = (s: SparkSession, d: String) =>
+    Dedup.exactDedupByFingerprint(t(s, d, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val d3LshBuckets = (s: SparkSession, d: String) =>
+    Dedup.lshBuckets(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"), col("band"))
+
+  private val d4Simhash = (s: SparkSession, d: String) =>
+    Dedup.withSimhash(t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ====================================================================
+  // Similarity search over embeddings
+  // ====================================================================
+
+  private val s1CosineTopK = (s: SparkSession, d: String) =>
+    Similarity.cosineTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+
+  private val s2LshTopK = (s: SparkSession, d: String) =>
+    Similarity.signLshTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, hyperplanes = 4)
+      .orderBy(col("probe_id"), col("rank"))
+
+  // ====================================================================
+  // Events: JSON extraction + event-time windows
+  // ====================================================================
+
+  private val e1Json = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("k"))
+
+  private val e2TimeWindow = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("value")).as("max_value"))
+      // timestamp_ntz: parquet TIMESTAMP(isAdjustedToUTC=false), matching
+      // DuckDB's naive TIMESTAMP output under the UTC session
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"), col("cnt"),
+        col("min_event_id"), col("max_value"))
+      .orderBy(col("window_start"))
+
+  // ====================================================================
+  // Multimodal plumbing (decode stubbed — schema/batching is the test)
+  // ====================================================================
+
+  private val m1Features = (s: SparkSession, d: String) =>
+    Multimodal1.features(t(s, d, "documents"))
+
+  /** Indirect so `graft.multimodal` stays an isolated package. */
+  private object Multimodal1 {
+    import graft.multimodal.Multimodal
+    def features(docs: DataFrame): DataFrame =
+      Multimodal.decodeFeatures(
+        Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
+        "media", dim = 8)
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("features"))
+        .orderBy(col("doc_id"))
+  }
+
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_group_count_segment" -> a1,
+    "a2_group_count_status" -> a2,
+    "a3_two_key_count" -> a3,
+    "a4_group_count_events" -> a4,
+    "a5_histogram" -> a5,
+    "a6_conditional_pair" -> a6,
+    "a7_unpivot_mean" -> a7,
+    "a8_scalar_count" -> a8,
+    "p1_range_slice" -> p1RangeSlice,
+    "p2_derived_flag" -> p2DerivedFlag,
+    "p3_cast_alias" -> p3CastAlias,
+    "j1_broadcast_dim" -> j1Broadcast,
+    "j2_sortmerge_fact" -> j2SortMerge,
+    "j3_semi" -> j3Semi,
+    "w1_union" -> w1Union,
+    "w2_topk" -> w2TopK,
+    "w3_window_rank" -> w3WindowRank,
+    "g1_segments" -> g1Segments,
+    "t1_normalize" -> t1Normalize,
+    "t2_regex_extract" -> t2RegexExtract,
+    "t3_token_count" -> t3TokenCount,
+    "t4_quality" -> t4Quality,
+    "t5_fingerprint" -> t5Fingerprint,
+    "t6_lang_id" -> t6LangId,
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_fingerprint_dedup" -> d2FpDedup,
+    "d3_lsh_buckets" -> d3LshBuckets,
+    "d4_simhash" -> d4Simhash,
+    "s1_cosine_topk" -> s1CosineTopK,
+    "s2_lsh_topk" -> s2LshTopK,
+    "e1_json_extract" -> e1Json,
+    "e2_time_window" -> e2TimeWindow,
+    "m1_multimodal_features" -> m1Features,
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a1_group_count_segment" ->
+      "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "a2_group_count_status" ->
+      "SELECT o_orderstatus, count(*) AS cnt FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    "a3_two_key_count" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2",
+    "a4_group_count_events" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "a5_histogram" ->
+      "SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
+    "a6_conditional_pair" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INTEGER) AS finished_cnt,
+         CAST(COUNT(o_orderstatus) - SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INTEGER) AS other_cnt
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "a7_unpivot_mean" ->
+      """SELECT feature_name, feature_value,
+         CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_return
+         FROM (
+           SELECT 'l_linenumber' AS feature_name, CAST(l_linenumber AS DOUBLE) AS feature_value,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS m FROM lineitem
+           UNION ALL
+           SELECT 'l_quantity', CAST(l_quantity AS DOUBLE),
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+         ) GROUP BY feature_name, feature_value ORDER BY feature_name, feature_value""",
+    "a8_scalar_count" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "p1_range_slice" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int, l_returnflag AS rflag
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_quantity BETWEEN 10 AND 20
+         ORDER BY l_orderkey, l_linenumber""",
+    "p2_derived_flag" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS high_value,
+         CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS status_label
+         FROM orders ORDER BY o_orderkey""",
+    "p3_cast_alias" ->
+      """SELECT c_custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS acctbal_floor, c_name AS customer_name
+         FROM customer ORDER BY c_custkey""",
+    "j1_broadcast_dim" ->
+      """SELECT r_name, count(*) AS cnt,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "j2_sortmerge_fact" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j3_semi" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "w1_union" ->
+      """SELECT * FROM (
+           SELECT * FROM nation WHERE n_regionkey = 0
+           UNION ALL
+           SELECT * FROM nation WHERE n_regionkey = 1
+         ) ORDER BY n_nationkey""",
+    "w2_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "w3_window_rank" ->
+      """SELECT c_nationkey, c_custkey, rk FROM (
+           SELECT c_nationkey, c_custkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rk
+           FROM customer
+         ) WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+    "g1_segments" ->
+      """SELECT segment, count(*) AS cnt FROM (
+           SELECT CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1) / 1000) AS BIGINT) AS segment
+           FROM lineitem
+         ) GROUP BY segment ORDER BY segment""",
+    "t1_normalize" ->
+      """SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS norm_text
+         FROM documents ORDER BY doc_id""",
+    "t2_regex_extract" ->
+      """SELECT doc_id, CAST(regexp_extract(source, 'src(\d+)', 1) AS INTEGER) AS src_num
+         FROM documents ORDER BY doc_id""",
+    "t3_token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens
+         FROM documents ORDER BY doc_id""",
+    "t4_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS punct,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+           FROM documents)
+         SELECT doc_id, n_chars_m, n_tokens,
+           CAST(punct AS DOUBLE) / GREATEST(n_chars_m, 1) AS punct_ratio,
+           CAST(digits AS DOUBLE) / GREATEST(n_chars_m, 1) AS digit_ratio,
+           CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / GREATEST(n_tokens, 1) AS mean_word_len,
+           (n_chars_m BETWEEN 20 AND 1000000) AND (n_tokens BETWEEN 5 AND 500000)
+             AND (CAST(punct AS DOUBLE) / GREATEST(n_chars_m, 1) < 0.3) AS quality_ok
+         FROM m ORDER BY doc_id""",
+    "t5_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) AS fp
+         FROM documents ORDER BY doc_id""",
+    "d1_exact_dedup" ->
+      "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "d2_fingerprint_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text FROM documents
+         GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
+         ORDER BY doc_id""",
+    "s1_cosine_topk" ->
+      """SELECT probe_id, neighbor_id, rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM embeddings p CROSS JOIN embeddings c
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "e1_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k, count(*) AS cnt
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "e2_time_window" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         count(*) AS cnt, min(event_id) AS min_event_id, max(value) AS max_value
+         FROM events GROUP BY 1 ORDER BY 1""",
+  )
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Column-level API over the native vector expressions, plus the
+  * higher-order-function reference formulations (kept for tests: the HOF
+  * path and the native path must agree bit-for-bit, both fold in array
+  * order with double accumulators). */
+object VectorOps {
+
+  /** Native cosine similarity (double result, deterministic). */
+  def cosineSim(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      CosineSimilarity(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Native dot product. */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** HOF reference implementation of dot (allocates zip_with array). */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** HOF reference implementation of cosine. */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val d  = dotHof(a, b)
+    val na = sqrt(dotHof(a, a))
+    val nb = sqrt(dotHof(b, b))
+    when(na === 0d || nb === 0d, 0d).otherwise(d / (na * nb))
+  }
+
+  /** Register `cosine_sim` / `vec_dot` as SQL functions on a session. */
+  def register(spark: SparkSession): Unit = {
+    GraftSqlBridge.registerFunction(spark, "cosine_sim",
+      es => CosineSimilarity(es.head, es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_dot",
+      es => DotProduct(es.head, es(1)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with a typed metadata struct, and batch-shaped
+  * feature extraction over partitions.
+  *
+  * The actual media decode (JPEG/WAV/frame sampling) requires native
+  * codec libraries that are NOT in this environment — it is STUBBED
+  * behind [[FakeDecoder]], a deterministic stand-in keyed on the payload
+  * bytes. Everything Spark-side is real and tested: the schema contract,
+  * the per-partition batch shape (decode amortized over `batchSize`-row
+  * chunks — the `mapInPandas` batching idiom, expressed natively in
+  * Scala), and the partitioning behavior (decode is a narrow map — rows
+  * never shuffle to be decoded).
+  */
+object Multimodal {
+
+  val mediaMetaType: StructType = new StructType()
+    .add("mime", StringType)
+    .add("n_bytes", LongType)
+    .add("checksum", LongType)
+
+  /** Attach a fake media payload derived from a text column (stand-in for
+    * real image bytes) plus its typed metadata struct. */
+  def attachFakeMedia(df: DataFrame, textCol: String): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    df.withColumn("media", payload)
+      .withColumn("media_meta", struct(
+        lit("application/x-graft-fake").as("mime"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        xxhash64(payload).as("checksum")))
+  }
+
+  /** STUB decode: deterministic pseudo-features from payload bytes.
+    * A real deployment replaces this body with the codec call; the
+    * signature (bytes → fixed-dim float features) is the contract. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      var h = 0x9E3779B97F4A7C15L
+      payload.foreach(b => h = (h ^ b) * 0x100000001B3L)
+      Array.tabulate(dim) { i =>
+        var z = h + i * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = z ^ (z >>> 27)
+        (z.toFloat / Long.MaxValue.toFloat)
+      }
+    }
+  }
+
+  /** Per-partition, batch-shaped feature extraction: rows are processed
+    * in `batchSize` chunks so a real decoder could amortize model/codec
+    * setup per chunk (the Pandas-UDF batch idiom). Narrow operation —
+    * preserves partitioning, no shuffle. Output schema = input +
+    * `features array<float>`. */
+  def decodeFeatures(df: DataFrame, mediaCol: String, dim: Int, batchSize: Int = 256): DataFrame = {
+    val outSchema = df.schema.add("features", ArrayType(FloatType, containsNull = false))
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        // real decoder: one codec/session init per chunk goes here
+        chunk.iterator.map { r =>
+          val payload = r.getAs[Array[Byte]](mediaIdx)
+          val feats = FakeDecoder.decode(payload, dim)
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document / embedding corpora, designed
+  * bucket-first: no stage ever materializes the all-pairs cross product.
+  *
+  *  - exact:       hash-groupBy on content (one shuffle on the content key)
+  *  - MinHash-LSH: shingle → minhash signature → banded bucket hash →
+  *                 self-join *within buckets only* → Jaccard verify
+  *  - SimHash:     64-bit per-doc signature in one scan (no shuffle)
+  *  - embedding:   cosine near-dup with a bounded probe side (exact) or
+  *                 sign-LSH buckets (scale path, see Similarity)
+  *
+  * Scale analysis (100 TB): candidate-pair volume is Σ_bucket |bucket|²,
+  * controlled by band count/width — tune `bands`/`numHashes` so expected
+  * bucket size stays O(near-dup cluster size). Skewed buckets (boilerplate
+  * shingle sets) are capped with `maxBucketSize` before the self-join, the
+  * standard guard against quadratic blowup on degenerate content.
+  *
+  * All signature computations run over MATERIALIZED token/shingle array
+  * columns (see TextAnalysis performance contract): HOF lambdas here only
+  * ever reference attributes, so per-doc cost is O(shingles × seeds) hash
+  * ops, never O(doc_len × shingles × seeds) regex work.
+  */
+object Dedup {
+
+  /** Exact dedup keeping the smallest id per distinct content value.
+    * One hash shuffle on the content column; at scale, group on
+    * `fingerprintMd5` instead of raw text to shrink shuffle payload. */
+  def exactDedup(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Exact dedup via fingerprint: shuffles 16-byte digests, not documents.
+    * This is the 100 TB form — payload per row is O(1), not O(doc). */
+  def exactDedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprintMd5(col(contentCol))
+    df.withColumn("_fp", fp)
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol), first(col(contentCol)).as(contentCol))
+      .drop("_fp")
+  }
+
+  /** MinHash signature from a MATERIALIZED shingle array column: for seed
+    * i, min over shingles of xxhash64(shingle, i). Array of `numHashes`
+    * longs. */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Banded LSH bucket keys from a minhash signature: one xxhash64 per
+    * band over the band's slice of the signature. */
+  def bandHashes(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val r = numHashes / bands
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * r + 1, r)).as("bucket"))
+    }: _*)
+  }
+
+  /** (id, band, bucket) exploded bucket membership — the LSH index table.
+    * Stages shingles then signature so each is computed once per doc. */
+  def lshBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val staged = TextAnalysis.withShingles(df.select(col(idCol), col(textCol)), textCol, k)
+      .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), numHashes))
+    staged
+      .select(col(idCol), explode(bandHashes(col("_sig"), numHashes, bands)).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+  }
+
+  /** Candidate near-dup pairs via banded MinHash-LSH. The self-join runs
+    * per (band, bucket) — candidate volume scales with bucket occupancy,
+    * never n². Buckets larger than `maxBucketSize` are dropped (boilerplate
+    * guard; they would dominate cost while being low-value near-dups). */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val exploded = lshBuckets(df, idCol, textCol, k, numHashes, bands)
+    val capped = exploded
+      .withColumn("_bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
+    val a = capped.as("a")
+    val b = capped.as("b")
+    a.join(b,
+        col(s"a.band") === col(s"b.band") &&
+          col(s"a.bucket") === col(s"b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity between two MATERIALIZED shingle arrays. */
+  def jaccardFromShingles(aSh: Column, bSh: Column): Column = {
+    val sa = array_distinct(aSh)
+    val sb = array_distinct(bSh)
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val union = size(array_union(sa, sb)).cast("double")
+    when(union === 0d, 0d).otherwise(inter / union)
+  }
+
+  /** Convenience text-column form — tests/small data only. */
+  def jaccard(aText: Column, bText: Column, k: Int = 3): Column =
+    jaccardFromShingles(
+      TextAnalysis.shingles(aText, k), TextAnalysis.shingles(bText, k))
+
+  /** Full near-dup pipeline: LSH candidates → join staged shingle arrays
+    * back → exact Jaccard verify ≥ threshold. Verification cost is
+    * O(candidates), and shingle arrays are computed once per doc. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+    val docsSh = TextAnalysis.withShingles(df.select(col(idCol), col(textCol)), textCol, k)
+      .select(col(idCol), col("_sh"))
+    cands
+      .join(docsSh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
+      .join(docsSh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
+      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
+    * the 64 bits of xxhash64(token) votes +1/-1; the signature sets bits
+    * with positive vote totals. One scan, no shuffle. The per-token hash
+    * is staged through a transform so it is computed once per token, not
+    * once per (token × bit). */
+  def simhashFromTokens(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t)) // one hash per token
+    val zeros = array_repeat(lit(0L), 64)
+    val votes = aggregate(
+      hashes,
+      zeros,
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + when(
+          h.bitwiseAND(call_function("shiftleft", lit(1L), i.cast("int"))) =!= 0L, 1L)
+          .otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Stage tokens, compute simhash — the df-level form. */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
+    TextAnalysis.withTokens(df, textCol, "_sh_toks")
+      .withColumn(out, simhashFromTokens(col("_sh_toks")))
+      .drop("_sh_toks")
+
+  /** Convenience text-column form — tests/small data only. */
+  def simhash(textCol: Column): Column =
+    simhashFromTokens(TextAnalysis.tokens(textCol))
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-dup pairs, exact over a bounded probe subset
+    * (the verify-side primitive; the corpus-wide scale path goes through
+    * Similarity.signLshBuckets so the join is bucket-local). Probe side is
+    * broadcast: no shuffle of the big side. */
+  def embeddingNearDupExact(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      threshold: Double): DataFrame = {
+    val probes = df.filter(probeFilter)
+      .select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val base = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    broadcast(probes)
+      .join(base, col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.cosineSim(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

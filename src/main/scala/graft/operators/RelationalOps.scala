@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** The relational core: generalized forms of every aggregation / projection
+  * / filter shape the reference executes, expressed declaratively so
+  * Catalyst plans them (partial+final hash aggregation, pushdown, pruning).
+  *
+  * Reference mapping (see SURVEY.md §2):
+  *  - groupCount       ⇐ KPIs A1-A5 (reference: Consumer.scala:129-137)
+  *  - conditionalPair  ⇐ KPI A6 loyalty pair (Consumer.scala:139-145),
+  *                        with the UDF at :121-124 replaced by native
+  *                        `when` so whole-stage codegen survives
+  *  - unpivotMean      ⇐ KPI A7 (Consumer.scala:368-401): the reference's
+  *                        14-way union loop becomes ONE unpivot + ONE
+  *                        aggregation — 1 shuffle instead of 14 scans
+  *  - rangeSlice       ⇐ Producer's between-filter + drop (Producer.scala:40-43)
+  *  - withRowIndex     ⇐ scalable replacement for the `_c0` row-id contract
+  */
+object RelationalOps {
+
+  /** Multi-key grouped count — the A1-A5 shape. Plans as partial+final
+    * HashAggregate around one hash exchange; map-side combine means the
+    * shuffle carries |distinct keys| rows per partition, not |rows|. */
+  def groupCount(df: DataFrame, keys: Seq[String], countName: String = "cnt"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(countName))
+
+  /** A6 shape: per-key (Σ flag, count(nonNull) − Σ flag) with a *native*
+    * conditional flag. `flagCond` decides membership; `nonNullCol` mirrors
+    * the reference's `count("Customer Type")` null semantics. */
+  def conditionalPair(
+      df: DataFrame,
+      key: String,
+      flagCond: Column,
+      nonNullCol: String,
+      posName: String = "pos_cnt",
+      negName: String = "neg_cnt"): DataFrame = {
+    val flag = when(flagCond, 1).otherwise(0)
+    df.groupBy(col(key)).agg(
+      sum(flag).cast("int").as(posName),
+      (count(col(nonNullCol)) - sum(flag)).cast("int").as(negName))
+  }
+
+  /** A7 shape: mean of a 0/1 measure per (feature, value) over many feature
+    * columns — `unpivot` (melt) then a single grouped aggregation. The mean
+    * is computed as exact integer sum / count cast through double so it is
+    * reproducible across engines. */
+  def unpivotMean(
+      df: DataFrame,
+      measureCond: Column,
+      featureCols: Seq[String],
+      meanName: String = "mean_measure"): DataFrame = {
+    val flagged = df.withColumn("_m", when(measureCond, 1L).otherwise(0L))
+    val long = flagged.unpivot(
+      ids = Array(col("_m")),
+      values = featureCols.map(col).toArray,
+      variableColumnName = "feature_name",
+      valueColumnName = "feature_value")
+    long
+      .groupBy(col("feature_name"), col("feature_value"))
+      .agg((sum(col("_m")).cast("double") / count(lit(1))).as(meanName))
+  }
+
+  /** Producer's segment slice: inclusive range filter + column drop, typed
+    * (no string-vs-int implicit casts — the reference compared a string
+    * `_c0` to int bounds, Producer.scala:40). Filter reaches the parquet
+    * scan as PushedFilters (asserted in PlanSpec). */
+  def rangeSlice(df: DataFrame, idCol: String, lo: Long, hi: Long, dropCols: Seq[String]): DataFrame =
+    df.filter(col(idCol).between(lo, hi)).drop(dropCols: _*)
+
+  /** Top-k: total order + limit. Spark plans this as TakeOrderedAndProject
+    * — per-partition heaps then a k-row merge on the driver, no global
+    * sort. `tieBreak` columns must make the order total for determinism. */
+  def topK(df: DataFrame, k: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Globally contiguous 0-based row index in a given total order.
+    *
+    * Scale note: a `row_number() OVER (ORDER BY …)` window collapses to a
+    * SINGLE partition — a non-starter at 100 TB. This is the distributed
+    * form: range-partitioned sort (stays parallel), then per-partition
+    * offsets from partition sizes (one lightweight count job), then a
+    * partition-local index add. Same result as row_number()-1, no
+    * single-partition stage. */
+  def withRowIndex(df: DataFrame, name: String, order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Segment assignment fixing the reference's off-by-one (Producer.scala:
+    * 31-37 made segment 0 span 1001 rows): every segment has exactly
+    * `rowsPerSegment` rows except the last. Single pass — the reference
+    * rescanned the source once per segment (O(segments × rows)). */
+  def withSegment(df: DataFrame, idCol: String, rowsPerSegment: Long, segName: String = "segment"): DataFrame =
+    df.withColumn(segName, floor(col(idCol) / lit(rowsPerSegment)).cast("long"))
+
+  /** Union-by-name of homogeneous projections (reference's union loop,
+    * Consumer.scala:389-397, without the emptyDataFrame seed quirk). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[cosineTopK]]: exact brute force — broadcast the (small) probe set
+  *    against the corpus, rank with a per-probe window. The corpus is
+  *    scanned once, never shuffled; cost is O(|probes| × |corpus| × dim)
+  *    spread across all executors. Baseline and verifier.
+  *  - [[signLshTopK]]: random-hyperplane sign-LSH — corpus and probes are
+  *    bucketed by an h-bit sign signature; candidate generation joins on
+  *    bucket equality so compared-pair volume scales with bucket occupancy.
+  *    This is the 100 TB path (the IVF analogue: buckets = inverted lists).
+  *    Recall is tunable via `hyperplanes` (fewer bits → bigger buckets →
+  *    higher recall, more compute) and `probes` multi-bucket lookup.
+  *
+  * Hyperplanes are generated from a seeded deterministic hash (no RNG at
+  * plan time), so results are reproducible run-to-run.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each probe row.
+    * Output: (probe_id, neighbor_id, rank), rank 1..k, self excluded,
+    * ties broken by neighbor id for determinism. */
+  def cosineTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int): DataFrame = {
+    val probes = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a value in [-1, 1) derived from xxhash64 — seeded, engine-local. */
+  private def planeComponent(plane: Int, d: Int, seed: Long): Double = {
+    // splitmix64-style scramble of (plane, dim, seed) — public-domain mixer
+    var z = seed + plane.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** h-bit sign signature of a vector under `h` seeded hyperplanes.
+    * Bit i = sign(v · plane_i). Computed with one HOF pass per plane over
+    * the array column; result is a Long bucket key. */
+  def signSignature(vecCol: Column, dim: Int, h: Int, seed: Long = 42L): Column = {
+    require(h <= 62, "signature must fit a Long")
+    val bits = (0 until h).map { p =>
+      val planeArr = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+      val dotP = aggregate(
+        zip_with(vecCol, planeArr, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(dotP >= 0d, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Approximate top-k: bucket corpus and probes by sign signature, join
+    * bucket-to-bucket (equi-join → hash join, never a cross product),
+    * rank within probe. Exactness degrades gracefully: neighbors landing
+    * in other buckets are missed; recall measured in SimilaritySpec. */
+  def signLshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      hyperplanes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val sig = signSignature(col(vecCol), dim, hyperplanes, seed)
+    val bucketed = df.withColumn("_sig", sig)
+    val probes = bucketed.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("_sig").as("_psig"))
+    val corpus = bucketed
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("_sig").as("_csig"))
+    val scored = probes
+      .join(corpus, col("_psig") === col("_csig") && col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Candidate-pair count per signature bucket — the observability hook
+    * the scale tests assert on (Σ |bucket|² must be ≪ n²). */
+  def bucketStats(df: DataFrame, vecCol: String, dim: Int, hyperplanes: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("_sig", signSignature(col(vecCol), dim, hyperplanes, seed))
+      .groupBy(col("_sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+}

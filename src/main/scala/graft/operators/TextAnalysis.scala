@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the documents pipeline — all built from
+  * Catalyst expressions (no Scala UDFs in any hot path).
+  *
+  * `normalize` is the reference's text-cleaning semantics
+  * (reference: src/main/scala/FileReconstitution.scala:8-11 — regex-delete
+  * `[^a-zA-Z0-9\s]` then lowercase) rebuilt as `regexp_replace` + `lower`;
+  * `segmentNumber` is its filename ordering key (:22-28). The rest is the
+  * LLM-pipeline extension: language ID, quality scoring, token counting,
+  * fingerprinting.
+  *
+  * PERFORMANCE CONTRACT: higher-order-function lambdas re-evaluate any
+  * captured subtree once PER ELEMENT. Token/shingle arrays must therefore
+  * be MATERIALIZED as columns (`withTokens` / `withShingles`) before any
+  * HOF consumes them — otherwise the normalize regex re-runs per shingle
+  * per hash seed (O(len × shingles × seeds)); observed as a 300+ s/task
+  * stall on 500 docs. The `*FromTokens`/`*FromShingles` forms take an
+  * attribute reference and are the only forms operators use.
+  */
+object TextAnalysis {
+
+  /** F1: strip non-alphanumerics (keeping whitespace), lowercase. */
+  def normalize(c: Column): Column =
+    lower(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
+
+  /** F2: numeric ordering key from `segment_<i>` file names. Non-matching
+    * names yield null (ANSI-safe: regexp_extract returns "" on no match,
+    * which ANSI cast would reject). */
+  def segmentNumber(fileName: Column): Column = {
+    val m = regexp_extract(fileName, "segment_(\\d+)", 1)
+    when(m === "", lit(null)).otherwise(m).cast("int")
+  }
+
+  /** Whitespace token array of normalized text. Evaluate ONCE per row via
+    * [[withTokens]] before use in any HOF. */
+  def tokens(c: Column): Column =
+    split(trim(normalize(c)), "\\s+")
+
+  /** Materialize the token array as a column (the staging step). */
+  def withTokens(df: DataFrame, textCol: String, out: String = "_toks"): DataFrame =
+    df.withColumn(out, tokens(col(textCol)))
+
+  /** Word k-shingles from a MATERIALIZED token array column. */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    when(n < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), n - lit(k)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Materialize the shingle array (stages tokens internally). */
+  def withShingles(df: DataFrame, textCol: String, k: Int, out: String = "_sh"): DataFrame =
+    withTokens(df, textCol, "_toks_tmp")
+      .withColumn(out, shinglesFromTokens(col("_toks_tmp"), k))
+      .drop("_toks_tmp")
+
+  /** Convenience single-column form — tests/small data only; operators
+    * must stage via [[withShingles]]. */
+  def shingles(c: Column, k: Int): Column =
+    shinglesFromTokens(tokens(c), k)
+
+  /** Whitespace tokenization count (empty string → 0 tokens). */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, 0)
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation runs.
+    * A cheap, deterministic proxy for tokenizer cost estimation. */
+  def tokenCountBpeish(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Quality heuristics: length band, token count, mean word length,
+    * punctuation & digit ratios. Returns the input plus metric columns
+    * and a boolean `quality_ok`. */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTok = tokenCount(t)
+    val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val digits = nChars - length(regexp_replace(t, "[0-9]", ""))
+    df.withColumn("n_chars_m", nChars.cast("long"))
+      .withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("punct_ratio", punct.cast("double") / greatest(nChars, lit(1)))
+      .withColumn("digit_ratio", digits.cast("double") / greatest(nChars, lit(1)))
+      .withColumn("mean_word_len",
+        (nChars - (nTok - lit(1))).cast("double") / greatest(nTok, lit(1)))
+      .withColumn("quality_ok",
+        nChars.between(20, 1000000) && nTok.between(5, 500000) &&
+          (punct.cast("double") / greatest(nChars, lit(1))) < 0.3)
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic (public common-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "it" -> Seq("il", "di", "che", "la", "per", "una", "sono", "con", "non", "del"))
+
+  /** Language ID: stage the token array once, score each language as the
+    * count of stopword hits (a `filter` HOF over the materialized array),
+    * pick the argmax. Ties / zero hits → "und". One scan, no shuffle. */
+  def langId(df: DataFrame, textCol: String = "text", outCol: String = "lang_pred"): DataFrame = {
+    val staged = df.withColumn("_lid_toks", split(lower(trim(col(textCol))), "\\s+"))
+    val toks = col("_lid_toks")
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang) picks highest hits, ties by lang desc;
+    // deterministic because the struct comparison is lexicographic.
+    val best = array_max(array(scored: _*))
+    staged
+      .withColumn(outCol,
+        when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+      .drop("_lid_toks")
+  }
+
+  /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
+    * engine-independent, used for exact dedup keys. */
+  def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))
+
+  /** 64-bit rolling document fingerprint over a MATERIALIZED shingle
+    * array: xxhash64 per shingle folded with bitwise XOR —
+    * order-insensitive, resilient to small edits. */
+  def fingerprintRollingFromShingles(sh: Column): Column =
+    aggregate(transform(sh, s => xxhash64(s)), lit(0L), (acc, h) => acc.bitwiseXOR(h))
+}

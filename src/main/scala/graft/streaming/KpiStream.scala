@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.airline.AirlineKpis
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The streaming KPI pipeline: ONE source scan, ONE query, fan-out to all
+  * KPI tables inside a single `foreachBatch` — restructuring the
+  * reference's five concurrent `StreamingQuery`s that each re-scanned the
+  * source and kept separate state (reference: src/main/scala/
+  * Consumer.scala:60-107).
+  *
+  * Design:
+  *  - each micro-batch is persisted once and aggregated per KPI into
+  *    keyed *additive components* (counts / sums), merged into the store;
+  *    running totals therefore live in the sink, not in unbounded
+  *    streaming state — at 100 TB the state store never grows, and the
+  *    shuffles are per-batch-sized, not stream-lifetime-sized;
+  *  - a mandatory checkpoint (the reference configured none —
+  *    restart replayed from scratch) plus the store's applied-batch
+  *    watermark give exactly-once effects end-to-end;
+  *  - batch ids are consistent across all KPI tables by construction
+  *    (single query), which the reference's five independent queries could
+  *    not guarantee.
+  */
+object KpiStream {
+
+  /** Start the single fan-out query over an airline CSV segment stream.
+    * `availableNow = true` drains all existing files then stops —
+    * the test/replay trigger; false = continuous micro-batches. */
+  def start(
+      spark: SparkSession,
+      inputGlob: String,
+      checkpointDir: String,
+      store: ParquetKpiStore,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val stream = Tables.airlineCsvStream(spark, inputGlob, maxFilesPerTrigger)
+    val writer = stream.writeStream
+      .queryName("graft_kpi_fanout")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.persist()
+        try AirlineKpis.all.foreach { case (table, transform, keys) =>
+          store.merge(spark, table, keys, transform(batch), batchId)
+        } finally batch.unpersist()
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+
+  /** Drain-and-stop convenience for tests/replays. */
+  def runToCompletion(
+      spark: SparkSession,
+      inputGlob: String,
+      checkpointDir: String,
+      store: ParquetKpiStore): Unit = {
+    val q = start(spark, inputGlob, checkpointDir, store, availableNow = true)
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyed upsert sinks for streaming `foreachBatch` fan-out — the engine's
+  * replacement for the reference's per-row MySQL upsert writer
+  * (reference: src/main/scala/Consumer.scala:152-181 — one JDBC connection
+  * per partition per batch, one `executeUpdate` per row).
+  *
+  * Two implementations:
+  *  - [[ParquetKpiStore]]: versioned parquet directories with an atomic
+  *    latest-pointer — the test/local sink. Merge is an *additive* fold of
+  *    keyed components (counts/sums), idempotent under micro-batch replay
+  *    via a persisted applied-batch watermark (exactly-once effect on
+  *    at-least-once delivery).
+  *  - [[JdbcUpsertSink]]: batched, pooled-connection keyed upsert for
+  *    external DBMS targets — `addBatch`/`executeBatch` per partition
+  *    instead of per-row round trips.
+  */
+class ParquetKpiStore(root: String) extends Serializable {
+
+  private def tableDir(table: String) = s"$root/$table"
+  private def latestFile(table: String) = new Path(s"$root/$table/_LATEST")
+
+  private def fs(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest micro-batch id already folded into `table` (-1 if none). */
+  def appliedBatch(spark: SparkSession, table: String): Long = {
+    val f = fs(spark)
+    if (!f.exists(latestFile(table))) -1L
+    else {
+      val in = f.open(latestFile(table))
+      try scala.io.Source.fromInputStream(in).mkString.trim.split(":")(0).toLong
+      finally in.close()
+    }
+  }
+
+  private def currentVersionPath(spark: SparkSession, table: String): Option[String] = {
+    val f = fs(spark)
+    if (!f.exists(latestFile(table))) None
+    else {
+      val in = f.open(latestFile(table))
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      Some(s"${tableDir(table)}/v_${s.split(":")(1)}")
+    }
+  }
+
+  /** Current table contents (empty option if never written). */
+  def read(spark: SparkSession, table: String): Option[DataFrame] =
+    currentVersionPath(spark, table).map(spark.read.parquet(_))
+
+  /** Additively merge keyed components: non-key numeric columns are summed
+    * per key across the existing state and the new batch. Skips batches
+    * already applied (replay after checkpoint recovery is a no-op). */
+  def merge(
+      spark: SparkSession,
+      table: String,
+      keys: Seq[String],
+      updates: DataFrame,
+      batchId: Long): Unit = synchronized {
+    if (batchId <= appliedBatch(spark, table)) return // idempotent replay
+    val valueCols = updates.columns.filterNot(keys.contains)
+    val merged = read(spark, table) match {
+      case None => updates
+      case Some(cur) =>
+        cur.unionByName(updates)
+          .groupBy(keys.map(col): _*)
+          .agg(valueCols.head -> "sum", valueCols.tail.map(_ -> "sum"): _*)
+          .select(keys.map(col) ++ valueCols.map(c => col(s"sum($c)").cast(
+            updates.schema(c).dataType).as(c)): _*)
+    }
+    val vdir = s"${tableDir(table)}/v_$batchId"
+    merged.write.mode(SaveMode.Overwrite).parquet(vdir)
+    // atomic-enough pointer swap: tiny file, single writer per query
+    val f = fs(spark)
+    val out = f.create(latestFile(table), true)
+    out.write(s"$batchId:$batchId".getBytes("UTF-8"))
+    out.close()
+  }
+}
+
+/** Batched JDBC keyed upsert. Dialect-parameterized SQL generation is unit
+  * tested; live connectivity needs an external DBMS (not present in CI).
+  * vs the reference: ONE prepared statement + executeBatch per partition
+  * (Consumer.scala:170-172 round-tripped per row). */
+object JdbcUpsertSink {
+
+  /** MySQL-style `INSERT … ON DUPLICATE KEY UPDATE` for a keyed table;
+    * identifiers are backtick-quoted (the reference's dead KPI K8 broke on
+    * unquoted space-bearing identifiers, Consumer.scala:313-317). */
+  def upsertSql(table: String, keys: Seq[String], values: Seq[String]): String = {
+    val cols = keys ++ values
+    val quoted = cols.map(c => s"`$c`")
+    val placeholders = cols.map(_ => "?")
+    val updates = values.map(c => s"`$c`=VALUES(`$c`)")
+    s"INSERT INTO `$table` (${quoted.mkString(", ")}) VALUES (${placeholders.mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
+  }
+
+  /** Write a keyed DataFrame with batched upserts, `batchSize` rows per
+    * round trip, one connection per partition (pooling delegated to the
+    * JDBC URL's pool when configured). */
+  def write(df: DataFrame, url: String, table: String, keys: Seq[String], batchSize: Int = 1000): Unit = {
+    val values = df.columns.filterNot(keys.contains).toSeq
+    val sql = upsertSql(table, keys, values)
+    val cols = (keys ++ values).toArray
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val ps = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            cols.zipWithIndex.foreach { case (c, i) =>
+              ps.setObject(i + 1, r.getAs[Any](c))
+            }
+            ps.addBatch(); n += 1
+            if (n % batchSize == 0) ps.executeBatch()
+          }
+          ps.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+}

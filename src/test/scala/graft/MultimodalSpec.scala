@@ -1,0 +1,38 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("attachFakeMedia: binary payload + typed metadata struct") {
+    val df = Multimodal.attachFakeMedia(Seq((1L, "hello")).toDF("id", "text"), "text")
+    val r = df.select("media", "media_meta.mime", "media_meta.n_bytes").head()
+    assert(new String(r.getAs[Array[Byte]](0), "UTF-8") == "hello")
+    assert(r.getString(1) == "application/x-graft-fake")
+    assert(r.getLong(2) == 5L)
+  }
+
+  test("decodeFeatures: fixed-dim features, schema contract, deterministic") {
+    val docs = (1 to 600).map(i => (i.toLong, s"doc number $i")).toDF("id", "text")
+    val media = Multimodal.attachFakeMedia(docs, "text")
+    val out = Multimodal.decodeFeatures(media, "media", dim = 4, batchSize = 128)
+    assert(out.schema("features").dataType.typeName == "array")
+    val rows = out.select("id", "features").collect()
+    assert(rows.length == 600)
+    assert(rows.forall(_.getSeq[Float](1).length == 4))
+    // deterministic: same payload -> same features
+    val again = Multimodal.decodeFeatures(media, "media", dim = 4, batchSize = 7)
+      .select("id", "features").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap ==
+      again.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap)
+  }
+
+  test("decode is a narrow op: partition count preserved") {
+    val docs = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("id", "text").repartition(5)
+    val out = Multimodal.decodeFeatures(
+      Multimodal.attachFakeMedia(docs, "text"), "media", dim = 2)
+    assert(out.rdd.getNumPartitions == 5)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB design contract. A query that is
+  * correct but scans all columns, skips pushdown, or cross-joins would
+  * pass value checks and still be wrong at scale; these tests pin the
+  * plan shape. Fixture: sf0.001 (~6k lineitem rows). */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("range filter is pushed into the parquet scan (P1)") {
+    val q = SparkEntry.queries("p1_range_slice")(spark, dir)
+    val f = formatted(q)
+    assert(f.contains("PushedFilters:"), f)
+    assert(f.contains("GreaterThanOrEqual(l_quantity,10.0)") ||
+      f.contains("GreaterThanOrEqual(l_quantity"), s"filter not pushed:\n$f")
+  }
+
+  test("projection prunes the scan schema to referenced columns (A1)") {
+    val q = SparkEntry.queries("a1_group_count_segment")(spark, dir)
+    val f = formatted(q)
+    // ReadSchema must contain only the grouping column, not all 5
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("c_mktsegment"))
+    assert(!read.contains("c_acctbal"), s"scan reads unneeded columns: $read")
+  }
+
+  test("dimension joins broadcast the small side, no shuffle of dims (J1)") {
+    val q = SparkEntry.queries("j1_broadcast_dim")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort (W2)") {
+    val q = SparkEntry.queries("w2_topk")(spark, dir)
+    assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
+  }
+
+  test("unpivot-mean runs ONE aggregation, not 14 unions (A7)") {
+    val q = SparkEntry.queries("a7_unpivot_mean")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("Union"), s"A7 must not plan a union:\n$p")
+    // exactly one partial+final agg pair over the unpivoted stream
+    assert("HashAggregate".r.findAllIn(p).size <= 4, p)
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline (no UDF opacity)") {
+    val q = SparkEntry.queries("a6_conditional_pair")(spark, dir)
+    q.collect() // materialize so AQE finalizes the physical plan
+    val p = plan(q)
+    // codegen spans render as "*(n) Operator" in the simple plan string
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p)
+  }
+
+  test("exact dedup aggregates instead of self-joining") {
+    val q = SparkEntry.queries("d1_exact_dedup")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("cosine top-k broadcasts probes; corpus is never shuffled") {
+    val q = SparkEntry.queries("s1_cosine_topk")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("entry flagship runs and returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

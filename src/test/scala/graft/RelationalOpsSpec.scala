@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{RelationalOps, Segmentation}
+import org.apache.spark.sql.functions._
+
+class RelationalOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("groupCount matches manual counts (A1-A5 shape)") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("a", 4), ("b", 5)).toDF("k", "v")
+    val got = RelationalOps.groupCount(df, Seq("k")).orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("conditionalPair keeps the reference's count(non-null) semantics (A6)") {
+    val df = Seq(
+      ("x", Some("Loyal")), ("x", Some("Other")), ("x", None),
+      ("y", Some("Loyal"))).toDF("k", "ct")
+    val got = RelationalOps
+      .conditionalPair(df, "k", col("ct") === "Loyal", "ct", "pos", "neg")
+      .orderBy("k").collect()
+    // null ct rows count into NEITHER side (count(ct) skips nulls)
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("x", 1, 1), ("y", 1, 0)))
+  }
+
+  test("unpivotMean = per-feature-value mean of the flag (A7)") {
+    val df = Seq((1, 10, "R"), (1, 20, "N"), (2, 10, "R")).toDF("f1", "f2", "flag")
+    val got = RelationalOps
+      .unpivotMean(df, col("flag") === "R", Seq("f1", "f2"), "m")
+      .orderBy("feature_name", "feature_value")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).doubleValue(), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("f1", 1.0, 0.5), ("f1", 2.0, 1.0), ("f2", 10.0, 1.0), ("f2", 20.0, 0.0)))
+  }
+
+  test("rangeSlice is inclusive and drops columns (P1/P2)") {
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val got = RelationalOps.rangeSlice(df, "id", 3, 5, Seq("v"))
+    assert(got.columns.toSeq == Seq("id"))
+    assert(got.as[Long].collect().sorted.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("topK returns k rows in total order (W3)") {
+    val df = Seq(5, 3, 9, 1, 9, 7).toDF("x")
+    val got = RelationalOps.topK(df, 3, Seq(col("x").desc)).as[Int].collect().toSeq
+    assert(got == Seq(9, 9, 7))
+  }
+
+  test("withRowIndex is contiguous 0-based in the requested order") {
+    val df = Seq(30, 10, 20, 50, 40).toDF("x")
+    val got = RelationalOps.withRowIndex(df, "idx", Seq(col("x")))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._2)
+    assert(got.toSeq == Seq((10, 0L), (20, 1L), (30, 2L), (40, 3L), (50, 4L)))
+  }
+
+  test("segmentation is an exact cover: no loss, no dup, even sizes (G1)") {
+    val df = (0 until 2500).map(i => (i * 7 % 2500, s"r$i")).toDF("k", "v")
+    val seg = Segmentation.segmented(df, 1000, Seq("k"))
+    val sizes = seg.groupBy("segment").count().orderBy("segment")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // fixed off-by-one: exactly 1000 per segment, last takes remainder
+    assert(sizes.toSeq == Seq((0L, 1000L), (1L, 1000L), (2L, 500L)))
+    assert(seg.select("k").distinct().count() == 2500)
+  }
+
+  test("unionAll unions by name") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(("y", 2)).toDF("v", "id")
+    val got = RelationalOps.unionAll(Seq(a, b)).orderBy("id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(got.toSeq == Seq((1, "x"), (2, "y")))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(7)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  test("native dot/cosine agree with the HOF reference formulation") {
+    val df = vecs(50, 16).toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b")).limit(200)
+      .select(
+        VectorOps.dot(col("a.v"), col("b.v")).as("dn"),
+        VectorOps.dotHof(col("a.v"), col("b.v")).as("dh"),
+        VectorOps.cosineSim(col("a.v"), col("b.v")).as("cn"),
+        VectorOps.cosineSimHof(col("a.v"), col("b.v")).as("ch"))
+      .collect()
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("cosine of a vector with itself is 1, zero vector is 0") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)), (Seq(0f, 0f, 0f), Seq(1f, 1f, 1f)))
+      .toDF("a", "b")
+    val got = df.select(VectorOps.cosineSim(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+  }
+
+  test("cosineTopK: exact neighbors, self excluded, rank contiguous") {
+    val df = vecs(80, 8).toDF("vec_id", "embedding")
+    val got = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+    val rows = got.collect()
+    assert(rows.length == 15) // 3 probes x 5
+    val byProbe = rows.groupBy(_.getLong(0))
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 5))
+      assert(!rs.map(_.getLong(1)).contains(p))
+    }
+    // brute-force check for probe 0
+    val all = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      d / (na * nb)
+    }
+    val expect = all.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(all(0L), v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val gotN = byProbe(0L).sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+    assert(gotN == expect)
+  }
+
+  test("signLshTopK achieves reasonable recall vs exact at few hyperplanes") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.signLshTopK(df, "vec_id", "embedding", col("vec_id") < 10,
+      5, dim = 16, hyperplanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low even for 2 hyperplanes")
+  }
+
+  test("bucketStats: sum of bucket sizes equals corpus size") {
+    val df = vecs(100, 8).toDF("vec_id", "embedding")
+    val stats = Similarity.bucketStats(df, "embedding", 8, 4)
+    assert(stats.agg(sum("bucket_size")).as[Long].head() == 100L)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.airline.AirlineKpis
+import graft.streaming.{KpiStream, ParquetKpiStore, Reconstitution}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end streaming tests over a generated airline-shaped CSV segment
+  * directory (the reference's own dataset is not in the fixture set, so
+  * the stream fixture is synthesized in-test with a fixed seed). */
+class StreamingSpec extends SparkTestBase {
+
+  private val genders = Seq("Male", "Female")
+  private val ctypes = Seq("Loyal Customer", "disloyal Customer")
+  private val travel = Seq("Business travel", "Personal Travel")
+  private val classes = Seq("Business", "Eco", "Eco Plus")
+  private val sats = Seq("satisfied", "neutral or dissatisfied")
+
+  private def csvLine(i: Int): String = {
+    val rnd = new scala.util.Random(i)
+    val ratings = Seq.fill(14)(rnd.nextInt(6)).mkString(",")
+    s"$i,${genders(i % 2)},${ctypes(i % 3 % 2)},${20 + i % 40},${travel(i % 5 % 2)}," +
+      s"${classes(i % 3)},${500 + i % 3000},$ratings,${i % 30},${(i % 25).toDouble},${sats(i % 4 % 2)}"
+  }
+
+  private val header = {
+    val r = Seq("Inflight wifi service", "Departure/Arrival time convenient",
+      "Ease of Online booking", "Gate location", "Food and drink", "Online boarding",
+      "Seat comfort", "Inflight entertainment", "On-board service", "Leg room service",
+      "Baggage handling", "Checkin service", "Inflight service", "Cleanliness")
+    (Seq("id", "Gender", "Customer Type", "Age", "Type of Travel", "Class",
+      "Flight Distance") ++ r ++
+      Seq("Departure Delay in Minutes", "Arrival Delay in Minutes", "satisfaction"))
+      .mkString(",")
+  }
+
+  private def writeSegments(dir: String, nSegments: Int, rows: Int): Unit =
+    (0 until nSegments).foreach { s =>
+      val seg = new java.io.File(s"$dir/segment_$s"); seg.mkdirs()
+      val w = new java.io.PrintWriter(s"$dir/segment_$s/part-0.csv")
+      w.println(header)
+      (0 until rows).foreach(i => w.println(csvLine(s * rows + i)))
+      w.close()
+    }
+
+  test("KPI fan-out stream: final store state == batch groupBy on same input") {
+    val in = tmpDir("kpi-in"); val cp = tmpDir("kpi-cp"); val st = tmpDir("kpi-store")
+    writeSegments(in, 3, 40)
+    val store = new ParquetKpiStore(st)
+    KpiStream.runToCompletion(spark, s"$in/*", cp, store)
+
+    val batch = graft.sources.Tables.airlineCsv(spark, s"$in/*")
+    AirlineKpis.all.foreach { case (table, transform, keys) =>
+      val want = transform(batch).orderBy(keys.map(col): _*).collect().toSeq
+      val got = store.read(spark, table).get.orderBy(keys.map(col): _*).collect().toSeq
+      assert(got == want, s"KPI $table mismatch")
+    }
+  }
+
+  test("KPI stream picks up late-arriving segments incrementally") {
+    val in = tmpDir("kpi2-in"); val cp = tmpDir("kpi2-cp"); val st = tmpDir("kpi2-store")
+    writeSegments(in, 2, 30)
+    val store = new ParquetKpiStore(st)
+    KpiStream.runToCompletion(spark, s"$in/*", cp, store)
+    // two more segments arrive; a new AvailableNow drain folds ONLY them in
+    (2 until 4).foreach { s =>
+      val seg = new java.io.File(s"$in/segment_$s"); seg.mkdirs()
+      val w = new java.io.PrintWriter(s"$in/segment_$s/part-0.csv")
+      w.println(header); (0 until 30).foreach(i => w.println(csvLine(s * 30 + i))); w.close()
+    }
+    KpiStream.runToCompletion(spark, s"$in/*", cp, store)
+    val want = AirlineKpis.genderCounts(graft.sources.Tables.airlineCsv(spark, s"$in/*"))
+      .orderBy("Gender").collect().toSeq
+    val got = store.read(spark, "gender_counts").get.orderBy("Gender").collect().toSeq
+    assert(got == want)
+  }
+
+  test("ParquetKpiStore merge is idempotent on batch replay") {
+    import spark.implicits._
+    val st = tmpDir("idem-store")
+    val store = new ParquetKpiStore(st)
+    val b0: DataFrame = Seq(("a", 2L), ("b", 1L)).toDF("k", "Count")
+    store.merge(spark, "t", Seq("k"), b0, 0L)
+    store.merge(spark, "t", Seq("k"), b0, 0L) // replay of applied batch: no-op
+    val got = store.read(spark, "t").get.orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 1L)))
+    store.merge(spark, "t", Seq("k"), Seq(("a", 3L)).toDF("k", "Count"), 1L)
+    val got2 = store.read(spark, "t").get.orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got2 == Seq(("a", 5L), ("b", 1L)))
+  }
+
+  test("reconstitution: normalized lines in segment order, batch == stream") {
+    val in = tmpDir("rec-in")
+    (0 until 3).foreach { s =>
+      val seg = new java.io.File(s"$in/segment_$s"); seg.mkdirs()
+      val w = new java.io.PrintWriter(s"$in/segment_$s/lines.txt")
+      w.println(s"Seg-$s, Line one!")
+      w.println(s"Seg-$s; line TWO?")
+      w.close()
+    }
+    val outBatch = tmpDir("rec-out") + "/batch.txt"
+    Reconstitution.batchReconstitute(spark, s"$in/*", outBatch)
+    val gotBatch = scala.io.Source.fromFile(outBatch).getLines().toSeq
+    assert(gotBatch == Seq(
+      "seg0 line one", "seg0 line two",
+      "seg1 line one", "seg1 line two",
+      "seg2 line one", "seg2 line two"))
+
+    val outStream = tmpDir("rec-out2") + "/stream.txt"
+    val q = Reconstitution.streamReconstitute(
+      spark, s"$in/*", outStream, tmpDir("rec-cp"))
+    q.awaitTermination()
+    val gotStream = scala.io.Source.fromFile(outStream).getLines().toSeq
+    assert(gotStream.sorted == gotBatch.sorted)
+    assert(gotStream == gotBatch, "stream append must preserve segment order")
+  }
+
+  test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
+    val sql = graft.streaming.JdbcUpsertSink.upsertSql(
+      "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
+    assert(sql.contains("`flight distance impact`"))
+    assert(sql.contains("`mean satisfaction`=VALUES(`mean satisfaction`)"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("normalize strips punctuation and lowercases (F1)") {
+    val got = Seq("Hello, World! 42?").toDF("t")
+      .select(TextAnalysis.normalize(col("t"))).as[String].head()
+    assert(got == "hello world 42")
+  }
+
+  test("segmentNumber extracts the numeric key (F2)") {
+    val got = Seq("outputs/segment_17/part-0.csv", "nope").toDF("f")
+      .select(TextAnalysis.segmentNumber(col("f"))).collect()
+    assert(got(0).getInt(0) == 17)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("tokenCount handles empty and multi-space text") {
+    val got = Seq("", "  ", "one", "a  b\tc").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t"))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 1, 3))
+  }
+
+  test("shingles: sliding word k-grams; short text collapses to one") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextAnalysis.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("exact dedup keeps min id per distinct content") {
+    val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df.select($"text", $"doc_id"), "text", "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("dup", 1L), ("uniq", 2L)))
+  }
+
+  test("LSH finds planted near-duplicates, candidates stay sub-quadratic") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tonight")
+    val others = (0 until 60).map(i =>
+      s"totally unrelated document number $i with words w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f")
+    val docs = ((0L, base) +: (1L, nearDup) +: others.zipWithIndex.map {
+      case (t, i) => (i + 2L, t)
+    }).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"expected planted pair, got ${pairs.toSeq}")
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text").count()
+    val n = docs.count()
+    assert(cands < n * (n - 1) / 4, s"candidate volume $cands too close to all-pairs")
+  }
+
+  test("simhash: near-identical texts within small hamming distance, unrelated far") {
+    val df = Seq(
+      (1L, "spark makes distributed data processing simple and fast for everyone"),
+      (2L, "spark makes distributed data processing simple and fast for anyone"),
+      (3L, "completely different content about cooking pasta with tomato sauce"))
+      .toDF("id", "text")
+    val sig = df.select($"id", Dedup.simhash($"text").as("s"))
+    val m = sig.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 16)
+  }
+
+  test("jaccard of identical is 1, disjoint is 0") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("l", "r")
+    val got = df.select(Dedup.jaccard(col("l"), col("r"), 2)).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0))
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house is that with for was"),
+      (2L, "der hund und die katze ist nicht ein tier mit von zu"),
+      (3L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+  }
+}
