@@ -463,7 +463,7 @@ object SparkEntry {
     "d1_exact_dedup" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "d2_fingerprint_dedup" ->
-      """SELECT MIN(doc_id) AS doc_id, ANY_VALUE(text) AS text FROM documents
+      """SELECT MIN(doc_id) AS doc_id, ARG_MIN(text, doc_id) AS text FROM documents
          GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
          ORDER BY doc_id""",
     "s1_cosine_topk" ->

@@ -35,12 +35,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
 
   /** Exact dedup via fingerprint: shuffles 16-byte digests, not documents.
-    * This is the 100 TB form — payload per row is O(1), not O(doc). */
+    * This is the 100 TB form — payload per row is O(1), not O(doc).
+    * `min_by` keeps the text of the minimum-id doc (deterministic, and
+    * plans as ObjectHashAggregate — `first()` would force SortAggregate). */
   def exactDedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val fp = TextAnalysis.fingerprintMd5(col(contentCol))
     df.withColumn("_fp", fp)
       .groupBy(col("_fp"))
-      .agg(min(col(idCol)).as(idCol), first(col(contentCol)).as(contentCol))
+      .agg(min(col(idCol)).as(idCol), min_by(col(contentCol), col(idCol)).as(contentCol))
       .drop("_fp")
   }
 
