@@ -294,6 +294,28 @@ object SparkEntry {
         col("min_event_id"), col("max_value"))
       .orderBy(col("window_start"))
 
+  private val e3SessionWindow = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("cnt"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  private val d5EmbeddingNearDup = (s: SparkSession, d: String) =>
+    Dedup.embeddingNearDupExact(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 50, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val t7TokenBpeish = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
   // ====================================================================
   // Multimodal plumbing (decode stubbed — schema/batching is the test)
   // ====================================================================
@@ -348,6 +370,9 @@ object SparkEntry {
     "s2_lsh_topk" -> s2LshTopK,
     "e1_json_extract" -> e1Json,
     "e2_time_window" -> e2TimeWindow,
+    "e3_session_window" -> e3SessionWindow,
+    "d5_embedding_neardup" -> d5EmbeddingNearDup,
+    "t7_token_bpeish" -> t7TokenBpeish,
     "m1_multimodal_features" -> m1Features,
   )
 
@@ -482,5 +507,32 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
          count(*) AS cnt, min(event_id) AS min_event_id, max(value) AS max_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "e3_session_window" ->
+      // islands formulation: a session breaks when the gap >= 30 min
+      // (session_window's interval is [start, last+gap), exclusive end)
+      """WITH gaps AS (
+           SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events),
+         sess AS (
+           SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM gaps)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
+         FROM sess GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+    "d5_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE a.vec_id < 50
+           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.3
+         ORDER BY id_a, id_b""",
+    "t7_token_bpeish" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_subwords
+         FROM documents ORDER BY doc_id""",
   )
 }

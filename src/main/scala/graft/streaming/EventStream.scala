@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event-time streaming over the `events` table: watermarked tumbling
+  * windows, streaming dedup, and stream-static enrichment — the
+  * Structured-Streaming extension the reference lacks entirely (its
+  * aggregations were processing-time, unwatermarked, unbounded-state;
+  * reference: src/main/scala/Consumer.scala:129-145, SURVEY.md §2.9).
+  *
+  * Scale design: with a watermark, window state is bounded by
+  * (watermark horizon / window size) × |keys| regardless of stream
+  * length — the 100 TB-safe form of the reference's grow-forever state.
+  * Append output mode emits each window exactly once, when the watermark
+  * passes its end: downstream sinks get immutable finalized rows (no
+  * upsert machinery needed).
+  */
+object EventStream {
+
+  /** The events schema as stored (ts = TIMESTAMP(NANOS) read as raw
+    * nanosecond longs under `nanosAsLong`; streaming file sources need
+    * the schema up front). */
+  val rawSchema: StructType = new StructType()
+    .add("event_id", LongType)
+    .add("ts", LongType)
+    .add("user_id", LongType)
+    .add("event_type", StringType)
+    .add("value", DoubleType)
+    .add("props", StringType)
+
+  /** Streaming source over an events parquet glob, ts decoded to a
+    * proper timestamp (integer div — see Tables.events). */
+  def source(spark: SparkSession, glob: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(glob)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. Append mode:
+    * only watermark-finalized windows are emitted. */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Run the windowed aggregation to completion over a bounded glob,
+    * appending finalized windows as parquet. */
+  def runWindowedToParquet(
+      spark: SparkSession,
+      glob: String,
+      window_ : String,
+      watermark: String,
+      outDir: String,
+      checkpointDir: String): Unit = {
+    val q: StreamingQuery = windowedCounts(source(spark, glob), window_, watermark)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming exact dedup on a key within the watermark horizon —
+    * bounded dedup state (vs unbounded dropDuplicates). */
+  def dedupWithinWatermark(events: DataFrame, watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** Stream-static enrichment join: the static dimension is broadcast
+    * to every micro-batch; no stream-side shuffle. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+}

@@ -30,5 +30,5 @@ object GraftSqlBridge {
       .asInstanceOf[classic.SparkSession]
       .sessionState
       .functionRegistry
-      .createOrReplaceTempFunction(name, builder, "graft")
+      .createOrReplaceTempFunction(name, builder, "internal")
 }

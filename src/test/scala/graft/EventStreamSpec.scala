@@ -1,0 +1,85 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming semantics over the real events fixture
+  * (sf0.001): watermarked windows, streaming dedup, stream-static
+  * enrichment. */
+class EventStreamSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Streaming file sources need a directory: stage the fixture file
+    * into a temp dir once for the suite. */
+  private lazy val glob: String = {
+    val d = tmpDir("events-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    d
+  }
+
+  test("watermarked tumbling windows: append emits exactly the finalized windows") {
+    val out = tmpDir("evw-out"); val cp = tmpDir("evw-cp")
+    EventStream.runWindowedToParquet(spark, glob, "10 minutes", "1 hour", out, cp)
+    val got = spark.read.parquet(out)
+      .orderBy("window_start", "event_type").collect()
+
+    // batch oracle: same agg, restricted to windows closed by the final
+    // watermark (max ts - 1 hour; a window is emitted iff end <= watermark)
+    val batch = Tables.events(spark, dir)
+    val maxTs = batch.agg(max("ts")).head().getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000L)
+    val want = batch
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .filter(col("window.end") <= lit(watermark))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type").collect()
+
+    assert(got.length == want.length,
+      s"emitted ${got.length} windows, batch-finalized ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Any]("window_start") == w.getAs[Any]("window_start"))
+      assert(g.getAs[String]("event_type") == w.getAs[String]("event_type"))
+      assert(g.getAs[Long]("cnt") == w.getAs[Long]("cnt"))
+    }
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    mem.addData((1L, t(0), "a"), (2L, t(1), "b"), (1L, t(2), "a-dup"), (3L, t(3), "c"))
+    val deduped = EventStream.dedupWithinWatermark(
+      mem.toDF().toDF("event_id", "ts", "payload"), "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("dedup_test").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("stream-static enrichment joins without shuffling the stream side") {
+    import spark.implicits._
+    val events = EventStream.source(spark, glob)
+    val dim = Seq(("click", 1), ("view", 2), ("purchase", 3), ("scroll", 4), ("hover", 5))
+      .toDF("event_type", "type_code")
+    val enriched = EventStream.enrich(events, dim, "event_type")
+    val q = enriched.groupBy("type_code").count()
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_test")
+    val total = got.agg(sum("count")).head().getLong(0)
+    assert(total == Tables.events(spark, dir).count())
+  }
+}
