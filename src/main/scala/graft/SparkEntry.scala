@@ -154,6 +154,15 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
+  private val j4SaltedJoin = (s: SparkSession, d: String) =>
+    SkewJoin.saltedEquiJoin(
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+      "l_orderkey", "o_orderkey", saltFactor = 4)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+
   // ====================================================================
   // Sort / limit / union / window (W1-W3 + analytic windows)
   // ====================================================================
@@ -180,6 +189,26 @@ object SparkEntry {
       .filter(col("rk") <= 3)
       .select(col("c_nationkey"), col("c_custkey"), col("rk"))
       .orderBy(col("c_nationkey"), col("rk"))
+  }
+
+  private val w4Intersect = (s: SparkSession, d: String) =>
+    t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+
+  private val w5Except = (s: SparkSession, d: String) =>
+    t(s, d, "part").select(col("p_size").as("v"))
+      .except(t(s, d, "lineitem").select(col("l_linenumber").as("v")))
+      .orderBy(col("v"))
+
+  private val w6Lag = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
   // ====================================================================
@@ -352,9 +381,13 @@ object SparkEntry {
     "j1_broadcast_dim" -> j1Broadcast,
     "j2_sortmerge_fact" -> j2SortMerge,
     "j3_semi" -> j3Semi,
+    "j4_salted_join" -> j4SaltedJoin,
     "w1_union" -> w1Union,
     "w2_topk" -> w2TopK,
     "w3_window_rank" -> w3WindowRank,
+    "w4_intersect" -> w4Intersect,
+    "w5_except" -> w5Except,
+    "w6_lag" -> w6Lag,
     "g1_segments" -> g1Segments,
     "t1_normalize" -> t1Normalize,
     "t2_regex_extract" -> t2RegexExtract,
@@ -441,8 +474,27 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM nation WHERE n_regionkey = 1
          ) ORDER BY n_nationkey""",
+    "j4_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "w2_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
+    "w4_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT
+         SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "w5_except" ->
+      """SELECT p_size AS v FROM part
+         EXCEPT
+         SELECT l_linenumber AS v FROM lineitem
+         ORDER BY v""",
+    "w6_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_totalprice
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "w3_window_rank" ->
       """SELECT c_nationkey, c_custkey, rk FROM (
            SELECT c_nationkey, c_custkey,
