@@ -88,6 +88,20 @@ object SparkEntry {
   private val a8 = (s: SparkSession, d: String) =>
     t(s, d, "lineitem").agg(count(lit(1)).as("cnt"))
 
+  private val a9 = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("nd_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val a10 = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
   // ====================================================================
   // Projections / filters / conditionals (P1-P8, U1/U2 as native when)
   // ====================================================================
@@ -299,6 +313,14 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, hyperplanes = 4)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** nprobe == nlist ⇒ exhaustive: the IVF machinery must reproduce the
+    * exact brute-force answer, so this query shares s1's oracle shape. */
+  private val s3IvfTopK = (s: SparkSession, d: String) =>
+    Similarity.ivfTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
   // ====================================================================
   // Events: JSON extraction + event-time windows
   // ====================================================================
@@ -375,6 +397,8 @@ object SparkEntry {
     "a6_conditional_pair" -> a6,
     "a7_unpivot_mean" -> a7,
     "a8_scalar_count" -> a8,
+    "a9_distinct_count" -> a9,
+    "a10_percentiles" -> a10,
     "p1_range_slice" -> p1RangeSlice,
     "p2_derived_flag" -> p2DerivedFlag,
     "p3_cast_alias" -> p3CastAlias,
@@ -401,6 +425,7 @@ object SparkEntry {
     "d4_simhash" -> d4Simhash,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
+    "s3_ivf_topk" -> s3IvfTopK,
     "e1_json_extract" -> e1Json,
     "e2_time_window" -> e2TimeWindow,
     "e3_session_window" -> e3SessionWindow,
@@ -437,6 +462,24 @@ object SparkEntry {
          ) GROUP BY feature_name, feature_value ORDER BY feature_name, feature_value""",
     "a8_scalar_count" ->
       "SELECT count(*) AS cnt FROM lineitem",
+    "a9_distinct_count" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a10_percentiles" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS med_qty,
+         quantile_cont(l_quantity, 0.9) AS p90_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "s3_ivf_topk" ->
+      """SELECT probe_id, neighbor_id, rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM embeddings p CROSS JOIN embeddings c
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
     "p1_range_slice" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int, l_returnflag AS rflag
          FROM lineitem

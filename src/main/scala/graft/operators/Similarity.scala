@@ -109,4 +109,75 @@ object Similarity {
     df.withColumn("_sig", signSignature(col(vecCol), dim, hyperplanes, seed))
       .groupBy(col("_sig"))
       .agg(count(lit(1)).as("bucket_size"))
+
+  // --------------------------------------------------------------------
+  // IVF (inverted-file) tier
+  // --------------------------------------------------------------------
+
+  /** Deterministic centroid sample: the `nlist` corpus vectors with the
+    * smallest id-hash — stable across runs, no RNG, no k-means job (a
+    * k-means refinement can swap in without changing the query shape). */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    df.withColumn("_h", xxhash64(col(idCol)))
+      .orderBy(col("_h"), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign every vector to its nearest centroid (highest cosine).
+    * Centroids are broadcast; the corpus is scanned once and never
+    * shuffled — the IVF build is a narrow pass at any scale. */
+  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val scored = df.join(broadcast(centroids))
+      .withColumn("_c", VectorOps.cosineSim(col(vecCol), col("centroid_vec")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("_c").desc, col("centroid_id").asc)
+    scored
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
+  }
+
+  /** IVF top-k: probes search only their `nprobe` nearest inverted
+    * lists. With nprobe == nlist this is exhaustive (equals
+    * [[cosineTopK]] — the correctness anchor); with nprobe ≪ nlist,
+    * compared-pair volume drops to ~(nprobe/nlist) × |corpus| per probe.
+    * This is the scale path: lists are the unit of pruning, and a
+    * 100 TB corpus only materializes candidates from probed lists. */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = ivfCentroids(df, idCol, vecCol, nlist)
+    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+
+    // each probe picks its nprobe nearest lists
+    val probeScored = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+      .join(broadcast(centroids))
+      .withColumn("_c", VectorOps.cosineSim(col("_pv"), col("centroid_vec")))
+    val wp = Window.partitionBy(col("probe_id"))
+      .orderBy(col("_c").desc, col("centroid_id").asc)
+    val probeLists = probeScored
+      .withColumn("_rk", row_number().over(wp))
+      .filter(col("_rk") <= nprobe)
+      .select(col("probe_id"), col("_pv"), col("centroid_id").as("list_id"))
+
+    // candidates = probed lists only (equi-join on list id, hash join)
+    val corpus = assigned.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("list_id"))
+    val scored = broadcast(probeLists)
+      .join(corpus, Seq("list_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
 }

@@ -71,6 +71,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low even for 2 hyperplanes")
   }
 
+  test("ivfTopK with nprobe == nlist reproduces exact brute force") {
+    val df = vecs(150, 8).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+      5, nlist = 8, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    assert(ivf == exact)
+  }
+
+  test("ivfTopK with partial probes keeps decent recall at a fraction of the cost") {
+    val df = vecs(300, 8).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 10,
+      5, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor at nprobe=nlist/2")
+  }
+
+  test("ivfAssign: every vector lands in exactly one list") {
+    val df = vecs(100, 8).toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
+    assert(centroids.count() == 8)
+    val assigned = Similarity.ivfAssign(df, centroids, "vec_id", "embedding")
+    assert(assigned.count() == 100)
+    assert(assigned.select("vec_id").distinct().count() == 100)
+  }
+
   test("bucketStats: sum of bucket sizes equals corpus size") {
     val df = vecs(100, 8).toDF("vec_id", "embedding")
     val stats = Similarity.bucketStats(df, "embedding", 8, 4)
