@@ -367,6 +367,26 @@ object SparkEntry {
         TextAnalysis.tokenCountBpeish(col("text")).as("n_subwords"))
       .orderBy(col("doc_id"))
 
+  private val t8TopBigrams = (s: SparkSession, d: String) => {
+    val staged = TextAnalysis.withShingles(
+      t(s, d, "documents").select(col("doc_id"), col("text")), "text", k = 2)
+    staged
+      .select(explode(col("_sh")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  private val e4JsonAgg = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .select(
+        floor(get_json_object(col("props"), "$.k").cast("int") / lit(10)).cast("int").as("k_bucket"),
+        col("value"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("k_bucket"))
+
   // ====================================================================
   // Multimodal plumbing (decode stubbed — schema/batching is the test)
   // ====================================================================
@@ -429,8 +449,10 @@ object SparkEntry {
     "e1_json_extract" -> e1Json,
     "e2_time_window" -> e2TimeWindow,
     "e3_session_window" -> e3SessionWindow,
+    "e4_json_agg" -> e4JsonAgg,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "t7_token_bpeish" -> t7TokenBpeish,
+    "t8_top_bigrams" -> t8TopBigrams,
     "m1_multimodal_features" -> m1Features,
   )
 
@@ -629,5 +651,21 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_subwords
          FROM documents ORDER BY doc_id""",
+    "t8_top_bigrams" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'), 1) AS pos
+           FROM documents),
+         bg AS (
+           SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+           FROM toks)
+         SELECT bigram, count(*) AS cnt FROM bg WHERE bigram IS NOT NULL
+         GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 20""",
+    "e4_json_agg" ->
+      """SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+         count(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
   )
 }

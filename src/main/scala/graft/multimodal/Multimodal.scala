@@ -70,4 +70,31 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** STUB resize: a real implementation decodes, scales to (w, h), and
+    * re-encodes; the stand-in deterministically re-hashes the payload
+    * with the target dims so tests can assert the (payload, w, h) →
+    * payload' contract and the metadata update. Narrow op, no shuffle. */
+  def resizeStub(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val payload = col(mediaCol)
+    val resized = sha2(concat(payload, lit(s"${w}x$h").cast("binary")), 256).cast("binary")
+    df.withColumn(mediaCol, resized)
+      .withColumn("media_meta", struct(
+        lit("application/x-graft-fake-resized").as("mime"),
+        octet_length(resized).cast("long").as("n_bytes"),
+        xxhash64(resized).as("checksum")))
+      .withColumn("resize_dims", struct(lit(w).as("w"), lit(h).as("h")))
+  }
+
+  /** STUB frame sampling for video-like payloads: emits `nFrames` rows
+    * per input row (explode — the one genuinely row-multiplying media
+    * op), each tagged with frame_idx and a deterministic per-frame
+    * pseudo-payload. A real implementation seeks+decodes keyframes. */
+  def frameSampleStub(df: DataFrame, mediaCol: String, nFrames: Int): DataFrame = {
+    val frames = sequence(lit(0), lit(nFrames - 1))
+    df.withColumn("frame_idx", explode(frames))
+      .withColumn("frame_payload",
+        sha2(concat(col(mediaCol), col("frame_idx").cast("string").cast("binary")), 256)
+          .cast("binary"))
+  }
 }

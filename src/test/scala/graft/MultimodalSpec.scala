@@ -29,6 +29,28 @@ class MultimodalSpec extends SparkTestBase {
       again.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap)
   }
 
+  test("resizeStub rewrites payload + metadata deterministically per (payload, dims)") {
+    val df = Multimodal.attachFakeMedia(Seq((1L, "img-a"), (2L, "img-b")).toDF("id", "text"), "text")
+    val r1 = Multimodal.resizeStub(df, "media", 224, 224)
+    val r2 = Multimodal.resizeStub(df, "media", 224, 224)
+    val r3 = Multimodal.resizeStub(df, "media", 64, 64)
+    val p1 = r1.select("id", "media").collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val p2 = r2.select("id", "media").collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val p3 = r3.select("id", "media").collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(p1 == p2)           // deterministic
+    assert(p1(1L) != p3(1L))   // dims affect output
+    assert(r1.select("media_meta.mime").head().getString(0).endsWith("resized"))
+    assert(r1.select("resize_dims.w").head().getInt(0) == 224)
+  }
+
+  test("frameSampleStub explodes to nFrames rows per input with distinct payloads") {
+    val df = Multimodal.attachFakeMedia(Seq((1L, "vid")).toDF("id", "text"), "text")
+    val frames = Multimodal.frameSampleStub(df, "media", 5)
+    assert(frames.count() == 5)
+    assert(frames.select("frame_idx").as[Int].collect().sorted.toSeq == (0 until 5))
+    assert(frames.select("frame_payload").distinct().count() == 5)
+  }
+
   test("decode is a narrow op: partition count preserved") {
     val docs = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("id", "text").repartition(5)
     val out = Multimodal.decodeFeatures(
