@@ -81,18 +81,14 @@ object RelationalOps {
     *
     * Scale note: a `row_number() OVER (ORDER BY …)` window collapses to a
     * SINGLE partition — a non-starter at 100 TB. This is the distributed
-    * form: range-partitioned sort (stays parallel), then per-partition
-    * offsets from partition sizes (one lightweight count job), then a
-    * partition-local index add. Same result as row_number()-1, no
-    * single-partition stage. */
-  def withRowIndex(df: DataFrame, name: String, order: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
-    val schema = StructType(sorted.schema.fields :+
-      org.apache.spark.sql.types.StructField(name, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(rdd, schema)
-  }
+    * form: range-partitioned sort (stays parallel); within each sorted
+    * partition `monotonically_increasing_id()` already encodes
+    * (partitionId << 33 | partition-local ordinal), so the global index
+    * is partitionOffset + local ordinal. Partition sizes are one
+    * lightweight count job (≤ one row per partition to the driver).
+    * Everything stays in whole-stage codegen — no RDD/Row boxing. */
+  def withRowIndex(df: DataFrame, name: String, order: Seq[Column]): DataFrame =
+    org.apache.spark.sql.GraftSqlBridge.zipWithRowIndex(df.orderBy(order: _*), name)
 
   /** Segment assignment fixing the reference's off-by-one (Producer.scala:
     * 31-37 made segment 0 span 1001 rows): every segment has exactly

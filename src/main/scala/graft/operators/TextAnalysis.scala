@@ -44,13 +44,24 @@ object TextAnalysis {
   def withTokens(df: DataFrame, textCol: String, out: String = "_toks"): DataFrame =
     df.withColumn(out, tokens(col(textCol)))
 
-  /** Word k-shingles from a MATERIALIZED token array column. */
+  /** Word k-shingles of a token array.
+    *
+    * Implementation note: built by zip_with-ing k SHIFTED SLICES of the
+    * token array, NOT by `transform(indices, i => slice(toks, i, k))`.
+    * The lambda bodies here reference only lambda-bound variables, so
+    * even when Catalyst's CollapseProject inlines a staged token column
+    * back into this expression (it does whenever the column is consumed
+    * exactly once — e.g. under an explode), the token array is evaluated
+    * O(k) times per ROW. The slice-per-index form re-evaluates the whole
+    * tokenization per ELEMENT after such inlining — O(len × shingles)
+    * regex work that showed up as an 11 s/5000-doc stage. */
   def shinglesFromTokens(toks: Column, k: Int): Column = {
     val n = size(toks)
-    when(n < k, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), n - lit(k)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val outLen = greatest(n - lit(k - 1), lit(0))
+    val shingled = (1 until k).foldLeft(slice(toks, lit(1), outLen)) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j + 1), outLen), (a, b) => concat_ws(" ", a, b))
+    }
+    when(n < k, array(concat_ws(" ", toks))).otherwise(shingled)
   }
 
   /** Materialize the shingle array (stages tokens internally). */

@@ -19,6 +19,33 @@ object GraftSqlBridge {
   /** Unwrap a Column to its Catalyst expression (classic sessions). */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Globally contiguous 0-based row index over the Dataset's CURRENT
+    * (already finalized) physical partitioning.
+    *
+    * Goes through `queryExecution.toRdd`: taking the RDD finalizes the
+    * AQE plan ONCE, so the `zipWithIndex` size job and the subsequent
+    * map run over identical partitions — re-deriving the index from two
+    * independently AQE-replanned jobs is not deterministic (observed:
+    * segment counts drifting run-to-run). Rows are wrapped with
+    * [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] (no
+    * per-field boxing); buffering operators downstream copy per the
+    * InternalRow contract. */
+  def zipWithRowIndex(df: Dataset[Row], name: String): Dataset[Row] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val spark = cdf.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, LongType, nullable = false))
+    val rdd = cdf.queryExecution.toRdd.zipWithIndex().mapPartitions { it =>
+      it.map { case (row, idx) =>
+        new JoinedRow(row, new GenericInternalRow(Array[Any](idx))): InternalRow
+      }
+    }
+    spark.internalCreateDataFrame(rdd, outSchema)
+  }
+
   /** Register an expression builder as a SQL temp function so
     * `spark.sql("SELECT cosine_sim(a, b)")` resolves to the native
     * expression (codegen-capable path, unlike a Scala UDF). */
