@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.{Dedup, RelationalOps, Segmentation, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests: ScalaCheck generators with a fixed seed feed a
+  * single DataFrame per property, so each property is one Spark job over
+  * all generated cases (per-case jobs would be prohibitively slow). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val genText: Gen[String] = Gen.listOfN(
+    60,
+    Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.const(' '),
+      1 -> Gen.oneOf('!', '.', ',', '?', ';', ':', '#', '@', 'Ä', 'ß'),
+      1 -> Gen.const('\t'))).map(_.mkString)
+
+  private lazy val texts: Seq[String] =
+    sample(Gen.listOfN(300, genText), 42L) :+ "" :+ "   " :+ "a" :+ "ÄÖÜ!!!"
+
+  test("normalize is idempotent and its output alphabet is [a-z0-9 \\s]") {
+    val df = texts.toDF("t")
+      .select(
+        TextAnalysis.normalize(col("t")).as("n1"),
+        TextAnalysis.normalize(TextAnalysis.normalize(col("t"))).as("n2"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"not idempotent: ${r.getString(0)}")
+      assert(r.getString(0).forall(c => c.isDigit || ('a' to 'z').contains(c) || c.isWhitespace),
+        s"bad char in: ${r.getString(0)}")
+    }
+  }
+
+  test("shingle count is max(1, tokens - k + 1) for every k in 1..4") {
+    val df = TextAnalysis.withTokens(texts.toDF("t"), "t")
+    (1 to 4).foreach { k =>
+      val got = df.select(
+        size(col("_toks")).as("n"),
+        size(TextAnalysis.shinglesFromTokens(col("_toks"), k)).as("s"))
+        .collect()
+      got.foreach { r =>
+        val n = r.getInt(0); val s = r.getInt(1)
+        assert(s == math.max(1, n - k + 1), s"k=$k n=$n s=$s")
+      }
+    }
+  }
+
+  test("jaccard is 1 on self, symmetric, and within [0,1]") {
+    val pairs = texts.zip(texts.reverse).toDF("a", "b")
+    val got = pairs.select(
+      Dedup.jaccard(col("a"), col("a"), 2).as("self"),
+      Dedup.jaccard(col("a"), col("b"), 2).as("ab"),
+      Dedup.jaccard(col("b"), col("a"), 2).as("ba"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == r.getDouble(2))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("segmentation is a lossless, duplicate-free, exact-size cover for random shapes") {
+    val shapes = sample(Gen.listOfN(4, Gen.zip(
+      Gen.chooseNum(1, 3000), Gen.chooseNum(1, 500))), 7L)
+    shapes.foreach { case (rows, per) =>
+      val df = (0 until rows).map(i => (i * 31 % rows, i)).toDF("k", "ord")
+      val seg = Segmentation.segmented(df, per.toLong, Seq("ord"))
+      val sizes = seg.groupBy("segment").count()
+        .orderBy("segment").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expSegs = (rows + per - 1) / per
+      assert(sizes.length == expSegs, s"rows=$rows per=$per got=${sizes.length}")
+      sizes.zipWithIndex.foreach { case ((segId, cnt), i) =>
+        assert(segId == i)
+        val expected = if (i < expSegs - 1) per.toLong else (rows - per.toLong * (expSegs - 1))
+        assert(cnt == expected, s"rows=$rows per=$per seg=$i cnt=$cnt")
+      }
+      assert(seg.select("ord").distinct().count() == rows)
+    }
+  }
+
+  test("withRowIndex is a bijection onto 0..n-1 respecting the order") {
+    val df = sample(Gen.listOfN(500, Gen.chooseNum(-1000000, 1000000)), 11L)
+      .distinct.toDF("x")
+    val n = df.count()
+    val idx = RelationalOps.withRowIndex(df, "i", Seq(col("x")))
+    val rows = idx.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq == (0L until n))
+    assert(rows.sortBy(_._2).map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+  }
+}
