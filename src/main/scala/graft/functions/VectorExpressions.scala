@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -44,21 +44,69 @@ abstract class VectorFoldExpression extends BinaryExpression {
     while (i < n) { acc = f(acc, get(a, i, lt), get(b, i, rt)); i += 1 }
     acc
   }
+
+  /** Java accessor snippet for element `i` of an ArrayData variable,
+    * widened to double — element type is known at codegen time. */
+  protected def accessor(arr: String, i: String, et: DataType): String = et match {
+    case FloatType => s"((double) $arr.getFloat($i))"
+    case _         => s"$arr.getDouble($i)"
+  }
 }
 
-/** dot(a, b) = Σ a_i * b_i, double accumulation. */
+/** dot(a, b) = Σ a_i * b_i, double accumulation. Participates in
+  * whole-stage codegen: the generated code is a primitive loop over the
+  * two ArrayData buffers — no lambda dispatch, no intermediate array. */
 case class DotProduct(left: Expression, right: Expression)
-    extends VectorFoldExpression with CodegenFallback {
+    extends VectorFoldExpression {
   override def prettyName: String = "vec_dot"
   override def nullSafeEval(l: Any, r: Any): Any = fold(l, r)((acc, x, y) => acc + x * y)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ${accessor(a, i, leftEt)} * ${accessor(b, i, rightEt)};
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot / (||a|| * ||b||); 0.0 when either norm is 0. */
+/** cosine(a, b) = dot / (||a|| * ||b||); 0.0 when either norm is 0.
+  * Codegen: one primitive loop accumulating dot and both norms. */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends VectorFoldExpression with CodegenFallback {
+    extends VectorFoldExpression {
   override def prettyName: String = "cosine_sim"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = ${accessor(a, i, leftEt)};
+         |  final double $y = ${accessor(b, i, rightEt)};
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]

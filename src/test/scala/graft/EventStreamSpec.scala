@@ -67,6 +67,38 @@ class EventStreamSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("streaming session windows with watermark match the batch session query") {
+    val out = tmpDir("sess-out"); val cp = tmpDir("sess-cp")
+    val sessions = EventStream.source(spark, glob)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("cnt"))
+    val q = sessions.writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+      .select("user_id", "session_start", "cnt")
+      .orderBy("user_id", "session_start").collect()
+
+    val batch = Tables.events(spark, dir)
+    val maxTs = batch.agg(max("ts")).head().getTimestamp(0)
+    val watermark = new java.sql.Timestamp(maxTs.getTime - 3600 * 1000L)
+    val want = batch
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("session_window.end") <= lit(watermark))
+      .select(col("user_id"), col("session_window.start").as("session_start"), col("cnt"))
+      .orderBy("user_id", "session_start").collect()
+
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(2) == w.getLong(2))
+    }
+  }
+
   test("stream-static enrichment joins without shuffling the stream side") {
     import spark.implicits._
     val events = EventStream.source(spark, glob)
