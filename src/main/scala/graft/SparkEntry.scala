@@ -368,8 +368,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private val t8TopBigrams = (s: SparkSession, d: String) => {
-    val staged = TextAnalysis.withShingles(
-      t(s, d, "documents").select(col("doc_id"), col("text")), "text", k = 2)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // CPU-dense stage: spread
+    val staged = TextAnalysis.withShingles(docs, "text", k = 2)
     staged
       .select(explode(col("_sh")).as("bigram"))
       .groupBy(col("bigram"))

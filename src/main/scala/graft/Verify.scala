@@ -18,6 +18,7 @@ object Verify {
       // write TIMESTAMP(MICROS), not INT96 — keeps parquet output
       // comparable to DuckDB's microsecond timestamps
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

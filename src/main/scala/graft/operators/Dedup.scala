@@ -66,6 +66,14 @@ object Dedup {
 
   /** (id, band, bucket) exploded bucket membership — the LSH index table.
     * Stages shingles then signature so each is computed once per doc. */
+  /** Signature computation is CPU-dense relative to document bytes, so
+    * spread rows across all cores first — a compressed doc file's scan
+    * splits (row groups) otherwise serialize the hashing onto few tasks.
+    * The text shuffle this costs is small against numHashes× per-shingle
+    * hash work; holds at cluster scale for the same reason. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lshBuckets(
       df: DataFrame,
       idCol: String,
@@ -73,7 +81,8 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val staged = TextAnalysis.withShingles(df.select(col(idCol), col(textCol)), textCol, k)
+    val staged = TextAnalysis.withShingles(
+      spread(df.select(col(idCol), col(textCol))), textCol, k)
       .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), numHashes))
     staged
       .select(col(idCol), explode(bandHashes(col("_sig"), numHashes, bands)).as("bh"))
@@ -168,7 +177,7 @@ object Dedup {
 
   /** Stage tokens, compute simhash — the df-level form. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    TextAnalysis.withTokens(df, textCol, "_sh_toks")
+    TextAnalysis.withTokens(spread(df), textCol, "_sh_toks")
       .withColumn(out, simhashFromTokens(col("_sh_toks")))
       .drop("_sh_toks")
 
