@@ -35,6 +35,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           errors ::= name; false
         }
+      System.gc() // isolate timed runs from the previous query's garbage
       val t0 = System.nanoTime()
       if (ok) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -43,7 +44,31 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val streaming = benchStreaming(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming KPI-pipeline throughput: drain a generated airline
+    * segment directory through the single-scan fan-out (all six KPI
+    * tables, checkpointed, idempotent upsert sink) and report rows/s.
+    * The reference's design envelope was ~1000 rows/s
+    * (reference: src/main/scala/Producer.scala:46 — 1000-row segments
+    * emitted once per second). */
+  private def benchStreaming(spark: SparkSession): String = {
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+      val rows = 40 * 2000
+      graft.airline.AirlineFixture.writeSegments(s"$base/in", 40, 2000)
+      val store = new graft.streaming.ParquetKpiStore(s"$base/store")
+      val t0 = System.nanoTime()
+      graft.streaming.KpiStream.runToCompletion(spark, s"$base/in/*", s"$base/cp", store)
+      val sec = (System.nanoTime() - t0) / 1e9
+      s"""{"rows":$rows,"seconds":$sec,"rows_per_sec":${rows / sec}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming failed: ${e.getMessage}")
+        """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0}"""
+    }
   }
 }

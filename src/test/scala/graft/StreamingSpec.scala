@@ -10,38 +10,11 @@ import org.apache.spark.sql.functions._
   * the stream fixture is synthesized in-test with a fixed seed). */
 class StreamingSpec extends SparkTestBase {
 
-  private val genders = Seq("Male", "Female")
-  private val ctypes = Seq("Loyal Customer", "disloyal Customer")
-  private val travel = Seq("Business travel", "Personal Travel")
-  private val classes = Seq("Business", "Eco", "Eco Plus")
-  private val sats = Seq("satisfied", "neutral or dissatisfied")
-
-  private def csvLine(i: Int): String = {
-    val rnd = new scala.util.Random(i)
-    val ratings = Seq.fill(14)(rnd.nextInt(6)).mkString(",")
-    s"$i,${genders(i % 2)},${ctypes(i % 3 % 2)},${20 + i % 40},${travel(i % 5 % 2)}," +
-      s"${classes(i % 3)},${500 + i % 3000},$ratings,${i % 30},${(i % 25).toDouble},${sats(i % 4 % 2)}"
-  }
-
-  private val header = {
-    val r = Seq("Inflight wifi service", "Departure/Arrival time convenient",
-      "Ease of Online booking", "Gate location", "Food and drink", "Online boarding",
-      "Seat comfort", "Inflight entertainment", "On-board service", "Leg room service",
-      "Baggage handling", "Checkin service", "Inflight service", "Cleanliness")
-    (Seq("id", "Gender", "Customer Type", "Age", "Type of Travel", "Class",
-      "Flight Distance") ++ r ++
-      Seq("Departure Delay in Minutes", "Arrival Delay in Minutes", "satisfaction"))
-      .mkString(",")
-  }
+  import graft.airline.AirlineFixture
+  import AirlineFixture.{csvLine, header}
 
   private def writeSegments(dir: String, nSegments: Int, rows: Int): Unit =
-    (0 until nSegments).foreach { s =>
-      val seg = new java.io.File(s"$dir/segment_$s"); seg.mkdirs()
-      val w = new java.io.PrintWriter(s"$dir/segment_$s/part-0.csv")
-      w.println(header)
-      (0 until rows).foreach(i => w.println(csvLine(s * rows + i)))
-      w.close()
-    }
+    AirlineFixture.writeSegments(dir, nSegments, rows)
 
   test("KPI fan-out stream: final store state == batch groupBy on same input") {
     val in = tmpDir("kpi-in"); val cp = tmpDir("kpi-cp"); val st = tmpDir("kpi-store")
