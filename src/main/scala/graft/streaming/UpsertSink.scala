@@ -79,6 +79,26 @@ class ParquetKpiStore(root: String) extends Serializable {
     val out = f.create(latestFile(table), true)
     out.write(s"$batchId:$batchId".getBytes("UTF-8"))
     out.close()
+    pruneOldVersions(spark, table, batchId)
+  }
+
+  /** Version GC: a long-running stream writes one version per batch —
+    * unbounded storage without pruning. Keep the current version plus
+    * the immediately previous one (readers that resolved the old
+    * pointer may still be scanning it); delete the rest. */
+  private def pruneOldVersions(spark: SparkSession, table: String, current: Long): Unit = {
+    val f = fs(spark)
+    val dir = new Path(tableDir(table))
+    if (!f.exists(dir)) return
+    val versions = f.listStatus(dir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v_"))
+      .map(s => s.getPath.getName.drop(2).toLong)
+      .sorted
+    val keep = versions.filter(_ <= current).takeRight(2).toSet ++
+      versions.filter(_ > current) // never touch concurrent newer writers
+    versions.filterNot(keep).foreach { v =>
+      f.delete(new Path(s"${tableDir(table)}/v_$v"), true)
+    }
   }
 }
 

@@ -62,6 +62,20 @@ class StreamingSpec extends SparkTestBase {
     assert(got2 == Seq(("a", 5L), ("b", 1L)))
   }
 
+  test("ParquetKpiStore prunes old versions, keeping current + previous") {
+    import spark.implicits._
+    val st = tmpDir("gc-store")
+    val store = new ParquetKpiStore(st)
+    (0L to 4L).foreach { b =>
+      store.merge(spark, "t", Seq("k"), Seq(("a", 1L)).toDF("k", "Count"), b)
+    }
+    val dirs = new java.io.File(s"$st/t").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("v_3", "v_4"), dirs.toSeq.toString)
+    // state survived pruning: 5 merges of +1
+    assert(store.read(spark, "t").get.as[(String, Long)].head() == ("a", 5L))
+  }
+
   test("reconstitution: normalized lines in segment order, batch == stream") {
     val in = tmpDir("rec-in")
     (0 until 3).foreach { s =>
