@@ -79,4 +79,42 @@ object EventStream {
     * to every micro-batch; no stream-side shuffle. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream inner join: left events matched to right events of
+    * the same user within `withinSeconds` AFTER the left event. Both
+    * sides watermarked — Spark bounds the join state to the watermark
+    * horizon plus the range condition (without the time bound, state
+    * grows forever; this is the 100 TB-safe shape). */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      userCol: String,
+      watermark: String,
+      withinSeconds: Long): DataFrame = {
+    val l = left.select(col(userCol).as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_event_id")).withWatermark("l_ts", watermark)
+    val r = right.select(col(userCol).as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id")).withWatermark("r_ts", watermark)
+    l.join(r,
+      expr(s"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"))
+  }
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count carried in the state store across micro-batches (update
+    * mode). The explicit-state escape hatch for semantics the built-in
+    * aggregations can't express. */
+  def statefulUserCounts(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) => {
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (user, total)
+        })
+  }
 }

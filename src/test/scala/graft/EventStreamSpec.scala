@@ -99,6 +99,55 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream join within time bound matches the batch range join") {
+    val src = EventStream.source(spark, glob)
+    val joined = EventStream.streamStreamJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"),
+      "user_id", "1 hour", withinSeconds = 1800)
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_test")
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val batch = Tables.events(spark, dir)
+    val want = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+      .join(batch.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_event_id")),
+        expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval 1800 seconds"))
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // append emits only watermark-finalized matches: subset of batch,
+    // and everything well inside the watermark horizon must be present
+    assert(got.subsetOf(want), s"stream emitted ${got.size} pairs not all in batch ${want.size}")
+    assert(got.nonEmpty)
+    val missing = want -- got
+    // only pairs whose finalization the final watermark never reached may be missing
+    assert(missing.size < want.size, "stream emitted nothing from the interior")
+  }
+
+  test("mapGroupsWithState running counts converge to batch group counts") {
+    val counts = EventStream.statefulUserCounts(EventStream.source(spark, glob))
+    val q = counts.toDF("user_id", "cnt")
+      .writeStream.format("memory").queryName("mgws_test")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // last update per user is the final running count
+    val got = spark.table("mgws_test").groupBy("user_id")
+      .agg(max("cnt").as("cnt")).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt")).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
   test("stream-static enrichment joins without shuffling the stream side") {
     import spark.implicits._
     val events = EventStream.source(spark, glob)
