@@ -78,13 +78,39 @@ object AirlineKpis {
         .cast("decimal(3,2)").as("mean_satisfaction"))
   }
 
+  /** A7 in ADDITIVE-COMPONENT form for the streaming path: a mean is not
+    * additive across micro-batches, so the store carries (Σ flag, count)
+    * per (feature, value) — both sum-mergeable — and the mean is derived
+    * at read time via [[deriveMeanSatisfaction]]. */
+  def meanSatisfactionComponents(df: DataFrame): DataFrame = {
+    val flagged = df.withColumn("_sat", satisfied.cast("long"))
+    flagged
+      .unpivot(
+        ids = Array(col("_sat")),
+        values = featureCols.map(col).toArray,
+        variableColumnName = "feature_name",
+        valueColumnName = "feature_value")
+      .groupBy(col("feature_name"), col("feature_value"))
+      .agg(sum(col("_sat")).as("sat_sum"), count(lit(1)).as("cnt"))
+  }
+
+  /** Read-side view over the merged components. */
+  def deriveMeanSatisfaction(components: DataFrame): DataFrame =
+    components.select(
+      col("feature_name"), col("feature_value"),
+      (col("sat_sum").cast("double") / col("cnt"))
+        .cast("decimal(3,2)").as("mean_satisfaction"))
+
   /** KPI registry: name → (transform, upsert key columns) — drives the
-    * single-scan streaming fan-out (KpiStream) and the batch oracle. */
+    * single-scan streaming fan-out (KpiStream) and the batch oracle.
+    * Every transform emits only sum-mergeable components. */
   val all: Seq[(String, DataFrame => DataFrame, Seq[String])] = Seq(
     ("gender_counts", genderCounts _, Seq("Gender")),
     ("satisfaction_counts", satisfactionCounts _, Seq("satisfaction")),
     ("satisfaction_by_class", satisfactionByClass _, Seq("Class", "satisfaction")),
     ("type_travel_counts", typeTravelCounts _, Seq("Type_of_Travel")),
     ("age_distribution", ageDistribution _, Seq("Age")),
-    ("loyalty_by_age", loyaltyByAge _, Seq("Age")))
+    ("loyalty_by_age", loyaltyByAge _, Seq("Age")),
+    ("mean_satisfaction_by_feature", meanSatisfactionComponents _,
+      Seq("feature_name", "feature_value")))
 }

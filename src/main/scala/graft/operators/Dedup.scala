@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for document / embedding corpora, designed
   * bucket-first: no stage ever materializes the all-pairs cross product.
   *
+  * Algorithms follow the published literature: MinHash resemblance
+  * sketches (Broder, "On the resemblance and containment of documents",
+  * 1997) with banded LSH bucketing (Indyk & Motwani, "Approximate
+  * nearest neighbors", 1998; banding per Leskovec/Rajaraman/Ullman,
+  * "Mining of Massive Datasets" ch. 3), and SimHash bit-vote signatures
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", 2002).
+  *
   *  - exact:       hash-groupBy on content (one shuffle on the content key)
   *  - MinHash-LSH: shingle → minhash signature → banded bucket hash →
   *                 self-join *within buckets only* → Jaccard verify

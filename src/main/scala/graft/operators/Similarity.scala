@@ -7,7 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two tiers:
+  * Random-hyperplane sign-LSH follows Charikar (2002); the IVF tier is
+  * the inverted-file design of Sivic & Zisserman ("Video Google", 2003)
+  * as popularized by FAISS (Johnson, Douze & Jégou, "Billion-scale
+  * similarity search with GPUs", 2017) — centroid lists prune the
+  * candidate set to nprobe/nlist of the corpus.
+  *
+  * Tiers:
   *  - [[cosineTopK]]: exact brute force — broadcast the (small) probe set
   *    against the corpus, rank with a per-probe window. The corpus is
   *    scanned once, never shuffled; cost is O(|probes| × |corpus| × dim)

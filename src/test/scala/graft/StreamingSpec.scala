@@ -30,6 +30,20 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("non-additive KPI (A7 mean) streams as components; derived mean == batch mean") {
+    val in = tmpDir("a7-in"); val cp = tmpDir("a7-cp"); val st = tmpDir("a7-store")
+    writeSegments(in, 3, 40)
+    val store = new ParquetKpiStore(st)
+    KpiStream.runToCompletion(spark, s"$in/*", cp, store)
+    val derived = AirlineKpis.deriveMeanSatisfaction(
+      store.read(spark, "mean_satisfaction_by_feature").get)
+      .orderBy("feature_name", "feature_value").collect().toSeq
+    val batchMean = AirlineKpis.meanSatisfactionByFeature(
+      graft.sources.Tables.airlineCsv(spark, s"$in/*"))
+      .orderBy("feature_name", "feature_value").collect().toSeq
+    assert(derived == batchMean)
+  }
+
   test("KPI stream picks up late-arriving segments incrementally") {
     val in = tmpDir("kpi2-in"); val cp = tmpDir("kpi2-cp"); val st = tmpDir("kpi2-store")
     writeSegments(in, 2, 30)
