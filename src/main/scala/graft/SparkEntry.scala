@@ -102,6 +102,23 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
       .orderBy(col("l_returnflag"))
 
+  private val a11Rollup = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val w7MovingMax = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        max(col("o_totalprice")).over(w).as("max3_totalprice"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ====================================================================
   // Projections / filters / conditionals (P1-P8, U1/U2 as native when)
   // ====================================================================
@@ -420,6 +437,8 @@ object SparkEntry {
     "a8_scalar_count" -> a8,
     "a9_distinct_count" -> a9,
     "a10_percentiles" -> a10,
+    "a11_rollup" -> a11Rollup,
+    "w7_moving_max" -> w7MovingMax,
     "p1_range_slice" -> p1RangeSlice,
     "p2_derived_flag" -> p2DerivedFlag,
     "p3_cast_alias" -> p3CastAlias,
@@ -493,6 +512,16 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.5) AS med_qty,
          quantile_cont(l_quantity, 0.9) AS p90_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "w7_moving_max" ->
+      """SELECT o_custkey, o_orderkey,
+         MAX(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3_totalprice
+         FROM orders ORDER BY o_custkey, o_orderkey""",
     "s3_ivf_topk" ->
       """SELECT probe_id, neighbor_id, rank FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
