@@ -56,8 +56,17 @@ object Dedup {
 
   /** MinHash signature from a MATERIALIZED shingle array column: for seed
     * i, min over shingles of xxhash64(shingle, i). Array of `numHashes`
-    * longs. */
-  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column =
+    * longs. Native single-pass expression (see
+    * [[graft.functions.MinHashSignature]]). */
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int = 32): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.MinHashSignature(GraftSqlBridge.expression(sh), numHashes))
+  }
+
+  /** Declarative reference formulation — kept for the equivalence test
+    * (signatures must be bit-identical to the native expression). */
+  def minhashSignatureHof(sh: Column, numHashes: Int = 32): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)

@@ -57,6 +57,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 4, s"candidate volume $cands too close to all-pairs")
   }
 
+  test("native minhash signature is bit-identical to the declarative HOF form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today"),
+      (3L, "a b"), // fewer tokens than k -> single collapsed shingle
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val staged = TextAnalysis.withShingles(docs, "text", 3)
+    val both = staged.select(
+      Dedup.minhashSignatureFromShingles(col("_sh"), 16).as("native"),
+      Dedup.minhashSignatureHof(col("_sh"), 16).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("simhash: near-identical texts within small hamming distance, unrelated far") {
     val df = Seq(
       (1L, "spark makes distributed data processing simple and fast for everyone"),
