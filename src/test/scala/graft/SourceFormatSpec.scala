@@ -29,6 +29,39 @@ class SourceFormatSpec extends SparkTestBase {
       src.orderBy("c_custkey").collect().toSeq)
   }
 
+  test("partitioned writes enable partition pruning at the scan") {
+    val out = tmpDir("part-prune")
+    graft.sources.Tables.events(spark, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(s"$out/events")
+    val q = spark.read.parquet(s"$out/events")
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    // pruning means the click partition only: row count matches the filter
+    val want = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(q.agg(sum("count")).head().getLong(0) == want)
+  }
+
+  test("malformed CSV rows: PERMISSIVE keeps them as nulls, DROPMALFORMED drops them") {
+    val d = tmpDir("bad-csv")
+    val w = new java.io.PrintWriter(s"$d/data.csv")
+    w.println("id,qty"); w.println("1,10"); w.println("2,not_a_number"); w.println("3,30")
+    w.close()
+    val schema = "id INT, qty INT"
+    val permissive = spark.read.option("header", "true").schema(schema)
+      .option("mode", "PERMISSIVE").csv(d)
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("qty").isNull).count() == 1)
+    val dropped = spark.read.option("header", "true").schema(schema)
+      .option("mode", "DROPMALFORMED").csv(d)
+    // collect, not count: CSV count() short-circuits parsing entirely,
+    // so malformed rows are only dropped when columns are materialized
+    assert(dropped.collect().length == 2)
+  }
+
   test("operators compose over any source format (groupCount on ORC)") {
     val out = tmpDir("orc-op")
     spark.read.parquet(s"$dir/orders.parquet")

@@ -76,6 +76,20 @@ class StreamingSpec extends SparkTestBase {
     assert(got2 == Seq(("a", 5L), ("b", 1L)))
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size (backpressure knob)") {
+    val in = tmpDir("bp-in"); val cp = tmpDir("bp-cp"); val st = tmpDir("bp-store")
+    writeSegments(in, 4, 20)
+    val store = new ParquetKpiStore(st)
+    val q = KpiStream.start(spark, s"$in/*", cp, store,
+      availableNow = true, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // 4 segment files, 1 per trigger -> at least 4 applied batches
+    assert(store.appliedBatch(spark, "gender_counts") >= 3)
+    val want = AirlineKpis.genderCounts(graft.sources.Tables.airlineCsv(spark, s"$in/*"))
+      .orderBy("Gender").collect().toSeq
+    assert(store.read(spark, "gender_counts").get.orderBy("Gender").collect().toSeq == want)
+  }
+
   test("ParquetKpiStore prunes old versions, keeping current + previous") {
     import spark.implicits._
     val st = tmpDir("gc-store")
