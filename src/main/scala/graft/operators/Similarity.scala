@@ -129,6 +129,35 @@ object Similarity {
       .limit(nlist)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** Lloyd refinement of IVF centroids: `iters` rounds of
+    * assign-to-nearest + per-list mean. Each round is one narrow assign
+    * pass plus one aggregation keyed by (list, dimension) — no step
+    * touches more than O(corpus × nlist) work, and the centroid set
+    * stays driver-small. Empty lists keep their previous centroid. */
+  def kmeansRefine(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      iters: Int): DataFrame = {
+    var c = centroids
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(df, c, idCol, vecCol)
+      val means = assigned
+        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("list_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("list_id").as("centroid_id"),
+          transform(col("pm"), e => e.getField("m").cast("float")).as("centroid_vec"))
+      // lists that lost all members keep their old centroid
+      c = means.unionByName(
+        c.join(means.select(col("centroid_id")), Seq("centroid_id"), "left_anti"))
+    }
+    c
+  }
+
   /** Assign every vector to its nearest centroid (highest cosine).
     * Centroids are broadcast; the corpus is scanned once and never
     * shuffled — the IVF build is a narrow pass at any scale. */
@@ -156,8 +185,12 @@ object Similarity {
       probeFilter: Column,
       k: Int,
       nlist: Int,
-      nprobe: Int): DataFrame = {
-    val centroids = ivfCentroids(df, idCol, vecCol, nlist)
+      nprobe: Int,
+      refineIters: Int = 0): DataFrame = {
+    val sampled = ivfCentroids(df, idCol, vecCol, nlist)
+    val centroids =
+      if (refineIters > 0) kmeansRefine(df, sampled, idCol, vecCol, refineIters)
+      else sampled
     val assigned = ivfAssign(df, centroids, idCol, vecCol)
 
     // each probe picks its nprobe nearest lists

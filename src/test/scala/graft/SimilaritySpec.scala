@@ -92,6 +92,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall $recall below floor at nprobe=nlist/2")
   }
 
+  test("kmeansRefine keeps nlist centroids and exhaustive IVF stays exact") {
+    val df = vecs(150, 8).toDF("vec_id", "embedding")
+    val refined = Similarity.kmeansRefine(
+      df, Similarity.ivfCentroids(df, "vec_id", "embedding", 8),
+      "vec_id", "embedding", iters = 2)
+    assert(refined.count() == 8)
+    assert(refined.select("centroid_id").distinct().count() == 8)
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    val ivf = Similarity.ivfTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+      5, nlist = 8, nprobe = 8, refineIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
+    assert(ivf == exact)
+  }
+
   test("ivfAssign: every vector lands in exactly one list") {
     val df = vecs(100, 8).toDF("vec_id", "embedding")
     val centroids = Similarity.ivfCentroids(df, "vec_id", "embedding", 8)
