@@ -44,7 +44,16 @@ object TextAnalysis {
   def withTokens(df: DataFrame, textCol: String, out: String = "_toks"): DataFrame =
     df.withColumn(out, tokens(col(textCol)))
 
-  /** Word k-shingles of a token array.
+  /** Word k-shingles of a token array — native single-pass expression
+    * ([[graft.functions.NGramShingles]]); the token array is evaluated
+    * once per row however Catalyst inlines it. */
+  def shinglesFromTokens(toks: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.functions.NGramShingles(GraftSqlBridge.expression(toks), k))
+  }
+
+  /** Declarative reference formulation, kept for the equivalence test.
     *
     * Implementation note: built by zip_with-ing k SHIFTED SLICES of the
     * token array, NOT by `transform(indices, i => slice(toks, i, k))`.
@@ -55,7 +64,7 @@ object TextAnalysis {
     * O(k) times per ROW. The slice-per-index form re-evaluates the whole
     * tokenization per ELEMENT after such inlining — O(len × shingles)
     * regex work that showed up as an 11 s/5000-doc stage. */
-  def shinglesFromTokens(toks: Column, k: Int): Column = {
+  def shinglesFromTokensHof(toks: Column, k: Int): Column = {
     val n = size(toks)
     val outLen = greatest(n - lit(k - 1), lit(0))
     val shingled = (1 until k).foldLeft(slice(toks, lit(1), outLen)) { (acc, j) =>

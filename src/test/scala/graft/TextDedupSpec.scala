@@ -57,6 +57,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 4, s"candidate volume $cands too close to all-pairs")
   }
 
+  test("native shingles are identical to the declarative HOF form") {
+    val texts = (Seq("", " ", "a", "a b", "one two three four five",
+      "Hello, World! Punct.  and   spaces") ++
+      (0 until 50).map(i => (0 to i % 9).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("t")
+    val staged = TextAnalysis.withTokens(texts, "t")
+    (1 to 4).foreach { k =>
+      val both = staged.select(
+        TextAnalysis.shinglesFromTokens(col("_toks"), k).as("native"),
+        TextAnalysis.shinglesFromTokensHof(col("_toks"), k).as("hof"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k")
+      }
+    }
+  }
+
   test("native minhash signature is bit-identical to the declarative HOF form") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
