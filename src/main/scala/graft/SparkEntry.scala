@@ -362,6 +362,14 @@ object SparkEntry {
         col("min_event_id"), col("max_value"))
       .orderBy(col("window_start"))
 
+  private val e5SlidingWindow = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("cnt"))
+      .orderBy(col("window_start"), col("event_type"))
+
   private val e3SessionWindow = (s: SparkSession, d: String) =>
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -470,6 +478,7 @@ object SparkEntry {
     "e2_time_window" -> e2TimeWindow,
     "e3_session_window" -> e3SessionWindow,
     "e4_json_agg" -> e4JsonAgg,
+    "e5_sliding_window" -> e5SlidingWindow,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "t7_token_bpeish" -> t7TokenBpeish,
     "t8_top_bigrams" -> t8TopBigrams,
@@ -670,6 +679,15 @@ object SparkEntry {
            FROM gaps)
          SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS cnt
          FROM sess GROUP BY user_id, sess_id ORDER BY user_id, session_start""",
+    "e5_sliding_window" ->
+      // width 10 min, slide 5 min: every event belongs to exactly the
+      // two windows starting at time_bucket(5min, ts) and 5 min before
+      """WITH starts AS (
+           SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', event_type FROM events)
+         SELECT window_start, event_type, count(*) AS cnt
+         FROM starts GROUP BY 1, 2 ORDER BY 1, 2""",
     "d5_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
