@@ -130,6 +130,40 @@ class StreamingSpec extends SparkTestBase {
     assert(gotStream == gotBatch, "stream append must preserve segment order")
   }
 
+  test("streaming LSH dedup finds near-dups across micro-batches without reprocessing") {
+    import spark.implicits._
+    import graft.streaming.StreamingLshDedup
+    val base = tmpDir("sdedup")
+    val dedup = new StreamingLshDedup(s"$base/index", s"$base/matches")
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+
+    // batch 0: the original + unrelated docs (plus an in-batch dup pair)
+    val batch0 = Seq(
+      (1L, doc), (2L, doc.replace("quick", "speedy")),
+      (3L, "completely unrelated words about cooking pasta tonight with sauce and basil")
+    ).toDF("doc_id", "text")
+    dedup.processBatch(spark, batch0, 0L)
+
+    // batch 1: a near-dup of doc 1 arrives later + a fresh doc
+    val batch1 = Seq(
+      (10L, doc.replace("today", "tonight")),
+      (11L, "brand new content unseen before about distributed query engines at scale")
+    ).toDF("doc_id", "text")
+    dedup.processBatch(spark, batch1, 1L)
+    // replay of batch 1 must be a no-op (exactly-once)
+    dedup.processBatch(spark, batch1, 1L)
+
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.contains((10L, 1L)), s"cross-batch dup missed: $matches")
+    assert(matches.contains((2L, 1L)), s"in-batch dup missed: $matches")
+    assert(!matches.exists(p => p._1 == 11L || p._2 == 11L), s"false positive: $matches")
+    // index holds bucket rows for ALL docs from both batches
+    val indexed = spark.read.parquet(s"$base/index/data")
+      .select("doc_id").distinct().count()
+    assert(indexed == 5)
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
