@@ -58,8 +58,10 @@ object Bench {
   private def benchStreaming(spark: SparkSession): String = {
     try {
       val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
-      val rows = 40 * 2000
-      graft.airline.AirlineFixture.writeSegments(s"$base/in", 40, 2000)
+      val segments = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEGMENTS", "40").toInt
+      val perSeg = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000").toInt
+      val rows = segments * perSeg
+      graft.airline.AirlineFixture.writeSegments(s"$base/in", segments, perSeg)
       val store = new graft.streaming.ParquetKpiStore(s"$base/store")
       val t0 = System.nanoTime()
       graft.streaming.KpiStream.runToCompletion(spark, s"$base/in/*", s"$base/cp", store)
