@@ -242,6 +242,25 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  private val w8RankingSuite = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    t(s, d, "customer")
+      .select(col("c_nationkey"), col("c_custkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
+  private val t9EditDistance = (s: SparkSession, d: String) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 20), substring(col("text"), 6, 20))
+          .as("edit_dist"))
+      .orderBy(col("doc_id"))
+
   // ====================================================================
   // Segmentation / replay (G1 — Producer.scala:20-53, off-by-one fixed)
   // ====================================================================
@@ -447,6 +466,8 @@ object SparkEntry {
     "a10_percentiles" -> a10,
     "a11_rollup" -> a11Rollup,
     "w7_moving_max" -> w7MovingMax,
+    "w8_ranking_suite" -> w8RankingSuite,
+    "t9_edit_distance" -> t9EditDistance,
     "p1_range_slice" -> p1RangeSlice,
     "p2_derived_flag" -> p2DerivedFlag,
     "p3_cast_alias" -> p3CastAlias,
@@ -531,6 +552,18 @@ object SparkEntry {
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3_totalprice
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "w8_ranking_suite" ->
+      """SELECT c_nationkey, c_custkey,
+         CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+         PERCENT_RANK() OVER w AS pct_rank,
+         CUME_DIST() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+         ORDER BY c_nationkey, c_custkey""",
+    "t9_edit_distance" ->
+      """SELECT doc_id,
+         CAST(levenshtein(substr(text, 1, 20), substr(text, 6, 20)) AS INTEGER) AS edit_dist
+         FROM documents ORDER BY doc_id""",
     "s3_ivf_topk" ->
       """SELECT probe_id, neighbor_id, rank FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
