@@ -37,8 +37,13 @@ object Bench {
         }
       System.gc() // isolate timed runs from the previous query's garbage
       val t0 = System.nanoTime()
-      if (ok) { try fn(spark, sfDir).count() catch { case _: Throwable => () } }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val timedOk = ok && (
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed timed run: ${e.getMessage}")
+          errors ::= name; false
+        })
+      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

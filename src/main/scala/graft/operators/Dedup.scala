@@ -214,9 +214,12 @@ object Dedup {
       idCol: String,
       vecCol: String,
       probeFilter: Column,
-      threshold: Double): DataFrame = {
-    val probes = df.filter(probeFilter)
-      .select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+      threshold: Double,
+      maxProbes: Int = 10000): DataFrame = {
+    val probes = Similarity.requireBoundedProbes(
+      df.filter(probeFilter)
+        .select(col(idCol).as("id_a"), col(vecCol).as("_va")),
+      "embeddingNearDupExact", maxProbes)
     val base = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     broadcast(probes)
       .join(base, col("id_a") < col("id_b"))

@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Loud guard for the broadcast brute-force tiers: an unbounded probe
+    * side would silently become a broadcast OOM at scale, so cap it and
+    * fail with an actionable message. `limit(n+1).count()` bounds the
+    * check's own cost — the scan short-circuits at maxProbes+1 rows. */
+  private[operators] def requireBoundedProbes(
+      probes: DataFrame, op: String, maxProbes: Int): DataFrame = {
+    val n = probes.limit(maxProbes + 1).count()
+    require(n <= maxProbes,
+      s"$op: probe side exceeds maxProbes=$maxProbes (the probe set is " +
+        "broadcast; an unbounded probe side is a broadcast OOM at scale). " +
+        "Tighten probeFilter or use the bucketed tier (signLshTopK/ivfTopK).")
+    probes
+  }
+
   /** Exact top-k cosine neighbors for each probe row.
     * Output: (probe_id, neighbor_id, rank), rank 1..k, self excluded,
     * ties broken by neighbor id for determinism. */
@@ -38,9 +52,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       probeFilter: Column,
-      k: Int): DataFrame = {
-    val probes = df.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+      k: Int,
+      maxProbes: Int = 10000): DataFrame = {
+    val probes = requireBoundedProbes(
+      df.filter(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("_pv")),
+      "cosineTopK", maxProbes)
     val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val scored = broadcast(probes)
       .join(corpus, col("probe_id") =!= col("neighbor_id"))
@@ -158,19 +175,40 @@ object Similarity {
     c
   }
 
-  /** Assign every vector to its nearest centroid (highest cosine).
-    * Centroids are broadcast; the corpus is scanned once and never
-    * shuffled — the IVF build is a narrow pass at any scale. */
+  /** Assign every vector to its nearest centroid (highest cosine, ties to
+    * the smallest centroid id).
+    *
+    * The centroid set is nlist-small by construction (an IVF index with
+    * more than ~10^4 lists stops being an IVF index), so it is collected
+    * once and inlined as literals: assignment becomes a pure per-row
+    * `array_max` over struct(cos, -id) — a narrow map with NO join, NO
+    * window, NO Exchange between the corpus scan and the list id. The
+    * previous nested-loop-join + `row_number()` formulation shuffled a
+    * corpus×nlist intermediate by id — a ~nlist× shuffle blow-up at scale. */
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val scored = df.join(broadcast(centroids))
-      .withColumn("_c", VectorOps.cosineSim(col(vecCol), col("centroid_vec")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("_c").desc, col("centroid_id").asc)
-    scored
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("list_id"))
+    val cents = collectCentroids(centroids)
+    val scored = array(cents.map { case (cid, v) =>
+      struct(
+        VectorOps.cosineSim(col(vecCol), array(v.map(lit(_)): _*)).as("cos"),
+        lit(-cid).as("neg_id"))
+    }: _*)
+    df.select(col(idCol), col(vecCol),
+      (-array_max(scored).getField("neg_id")).as("list_id"))
   }
+
+  /** Driver-side centroid materialization — bounded by nlist, which this
+    * guard keeps honest. */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] = {
+    val rows = centroids
+      .select(col("centroid_id").cast("long"), col("centroid_vec"))
+      .limit(maxNlist + 1)
+      .collect()
+    require(rows.length <= maxNlist,
+      s"ivfAssign: more than $maxNlist centroids — nlist must stay driver-small")
+    rows.map(r => (r.getLong(0), r.getSeq[Float](1)))
+  }
+
+  private val maxNlist = 65536
 
   /** IVF top-k: probes search only their `nprobe` nearest inverted
     * lists. With nprobe == nlist this is exhaustive (equals

@@ -79,6 +79,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ivfAssign is a narrow map: no Exchange/Window between scan and list id") {
+    import spark.implicits._
+    val df = (0 until 64)
+      .map(i => (i.toLong, Array.tabulate(8)(d => (i * 31 + d).toFloat % 7f)))
+      .toDF("vec_id", "embedding")
+    val cents = operators.Similarity.ivfCentroids(df, "vec_id", "embedding", 4)
+    val assigned = operators.Similarity.ivfAssign(df, cents, "vec_id", "embedding")
+    val p = plan(assigned)
+    assert(!p.contains("Exchange"), s"ivfAssign must not shuffle:\n$p")
+    assert(!p.contains("Window"), s"ivfAssign must not plan a window:\n$p")
+    assert(!p.contains("Join"), s"ivfAssign must not join:\n$p")
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -116,6 +116,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(assigned.select("vec_id").distinct().count() == 100)
   }
 
+  test("brute-force tiers fail loudly when the probe side is unbounded") {
+    val df = vecs(100, 8).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(df, "vec_id", "embedding", lit(true), 5, maxProbes = 10)
+        .count()
+    }
+    assert(e1.getMessage.contains("maxProbes"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.embeddingNearDupExact(
+        df, "vec_id", "embedding", lit(true), 0.5, maxProbes = 10).count()
+    }
+    assert(e2.getMessage.contains("maxProbes"))
+    // a bounded probe side passes the guard unchanged
+    assert(Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 3, 5)
+      .count() == 15)
+  }
+
   test("bucketStats: sum of bucket sizes equals corpus size") {
     val df = vecs(100, 8).toDF("vec_id", "embedding")
     val stats = Similarity.bucketStats(df, "embedding", 8, 4)
