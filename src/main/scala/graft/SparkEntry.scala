@@ -442,13 +442,55 @@ object SparkEntry {
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
+    /** Exploded (doc_id, n_bytes, pos, feature) rows — scalar columns
+      * only, so the driver's rows/schema/hash compare applies (an
+      * `array<float>` output column is unhashable in the harness). */
     def features(docs: DataFrame): DataFrame =
       Multimodal.decodeFeatures(
         Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
         "media", dim = 8)
         .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
-          col("features"))
-        .orderBy(col("doc_id"))
+          posexplode(col("features")).as(Seq("pos", "feature")))
+        .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** DuckDB twin of [[graft.multimodal.Multimodal.FakeDecoder]]: the
+    * md5-seeded xorshift-multiply recurrence re-expressed in portable
+    * SQL. 64-bit wrap-around arithmetic is emulated mod 2^64 in HUGEINT
+    * (128-bit) — wrap multiply via 32-bit limbs — and the feature is the
+    * top 24 bits / 2^24, an exact float32 on both engines. */
+  private def m1OracleSql: String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    val c1 = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+    val c2 = BigInt(java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L))
+    val (c2lo, c2hi) = (c2 % (BigInt(1) << 32), c2 >> 32)
+    val hexParse = (1 to 16).map { j =>
+      s"(strpos('0123456789abcdef', substr(hx,$j,1))-1)::HUGEINT * ${BigInt(16).pow(16 - j)}::HUGEINT"
+    }.mkString(" + ")
+    s"""WITH base AS (
+          SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS hx
+          FROM documents
+        ), seeded AS (
+          SELECT doc_id, n_bytes, ($hexParse) AS h FROM base
+        ), ex AS (
+          SELECT doc_id, n_bytes, CAST(p AS INTEGER) AS pos,
+            ((h + (p::HUGEINT * $c1::HUGEINT)) % $M) AS z0
+          FROM seeded, unnest(range(0,8)) AS t(p)
+        ), s1 AS (
+          SELECT doc_id, n_bytes, pos,
+            xor(z0::UBIGINT, (z0 // 536870912)::UBIGINT)::HUGEINT AS z1 FROM ex
+        ), s2 AS (
+          SELECT doc_id, n_bytes, pos,
+            (((z1 % 4294967296) * $c2lo::HUGEINT
+              + (((z1 % 4294967296) * $c2hi::HUGEINT + (z1 // 4294967296) * $c2lo::HUGEINT)
+                 * 4294967296::HUGEINT)) % $M) AS z2 FROM s1
+        ), s3 AS (
+          SELECT doc_id, n_bytes, pos,
+            xor(z2::UBIGINT, (z2 // 4294967296)::UBIGINT)::HUGEINT AS z3 FROM s2
+        )
+        SELECT doc_id, n_bytes, pos,
+          ((z3 // 1099511627776)::REAL / 16777216)::REAL AS feature
+        FROM s3 ORDER BY doc_id, pos"""
   }
 
   // ====================================================================
@@ -748,5 +790,6 @@ object SparkEntry {
          count(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "m1_multimodal_features" -> m1OracleSql,
   )
 }

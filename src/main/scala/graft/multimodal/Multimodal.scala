@@ -37,16 +37,30 @@ object Multimodal {
 
   /** STUB decode: deterministic pseudo-features from payload bytes.
     * A real deployment replaces this body with the codec call; the
-    * signature (bytes → fixed-dim float features) is the contract. */
+    * signature (bytes → fixed-dim float features) is the contract.
+    *
+    * The recurrence is chosen to be independently reproducible by a SQL
+    * oracle (the driver's DuckDB gate): seed = first 8 bytes of
+    * md5(payload) as an unsigned 64-bit value (md5 is standard on both
+    * engines), mixed per dimension with an xorshift-multiply round, and
+    * the feature is the top 24 bits over 2^24 — an exact dyadic rational
+    * that float32 represents with zero rounding on any platform, so
+    * value comparison is bit-exact. */
   object FakeDecoder {
+    private val C1 = 0x9E3779B97F4A7C15L
+    private val C2 = 0xBF58476D1CE4E5B9L
+
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
-      var h = 0x9E3779B97F4A7C15L
-      payload.foreach(b => h = (h ^ b) * 0x100000001B3L)
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
       Array.tabulate(dim) { i =>
-        var z = h + i * 0xBF58476D1CE4E5B9L
-        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-        z = z ^ (z >>> 27)
-        (z.toFloat / Long.MaxValue.toFloat)
+        var z = h + i.toLong * C1
+        z ^= (z >>> 29)
+        z *= C2
+        z ^= (z >>> 32)
+        (z >>> 40).toFloat / 16777216.0f
       }
     }
   }

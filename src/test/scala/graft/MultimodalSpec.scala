@@ -29,6 +29,16 @@ class MultimodalSpec extends SparkTestBase {
       again.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap)
   }
 
+  test("FakeDecoder: md5-seeded golden values, exact 24-bit dyadic floats") {
+    val f = Multimodal.FakeDecoder.decode("hello world".getBytes("UTF-8"), 4)
+    // golden mix values from an independent (python) evaluation of the
+    // published recurrence — pins the oracle-reproducible contract
+    assert(f.toSeq == Seq(7683609, 10563423, 6719775, 2013280).map(_ / 16777216.0f))
+    // every feature must be an exact dyadic rational k/2^24 in [0,1)
+    val many = Multimodal.FakeDecoder.decode("café ünïcode".getBytes("UTF-8"), 64)
+    assert(many.forall(x => x >= 0f && x < 1f && (x * 16777216.0f) % 1.0f == 0f))
+  }
+
   test("resizeStub rewrites payload + metadata deterministically per (payload, dims)") {
     val df = Multimodal.attachFakeMedia(Seq((1L, "img-a"), (2L, "img-b")).toDF("id", "text"), "text")
     val r1 = Multimodal.resizeStub(df, "media", 224, 224)
