@@ -333,6 +333,18 @@ object SparkEntry {
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end oracled LSH near-dup: candidates are engine-specific, but
+    * the Jaccard-verified pair set at threshold 0.5 is engine-independent
+    * PROVIDED recall is 1.0 — guaranteed here by r=1 banding (bands ==
+    * numHashes: a pair is a candidate if ANY of the 32 minhashes agree;
+    * the fixture's near-dups all have J ≥ 0.88, so the per-pair miss
+    * probability is (1−J)^32 ≈ 1e-30). TextDedupSpec asserts the recall
+    * precondition against brute-force Jaccard. */
+  private val d6NearDupPairs = (s: SparkSession, d: String) =>
+    Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 32, bands = 32)
+      .orderBy(col("id_a"), col("id_b"))
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -534,6 +546,7 @@ object SparkEntry {
     "d2_fingerprint_dedup" -> d2FpDedup,
     "d3_lsh_buckets" -> d3LshBuckets,
     "d4_simhash" -> d4Simhash,
+    "d6_neardup_pairs" -> d6NearDupPairs,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_ivf_topk" -> s3IvfTopK,
@@ -791,5 +804,53 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "m1_multimodal_features" -> m1OracleSql,
+    "d6_neardup_pairs" ->
+      // brute-force exact-Jaccard ground truth: same normalize/tokenize/
+      // 3-shingle semantics as TextAnalysis, distinct shingle sets,
+      // |A∩B|/|A∪B| as double (identical small-int division → bit-equal)
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         )
+         SELECT id_a, id_b, j AS jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE j >= 0.5 ORDER BY id_a, id_b""",
+    "t6_lang_id" -> t6OracleSql,
   )
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language
+    * stopword-hit counts over lower/trim/whitespace tokens, argmax with
+    * ties broken by language code DESCENDING (the struct-max rule), zero
+    * hits → "und". Generated from the same stopword map so the lists can
+    * never drift. */
+  private def t6OracleSql: String = {
+    val sw = graft.operators.TextAnalysis.stopwords
+    def hits(lang: String) =
+      s"len(list_filter(tk, t -> t IN (${sw(lang).map(w => s"'$w'").mkString(", ")})))"
+    val langsDesc = sw.keys.toSeq.sorted.reverse // ties resolve to max lang
+    val cases = langsDesc.dropRight(1)
+      .map(l => s"WHEN h_$l = m THEN '$l'")
+      .mkString(" ")
+    val hitCols = sw.keys.toSeq.sorted.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+    s"""WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, $hitCols FROM toks
+        ), best AS (
+          SELECT doc_id, greatest(${sw.keys.toSeq.sorted.map("h_" + _).mkString(", ")}) AS m, * FROM scored
+        )
+        SELECT doc_id,
+          CASE WHEN m = 0 THEN 'und' $cases ELSE '${langsDesc.last}' END AS lang_pred
+        FROM best ORDER BY doc_id"""
+  }
 }

@@ -57,6 +57,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 4, s"candidate volume $cands too close to all-pairs")
   }
 
+  test("r=1 banding gives recall 1.0 vs brute-force Jaccard on the fixture (d6 precondition)") {
+    // d6_neardup_pairs' oracle is exact all-pairs Jaccard; the Spark side
+    // only equals it if LSH misses nothing. With bands == numHashes (one
+    // row per band) a pair is a candidate if ANY minhash agrees.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text",
+        threshold = 0.5, k = 3, numHashes = 32, bands = 32)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = graft.operators.TextAnalysis.withShingles(docs, "text", 3)
+      .select(col("doc_id"), col("_sh"))
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", Dedup.jaccardFromShingles(col("a._sh"), col("b._sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain planted near-dups")
+    assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
+  }
+
   test("native shingles are identical to the declarative HOF form") {
     val texts = (Seq("", " ", "a", "a b", "one two three four five",
       "Hello, World! Punct.  and   spaces") ++
