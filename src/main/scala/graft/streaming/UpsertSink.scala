@@ -102,11 +102,22 @@ class ParquetKpiStore(root: String) extends Serializable {
   }
 }
 
-/** Batched JDBC keyed upsert. Dialect-parameterized SQL generation is unit
-  * tested; live connectivity needs an external DBMS (not present in CI).
-  * vs the reference: ONE prepared statement + executeBatch per partition
-  * (Consumer.scala:170-172 round-tripped per row). */
+/** Batched JDBC keyed upsert. The MySQL single-statement form mirrors the
+  * reference's target dialect; the portable ANSI form (batched UPDATE,
+  * then INSERT for rows the update missed) runs live against embedded
+  * Derby in JdbcSpec — the whole partition-level write path (connection
+  * per partition, prepared-statement batching, commit) is executed, not
+  * just SQL-generated. vs the reference: ONE prepared statement +
+  * executeBatch per partition (Consumer.scala:170-172 round-tripped per
+  * row). */
 object JdbcUpsertSink {
+
+  /** Identifier quoting differs per dialect; both handle space-bearing
+    * identifiers (the reference's dead KPI K8 broke on unquoted ones,
+    * Consumer.scala:313-317). */
+  sealed trait SqlDialect { def q(id: String): String }
+  case object MySqlDialect extends SqlDialect { def q(id: String) = s"`$id`" }
+  case object AnsiDialect extends SqlDialect { def q(id: String) = "\"" + id + "\"" }
 
   /** MySQL-style `INSERT … ON DUPLICATE KEY UPDATE` for a keyed table;
     * identifiers are backtick-quoted (the reference's dead KPI K8 broke on
@@ -118,6 +129,66 @@ object JdbcUpsertSink {
     val updates = values.map(c => s"`$c`=VALUES(`$c`)")
     s"INSERT INTO `$table` (${quoted.mkString(", ")}) VALUES (${placeholders.mkString(", ")}) " +
       s"ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
+  }
+
+  /** `UPDATE t SET v=? … WHERE k=? AND …` — parameter order: values then
+    * keys (matches [[writePortable]]'s binding). */
+  def updateSql(table: String, keys: Seq[String], values: Seq[String], d: SqlDialect): String =
+    s"UPDATE ${d.q(table)} SET ${values.map(c => s"${d.q(c)}=?").mkString(", ")} " +
+      s"WHERE ${keys.map(c => s"${d.q(c)}=?").mkString(" AND ")}"
+
+  /** Plain keyed insert — parameter order: keys then values. */
+  def insertSql(table: String, keys: Seq[String], values: Seq[String], d: SqlDialect): String = {
+    val cols = keys ++ values
+    s"INSERT INTO ${d.q(table)} (${cols.map(d.q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+  }
+
+  /** Portable batched upsert for DBMSs without a single-statement upsert:
+    * per `batchSize` chunk, one batched UPDATE round trip; rows whose
+    * update count is 0 go into one batched INSERT. Re-running the same
+    * batch is idempotent (every row then takes the UPDATE arm with
+    * identical values). One connection per partition, one transaction per
+    * partition — same shape as [[write]]. */
+  def writePortable(
+      df: DataFrame,
+      url: String,
+      table: String,
+      keys: Seq[String],
+      batchSize: Int = 1000,
+      dialect: SqlDialect = AnsiDialect): Unit = {
+    val values = df.columns.filterNot(keys.contains).toSeq
+    val upSql = updateSql(table, keys, values, dialect)
+    val inSql = insertSql(table, keys, values, dialect)
+    val keyArr = keys.toArray
+    val valArr = values.toArray
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val up = conn.prepareStatement(upSql)
+          val in = conn.prepareStatement(inSql)
+          rows.grouped(batchSize).foreach { chunk =>
+            chunk.foreach { r =>
+              valArr.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
+              keyArr.zipWithIndex.foreach { case (c, i) => up.setObject(valArr.length + i + 1, r.getAs[Any](c)) }
+              up.addBatch()
+            }
+            val counts = up.executeBatch()
+            val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
+            var anyMiss = false
+            misses.foreach { r =>
+              keyArr.zipWithIndex.foreach { case (c, i) => in.setObject(i + 1, r.getAs[Any](c)) }
+              valArr.zipWithIndex.foreach { case (c, i) => in.setObject(keyArr.length + i + 1, r.getAs[Any](c)) }
+              in.addBatch(); anyMiss = true
+            }
+            if (anyMiss) in.executeBatch()
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
   }
 
   /** Write a keyed DataFrame with batched upserts, `batchSize` rows per
