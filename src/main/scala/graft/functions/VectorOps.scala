@@ -34,11 +34,20 @@ object VectorOps {
     when(na === 0d || nb === 0d, 0d).otherwise(d / (na * nb))
   }
 
-  /** Register `cosine_sim` / `vec_dot` as SQL functions on a session. */
+  /** Native element-wise vector-sum aggregate (array<double> result);
+    * partial-aggregates map-side, so a groupBy shuffles one array per
+    * (group, partition) instead of dim-exploded rows. */
+  def vecSum(c: Column): Column =
+    GraftSqlBridge.column(
+      VectorSumAggregate(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Register `cosine_sim` / `vec_dot` / `vec_sum` as SQL functions. */
   def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark, "cosine_sim",
       es => CosineSimilarity(es.head, es(1)))
     GraftSqlBridge.registerFunction(spark, "vec_dot",
       es => DotProduct(es.head, es(1)))
+    GraftSqlBridge.registerFunction(spark, "vec_sum",
+      es => VectorSumAggregate(es.head))
   }
 }

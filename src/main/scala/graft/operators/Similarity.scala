@@ -148,9 +148,11 @@ object Similarity {
 
   /** Lloyd refinement of IVF centroids: `iters` rounds of
     * assign-to-nearest + per-list mean. Each round is one narrow assign
-    * pass plus one aggregation keyed by (list, dimension) — no step
-    * touches more than O(corpus × nlist) work, and the centroid set
-    * stays driver-small. Empty lists keep their previous centroid. */
+    * pass (ivfAssign is shuffle-free) plus ONE small aggregation: the
+    * native vector-sum aggregate partial-aggregates map-side, so the
+    * exchange carries one array per (list, partition) — NOT the
+    * dim-exploded corpus the previous posexplode formulation shuffled.
+    * Empty lists keep their previous centroid. */
   def kmeansRefine(
       df: DataFrame,
       centroids: DataFrame,
@@ -161,13 +163,10 @@ object Similarity {
     for (_ <- 0 until iters) {
       val assigned = ivfAssign(df, c, idCol, vecCol)
       val means = assigned
-        .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col("list_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
         .groupBy(col("list_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .agg(VectorOps.vecSum(col(vecCol)).as("_vsum"), count(lit(1)).as("_n"))
         .select(col("list_id").as("centroid_id"),
-          transform(col("pm"), e => e.getField("m").cast("float")).as("centroid_vec"))
+          transform(col("_vsum"), v => (v / col("_n")).cast("float")).as("centroid_vec"))
       // lists that lost all members keep their old centroid
       c = means.unionByName(
         c.join(means.select(col("centroid_id")), Seq("centroid_id"), "left_anti"))

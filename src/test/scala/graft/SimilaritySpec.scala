@@ -116,6 +116,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(assigned.select("vec_id").distinct().count() == 100)
   }
 
+  test("vecSum aggregate equals the posexplode formulation; refine plans no Generate") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+      .withColumn("g", (col("vec_id") % 4).cast("int"))
+    val native = df.groupBy("g")
+      .agg(VectorOps.vecSum(col("embedding")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val exploded = df
+      .select(col("g"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(sum(col("v").cast("double")).as("s"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (g, rs) => g -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    native.foreach { case (g, s) =>
+      s.zip(exploded(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+    // the k-means mean step must not dim-explode: no Generate in the plan
+    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 4)
+    val refined = Similarity.kmeansRefine(df, cents, "vec_id", "embedding", 1)
+    val p = refined.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"refine must not posexplode:\n$p")
+  }
+
   test("brute-force tiers fail loudly when the probe side is unbounded") {
     val df = vecs(100, 8).toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException] {
