@@ -24,6 +24,32 @@ class SqlApiSpec extends SparkTestBase {
     assert(sql == df)
   }
 
+  test("SQL twins match the Scala API row-for-row across operator families") {
+    GraftSqlApi.init(spark, dir)
+    GraftSqlApi.sqlTwins.foreach { case (name, sql) =>
+      val viaSql = spark.sql(sql).collect().toSeq
+      val viaScala = SparkEntry.queries(name)(spark, dir).collect().toSeq
+      assert(viaSql.nonEmpty, s"$name: twin returned no rows")
+      assert(viaSql == viaScala, s"$name: SQL and Scala results differ")
+    }
+  }
+
+  test("SQL-registered shingles/minhash are the same native expressions as the Scala API") {
+    GraftSqlApi.init(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+           minhash_signature(ngram_shingles(split(trim(graft_normalize(text)), '\\s+'), 3), 8) AS sig
+         FROM documents ORDER BY doc_id LIMIT 20""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val viaScala = graft.operators.TextAnalysis.withShingles(docs, "text", 3)
+      .select(col("doc_id"),
+        graft.operators.Dedup.minhashSignatureFromShingles(col("_sh"), 8).as("sig"))
+      .orderBy("doc_id").limit(20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaSql == viaScala)
+  }
+
   test("registered native functions work over SQL on real embeddings") {
     graft.functions.VectorOps.register(spark)
     spark.read.parquet(s"$dir/embeddings.parquet").createOrReplaceTempView("emb")
