@@ -50,8 +50,45 @@ object Bench {
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val streaming = benchStreaming(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"sf":"$sfDir"}""")
+    val scale = benchScale(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Dedup/ANN growth evidence: time nearDupPairs and ivfTopK on the
+    * fixture corpus and on a 5x perturbed-replica corpus (cross-replica
+    * similarity destroyed — see ScaleFixture), and report LSH candidate
+    * volumes at both sizes. Healthy bucketing ⇒ candidates (and ideally
+    * wall time) grow ~5x, not 25x; ScaleSpec asserts the candidate
+    * ratio, this reports the measured numbers per round. */
+  private def benchScale(spark: SparkSession, sfDir: String): String = {
+    try {
+      import graft.operators.{Dedup, ScaleFixture, Similarity}
+      import org.apache.spark.sql.functions.col
+      val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs5 = ScaleFixture.scaleDocuments(docs1, 5)
+      val embs1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val embs5 = ScaleFixture.scaleEmbeddings(embs1, 5)
+      def time(f: => Long): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
+      val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
+      val (ivT1, _) = time(Similarity.ivfTopK(
+        embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      val (ivT5, _) = time(Similarity.ivfTopK(
+        embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
+        s""""neardup_sec_1x":$ndT1,"neardup_sec_5x":$ndT5,""" +
+        s""""ivf_sec_1x":$ivT1,"ivf_sec_5x":$ivT5}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] scale failed: ${e.getMessage}")
+        """{"neardup_cand_1x":-1,"neardup_cand_5x":-1}"""
+    }
   }
 
   /** Streaming KPI-pipeline throughput: drain a generated airline

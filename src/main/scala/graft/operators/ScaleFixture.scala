@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus up-scaling for scale micro-benchmarks: N
+  * perturbed replicas of a fixture table, where the perturbation
+  * destroys cross-replica similarity but preserves each replica's
+  * internal near-dup structure. This lets growth assertions distinguish
+  * near-linear candidate volume (healthy bucketing) from quadratic
+  * blow-up: if replica i were similar to replica j, planted near-dup
+  * clusters would multiply quadratically with the replica count and no
+  * bucketed algorithm could stay linear.
+  */
+object ScaleFixture {
+
+  private val vowels = "aeiou"
+
+  /** Replica id-space stride — far above any fixture id. */
+  val idStride = 10000000L
+
+  /** Replica r of a text: vowels rotated by r positions (replica 0 is
+    * the identity). Any token containing a vowel changes, so 3-word
+    * shingles across replicas virtually never collide, while the
+    * within-replica Jaccard structure is exactly preserved (the
+    * perturbation is a per-character bijection). */
+  private def perturbText(text: org.apache.spark.sql.Column, r: Int) = {
+    val rot = vowels.drop(r % vowels.length) + vowels.take(r % vowels.length)
+    if (r % vowels.length == 0) text else translate(text, vowels, rot)
+  }
+
+  /** `replicas` copies of (doc_id, text), ids offset by [[idStride]]. */
+  def scaleDocuments(docs: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * idStride)).as("doc_id"),
+        perturbText(col("text"), r).as("text"))
+    }.reduce(_.unionByName(_))
+
+  /** `replicas` copies of (vec_id, embedding); replica r circularly
+    * rotates coordinates by 7·r and flips the sign of every other
+    * element. A coordinate permutation (+ sign pattern) preserves norms
+    * and the replica's internal geometry exactly, while cross-replica
+    * cosines fall to noise — unlike an additive shift, which aligns all
+    * replicas along the shift direction and collapses them into one IVF
+    * list. */
+  def scaleEmbeddings(embs: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { r =>
+      val v = col("embedding")
+      val shifted =
+        if (r == 0) v
+        else {
+          val n = size(v)
+          val k = lit(7 * r) % n
+          val rotated = concat(slice(v, k + 1, n - k), slice(v, lit(1), k))
+          transform(rotated,
+            (x, i) => when(i % 2 === 0, x).otherwise(-x).cast("float"))
+        }
+      embs.select(
+        (col("vec_id") + lit(r * idStride)).as("vec_id"),
+        shifted.as("embedding"))
+    }.reduce(_.unionByName(_))
+}
