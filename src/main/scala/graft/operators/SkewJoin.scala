@@ -3,9 +3,15 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Salted equi-join for skewed keys — the manual fallback when AQE's
-  * runtime skew splitting isn't available (streaming joins, stats-less
-  * sources) or when one hot key dominates a shuffle partition.
+/** Salted equi-join for skewed keys — the manual FALLBACK, not the
+  * default. The default skew remedy is AQE's runtime skew-join
+  * splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+  * GraftSession): it detects oversized partitions from real shuffle
+  * statistics and splits them with no replication cost. Reach for this
+  * operator only where AQE cannot act — streaming joins (no finished
+  * map stage to measure), stats-less or first-run sources, or a known
+  * permanent hot key where paying the deterministic saltFactor×
+  * replication up front beats a runtime re-plan.
   *
   * Mechanics: the big (skewed) side gets a deterministic salt in
   * [0, saltFactor) derived by hashing its whole row; the small side is

@@ -65,7 +65,14 @@ object Reconstitution {
       .write.mode("overwrite").partitionBy("segment").text(outDir)
 
   /** Ordered driver-side append; `toLocalIterator` streams partitions in
-    * order without materializing the batch on the driver. */
+    * order without materializing the batch on the driver.
+    *
+    * LIMITATION (by the operator's own semantics): the output is ONE
+    * ordered file written via local java.io — driver-local filesystem
+    * only, single writer, matching the reference's FileReconstitution
+    * contract. This is inherently the non-distributed tier; at scale use
+    * [[partitionedReconstitute]], which writes per-segment ordered files
+    * fully in parallel to any Hadoop-compatible filesystem. */
   private def appendToFile(ordered: DataFrame, outFile: String): Long = {
     val it = ordered.select(col("value")).toLocalIterator()
     val w = new BufferedWriter(new FileWriter(outFile, true))
