@@ -311,6 +311,25 @@ object SparkEntry {
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  private val t10Repetition = (s: SparkSession, d: String) =>
+    TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 3-way split over the documents corpus. */
+  private val x1HashSplit = (s: SparkSession, d: String) =>
+    Sampling.assignSplit(t(s, d, "documents"), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 20% sample — reproducible row-for-row in any engine
+    * with md5 (the oracle uses the identical hex-threshold compare). */
+  private val x2HashSample = (s: SparkSession, d: String) =>
+    Sampling.hashSample(t(s, d, "documents"), "doc_id", 0.2)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
   // ====================================================================
   // Deduplication (exact + fingerprint + LSH + simhash)
   // ====================================================================
@@ -558,6 +577,9 @@ object SparkEntry {
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "t7_token_bpeish" -> t7TokenBpeish,
     "t8_top_bigrams" -> t8TopBigrams,
+    "t10_repetition" -> t10Repetition,
+    "x1_hash_split" -> x1HashSplit,
+    "x2_hash_sample" -> x2HashSample,
     "m1_multimodal_features" -> m1Features,
   )
 
@@ -825,6 +847,39 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          WHERE j >= 0.5 ORDER BY id_a, id_b""",
     "t6_lang_id" -> t6OracleSql,
+    "t10_repetition" ->
+      // independent formulation: unnest + group + max (the Spark side
+      // folds a sorted array per row); ratios are small-int divisions →
+      // bit-equal doubles
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), freq AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id, max(c) AS best, count(*) AS nd, sum(c) AS n FROM freq GROUP BY 1
+         )
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           nd::DOUBLE / n::DOUBLE AS distinct_ratio,
+           best::DOUBLE / n::DOUBLE AS top_share
+         FROM agg ORDER BY doc_id""",
+    "x1_hash_split" -> {
+      val t1 = graft.operators.Sampling.hexThreshold(0.8)
+      val t2 = graft.operators.Sampling.hexThreshold(0.9)
+      s"""SELECT doc_id,
+            CASE WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) < '$t1' THEN 'train'
+                 WHEN substr(md5('split:' || doc_id::VARCHAR), 1, 8) < '$t2' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents ORDER BY doc_id"""
+    },
+    "x2_hash_sample" -> {
+      val t1 = graft.operators.Sampling.hexThreshold(0.2)
+      s"""SELECT doc_id FROM documents
+          WHERE substr(md5('sample:' || doc_id::VARCHAR), 1, 8) < '$t1'
+          ORDER BY doc_id"""
+    },
   )
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language

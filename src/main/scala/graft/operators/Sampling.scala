@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling and split assignment — the
+  * training-data-pipeline primitives for carving corpora.
+  *
+  * Scale rationale: `rand()`-based sampling is not retry-safe (a
+  * recomputed task draws different rows — duplicates/losses under
+  * speculative execution) and not reproducible across runs. Hashing a
+  * stable key is both, and is a pure narrow map: no shuffle, no state,
+  * trivially parallel at any corpus size. Different `salt`s give
+  * independent samples from the same keys (e.g. a 1% eval carve-out
+  * independent of the train/val/test split).
+  *
+  * Mechanics: the first 8 hex chars of md5(salt:key) are a uniform
+  * 32-bit value; thresholds are compared as zero-padded lowercase hex
+  * STRINGS, which any engine with md5 reproduces exactly (the DuckDB
+  * oracles use the same construction — no float rounding anywhere).
+  */
+object Sampling {
+
+  /** Uniform [0, 2^32) draw for a key, as an 8-char lowercase hex
+    * string. Lexicographic comparison == numeric comparison. */
+  def uniformHex(key: Column, salt: String): Column =
+    substring(md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary")), 1, 8)
+
+  /** 8-hex-char threshold for cumulative probability `p` — public so
+    * oracle SQL can be generated from the identical constant. */
+  def hexThreshold(p: Double): String =
+    f"${math.min((p * 4294967296.0).toLong, 4294967295L)}%08x"
+
+  /** Keep each key with probability `rate`, deterministically. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String = "sample"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(uniformHex(col(keyCol), salt) < lit(hexThreshold(rate)))
+  }
+
+  /** Assign every key to one of the named splits with the given weights
+    * (must sum to ≤ 1; any remainder falls into the last split). The
+    * assignment column is appended; rows never move or duplicate. */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      weights: Seq[(String, Double)],
+      salt: String = "split",
+      outCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "at least one split")
+    val u = uniformHex(col(keyCol), salt)
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val cases = weights.zip(cum).dropRight(1).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), c)) =>
+        val cond = u < lit(hexThreshold(c))
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+    }
+    val assigned = cases.fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    df.withColumn(outCol, assigned)
+  }
+}

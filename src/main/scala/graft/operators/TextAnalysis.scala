@@ -142,6 +142,41 @@ object TextAnalysis {
       .drop("_lid_toks")
   }
 
+  /** Per-document repetition signals (Gopher-style quality filters):
+    * `n_tokens`, `distinct_ratio` = |distinct| / n, and `top_share` =
+    * (max single-token frequency) / n. Highly repetitive documents
+    * (boilerplate, keyword stuffing) show low distinct_ratio / high
+    * top_share and are filtered before training.
+    *
+    * Computed per ROW with no shuffle: the max-frequency is a fold over
+    * the SORTED token array tracking the longest equal-run — O(n log n)
+    * per doc, zero exchanges (the explode → groupBy(doc, token)
+    * formulation shuffles corpus × tokens rows). Tokens are staged per
+    * the performance contract. */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val staged = withTokens(df, textCol, "_rep_toks")
+    val toks = col("_rep_toks")
+    val n = size(toks)
+    val sorted = array_sort(toks)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    staged
+      .withColumn("n_tokens", n)
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / greatest(n, lit(1)).cast("double"))
+      .withColumn("top_share",
+        best.cast("double") / greatest(n, lit(1)).cast("double"))
+      .drop("_rep_toks")
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def keys(n: Int) = (0 until n).map(_.toLong).toDF("k")
+
+  test("hashSample is deterministic, rate-accurate, and salt-independent") {
+    val df = keys(10000)
+    val a = Sampling.hashSample(df, "k", 0.2).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df, "k", 0.2).collect().map(_.getLong(0)).toSet
+    assert(a == b) // deterministic
+    assert(math.abs(a.size / 10000.0 - 0.2) < 0.02, s"rate off: ${a.size}")
+    val c = Sampling.hashSample(df, "k", 0.2, salt = "other").collect()
+      .map(_.getLong(0)).toSet
+    // independent draws: overlap ≈ rate² (4%), far from identical
+    val overlap = (a & c).size / 10000.0
+    assert(overlap > 0.01 && overlap < 0.1, s"salts not independent: $overlap")
+    // rate monotonicity: a 0.2 sample is a subset of a 0.5 sample
+    val wide = Sampling.hashSample(df, "k", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(wide))
+  }
+
+  test("assignSplit covers every row exactly once with ~correct weights") {
+    val df = keys(10000)
+    val got = Sampling.assignSplit(df, "k",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).collect()
+    assert(got.length == 10000) // no row moved or duplicated
+    val byName = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(math.abs(byName("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(byName("val") / 10000.0 - 0.1) < 0.01)
+    assert(math.abs(byName("test") / 10000.0 - 0.1) < 0.01)
+  }
+
+  test("repetitionSignals: constructed docs with known ratios") {
+    val docs = Seq(
+      (1L, "a a a a"),            // n=4, distinct=1, top=4
+      (2L, "a b c d"),            // n=4, distinct=4, top=1
+      (3L, "x x y y y z"),        // n=6, distinct=3, top=3
+      (4L, "")                    // n=1 ([""]), distinct=1, top=1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "text")
+      .select("doc_id", "n_tokens", "distinct_ratio", "top_share")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4, 0.25, 1.0)))
+    assert(got(2L) == ((4, 1.0, 0.25)))
+    assert(got(3L) == ((6, 0.5, 0.5)))
+    assert(got(4L) == ((1, 1.0, 1.0)))
+  }
+
+  test("repetitionSignals plans narrow: no shuffle introduced per doc") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = TextAnalysis.repetitionSignals(docs, "text")
+      .select("doc_id", "n_tokens", "distinct_ratio", "top_share")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"repetition signals must not explode:\n$p")
+  }
+}
