@@ -354,14 +354,18 @@ object SparkEntry {
 
   /** End-to-end oracled LSH near-dup: candidates are engine-specific, but
     * the Jaccard-verified pair set at threshold 0.5 is engine-independent
-    * PROVIDED recall is 1.0 — guaranteed here by r=1 banding (bands ==
-    * numHashes: a pair is a candidate if ANY of the 32 minhashes agree;
-    * the fixture's near-dups all have J ≥ 0.88, so the per-pair miss
-    * probability is (1−J)^32 ≈ 1e-30). TextDedupSpec asserts the recall
-    * precondition against brute-force Jaccard. */
+    * PROVIDED recall is 1.0 on this corpus. Banding is the default r=4
+    * (8 bands of 4 hashes): the fixture's near-dups all have J ≥ 0.88
+    * (per-pair miss ≈ (1−J⁴)^8 ≤ 2e-4), while background pairs (J ≈
+    * 0.05) essentially never collide — r=1 banding would make 80% of ALL
+    * pairs candidates at tiny background J (1−(1−J)^32), collapsing LSH
+    * to all-pairs. The signature is deterministically seeded, so recall
+    * 1.0 is a CHECKABLE property of (corpus, config), not a
+    * probabilistic claim: TextDedupSpec asserts it against brute-force
+    * Jaccard, and the driver's DuckDB compare re-proves it at sf0.01. */
   private val d6NearDupPairs = (s: SparkSession, d: String) =>
     Dedup.nearDupPairs(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.5, k = 3, numHashes = 32, bands = 32)
+        threshold = 0.5, k = 3, numHashes = 32, bands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   // ====================================================================
