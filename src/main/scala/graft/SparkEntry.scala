@@ -884,7 +884,36 @@ object SparkEntry {
           WHERE substr(md5('sample:' || doc_id::VARCHAR), 1, 8) < '$t1'
           ORDER BY doc_id"""
     },
+    "s2_lsh_topk" -> s2OracleSql,
   )
+
+  /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the
+    * hyperplanes are a pure function of (h, dim, seed), so the
+    * "engine-specific" sign signature becomes portable by inlining the
+    * exact plane constants (exported from the same Scala function —
+    * shortest-round-trip doubles, parsed back to identical bits).
+    * `list_dot_product` accumulates left-to-right in double like the
+    * engine's fold, so the sign bits — and therefore buckets, candidate
+    * sets, and the verified top-k — agree exactly. */
+  private def s2OracleSql: String = {
+    val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding, ($sig) AS s FROM embeddings
+        )
+        SELECT probe_id, neighbor_id, rank FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) DESC,
+                       c.vec_id ASC) AS INTEGER) AS rank
+          FROM sig p JOIN sig c ON p.s = c.s AND p.vec_id <> c.vec_id
+          WHERE p.vec_id < 5
+        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+  }
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language
     * stopword-hit counts over lower/trim/whitespace tokens, argmax with

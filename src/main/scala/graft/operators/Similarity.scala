@@ -70,6 +70,13 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** Full hyperplane matrix as plain doubles — lets an oracle inline the
+    * identical constants (the planes are a pure function of (h, dim,
+    * seed), so the "engine-specific" signature is reproducible anywhere
+    * once these are exported). */
+  def planeComponents(dim: Int, h: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(h, dim)((p, d) => planeComponent(p, d, seed))
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-1, 1) derived from xxhash64 — seeded, engine-local. */
   private def planeComponent(plane: Int, d: Int, seed: Long): Double = {
