@@ -95,5 +95,27 @@ object GraftSqlApi {
     "d1_exact_dedup" ->
       """SELECT text, MIN(doc_id) AS doc_id FROM documents
          GROUP BY text ORDER BY doc_id""",
+    "a1_group_count_segment" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "a6_conditional_pair" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INT) AS finished_cnt,
+         CAST(COUNT(o_orderstatus) - SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS INT) AS other_cnt
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "w2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "p2_derived_flag" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END AS high_value,
+         CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END AS status_label
+         FROM orders ORDER BY o_orderkey""",
+    "t5_fingerprint" ->
+      """SELECT doc_id, md5(CAST(graft_normalize(text) AS BINARY)) AS fp
+         FROM documents ORDER BY doc_id""",
+    "e1_json_extract" ->
+      """SELECT get_json_object(props, '$.k') AS k, count(*) AS cnt
+         FROM events GROUP BY k ORDER BY k""",
   )
 }

@@ -191,8 +191,18 @@ object Similarity {
     * window, NO Exchange between the corpus scan and the list id. The
     * previous nested-loop-join + `row_number()` formulation shuffled a
     * corpus×nlist intermediate by id — a ~nlist× shuffle blow-up at scale. */
-  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cents = collectCentroids(centroids)
+  def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    ivfAssignCollected(df, collectCentroids(centroids), idCol, vecCol)
+
+  /** Assignment against an already-materialized centroid set — lets
+    * [[ivfTopK]] run the centroid job ONCE and reuse the result across
+    * assign, refine, and probe ranking (at scale each centroid
+    * re-computation is a full corpus scan). */
+  def ivfAssignCollected(
+      df: DataFrame,
+      cents: Array[(Long, Seq[Float])],
+      idCol: String,
+      vecCol: String): DataFrame = {
     val scored = array(cents.map { case (cid, v) =>
       struct(
         VectorOps.cosineSim(col(vecCol), array(v.map(lit(_)): _*)).as("cos"),
@@ -204,7 +214,7 @@ object Similarity {
 
   /** Driver-side centroid materialization — bounded by nlist, which this
     * guard keeps honest. */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] = {
+  private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] = {
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("centroid_vec"))
       .limit(maxNlist + 1)
@@ -235,19 +245,26 @@ object Similarity {
     val centroids =
       if (refineIters > 0) kmeansRefine(df, sampled, idCol, vecCol, refineIters)
       else sampled
-    val assigned = ivfAssign(df, centroids, idCol, vecCol)
+    // ONE centroid materialization, reused by assignment and probe
+    // ranking — at scale each re-computation of the centroid frame is a
+    // full corpus scan (and was previously run 2-3x per query)
+    val cents = collectCentroids(centroids)
+    val assigned = ivfAssignCollected(df, cents, idCol, vecCol)
 
-    // each probe picks its nprobe nearest lists
-    val probeScored = df.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
-      .join(broadcast(centroids))
-      .withColumn("_c", VectorOps.cosineSim(col("_pv"), col("centroid_vec")))
-    val wp = Window.partitionBy(col("probe_id"))
-      .orderBy(col("_c").desc, col("centroid_id").asc)
-    val probeLists = probeScored
-      .withColumn("_rk", row_number().over(wp))
-      .filter(col("_rk") <= nprobe)
-      .select(col("probe_id"), col("_pv"), col("centroid_id").as("list_id"))
+    // each probe picks its nprobe nearest lists — per-row array sort
+    // over the inlined centroid set (no join, no window, no Exchange;
+    // same shape as ivfAssignCollected, generalized to top-nprobe)
+    val scoredArr = array(cents.map { case (cid, v) =>
+      struct(
+        VectorOps.cosineSim(col(vecCol), array(v.map(lit(_)): _*)).as("cos"),
+        lit(-cid).as("neg_id"))
+    }: _*)
+    // ascending (cos, neg_id) reversed == (cos desc, centroid_id asc)
+    val topLists = slice(reverse(array_sort(scoredArr)), 1, nprobe)
+    val probeLists = df.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+        explode(topLists).as("_sl"))
+      .select(col("probe_id"), col("_pv"), (-col("_sl.neg_id")).as("list_id"))
 
     // candidates = probed lists only (equi-join on list id, hash join)
     val corpus = assigned.select(
