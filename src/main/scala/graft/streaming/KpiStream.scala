@@ -60,4 +60,29 @@ object KpiStream {
     val q = start(spark, inputGlob, checkpointDir, store, availableNow = true)
     q.awaitTermination()
   }
+
+  /** Same single-scan fan-out, delivered to a live JDBC database — the
+    * reference's actual topology (stream → DB upsert), with additive
+    * per-batch components and the store's transactional watermark giving
+    * exactly-once DB state on at-least-once micro-batch delivery. */
+  def startJdbc(
+      spark: SparkSession,
+      inputGlob: String,
+      checkpointDir: String,
+      store: JdbcKpiStore,
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = Tables.airlineCsvStream(spark, inputGlob)
+    val writer = stream.writeStream
+      .queryName("graft_kpi_fanout_jdbc")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        batch.persist()
+        try AirlineKpis.all.foreach { case (table, transform, keys) =>
+          store.merge(table, keys, transform(batch), batchId)
+        } finally batch.unpersist()
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
 }

@@ -92,6 +92,41 @@ class JdbcSpec extends SparkTestBase {
     }
   }
 
+  test("streaming KPI fan-out delivers exactly-once to a live JDBC database") {
+    withDb("kpistream") { u =>
+      val base = tmpDir("graft-jdbc-stream")
+      graft.airline.AirlineFixture.writeSegments(s"$base/in", 4, 250)
+      val store = new graft.streaming.JdbcKpiStore(u)
+      graft.streaming.KpiStream.startJdbc(
+        spark, s"$base/in/*", s"$base/cp", store).awaitTermination()
+
+      // DB state must equal the batch-computed KPIs over the full input
+      val all = graft.sources.Tables.airlineCsv(spark, s"$base/in/*").persist()
+      graft.airline.AirlineKpis.all.foreach { case (table, transform, keys) =>
+        val expect = transform(all)
+        val cols = expect.columns.toSeq
+        val got = store.readAll(table, cols)
+          .map(_.map {
+            case d: java.lang.Double => math.round(d * 1e6) / 1e6
+            case x => x
+          }).toSet
+        val want = expect.collect().toSeq
+          .map(r => cols.indices.map(i => r.get(i) match {
+            case d: Double => math.round(d * 1e6) / 1e6
+            case x => x
+          })).toSet
+        assert(got == want, s"$table: DB state != batch KPIs")
+      }
+      all.unpersist()
+
+      // replay of an already-applied batch is a transactional no-op
+      val before = store.readAll("gender_counts", Seq("Gender", "Count"))
+      val batch0 = graft.airline.AirlineKpis.genderCounts(all)
+      store.merge("gender_counts", Seq("Gender"), batch0, batchId = 0L)
+      assert(store.readAll("gender_counts", Seq("Gender", "Count")) == before)
+    }
+  }
+
   test("dialect SQL generation: MySQL upsert and ANSI update/insert quote identifiers") {
     val up = JdbcUpsertSink.upsertSql("t", Seq("k"), Seq("flight distance"))
     assert(up.contains("`flight distance`=VALUES(`flight distance`)"))
