@@ -368,6 +368,18 @@ object SparkEntry {
         threshold = 0.5, k = 3, numHashes = 32, bands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Decontamination: docs 0-49 play the eval set, the rest the training
+    * corpus; output = training docs leaking eval content. Same recall
+    * argument as d6 (deterministic signatures, oracle re-proves). */
+  private val d7Decontaminate = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    Dedup.crossNearDupPairs(
+        corpus = docs.filter(col("doc_id") >= 50),
+        probes = docs.filter(col("doc_id") < 50),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -570,6 +582,7 @@ object SparkEntry {
     "d3_lsh_buckets" -> d3LshBuckets,
     "d4_simhash" -> d4Simhash,
     "d6_neardup_pairs" -> d6NearDupPairs,
+    "d7_decontaminate" -> d7Decontaminate,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_ivf_topk" -> s3IvfTopK,
@@ -849,6 +862,24 @@ object SparkEntry {
              len(list_intersect(a.s, b.s))::DOUBLE
                / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         WHERE j >= 0.5 ORDER BY id_a, id_b""",
+    "d7_decontaminate" ->
+      // bipartite brute-force ground truth: eval slice vs training rest
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         )
+         SELECT id_a, id_b, j AS jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+           FROM sh a JOIN sh b ON a.doc_id < 50 AND b.doc_id >= 50)
          WHERE j >= 0.5 ORDER BY id_a, id_b""",
     "t6_lang_id" -> t6OracleSql,
     "t10_repetition" ->

@@ -170,6 +170,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Bipartite near-dup: probe docs (e.g. an eval/benchmark set) against
+    * a corpus (e.g. training data) — the DECONTAMINATION primitive: any
+    * corpus doc whose Jaccard with an eval doc clears the threshold is a
+    * leak and gets dropped before training.
+    *
+    * Same bucket-first shape as [[nearDupPairs]]: both sides are LSH
+    * bucketed and candidates come from an equi-join on (band, bucket) —
+    * cost scales with bucket co-occupancy, never |probes| × |corpus|.
+    * The eval side is typically tiny; the corpus side's oversized
+    * buckets are capped as usual. Output: (id_a = probe, id_b = corpus,
+    * jaccard). */
+  def crossNearDupPairs(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bCorpus = lshBuckets(corpus, idCol, textCol, k, numHashes, bands)
+      .withColumn("_bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucketSize)
+      .select(col(idCol).as("id_b"), col("band"), col("bucket"))
+    val bProbes = lshBuckets(probes, idCol, textCol, k, numHashes, bands)
+      .select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val cands = bProbes.join(bCorpus, Seq("band", "bucket"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val probeSh = TextAnalysis.withShingles(probes.select(col(idCol), col(textCol)), textCol, k)
+      .select(col(idCol).as("id_a"), col("_sh").as("_sa"))
+    val corpusSh = TextAnalysis.withShingles(corpus.select(col(idCol), col(textCol)), textCol, k)
+      .select(col(idCol).as("id_b"), col("_sh").as("_sb"))
+    cands
+      .join(probeSh, "id_a")
+      .join(corpusSh, "id_b")
+      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
     * the 64 bits of xxhash64(token) votes +1/-1; the signature sets bits
     * with positive vote totals. One scan, no shuffle. The per-token hash

@@ -57,6 +57,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 4, s"candidate volume $cands too close to all-pairs")
   }
 
+  test("crossNearDupPairs finds planted eval-in-train contamination, bipartite only") {
+    val evalDoc = "the quick brown fox jumps over the lazy dog again and again today"
+    val leaked = evalDoc.replace("today", "tonight") // contaminated train doc
+    val evalSet = Seq((1L, evalDoc), (2L, "completely different benchmark question here ok"))
+      .toDF("doc_id", "text")
+    val train = (Seq((100L, leaked)) ++ (0 until 40).map(i =>
+      (200L + i, s"unrelated training document $i with w${i}a w${i}b w${i}c w${i}d")))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.Dedup.crossNearDupPairs(
+        corpus = train, probes = evalSet, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 100L)), s"got ${hits.toSeq}")
+    // the eval x eval and train x train pairs must never appear
+    assert(hits.forall { case (a, b) => a < 100L && b >= 100L })
+  }
+
   test("d6 banding config gives recall 1.0 vs brute-force Jaccard on the fixture") {
     // d6_neardup_pairs' oracle is exact all-pairs Jaccard; the Spark side
     // only equals it if LSH misses nothing. Signatures are
