@@ -330,6 +330,19 @@ object SparkEntry {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Per-source quota: at most 10 docs per source (fixture has ~25), hash-order selection. */
+  private val x3SourceQuota = (s: SparkSession, d: String) =>
+    Sampling.groupQuota(t(s, d, "documents"), "source", "doc_id", quota = 10)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Per-source sampling rates: src0 half, src1 fifth, others 10%. */
+  private val x4Stratified = (s: SparkSession, d: String) =>
+    Sampling.stratifiedSample(t(s, d, "documents"), "source", "doc_id",
+        rates = Map("src0" -> 0.5, "src1" -> 0.2), defaultRate = 0.1)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
   // ====================================================================
   // Deduplication (exact + fingerprint + LSH + simhash)
   // ====================================================================
@@ -597,6 +610,8 @@ object SparkEntry {
     "t10_repetition" -> t10Repetition,
     "x1_hash_split" -> x1HashSplit,
     "x2_hash_sample" -> x2HashSample,
+    "x3_source_quota" -> x3SourceQuota,
+    "x4_stratified_sample" -> x4Stratified,
     "m1_multimodal_features" -> m1Features,
   )
 
@@ -916,6 +931,22 @@ object SparkEntry {
           ORDER BY doc_id"""
     },
     "s2_lsh_topk" -> s2OracleSql,
+    "x3_source_quota" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY substr(md5('quota:' || doc_id::VARCHAR), 1, 8), doc_id) AS rk
+           FROM documents
+         ) WHERE rk <= 10 ORDER BY doc_id""",
+    "x4_stratified_sample" -> {
+      val h = (p: Double) => graft.operators.Sampling.hexThreshold(p)
+      s"""SELECT doc_id, source FROM documents
+          WHERE substr(md5('strat:' || doc_id::VARCHAR), 1, 8) <
+            CASE WHEN source = 'src0' THEN '${h(0.5)}'
+                 WHEN source = 'src1' THEN '${h(0.2)}'
+                 ELSE '${h(0.1)}' END
+          ORDER BY doc_id"""
+    },
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

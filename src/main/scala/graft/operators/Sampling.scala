@@ -37,6 +37,48 @@ object Sampling {
     df.filter(uniformHex(col(keyCol), salt) < lit(hexThreshold(rate)))
   }
 
+  /** Cap each group (source/domain/language) at `quota` rows — the
+    * training-mix balancing primitive ("at most N docs per domain").
+    * Selection within a group is by hash order (deterministic,
+    * unbiased), so reruns and retries keep the identical subset.
+    *
+    * Scale note: one shuffle on the group key (inherent — a per-group
+    * quota needs per-group coordination); for groups ≫ quota, pre-filter
+    * with [[hashSample]] at a safe multiple of quota/|group| first so
+    * the window sees a bounded candidate set. */
+  def groupQuota(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      quota: Int,
+      salt: String = "quota"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(uniformHex(col(keyCol), salt), col(keyCol))
+    df.withColumn("_qrk", row_number().over(w))
+      .filter(col("_qrk") <= quota)
+      .drop("_qrk")
+  }
+
+  /** Per-group sampling rates (e.g. up-weight rare domains, down-weight
+    * boilerplate-heavy ones) — deterministic, one narrow pass. Groups
+    * absent from `rates` use `defaultRate`. */
+  def stratifiedSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "strat"): DataFrame = {
+    val u = uniformHex(col(keyCol), salt)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (g, r)) =>
+        val cond = col(groupCol) === g
+        Some(acc.fold(when(cond, hexThreshold(r)))(_.when(cond, hexThreshold(r))))
+    }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
+    df.filter(u < threshold)
+  }
+
   /** Assign every key to one of the named splits with the given weights
     * (must sum to ≤ 1; any remainder falls into the last split). The
     * assignment column is appended; rows never move or duplicate. */

@@ -36,6 +36,33 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(byName("test") / 10000.0 - 0.1) < 0.01)
   }
 
+  test("groupQuota caps each group, deterministic subset, unbiased by key order") {
+    val df = (0 until 1000).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "g")
+    val got = Sampling.groupQuota(df, "g", "k", quota = 50).collect()
+    val byG = got.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byG.values.forall(_.size == 50))
+    // deterministic
+    val again = Sampling.groupQuota(df, "g", "k", quota = 50).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byG == again)
+    // hash-ordered, not key-ordered: must not just take the 50 smallest keys
+    assert(byG("g0") != (0 until 200 by 4).take(50).map(_.toLong).toSet)
+    // a smaller quota selects a prefix of the larger quota's hash order
+    val q20 = Sampling.groupQuota(df, "g", "k", quota = 20).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    q20.foreach { case (g, s) => assert(s.subsetOf(byG(g))) }
+  }
+
+  test("stratifiedSample applies per-group rates") {
+    val df = (0 until 9000).map(i => (i.toLong, s"g${i % 3}")).toDF("k", "g")
+    val got = Sampling.stratifiedSample(df, "g", "k",
+      rates = Map("g0" -> 0.5, "g1" -> 0.2), defaultRate = 0.05).collect()
+    val byG = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(math.abs(byG("g0") / 3000.0 - 0.5) < 0.04, byG)
+    assert(math.abs(byG("g1") / 3000.0 - 0.2) < 0.03, byG)
+    assert(math.abs(byG.getOrElse("g2", 0) / 3000.0 - 0.05) < 0.02, byG)
+  }
+
   test("repetitionSignals: constructed docs with known ratios") {
     val docs = Seq(
       (1L, "a a a a"),            // n=4, distinct=1, top=4
