@@ -92,6 +92,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"ivfAssign must not join:\n$p")
   }
 
+  test("EVERY registry query: no CartesianProduct, no nondeterministic expressions") {
+    // A cartesian product in any query is an instant scale-killer; a
+    // nondeterministic expression (rand etc.) breaks retry/replay
+    // semantics AND the oracle contract. Sweep the whole registry.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+      val nondet = df.queryExecution.analyzed.collect {
+        case plan0 => plan0.expressions.filter(e => !e.deterministic)
+      }.flatten
+      assert(nondet.isEmpty, s"$name has nondeterministic expressions: $nondet")
+    }
+  }
+
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
