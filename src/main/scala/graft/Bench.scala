@@ -77,13 +77,44 @@ object Bench {
       }
       val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
       val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
-      val (ivT1, _) = time(Similarity.ivfTopK(
-        embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      var iv1 = Set.empty[(Long, Long)]
+      val (ivT1, _) = time {
+        iv1 = pairs(Similarity.ivfTopK(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4)
+          .select(col("probe_id"), col("neighbor_id")))
+        iv1.size.toLong
+      }
       val (ivT5, _) = time(Similarity.ivfTopK(
         embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      // measured approximation quality: recall@5 vs exact brute force on
+      // the same probes, as a CURVE over the pruning knob — the fixture
+      // embeddings are unclustered random vectors (the hardest case for
+      // ANN), so absolute recall at deep pruning is naturally modest;
+      // what matters is that recall climbs to 1.0 as nprobe → nlist
+      val exact = pairs(Similarity.cosineTopK(
+        embs1, "vec_id", "embedding", col("vec_id") < 5, 5)
+        .select(col("probe_id"), col("neighbor_id")))
+      def recallAt(nprobe: Int): Double = {
+        val got =
+          if (nprobe == 4) iv1
+          else pairs(Similarity.ivfTopK(
+            embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = nprobe)
+            .select(col("probe_id"), col("neighbor_id")))
+        (got & exact).size.toDouble / exact.size
+      }
+      val lsh = pairs(Similarity.signLshTopK(
+        embs1, "vec_id", "embedding", col("vec_id") < 5, 5, dim = 64, hyperplanes = 4)
+        .select(col("probe_id"), col("neighbor_id")))
+      val lshRecall = (lsh & exact).size.toDouble / exact.size
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":$ndT1,"neardup_sec_5x":$ndT5,""" +
-        s""""ivf_sec_1x":$ivT1,"ivf_sec_5x":$ivT5}"""
+        s""""ivf_sec_1x":$ivT1,"ivf_sec_5x":$ivT5,""" +
+        s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
+        s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
+        s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +
+        s""""lsh_recall_at5":$lshRecall}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")
