@@ -85,6 +85,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("hash sampling is monotone in rate and split assignment is key-pure") {
+    import graft.operators.Sampling
+    val keys = sample(Gen.listOfN(2000, Gen.chooseNum(0L, Long.MaxValue / 2)), 13L)
+      .distinct.toDF("k")
+    // monotone: sample(r1) ⊆ sample(r2) for every r1 < r2
+    val rates = Seq(0.05, 0.2, 0.5, 0.9)
+    val samples = rates.map(r =>
+      Sampling.hashSample(keys, "k", r).collect().map(_.getLong(0)).toSet)
+    samples.sliding(2).foreach { case Seq(s1, s2) => assert(s1.subsetOf(s2)) }
+    // key-purity: the split of a key never depends on other columns
+    val withPayload = keys.withColumn("payload", concat(lit("p"), col("k")))
+    val s1 = Sampling.assignSplit(keys, "k", Seq(("a", 0.5), ("b", 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.assignSplit(withPayload, "k", Seq(("a", 0.5), ("b", 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2)
+  }
+
+  test("repetition signals satisfy pigeonhole bounds on random texts") {
+    import graft.operators.TextAnalysis
+    val got = TextAnalysis.repetitionSignals(texts.toDF("text"), "text")
+      .select("n_tokens", "distinct_ratio", "top_share").collect()
+    got.foreach { r =>
+      val n = r.getInt(0); val dr = r.getDouble(1); val ts = r.getDouble(2)
+      assert(n >= 1)
+      assert(dr > 0 && dr <= 1.0, s"distinct_ratio $dr out of range")
+      assert(ts > 0 && ts <= 1.0, s"top_share $ts out of range")
+      // pigeonhole: max frequency ≥ n / distinct ⇒ ts * dr * n ≥ 1
+      assert(ts * dr * n >= 1.0 - 1e-9, s"pigeonhole violated: n=$n dr=$dr ts=$ts")
+    }
+  }
+
   test("withRowIndex is a bijection onto 0..n-1 respecting the order") {
     val df = sample(Gen.listOfN(500, Gen.chooseNum(-1000000, 1000000)), 11L)
       .distinct.toDF("x")
