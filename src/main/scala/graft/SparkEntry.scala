@@ -499,6 +499,13 @@ object SparkEntry {
   private val m1Features = (s: SparkSession, d: String) =>
     Multimodal1.features(t(s, d, "documents"))
 
+  /** Frame sampling over the video-shaped payloads: explode each doc
+    * into 4 frames with deterministic per-frame payloads. sha256 is
+    * engine-independent, so the whole explode + per-frame derivation is
+    * oracle-checked (hex form compared). */
+  private val m2Frames = (s: SparkSession, d: String) =>
+    Multimodal1.frames(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -512,6 +519,15 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
           posexplode(col("features")).as(Seq("pos", "feature")))
         .orderBy(col("doc_id"), col("pos"))
+
+    /** Frame payloads as hex (sha256 is engine-independent). */
+    def frames(docs: DataFrame): DataFrame =
+      Multimodal.frameSampleStub(
+        Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
+        "media", nFrames = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          col("frame_payload").cast("string").as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** DuckDB twin of [[graft.multimodal.Multimodal.FakeDecoder]]: the
@@ -613,6 +629,7 @@ object SparkEntry {
     "x3_source_quota" -> x3SourceQuota,
     "x4_stratified_sample" -> x4Stratified,
     "m1_multimodal_features" -> m1Features,
+    "m2_frame_sample" -> m2Frames,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -858,6 +875,11 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "m1_multimodal_features" -> m1OracleSql,
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+         sha256(text || f::VARCHAR) AS frame_hex
+         FROM documents, unnest(range(0, 4)) AS t(f)
+         ORDER BY doc_id, frame_idx""",
     "d6_neardup_pairs" ->
       // brute-force exact-Jaccard ground truth: same normalize/tokenize/
       // 3-shingle semantics as TextAnalysis, distinct shingle sets,
