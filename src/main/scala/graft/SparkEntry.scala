@@ -506,6 +506,10 @@ object SparkEntry {
   private val m2Frames = (s: SparkSession, d: String) =>
     Multimodal1.frames(t(s, d, "documents"))
 
+  /** Resize stub: payload rewrite + metadata update for target dims. */
+  private val m3Resize = (s: SparkSession, d: String) =>
+    Multimodal1.resized(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -519,6 +523,17 @@ object SparkEntry {
         .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
           posexplode(col("features")).as(Seq("pos", "feature")))
         .orderBy(col("doc_id"), col("pos"))
+
+    /** Resized payload hex + updated metadata (sha256-derived stub). */
+    def resized(docs: DataFrame): DataFrame =
+      Multimodal.resizeStub(
+        Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
+        "media", 224, 224)
+        .select(col("doc_id"),
+          col("media").cast("string").as("resized_hex"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("resize_dims.w").as("w"), col("resize_dims.h").as("h"))
+        .orderBy(col("doc_id"))
 
     /** Frame payloads as hex (sha256 is engine-independent). */
     def frames(docs: DataFrame): DataFrame =
@@ -630,6 +645,7 @@ object SparkEntry {
     "x4_stratified_sample" -> x4Stratified,
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
+    "m3_resize_meta" -> m3Resize,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -880,6 +896,12 @@ object SparkEntry {
          sha256(text || f::VARCHAR) AS frame_hex
          FROM documents, unnest(range(0, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "m3_resize_meta" ->
+      // resized payload = sha256(payload || "224x224"); the engine casts
+      // the hex string to binary, so n_bytes is the 64-char hex length
+      """SELECT doc_id, sha256(text || '224x224') AS resized_hex,
+         64::BIGINT AS n_bytes, 224 AS w, 224 AS h
+         FROM documents ORDER BY doc_id""",
     "d6_neardup_pairs" ->
       // brute-force exact-Jaccard ground truth: same normalize/tokenize/
       // 3-shingle semantics as TextAnalysis, distinct shingle sets,
