@@ -108,6 +108,29 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Pivot: the wide form of a7's unpivot — one shuffle, then a CASE
+    * aggregation per pivot value (Spark compiles pivot to exactly the
+    * manual CASE form the oracle uses). Pivot values are enumerated
+    * explicitly: at scale an implicit pivot runs a distinct-collect job
+    * over the full corpus first. */
+  private val a12Pivot = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  /** HyperLogLog++ approximate distinct with explicit precision — the
+    * scale form of a9's exact count_distinct (no per-key shuffle of the
+    * distinct values, sketch merge instead). Deterministic for fixed
+    * data+rsd, but engine-specific sketch → rows-only driver check;
+    * the spec bounds its error against the exact count. */
+  private val a13ApproxDistinct = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
+      .orderBy(col("l_returnflag"))
+
   private val w7MovingMax = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
@@ -483,6 +506,18 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Typed JSON parse: from_json with an explicit schema projects the
+    * whole props document once (vs per-key get_json_object scans in e1);
+    * the struct then feeds ordinary columnar expressions. */
+  private val e6FromJson = (s: SparkSession, d: String) => {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT, tag STRING")
+    Tables.events(s, d)
+      .select(col("event_id"), from_json(col("props"), schema).as("p"))
+      .select(col("event_id"), col("p.k").as("k"), col("p.tag").as("tag"))
+      .filter(col("k") >= 50)
+      .orderBy(col("event_id"))
+  }
+
   private val e4JsonAgg = (s: SparkSession, d: String) =>
     Tables.events(s, d)
       .select(
@@ -634,6 +669,9 @@ object SparkEntry {
     "e2_time_window" -> e2TimeWindow,
     "e3_session_window" -> e3SessionWindow,
     "e4_json_agg" -> e4JsonAgg,
+    "e6_from_json" -> e6FromJson,
+    "a12_pivot" -> a12Pivot,
+    "a13_approx_distinct" -> a13ApproxDistinct,
     "e5_sliding_window" -> e5SlidingWindow,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "t7_token_bpeish" -> t7TokenBpeish,
@@ -896,6 +934,18 @@ object SparkEntry {
          sha256(text || f::VARCHAR) AS frame_hex
          FROM documents, unnest(range(0, 4)) AS t(f)
          ORDER BY doc_id, frame_idx""",
+    "a12_pivot" ->
+      """SELECT l_returnflag,
+         SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+         SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "e6_from_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         json_extract_string(props, '$.tag') AS tag
+         FROM events
+         WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+         ORDER BY event_id""",
     "m3_resize_meta" ->
       // resized payload = sha256(payload || "224x224"); the engine casts
       // the hex string to binary, so n_bytes is the 64-char hex length

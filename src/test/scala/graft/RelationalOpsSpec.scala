@@ -72,4 +72,18 @@ class RelationalOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(got.toSeq == Seq((1, "x"), (2, "y")))
   }
+
+  test("approx_count_distinct stays within its rsd envelope of the exact count (a13)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("a9_distinct_count")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("a13_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k).toDouble
+      // rsd 0.02; allow 5 sigma
+      assert(math.abs(a - e) / e <= 0.10, s"$k: approx $a vs exact $e")
+    }
+  }
 }
