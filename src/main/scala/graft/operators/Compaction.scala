@@ -20,28 +20,49 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object Compaction {
 
-  /** Total bytes and file count of the data files under `dir`. */
+  /** Total bytes and file count of the data files under `dir`,
+    * RECURSIVE — partitioned layouts keep their data files in
+    * subdirectories, and a non-recursive count would report 0 bytes
+    * (and size the rewrite to a single file). */
   def dirStats(spark: SparkSession, dir: String): (Long, Int) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-    (files.map(_.getLen).sum, files.length)
+    var bytes = 0L
+    var n = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) { bytes += f.getLen; n += 1 }
+    }
+    (bytes, n)
   }
 
   /** Rewrite `inDir` (parquet) into `outDir` with ~`targetFileBytes`
-    * per file. Returns (input files, output files). */
+    * per file. Returns (input files, output files). For a partitioned
+    * layout pass `partitionBy` so the output keeps the directory
+    * structure (each partition gets its share of the sized file count);
+    * omitting it flattens partition columns into the data files. */
   def compactParquet(
       spark: SparkSession,
       inDir: String,
       outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      shuffle: Boolean = true): (Int, Int) = {
+      shuffle: Boolean = true,
+      partitionBy: Seq[String] = Nil): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val (bytes, nIn) = dirStats(spark, inDir)
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inDir)
-    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
-    sized.write.mode(SaveMode.Overwrite).parquet(outDir)
+    val sized =
+      if (partitionBy.nonEmpty)
+        // co-locate rows of a partition so each partition dir gets few
+        // whole files rather than nOut slivers
+        df.repartition(nOut, partitionBy.map(org.apache.spark.sql.functions.col): _*)
+      else if (shuffle) df.repartition(nOut)
+      else df.coalesce(nOut)
+    val writer = sized.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(outDir)
     (nIn, dirStats(spark, outDir)._2)
   }
 }

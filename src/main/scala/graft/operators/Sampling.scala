@@ -27,9 +27,12 @@ object Sampling {
     substring(md5(concat(lit(s"$salt:"), key.cast("string")).cast("binary")), 1, 8)
 
   /** 8-hex-char threshold for cumulative probability `p` — public so
-    * oracle SQL can be generated from the identical constant. */
+    * oracle SQL can be generated from the identical constant. p ≥ 1
+    * returns "g", which sorts after every hex string, so a rate-1.0
+    * sample keeps ALL keys (a clamped "ffffffff" under the strict `<`
+    * compare would drop keys hashing to exactly 0xffffffff). */
   def hexThreshold(p: Double): String =
-    f"${math.min((p * 4294967296.0).toLong, 4294967295L)}%08x"
+    if (p >= 1.0) "g" else f"${(p * 4294967296.0).toLong}%08x"
 
   /** Keep each key with probability `rate`, deterministically. */
   def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String = "sample"): DataFrame = {
@@ -70,6 +73,8 @@ object Sampling {
       rates: Map[String, Double],
       defaultRate: Double,
       salt: String = "strat"): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
     val u = uniformHex(col(keyCol), salt)
     val threshold = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
       case (acc, (g, r)) =>
@@ -89,6 +94,9 @@ object Sampling {
       salt: String = "split",
       outCol: String = "split"): DataFrame = {
     require(weights.nonEmpty, "at least one split")
+    weights.foreach { case (n, w) => require(w >= 0 && w <= 1, s"weight $n=$w out of [0,1]") }
+    require(weights.map(_._2).sum <= 1.0 + 1e-9,
+      s"split weights sum to ${weights.map(_._2).sum} > 1")
     val u = uniformHex(col(keyCol), salt)
     val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val cases = weights.zip(cum).dropRight(1).foldLeft(Option.empty[Column]) {

@@ -14,19 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object ScaleFixture {
 
-  private val vowels = "aeiou"
+  private val letters = "abcdefghijklmnopqrstuvwxyz"
+  private val digits = "0123456789"
 
   /** Replica id-space stride — far above any fixture id. */
   val idStride = 10000000L
 
-  /** Replica r of a text: vowels rotated by r positions (replica 0 is
-    * the identity). Any token containing a vowel changes, so 3-word
-    * shingles across replicas virtually never collide, while the
-    * within-replica Jaccard structure is exactly preserved (the
-    * perturbation is a per-character bijection). */
+  /** Replica r of a text: the full lowercase alphabet rotated by r and
+    * digits rotated by r (replica 0 is the identity). Rotating ONLY a
+    * subset (e.g. vowels) would leave vowel-free/numeric tokens
+    * byte-identical across replicas and quietly reintroduce cross-
+    * replica J=1.0 pairs; a whole-alphanumeric bijection changes every
+    * token containing any letter or digit while exactly preserving the
+    * within-replica Jaccard structure. */
   private def perturbText(text: org.apache.spark.sql.Column, r: Int) = {
-    val rot = vowels.drop(r % vowels.length) + vowels.take(r % vowels.length)
-    if (r % vowels.length == 0) text else translate(text, vowels, rot)
+    val lr = r % letters.length match { case 0 => 1; case k => k }
+    val dr = r % digits.length match { case 0 => 1; case k => k }
+    if (r == 0) text
+    else translate(text,
+      letters + digits,
+      (letters.drop(lr) + letters.take(lr)) + (digits.drop(dr) + digits.take(dr)))
   }
 
   /** `replicas` copies of (doc_id, text), ids offset by [[idStride]]. */

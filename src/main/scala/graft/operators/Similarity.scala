@@ -40,7 +40,8 @@ object Similarity {
     require(n <= maxProbes,
       s"$op: probe side exceeds maxProbes=$maxProbes (the probe set is " +
         "broadcast; an unbounded probe side is a broadcast OOM at scale). " +
-        "Tighten probeFilter or use the bucketed tier (signLshTopK/ivfTopK).")
+        "Tighten probeFilter, raise maxProbes deliberately, or batch the " +
+        "probe set and run the query per batch.")
     probes
   }
 
@@ -171,7 +172,9 @@ object Similarity {
       val assigned = ivfAssign(df, c, idCol, vecCol)
       val means = assigned
         .groupBy(col("list_id"))
-        .agg(VectorOps.vecSum(col(vecCol)).as("_vsum"), count(lit(1)).as("_n"))
+        // count(vecCol), not count(*): vecSum skips null vectors, so the
+        // divisor must too, or centroids get biased toward zero
+        .agg(VectorOps.vecSum(col(vecCol)).as("_vsum"), count(col(vecCol)).as("_n"))
         .select(col("list_id").as("centroid_id"),
           transform(col("_vsum"), v => (v / col("_n")).cast("float")).as("centroid_vec"))
       // lists that lost all members keep their old centroid
@@ -194,6 +197,20 @@ object Similarity {
   def ivfAssign(df: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
     ivfAssignCollected(df, collectCentroids(centroids), idCol, vecCol)
 
+  /** Per-row array of struct(cos, -centroid_id) against the inlined
+    * centroid set. The centroid matrix enters the plan as TWO literal
+    * nodes (`typedlit` of the id array and of the vector matrix) zipped
+    * with a HOF lambda — NOT nlist × dim individual `lit()` nodes, which
+    * would blow up Catalyst analysis (and Janino codegen) around
+    * nlist ≈ 10^3. Expression-tree size is O(1) in nlist; per-row eval
+    * cost is the inherent O(nlist × dim). */
+  private def centroidScores(cents: Array[(Long, Seq[Float])], vecCol: String): Column = {
+    val ids = typedLit(cents.map(_._1).toSeq)
+    val matrix = typedLit(cents.map(_._2).toSeq)
+    zip_with(ids, matrix, (id, v) =>
+      struct(VectorOps.cosineSim(col(vecCol), v).as("cos"), (-id).as("neg_id")))
+  }
+
   /** Assignment against an already-materialized centroid set — lets
     * [[ivfTopK]] run the centroid job ONCE and reuse the result across
     * assign, refine, and probe ranking (at scale each centroid
@@ -202,15 +219,9 @@ object Similarity {
       df: DataFrame,
       cents: Array[(Long, Seq[Float])],
       idCol: String,
-      vecCol: String): DataFrame = {
-    val scored = array(cents.map { case (cid, v) =>
-      struct(
-        VectorOps.cosineSim(col(vecCol), array(v.map(lit(_)): _*)).as("cos"),
-        lit(-cid).as("neg_id"))
-    }: _*)
+      vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol),
-      (-array_max(scored).getField("neg_id")).as("list_id"))
-  }
+      (-array_max(centroidScores(cents, vecCol)).getField("neg_id")).as("list_id"))
 
   /** Driver-side centroid materialization — bounded by nlist, which this
     * guard keeps honest. */
@@ -240,7 +251,8 @@ object Similarity {
       k: Int,
       nlist: Int,
       nprobe: Int,
-      refineIters: Int = 0): DataFrame = {
+      refineIters: Int = 0,
+      maxProbes: Int = 10000): DataFrame = {
     val sampled = ivfCentroids(df, idCol, vecCol, nlist)
     val centroids =
       if (refineIters > 0) kmeansRefine(df, sampled, idCol, vecCol, refineIters)
@@ -253,15 +265,12 @@ object Similarity {
 
     // each probe picks its nprobe nearest lists — per-row array sort
     // over the inlined centroid set (no join, no window, no Exchange;
-    // same shape as ivfAssignCollected, generalized to top-nprobe)
-    val scoredArr = array(cents.map { case (cid, v) =>
-      struct(
-        VectorOps.cosineSim(col(vecCol), array(v.map(lit(_)): _*)).as("cos"),
-        lit(-cid).as("neg_id"))
-    }: _*)
+    // same shape as ivfAssignCollected, generalized to top-nprobe).
+    // The probe side is later broadcast against the corpus, so it gets
+    // the same loud cardinality guard as the brute-force tiers.
     // ascending (cos, neg_id) reversed == (cos desc, centroid_id asc)
-    val topLists = slice(reverse(array_sort(scoredArr)), 1, nprobe)
-    val probeLists = df.filter(probeFilter)
+    val topLists = slice(reverse(array_sort(centroidScores(cents, vecCol))), 1, nprobe)
+    val probeLists = requireBoundedProbes(df.filter(probeFilter), "ivfTopK", maxProbes)
       .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
         explode(topLists).as("_sl"))
       .select(col("probe_id"), col("_pv"), (-col("_sl.neg_id")).as("list_id"))

@@ -296,7 +296,18 @@ object JdbcUpsertSink {
               keyArr.zipWithIndex.foreach { case (c, i) => up.setObject(valArr.length + i + 1, r.getAs[Any](c)) }
               up.addBatch()
             }
-            val counts = up.executeBatch()
+            var counts = up.executeBatch()
+            // some drivers (e.g. MySQL with rewriteBatchedStatements)
+            // return SUCCESS_NO_INFO (-2): per-row hit/miss is unknown,
+            // and treating -2 as a hit silently drops new keys. Re-run
+            // the chunk row-by-row to recover real update counts.
+            if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
+              counts = chunk.map { r =>
+                valArr.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
+                keyArr.zipWithIndex.foreach { case (c, i) => up.setObject(valArr.length + i + 1, r.getAs[Any](c)) }
+                up.executeUpdate()
+              }.toArray
+            }
             val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
             var anyMiss = false
             misses.foreach { r =>
