@@ -127,6 +127,38 @@ class JdbcSpec extends SparkTestBase {
     }
   }
 
+  test("JDBC stream restart from checkpoint: only new segments merge, no double counting") {
+    withDb("kpirestart") { u =>
+      val base = tmpDir("graft-jdbc-restart")
+      graft.airline.AirlineFixture.writeSegments(s"$base/in", 2, 200)
+      val store = new graft.streaming.JdbcKpiStore(u)
+      graft.streaming.KpiStream.startJdbc(
+        spark, s"$base/in/*", s"$base/cp", store).awaitTermination()
+      val wmAfterFirst = store.appliedBatch("gender_counts")
+
+      // new segments arrive; restarting against the SAME checkpoint must
+      // process only them (watermark advances, counts stay exact)
+      graft.airline.AirlineFixture.writeSegments(s"$base/late", 2, 200)
+      val fs = new java.io.File(s"$base/late")
+      fs.listFiles().foreach { d =>
+        val tgt = new java.io.File(s"$base/in/late_${d.getName}")
+        tgt.mkdirs()
+        d.listFiles().foreach(f =>
+          java.nio.file.Files.copy(f.toPath, new java.io.File(tgt, f.getName).toPath))
+      }
+      graft.streaming.KpiStream.startJdbc(
+        spark, s"$base/in/*", s"$base/cp", store).awaitTermination()
+      assert(store.appliedBatch("gender_counts") > wmAfterFirst)
+
+      val all = graft.sources.Tables.airlineCsv(spark, s"$base/in/*")
+      val want = graft.airline.AirlineKpis.genderCounts(all)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = store.readAll("gender_counts", Seq("Gender", "Count"))
+        .map(r => r.head.asInstanceOf[String] -> r(1).asInstanceOf[Long]).toMap
+      assert(got == want, s"restart double-counted or dropped: $got vs $want")
+    }
+  }
+
   test("dialect SQL generation: MySQL upsert and ANSI update/insert quote identifiers") {
     val up = JdbcUpsertSink.upsertSql("t", Seq("k"), Seq("flight distance"))
     assert(up.contains("`flight distance`=VALUES(`flight distance`)"))
