@@ -131,6 +131,25 @@ object SparkEntry {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
       .orderBy(col("l_returnflag"))
 
+  /** CUBE: all grouping-set combinations (rollup's sibling, a11). */
+  private val a14Cube = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Date-part extraction and grouping (scalar date function family).
+    * weekday() is 0=Monday in Spark; +1 aligns with DuckDB's isodow. */
+  private val p4DateParts = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .select(
+        year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"),
+        (weekday(col("l_shipdate")) + lit(1)).as("isodow"))
+      .groupBy(col("y"), col("m"), col("isodow"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("y"), col("m"), col("isodow"))
+
   private val w7MovingMax = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("o_custkey"))
@@ -672,6 +691,8 @@ object SparkEntry {
     "e6_from_json" -> e6FromJson,
     "a12_pivot" -> a12Pivot,
     "a13_approx_distinct" -> a13ApproxDistinct,
+    "a14_cube" -> a14Cube,
+    "p4_date_parts" -> p4DateParts,
     "e5_sliding_window" -> e5SlidingWindow,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
     "t7_token_bpeish" -> t7TokenBpeish,
@@ -990,6 +1011,14 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
            FROM sh a JOIN sh b ON a.doc_id < 50 AND b.doc_id >= 50)
          WHERE j >= 0.5 ORDER BY id_a, id_b""",
+    "a14_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "p4_date_parts" ->
+      """SELECT year(l_shipdate)::INT AS y, month(l_shipdate)::INT AS m,
+         isodow(l_shipdate)::INT AS isodow, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "t6_lang_id" -> t6OracleSql,
     "t10_repetition" ->
       // independent formulation: unnest + group + max (the Spark side
