@@ -164,6 +164,36 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
+  test("streaming decontamination flags eval leaks per batch, exactly-once") {
+    import spark.implicits._
+    import graft.streaming.StreamingDecontaminate
+    val base = tmpDir("sdecon")
+    val evalDoc = "what is the capital of france answer paris a geography benchmark question"
+    val evalSet = Seq(
+      (900L, evalDoc),
+      (901L, "compute the derivative of x squared with respect to x answer two x")
+    ).toDF("doc_id", "text")
+    val screen = new StreamingDecontaminate(s"$base/flagged")
+
+    // batch 0: clean training docs
+    screen.processBatch(spark, evalSet, Seq(
+      (1L, "a perfectly ordinary training document about cooking pasta with basil"),
+      (2L, "another clean document describing distributed query engines at scale")
+    ).toDF("doc_id", "text"), 0L)
+
+    // batch 1: a near-verbatim eval leak arrives
+    val batch1 = Seq(
+      (10L, evalDoc.replace("question", "item")),
+      (11L, "yet more clean content with entirely different words in it ok")
+    ).toDF("doc_id", "text")
+    screen.processBatch(spark, evalSet, batch1, 1L)
+    screen.processBatch(spark, evalSet, batch1, 1L) // replay: no-op
+
+    val flagged = spark.read.parquet(s"$base/flagged/data")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((900L, 10L)), s"got ${flagged.toSeq}")
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
