@@ -459,6 +459,17 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** L2 normalization exploded to scalars — unit-norm is the standard
+    * ingest step that turns downstream cosine into plain dot product.
+    * Norm components are exact IEEE double ops on both engines. */
+  private val s4Normalize = (s: SparkSession, d: String) =>
+    t(s, d, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorOps.l2Normalize(col("embedding")))
+          .as(Seq("pos", "component")))
+      .orderBy(col("vec_id"), col("pos"))
+
   // ====================================================================
   // Events: JSON extraction + event-time windows
   // ====================================================================
@@ -684,6 +695,7 @@ object SparkEntry {
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s3_ivf_topk" -> s3IvfTopK,
+    "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
     "e2_time_window" -> e2TimeWindow,
     "e3_session_window" -> e3SessionWindow,
@@ -1054,6 +1066,19 @@ object SparkEntry {
           ORDER BY doc_id"""
     },
     "s2_lsh_topk" -> s2OracleSql,
+    "s4_normalize" ->
+      // same left-to-right double accumulation for the norm; division
+      // and sqrt are correctly-rounded IEEE ops on both engines
+      """SELECT vec_id, CAST(p AS INTEGER) AS pos,
+         CASE WHEN nrm = 0 THEN CAST(embedding[p+1] AS DOUBLE)
+              ELSE CAST(embedding[p+1] AS DOUBLE) / nrm END AS component
+         FROM (
+           SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)) AS nrm
+           FROM embeddings WHERE vec_id < 50
+         ), unnest(range(0, len(embedding))) AS t(p)
+         ORDER BY vec_id, pos""",
     "x3_source_quota" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

@@ -34,6 +34,16 @@ object VectorOps {
     when(na === 0d || nb === 0d, 0d).otherwise(d / (na * nb))
   }
 
+  /** L2-normalize a vector to unit length (double components); zero
+    * vectors pass through unchanged. Normalizing once at ingest turns
+    * every downstream cosine into a plain dot product — the standard
+    * pre-ANN step. Pure narrow map. */
+  def l2Normalize(v: Column): Column = {
+    val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    when(norm === 0d, transform(v, x => x.cast("double")))
+      .otherwise(transform(v, x => x.cast("double") / norm))
+  }
+
   /** Native element-wise vector-sum aggregate (array<double> result);
     * partial-aggregates map-side, so a groupBy shuffles one array per
     * (group, partition) instead of dim-exploded rows. */
