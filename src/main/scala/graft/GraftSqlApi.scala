@@ -117,5 +117,15 @@ object GraftSqlApi {
     "e1_json_extract" ->
       """SELECT get_json_object(props, '$.k') AS k, count(*) AS cnt
          FROM events GROUP BY k ORDER BY k""",
+    "x1_hash_split" ->
+      """SELECT doc_id,
+         CASE WHEN substring(md5(cast(concat('split:', cast(doc_id AS STRING)) AS BINARY)), 1, 8) < 'cccccccc' THEN 'train'
+              WHEN substring(md5(cast(concat('split:', cast(doc_id AS STRING)) AS BINARY)), 1, 8) < 'e6666666' THEN 'val'
+              ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "x2_hash_sample" ->
+      """SELECT doc_id FROM documents
+         WHERE substring(md5(cast(concat('sample:', cast(doc_id AS STRING)) AS BINARY)), 1, 8) < '33333333'
+         ORDER BY doc_id""",
   )
 }
