@@ -989,40 +989,10 @@ object SparkEntry {
       // brute-force exact-Jaccard ground truth: same normalize/tokenize/
       // 3-shingle semantics as TextAnalysis, distinct shingle sets,
       // |A∩B|/|A∪B| as double (identical small-int division → bit-equal)
-      """WITH sh AS (
-           SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks)-1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
-           FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
-                 FROM documents)
-         )
-         SELECT id_a, id_b, j AS jaccard FROM (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
-           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         WHERE j >= 0.5 ORDER BY id_a, id_b""",
+      jaccardOracle("a.doc_id < b.doc_id"),
     "d7_decontaminate" ->
       // bipartite brute-force ground truth: eval slice vs training rest
-      """WITH sh AS (
-           SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks)-1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
-           FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
-                 FROM documents)
-         )
-         SELECT id_a, id_b, j AS jaccard FROM (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.s, b.s))::DOUBLE
-               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
-           FROM sh a JOIN sh b ON a.doc_id < 50 AND b.doc_id >= 50)
-         WHERE j >= 0.5 ORDER BY id_a, id_b""",
+      jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
     "a14_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -1124,6 +1094,28 @@ object SparkEntry {
           WHERE p.vec_id < 5
         ) WHERE rank <= 5 ORDER BY probe_id, rank"""
   }
+
+
+  /** Brute-force exact-Jaccard oracle over 3-shingles (TextAnalysis
+    * semantics) for a given pair predicate — shared by the self (d6) and
+    * bipartite (d7) near-dup queries. */
+  private def jaccardOracle(pairPredicate: String): String =
+    s"""WITH sh AS (
+           SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_transform(range(1, len(toks)-1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+') AS toks
+                 FROM documents)
+         )
+        SELECT id_a, id_b, j AS jaccard FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+          FROM sh a JOIN sh b ON $pairPredicate)
+        WHERE j >= 0.5 ORDER BY id_a, id_b"""
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language
     * stopword-hit counts over lower/trim/whitespace tokens, argmax with

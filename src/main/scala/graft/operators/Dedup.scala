@@ -106,10 +106,41 @@ object Dedup {
       .select(col(idCol), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
   }
 
+  /** Drop (band, bucket) groups larger than `maxBucketSize` — the
+    * boilerplate guard shared by the self-join and bipartite paths:
+    * degenerate buckets would dominate cost while being low-value
+    * near-dups. */
+  private def cappedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets
+      .withColumn("_bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("_bsize") <= maxBucketSize)
+      .drop("_bsize")
+
+  /** Join staged shingle arrays back onto (id_a, id_b) candidates and
+    * keep pairs whose exact Jaccard clears `threshold`. */
+  private def verifyPairs(
+      cands: DataFrame,
+      aDocs: DataFrame,
+      bDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    def staged(docs: DataFrame, idAs: String, shAs: String) =
+      TextAnalysis.withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
+        .select(col(idCol).as(idAs), col("_sh").as(shAs))
+    cands
+      .join(staged(aDocs, "id_a", "_sa"), "id_a")
+      .join(staged(bDocs, "id_b", "_sb"), "id_b")
+      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Candidate near-dup pairs via banded MinHash-LSH. The self-join runs
     * per (band, bucket) — candidate volume scales with bucket occupancy,
-    * never n². Buckets larger than `maxBucketSize` are dropped (boilerplate
-    * guard; they would dominate cost while being low-value near-dups). */
+    * never n². */
   def lshCandidatePairs(
       df: DataFrame,
       idCol: String,
@@ -118,12 +149,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val exploded = lshBuckets(df, idCol, textCol, k, numHashes, bands)
-    val capped = exploded
-      .withColumn("_bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("_bsize") <= maxBucketSize)
-      .drop("_bsize")
+    val capped = cappedBuckets(lshBuckets(df, idCol, textCol, k, numHashes, bands), maxBucketSize)
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,
@@ -158,17 +184,10 @@ object Dedup {
       threshold: Double,
       k: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, k, numHashes, bands)
-    val docsSh = TextAnalysis.withShingles(df.select(col(idCol), col(textCol)), textCol, k)
-      .select(col(idCol), col("_sh"))
-    cands
-      .join(docsSh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sa"), "id_a")
-      .join(docsSh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sb"), "id_b")
-      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      bands: Int = 8): DataFrame =
+    verifyPairs(
+      lshCandidatePairs(df, idCol, textCol, k, numHashes, bands),
+      df, df, idCol, textCol, k, threshold)
 
   /** Bipartite near-dup: probe docs (e.g. an eval/benchmark set) against
     * a corpus (e.g. training data) — the DECONTAMINATION primitive: any
@@ -191,26 +210,15 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val bCorpus = lshBuckets(corpus, idCol, textCol, k, numHashes, bands)
-      .withColumn("_bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("_bsize") <= maxBucketSize)
+    val bCorpus = cappedBuckets(
+      lshBuckets(corpus, idCol, textCol, k, numHashes, bands), maxBucketSize)
       .select(col(idCol).as("id_b"), col("band"), col("bucket"))
     val bProbes = lshBuckets(probes, idCol, textCol, k, numHashes, bands)
       .select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val cands = bProbes.join(bCorpus, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val probeSh = TextAnalysis.withShingles(probes.select(col(idCol), col(textCol)), textCol, k)
-      .select(col(idCol).as("id_a"), col("_sh").as("_sa"))
-    val corpusSh = TextAnalysis.withShingles(corpus.select(col(idCol), col(textCol)), textCol, k)
-      .select(col(idCol).as("id_b"), col("_sh").as("_sb"))
-    cands
-      .join(probeSh, "id_a")
-      .join(corpusSh, "id_b")
-      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyPairs(cands, probes, corpus, idCol, textCol, k, threshold)
   }
 
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of

@@ -40,6 +40,13 @@ object Sampling {
     df.filter(uniformHex(col(keyCol), salt) < lit(hexThreshold(rate)))
   }
 
+  /** `CASE WHEN c1 THEN v1 WHEN c2 THEN v2 … ELSE default END` from a
+    * (condition, value) list — shared by the split/stratified builders. */
+  private def whenChain(cases: Seq[(Column, Column)], default: Column): Column =
+    cases.foldLeft(Option.empty[Column]) { case (acc, (cond, v)) =>
+      Some(acc.fold(when(cond, v))(_.when(cond, v)))
+    }.fold(default)(_.otherwise(default))
+
   /** Cap each group (source/domain/language) at `quota` rows — the
     * training-mix balancing primitive ("at most N docs per domain").
     * Selection within a group is by hash order (deterministic,
@@ -76,11 +83,11 @@ object Sampling {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0 && r <= 1, s"rates must be in [0,1], got $r"))
     val u = uniformHex(col(keyCol), salt)
-    val threshold = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
-      case (acc, (g, r)) =>
-        val cond = col(groupCol) === g
-        Some(acc.fold(when(cond, hexThreshold(r)))(_.when(cond, hexThreshold(r))))
-    }.fold(lit(hexThreshold(defaultRate)))(_.otherwise(hexThreshold(defaultRate)))
+    val threshold = whenChain(
+      rates.toSeq.sortBy(_._1).map { case (g, r) =>
+        (col(groupCol) === g) -> lit(hexThreshold(r))
+      },
+      lit(hexThreshold(defaultRate)))
     df.filter(u < threshold)
   }
 
@@ -99,12 +106,11 @@ object Sampling {
       s"split weights sum to ${weights.map(_._2).sum} > 1")
     val u = uniformHex(col(keyCol), salt)
     val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-    val cases = weights.zip(cum).dropRight(1).foldLeft(Option.empty[Column]) {
-      case (acc, ((name, _), c)) =>
-        val cond = u < lit(hexThreshold(c))
-        Some(acc.fold(when(cond, name))(_.when(cond, name)))
-    }
-    val assigned = cases.fold(lit(weights.last._1))(_.otherwise(weights.last._1))
+    val assigned = whenChain(
+      weights.zip(cum).dropRight(1).map { case ((name, _), c) =>
+        (u < lit(hexThreshold(c))) -> lit(name)
+      },
+      lit(weights.last._1))
     df.withColumn(outCol, assigned)
   }
 }

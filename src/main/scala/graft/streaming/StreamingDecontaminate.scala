@@ -10,12 +10,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the training corpus — the ingest-time form of
   * [[graft.operators.Dedup.crossNearDupPairs]].
   *
-  * The eval set is fixed and small relative to the stream, so its LSH
-  * buckets are computed once per query start and reused every batch; the
-  * per-batch cost is one signature pass over the batch plus a
-  * bucket-local join against the eval index — independent of how much
-  * stream history has gone by (nothing is accumulated; contrast with
-  * [[StreamingLshDedup]], which grows an index of the stream itself).
+  * The eval set is fixed and small relative to the stream; [[start]]
+  * caches it so each batch re-derives its buckets from memory rather
+  * than storage. Per-batch cost is one signature pass over the batch
+  * plus a bucket-local join against the eval buckets — independent of
+  * how much stream history has gone by (nothing is accumulated;
+  * contrast with [[StreamingLshDedup]], which grows an index of the
+  * stream itself).
   *
   * Exactly-once: batchId marker files make the flagged-pairs append
   * idempotent under micro-batch replay. */
@@ -52,11 +53,12 @@ class StreamingDecontaminate(
       docStream: DataFrame,
       checkpointDir: String,
       availableNow: Boolean = true): StreamingQuery = {
+    val cachedEval = evalSet.persist()
     val w = docStream.writeStream
       .queryName("graft_stream_decontaminate")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(spark, evalSet, batch, batchId)
+        processBatch(spark, cachedEval, batch, batchId)
         ()
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow())

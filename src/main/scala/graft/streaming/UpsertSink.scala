@@ -290,31 +290,24 @@ object JdbcUpsertSink {
           conn.setAutoCommit(false)
           val up = conn.prepareStatement(upSql)
           val in = conn.prepareStatement(inSql)
+          def bind(ps: java.sql.PreparedStatement, first: Array[String], second: Array[String],
+              r: org.apache.spark.sql.Row): Unit = {
+            first.zipWithIndex.foreach { case (c, i) => ps.setObject(i + 1, r.getAs[Any](c)) }
+            second.zipWithIndex.foreach { case (c, i) => ps.setObject(first.length + i + 1, r.getAs[Any](c)) }
+          }
           rows.grouped(batchSize).foreach { chunk =>
-            chunk.foreach { r =>
-              valArr.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
-              keyArr.zipWithIndex.foreach { case (c, i) => up.setObject(valArr.length + i + 1, r.getAs[Any](c)) }
-              up.addBatch()
-            }
+            chunk.foreach { r => bind(up, valArr, keyArr, r); up.addBatch() }
             var counts = up.executeBatch()
             // some drivers (e.g. MySQL with rewriteBatchedStatements)
             // return SUCCESS_NO_INFO (-2): per-row hit/miss is unknown,
             // and treating -2 as a hit silently drops new keys. Re-run
             // the chunk row-by-row to recover real update counts.
             if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
-              counts = chunk.map { r =>
-                valArr.zipWithIndex.foreach { case (c, i) => up.setObject(i + 1, r.getAs[Any](c)) }
-                keyArr.zipWithIndex.foreach { case (c, i) => up.setObject(valArr.length + i + 1, r.getAs[Any](c)) }
-                up.executeUpdate()
-              }.toArray
+              counts = chunk.map { r => bind(up, valArr, keyArr, r); up.executeUpdate() }.toArray
             }
             val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
             var anyMiss = false
-            misses.foreach { r =>
-              keyArr.zipWithIndex.foreach { case (c, i) => in.setObject(i + 1, r.getAs[Any](c)) }
-              valArr.zipWithIndex.foreach { case (c, i) => in.setObject(keyArr.length + i + 1, r.getAs[Any](c)) }
-              in.addBatch(); anyMiss = true
-            }
+            misses.foreach { r => bind(in, keyArr, valArr, r); in.addBatch(); anyMiss = true }
             if (anyMiss) in.executeBatch()
           }
           conn.commit()
