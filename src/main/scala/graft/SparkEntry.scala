@@ -358,6 +358,12 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
       .orderBy(col("doc_id"))
 
+  /** Composed admission gate: the full preprocessing decision. */
+  private val t11Admission = (s: SparkSession, d: String) =>
+    TextAnalysis.admissionGate(t(s, d, "documents"))
+      .select(col("doc_id"), col("admit"), col("reject_reason"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic 3-way split over the documents corpus. */
   private val x1HashSplit = (s: SparkSession, d: String) =>
     Sampling.assignSplit(t(s, d, "documents"), "doc_id",
@@ -710,6 +716,7 @@ object SparkEntry {
     "t7_token_bpeish" -> t7TokenBpeish,
     "t8_top_bigrams" -> t8TopBigrams,
     "t10_repetition" -> t10Repetition,
+    "t11_admission" -> t11Admission,
     "x1_hash_split" -> x1HashSplit,
     "x2_hash_sample" -> x2HashSample,
     "x3_source_quota" -> x3SourceQuota,
@@ -1002,6 +1009,7 @@ object SparkEntry {
          isodow(l_shipdate)::INT AS isodow, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "t6_lang_id" -> t6OracleSql,
+    "t11_admission" -> t11OracleSql,
     "t10_repetition" ->
       // independent formulation: unnest + group + max (the Spark side
       // folds a sorted array per row); ratios are small-int divisions →
@@ -1116,6 +1124,52 @@ object SparkEntry {
               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
           FROM sh a JOIN sh b ON $pairPredicate)
         WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
+  /** DuckDB twin of [[graft.operators.TextAnalysis.admissionGate]]:
+    * composes the t4 (quality), t10 (repetition), and t6 (language)
+    * formulations and applies the same fixed-order reason chain. */
+  private def t11OracleSql: String = {
+    val sw = graft.operators.TextAnalysis.stopwords
+    def hits(lang: String) =
+      s"len(list_filter(tk, t -> t IN (${sw(lang).map(w => s"'$w'").mkString(", ")})))"
+    val langsAsc = sw.keys.toSeq.sorted
+    val hitCols = langsAsc.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+    val langCases = langsAsc.reverse.dropRight(1).map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    s"""WITH q AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS n_chars_m,
+            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+            length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS punct
+          FROM documents
+        ), rep AS (
+          SELECT doc_id, max(c) AS best, count(*) AS nd, sum(c) AS n FROM (
+            SELECT doc_id, tok, count(*) AS c FROM (
+              SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+')) AS tok
+              FROM documents) GROUP BY 1, 2) GROUP BY 1
+        ), lid AS (
+          SELECT doc_id,
+            CASE WHEN m = 0 THEN 'und' $langCases ELSE '${langsAsc.head}' END AS lang_pred
+          FROM (
+            SELECT doc_id, greatest(${langsAsc.map("h_" + _).mkString(", ")}) AS m, * FROM (
+              SELECT doc_id, $hitCols FROM (
+                SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+                FROM documents)))
+        )
+        SELECT q.doc_id,
+          reject_reason = 'ok' AS admit, reject_reason
+        FROM (
+          SELECT q.doc_id,
+            CASE WHEN NOT ((n_chars_m BETWEEN 20 AND 1000000) AND (n_tok BETWEEN 5 AND 500000)
+                           AND (CAST(punct AS DOUBLE) / GREATEST(n_chars_m, 1) < 0.3)) THEN 'low_quality'
+                 WHEN nd::DOUBLE / n::DOUBLE < 0.3 THEN 'repetitive'
+                 WHEN best::DOUBLE / n::DOUBLE > 0.5 THEN 'dominated'
+                 WHEN lang_pred NOT IN ('en') THEN 'language'
+                 ELSE 'ok' END AS reject_reason
+          FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN lid ON q.doc_id = lid.doc_id
+        ) q ORDER BY doc_id"""
+  }
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language
     * stopword-hit counts over lower/trim/whitespace tokens, argmax with

@@ -177,6 +177,29 @@ object TextAnalysis {
       .drop("_rep_toks")
   }
 
+  /** Composed admission gate — the preprocessing decision a training
+    * pipeline actually runs: quality heuristics + repetition signals +
+    * language filter in ONE narrow pass (each component stage is
+    * individually oracled: t4, t10, t6). Emits `admit` plus a
+    * deterministic `reject_reason` (first failing check in a fixed
+    * order; "ok" when admitted) so rejected volume is attributable. */
+  def admissionGate(
+      df: DataFrame,
+      textCol: String = "text",
+      allowedLangs: Seq[String] = Seq("en"),
+      minDistinctRatio: Double = 0.3,
+      maxTopShare: Double = 0.5): DataFrame = {
+    val scored = langId(repetitionSignals(qualityScore(df, textCol), textCol), textCol)
+    val reason = when(!col("quality_ok"), "low_quality")
+      .when(col("distinct_ratio") < minDistinctRatio, "repetitive")
+      .when(col("top_share") > maxTopShare, "dominated")
+      .when(!col("lang_pred").isin(allowedLangs.map(lit(_)): _*), "language")
+      .otherwise("ok")
+    scored
+      .withColumn("reject_reason", reason)
+      .withColumn("admit", col("reject_reason") === "ok")
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

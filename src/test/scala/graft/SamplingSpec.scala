@@ -79,6 +79,23 @@ class SamplingSpec extends SparkTestBase {
     assert(got(4L) == ((1, 1.0, 1.0)))
   }
 
+  test("admissionGate: fixed-order reasons on constructed docs") {
+    val enOk = "the cat and the dog walked to the market with a basket of fresh apples today"
+    val docs = Seq(
+      (1L, enOk),                                        // ok
+      (2L, "short"),                                     // low_quality (too short)
+      (3L, ("spam " * 40).trim),                         // repetitive (1 distinct token)
+      (4L, "der hund und die katze sind mit der frau und der mann in das haus") // language (de)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.admissionGate(docs)
+      .select("doc_id", "admit", "reject_reason")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) == ((true, "ok")))
+    assert(got(2L) == ((false, "low_quality")))
+    assert(got(3L) == ((false, "repetitive")))
+    assert(got(4L) == ((false, "language")))
+  }
+
   test("repetitionSignals plans narrow: no shuffle introduced per doc") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = TextAnalysis.repetitionSignals(docs, "text")
