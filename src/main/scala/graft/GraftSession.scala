@@ -41,13 +41,21 @@ object GraftSession {
   def get(appName: String = "graft"): SparkSession =
     tune(builder(appName).getOrCreate())
 
-  /** Dynamic SQL confs safe to (re)apply to an externally created session
-    * (the driver's Verify/Bench mains build their own SparkSession; query
-    * functions call this so behavior does not depend on who built it). */
+  /** Dynamic SQL confs + the engine's optimizer rule, safe to (re)apply
+    * to an externally created session — Verify and Bench build their own
+    * SparkSession and call this, so driver-graded behavior does not
+    * depend on who built the session. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // HOF→native rewrite (VectorDotRewrite) — idempotent install so
+    // user-authored zip_with/aggregate dot products hit the codegen path
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.VectorDotRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VectorDotRewrite
+    }
     spark
   }
 }
