@@ -91,20 +91,44 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Staged (id, shingles) frame, PERSISTED (memory, spill to disk): the
+    * near-dup pipelines consume it twice or more (bucket index + verify
+    * join per side), and normalize+tokenize+shingle is the dominant CPU
+    * cost of dedup at corpus scale — recomputing it per consumer pays
+    * that cost 3× (measured as the top flaw of round 3). Caching the
+    * (id, array<string>) projection — never the full doc row — bounds
+    * the cached bytes to the shingle payload; at 100 TB it spills to
+    * executor-local disk, still far cheaper than re-running the regex
+    * tokenizer over the corpus. Entries are deduplicated by logical plan
+    * (CacheManager), so repeated queries over the same input reuse one
+    * cache; callers running many corpora can `spark.catalog.clearCache()`. */
+  def stagedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    TextAnalysis.withShingles(
+      spread(df.select(col(idCol), col(textCol))), textCol, k)
+      .select(col(idCol), col("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Bucket membership from an already-staged shingle frame — the shingle
+    * array enters as an attribute, so this adds only signature + band
+    * hashing on top of whatever staging (cached or not) feeds it. */
+  private def bucketsFromShingles(
+      staged: DataFrame, idCol: String, numHashes: Int, bands: Int): DataFrame =
+    staged
+      .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), numHashes))
+      .select(col(idCol), explode(bandHashes(col("_sig"), numHashes, bands)).as("bh"))
+      .select(col(idCol), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
   def lshBuckets(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
-    val staged = TextAnalysis.withShingles(
-      spread(df.select(col(idCol), col(textCol))), textCol, k)
-      .withColumn("_sig", minhashSignatureFromShingles(col("_sh"), numHashes))
-    staged
-      .select(col(idCol), explode(bandHashes(col("_sig"), numHashes, bands)).as("bh"))
-      .select(col(idCol), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-  }
+      bands: Int = 8): DataFrame =
+    bucketsFromShingles(
+      TextAnalysis.withShingles(
+        spread(df.select(col(idCol), col(textCol))), textCol, k),
+      idCol, numHashes, bands)
 
   /** Drop (band, bucket) groups larger than `maxBucketSize` — the
     * boilerplate guard shared by the self-join and bipartite paths:
@@ -117,39 +141,30 @@ object Dedup {
       .filter(col("_bsize") <= maxBucketSize)
       .drop("_bsize")
 
-  /** Join staged shingle arrays back onto (id_a, id_b) candidates and
-    * keep pairs whose exact Jaccard clears `threshold`. */
-  private def verifyPairs(
+  /** Join the SAME staged shingle frames the bucket index was built from
+    * back onto (id_a, id_b) candidates and keep pairs whose exact Jaccard
+    * clears `threshold`. The staged frames are persisted by the callers
+    * (nearDupPairs / crossNearDupPairs), so the shingle expression is
+    * evaluated exactly once per side — the verify join reads the cache.
+    * Shingle arrays still never ride through the bucket-explode shuffle
+    * (payload blow-up); candidates carry ids only and the arrays join
+    * back here by id. */
+  private def verifyStagedPairs(
       cands: DataFrame,
-      aDocs: DataFrame,
-      bDocs: DataFrame,
+      aStaged: DataFrame,
+      bStaged: DataFrame,
       idCol: String,
-      textCol: String,
-      k: Int,
-      threshold: Double): DataFrame = {
-    def staged(docs: DataFrame, idAs: String, shAs: String) =
-      TextAnalysis.withShingles(docs.select(col(idCol), col(textCol)), textCol, k)
-        .select(col(idCol).as(idAs), col("_sh").as(shAs))
+      threshold: Double): DataFrame =
     cands
-      .join(staged(aDocs, "id_a", "_sa"), "id_a")
-      .join(staged(bDocs, "id_b", "_sb"), "id_b")
+      .join(aStaged.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
+      .join(bStaged.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
       .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
-  /** Candidate near-dup pairs via banded MinHash-LSH. The self-join runs
-    * per (band, bucket) — candidate volume scales with bucket occupancy,
-    * never n². */
-  def lshCandidatePairs(
-      df: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int = 3,
-      numHashes: Int = 32,
-      bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val capped = cappedBuckets(lshBuckets(df, idCol, textCol, k, numHashes, bands), maxBucketSize)
+  /** Bucket-local self-join: distinct (id_a < id_b) pairs sharing a
+    * (band, bucket). */
+  private def candidatePairsFromBuckets(capped: DataFrame, idCol: String): DataFrame = {
     val a = capped.as("a")
     val b = capped.as("b")
     a.join(b,
@@ -159,6 +174,23 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
   }
+
+  /** Candidate near-dup pairs via banded MinHash-LSH. The self-join runs
+    * per (band, bucket) — candidate volume scales with bucket occupancy,
+    * never n². Standalone form (single consumer, no staging cache);
+    * [[nearDupPairs]] builds its candidates from the shared staged frame
+    * instead. */
+  def lshCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
+    candidatePairsFromBuckets(
+      cappedBuckets(lshBuckets(df, idCol, textCol, k, numHashes, bands), maxBucketSize),
+      idCol)
 
   /** Exact Jaccard similarity between two MATERIALIZED shingle arrays. */
   def jaccardFromShingles(aSh: Column, bSh: Column): Column = {
@@ -176,7 +208,10 @@ object Dedup {
 
   /** Full near-dup pipeline: LSH candidates → join staged shingle arrays
     * back → exact Jaccard verify ≥ threshold. Verification cost is
-    * O(candidates), and shingle arrays are computed once per doc. */
+    * O(candidates), and the shingle expression is evaluated ONCE for the
+    * whole pipeline: bucket index and verify join both consume the same
+    * persisted [[stagedShingles]] frame (DedupPlanSpec pins the plan to
+    * a single NGramShingles evaluation). */
   def nearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -184,10 +219,14 @@ object Dedup {
       threshold: Double,
       k: Int = 3,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame =
-    verifyPairs(
-      lshCandidatePairs(df, idCol, textCol, k, numHashes, bands),
-      df, df, idCol, textCol, k, threshold)
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val staged = stagedShingles(df, idCol, textCol, k)
+    val cands = candidatePairsFromBuckets(
+      cappedBuckets(bucketsFromShingles(staged, idCol, numHashes, bands), maxBucketSize),
+      idCol)
+    verifyStagedPairs(cands, staged, staged, idCol, threshold)
+  }
 
   /** Bipartite near-dup: probe docs (e.g. an eval/benchmark set) against
     * a corpus (e.g. training data) — the DECONTAMINATION primitive: any
@@ -210,15 +249,18 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    // each side staged+persisted ONCE; bucket index and verify join share it
+    val sCorpus = stagedShingles(corpus, idCol, textCol, k)
+    val sProbes = stagedShingles(probes, idCol, textCol, k)
     val bCorpus = cappedBuckets(
-      lshBuckets(corpus, idCol, textCol, k, numHashes, bands), maxBucketSize)
+      bucketsFromShingles(sCorpus, idCol, numHashes, bands), maxBucketSize)
       .select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    val bProbes = lshBuckets(probes, idCol, textCol, k, numHashes, bands)
+    val bProbes = bucketsFromShingles(sProbes, idCol, numHashes, bands)
       .select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val cands = bProbes.join(bCorpus, Seq("band", "bucket"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyPairs(cands, probes, corpus, idCol, textCol, k, threshold)
+    verifyStagedPairs(cands, sProbes, sCorpus, idCol, threshold)
   }
 
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
