@@ -105,17 +105,28 @@ object Bench {
             .select(col("probe_id"), col("neighbor_id")))
         (got & exact).size.toDouble / exact.size
       }
-      val lsh = pairs(Similarity.signLshTopK(
-        embs1, "vec_id", "embedding", col("vec_id") < 5, 5, dim = 64, hyperplanes = 4)
-        .select(col("probe_id"), col("neighbor_id")))
-      val lshRecall = (lsh & exact).size.toDouble / exact.size
+      // sign-LSH recall/candidate-volume tradeoff: single-bucket probe
+      // vs multi-probe (probes=5 ≡ base + all single-bit flips at h=4)
+      def lshRecallAndCands(probes: Int): (Double, Long) = {
+        val got = pairs(Similarity.signLshTopK(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
+          dim = 64, hyperplanes = 4, probes = probes)
+          .select(col("probe_id"), col("neighbor_id")))
+        val cands = Similarity.signLshCandidates(
+          embs1, "vec_id", "embedding", col("vec_id") < 5,
+          dim = 64, hyperplanes = 4, probes = probes).count()
+        ((got & exact).size.toDouble / exact.size, cands)
+      }
+      val (lshRecall, lshCand) = lshRecallAndCands(1)
+      val (lshMpRecall, lshMpCand) = lshRecallAndCands(5)
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":$ndT1,"neardup_sec_5x":$ndT5,""" +
         s""""ivf_sec_1x":$ivT1,"ivf_sec_5x":$ivT5,""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +
-        s""""lsh_recall_at5":$lshRecall}"""
+        s""""lsh_recall_at5":$lshRecall,"lsh_cand_pairs":$lshCand,""" +
+        s""""lsh_mp_recall_at5":$lshMpRecall,"lsh_mp_cand_pairs":$lshMpCand}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")

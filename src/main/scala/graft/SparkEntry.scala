@@ -457,6 +457,19 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, hyperplanes = 4)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Multi-probe sign-LSH at full two-bit probing depth: with
+    * probes = 1+h+h(h−1)/2 every Hamming-≤2 bucket is searched, so the
+    * candidate set is ORDER-INDEPENDENT (the probe sequence's margin
+    * ordering stops mattering once the ring is fully covered) and the
+    * oracle can express it as bit_count(xor(sig_p, sig_c)) <= 2 over the
+    * same exported plane constants as s2. */
+  private val s5LshMultiprobe = (s: SparkSession, d: String) =>
+    Similarity.signLshTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, hyperplanes = 4,
+      probes = Similarity.maxSignProbes(4))
+      .orderBy(col("probe_id"), col("rank"))
+
   /** nprobe == nlist ⇒ exhaustive: the IVF machinery must reproduce the
     * exact brute-force answer, so this query shares s1's oracle shape. */
   private val s3IvfTopK = (s: SparkSession, d: String) =>
@@ -700,6 +713,7 @@ object SparkEntry {
     "d7_decontaminate" -> d7Decontaminate,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
+    "s5_lsh_multiprobe" -> s5LshMultiprobe,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1044,6 +1058,7 @@ object SparkEntry {
           ORDER BY doc_id"""
     },
     "s2_lsh_topk" -> s2OracleSql,
+    "s5_lsh_multiprobe" -> s5OracleSql,
     "s4_normalize" ->
       // same left-to-right double accumulation for the norm; division
       // and sqrt are correctly-rounded IEEE ops on both engines
@@ -1083,12 +1098,23 @@ object SparkEntry {
     * `list_dot_product` accumulates left-to-right in double like the
     * engine's fold, so the sign bits — and therefore buckets, candidate
     * sets, and the verified top-k — agree exactly. */
-  private def s2OracleSql: String = {
+  private def s2OracleSql: String = lshOracleSql(maxHamming = 0)
+
+  /** s5: full two-bit multi-probe ≡ every bucket within Hamming 2. */
+  private def s5OracleSql: String = lshOracleSql(maxHamming = 2)
+
+  /** Shared sign-LSH oracle, parameterized by probing ring radius:
+    * maxHamming = 0 is the single-bucket join (s2); maxHamming = 2 is
+    * the fully-covered two-bit multi-probe ring (s5). */
+  private def lshOracleSql(maxHamming: Int): String = {
     val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4)
     val sig = planes.zipWithIndex.map { case (p, i) =>
       val arr = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+    val bucketJoin =
+      if (maxHamming == 0) "p.s = c.s"
+      else s"bit_count(xor(p.s, c.s)) <= $maxHamming"
     s"""WITH sig AS (
           SELECT vec_id, embedding, ($sig) AS s FROM embeddings
         )
@@ -1098,7 +1124,7 @@ object SparkEntry {
               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
                                               CAST(c.embedding AS DOUBLE[])) DESC,
                        c.vec_id ASC) AS INTEGER) AS rank
-          FROM sig p JOIN sig c ON p.s = c.s AND p.vec_id <> c.vec_id
+          FROM sig p JOIN sig c ON $bucketJoin AND p.vec_id <> c.vec_id
           WHERE p.vec_id < 5
         ) WHERE rank <= 5 ORDER BY probe_id, rank"""
   }

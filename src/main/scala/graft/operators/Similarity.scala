@@ -89,25 +89,104 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** Per-plane signed dot products (array<double>, one entry per plane):
+    * bit i of the sign signature is sign(dots[i]), and |dots[i]| is the
+    * margin of that bit — the multi-probe flip order flips low-margin
+    * bits first (Lv et al., "Multi-probe LSH", VLDB 2007). */
+  def planeDots(vecCol: Column, dim: Int, h: Int, seed: Long = 42L): Column =
+    array((0 until h).map { p =>
+      val planeArr = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+      aggregate(
+        zip_with(vecCol, planeArr, (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Fold a MATERIALIZED dot array into the h-bit signature Long. */
+  private def sigFromDots(dots: Column, h: Int): Column =
+    aggregate(
+      zip_with(dots, sequence(lit(0), lit(h - 1)), (d, i) =>
+        when(d >= 0d, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
   /** h-bit sign signature of a vector under `h` seeded hyperplanes.
     * Bit i = sign(v · plane_i). Computed with one HOF pass per plane over
     * the array column; result is a Long bucket key. */
   def signSignature(vecCol: Column, dim: Int, h: Int, seed: Long = 42L): Column = {
     require(h <= 62, "signature must fit a Long")
-    val bits = (0 until h).map { p =>
-      val planeArr = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
-      val dotP = aggregate(
-        zip_with(vecCol, planeArr, (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, x) => acc + x)
-      when(dotP >= 0d, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    sigFromDots(planeDots(vecCol, dim, h, seed), h)
+  }
+
+  /** Maximum useful `probes` for h hyperplanes: the base bucket, every
+    * single-bit flip, and every two-bit flip. */
+  def maxSignProbes(h: Int): Int = 1 + h + h * (h - 1) / 2
+
+  /** XOR masks of the `probes` buckets to look up for one row, CHEAPEST
+    * MISS FIRST: the base bucket (mask 0), then single-bit flips ordered
+    * by ascending margin |dot|, then two-bit flips ordered by margin sum
+    * — the standard multi-probe sequence (a near neighbor that misses
+    * the base bucket most likely differs on the lowest-margin bits).
+    * `dotsCol`/`flipCol` must be MATERIALIZED columns per the staging
+    * contract (element_at inside the lambdas is then an O(1) array
+    * access, not a recomputed subtree). */
+  private def probeMasks(flipCol: Column, h: Int, probes: Int): Column = {
+    def idxAt(i: Column) = element_at(flipCol, i + 1).getField("idx").cast("int")
+    def confAt(i: Column) = element_at(flipCol, i + 1).getField("conf")
+    def bit(i: Column) = call_function("shiftleft", lit(1L), idxAt(i))
+    val base = array(struct(lit(0.0).as("score"), lit(0L).as("mask")))
+    val singles = zip_with(flipCol, sequence(lit(0), lit(h - 1)), (s, _) =>
+      struct(s.getField("conf").as("score"),
+        call_function("shiftleft", lit(1L), s.getField("idx").cast("int")).as("mask")))
+    val doubles = flatten(transform(sequence(lit(0), lit(h - 2)), i =>
+      transform(sequence(i + 1, lit(h - 1)), j =>
+        struct((confAt(i) + confAt(j)).as("score"),
+          bit(i).bitwiseOR(bit(j)).as("mask")))))
+    transform(slice(array_sort(concat(base, singles, doubles)), 1, probes),
+      p => p.getField("mask"))
+  }
+
+  /** Candidate (probe, neighbor) rows of the multi-probe sign-LSH join —
+    * exposed so the bench can report candidate volume next to recall.
+    * Each neighbor appears at most once per probe: a corpus row has ONE
+    * signature and the probed buckets are pairwise distinct, so no
+    * dedup pass is needed. */
+  def signLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      dim: Int,
+      hyperplanes: Int,
+      seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= maxSignProbes(hyperplanes),
+      s"probes=$probes must be in [1, ${maxSignProbes(hyperplanes)}] for $hyperplanes hyperplanes")
+    val bucketed = df
+      .withColumn("_dots", planeDots(col(vecCol), dim, hyperplanes, seed))
+      .withColumn("_sig", sigFromDots(col("_dots"), hyperplanes))
+    val corpus = bucketed
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("_sig").as("_csig"))
+    // flip order staged as a column so probeMasks' element_at lambdas
+    // index a materialized array
+    val probeSide = bucketed.filter(probeFilter)
+      .withColumn("_flip", array_sort(
+        zip_with(col("_dots"), sequence(lit(0), lit(hyperplanes - 1)), (d, i) =>
+          struct(abs(d).as("conf"), i.cast("long").as("idx")))))
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+        explode(transform(probeMasks(col("_flip"), hyperplanes, probes),
+          m => col("_sig").bitwiseXOR(m))).as("_psig"))
+    probeSide.join(corpus,
+      col("_psig") === col("_csig") && col("probe_id") =!= col("neighbor_id"))
   }
 
   /** Approximate top-k: bucket corpus and probes by sign signature, join
     * bucket-to-bucket (equi-join → hash join, never a cross product),
-    * rank within probe. Exactness degrades gracefully: neighbors landing
-    * in other buckets are missed; recall measured in SimilaritySpec. */
+    * rank within probe. `probes` > 1 enables multi-probe lookup: each
+    * probe row also searches the buckets reached by flipping its
+    * lowest-margin signature bits (cheapest misses first), trading
+    * candidate volume for recall WITHOUT rebucketing the corpus —
+    * probes = 1+h covers all single-bit flips (Hamming ≤ 1),
+    * 1+h+h(h−1)/2 covers Hamming ≤ 2. Recall floors are asserted in
+    * SimilaritySpec and measured per-round in the bench. */
   def signLshTopK(
       df: DataFrame,
       idCol: String,
@@ -116,15 +195,9 @@ object Similarity {
       k: Int,
       dim: Int,
       hyperplanes: Int = 8,
-      seed: Long = 42L): DataFrame = {
-    val sig = signSignature(col(vecCol), dim, hyperplanes, seed)
-    val bucketed = df.withColumn("_sig", sig)
-    val probes = bucketed.filter(probeFilter)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("_sig").as("_psig"))
-    val corpus = bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("_sig").as("_csig"))
-    val scored = probes
-      .join(corpus, col("_psig") === col("_csig") && col("probe_id") =!= col("neighbor_id"))
+      seed: Long = 42L,
+      probes: Int = 1): DataFrame = {
+    val scored = signLshCandidates(df, idCol, vecCol, probeFilter, dim, hyperplanes, seed, probes)
       .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

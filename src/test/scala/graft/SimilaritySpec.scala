@@ -71,6 +71,43 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall too low even for 2 hyperplanes")
   }
 
+  test("multi-probe sign-LSH: recall climbs with probes and clears the floor") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(probes: Int): Double = {
+      val approx = Similarity.signLshTopK(df, "vec_id", "embedding", col("vec_id") < 10,
+        5, dim = 16, hyperplanes = 4, probes = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r5 = recall(5)   // base + all single-bit flips
+    val r11 = recall(11) // + all two-bit flips (maxSignProbes(4))
+    assert(r5 >= r1, s"multi-probe must not lose recall: $r5 < $r1")
+    assert(r11 >= r5, s"deeper probing must not lose recall: $r11 < $r5")
+    assert(r11 >= 0.5, s"Hamming-2 multi-probe recall $r11 below floor")
+  }
+
+  test("multi-probe candidates: distinct per (probe, neighbor), volume grows with probes") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    def cands(probes: Int) = Similarity.signLshCandidates(
+      df, "vec_id", "embedding", col("vec_id") < 10, dim = 16, hyperplanes = 4,
+      probes = probes)
+    // a corpus row has one signature and probed buckets are pairwise
+    // distinct, so no (probe, neighbor) pair may surface twice
+    val dupes = cands(5).groupBy(col("probe_id"), col("neighbor_id"))
+      .count().filter(col("count") > 1).count()
+    assert(dupes == 0, s"$dupes duplicate candidate pairs")
+    val c1 = cands(1).count()
+    val c5 = cands(5).count()
+    assert(c5 >= c1, s"probes=5 candidates $c5 < probes=1 candidates $c1")
+    val e = intercept[IllegalArgumentException] {
+      cands(Similarity.maxSignProbes(4) + 1).count()
+    }
+    assert(e.getMessage.contains("probes"))
+  }
+
   test("ivfTopK with nprobe == nlist reproduces exact brute force") {
     val df = vecs(150, 8).toDF("vec_id", "embedding")
     val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
