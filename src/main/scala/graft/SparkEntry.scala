@@ -236,6 +236,33 @@ object SparkEntry {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("o_orderpriority"))
 
+  /** TPC-H-Q3-shaped 3-table join: fact ⋈ fact ⋈ selective dim with date
+    * filters on BOTH fact sides, group + order + limit. The shape where
+    * join ordering and filter placement can actually go wrong at scale:
+    * every filter must reach its parquet scan (selectivity before the
+    * joins, not after), the filtered customer dim must broadcast, and
+    * the final top-10 must plan as TakeOrderedAndProject — all pinned in
+    * PlanSpec. */
+  private val j5Q3Shape = (s: SparkSession, d: String) => {
+    val c = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = t(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .select(col("l_orderkey"),
+        col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
   // ====================================================================
   // Sort / limit / union / window (W1-W3 + analytic windows)
   // ====================================================================
@@ -692,6 +719,7 @@ object SparkEntry {
     "j2_sortmerge_fact" -> j2SortMerge,
     "j3_semi" -> j3Semi,
     "j4_salted_join" -> j4SaltedJoin,
+    "j5_q3_shape" -> j5Q3Shape,
     "w1_union" -> w1Union,
     "w2_topk" -> w2TopK,
     "w3_window_rank" -> w3WindowRank,
@@ -849,6 +877,18 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j5_q3_shape" ->
+      """SELECT l_orderkey, o_orderdate, revenue FROM (
+           SELECT l_orderkey, o_orderdate,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY l_orderkey, o_orderdate
+         ) ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""",
     "w2_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10",
     "w4_intersect" ->

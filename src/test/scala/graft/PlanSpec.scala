@@ -44,6 +44,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q3-shaped 3-table join: every filter reaches its scan, dim broadcasts (J5)") {
+    val q = SparkEntry.queries("j5_q3_shape")(spark, dir)
+    val f = formatted(q)
+    // selectivity must apply BEFORE the joins: each filter pushed into
+    // its own parquet scan
+    assert(f.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter not pushed:\n$f")
+    assert(f.contains("LessThan(o_orderdate"), s"order-date filter not pushed:\n$f")
+    assert(f.contains("GreaterThan(l_shipdate"), s"ship-date filter not pushed:\n$f")
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"filtered customer dim must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 must not global-sort:\n$p")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort (W2)") {
     val q = SparkEntry.queries("w2_topk")(spark, dir)
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
