@@ -122,13 +122,22 @@ object SparkEntry {
 
   /** HyperLogLog++ approximate distinct with explicit precision — the
     * scale form of a9's exact count_distinct (no per-key shuffle of the
-    * distinct values, sketch merge instead). Deterministic for fixed
-    * data+rsd, but engine-specific sketch → rows-only driver check;
-    * the spec bounds its error against the exact count. */
+    * distinct values, sketch merge instead). The sketch VALUE is
+    * engine-specific (no DuckDB twin), but its ERROR BOUND is not: the
+    * query emits `|approx − exact| / exact ≤ 0.05` per group, which any
+    * engine can assert, so the driver row hash-compares green. The exact
+    * count rides along here only to make the bound checkable — the scale
+    * deployment runs the sketch alone (that is its whole point); the
+    * dedicated spec additionally bounds the error against a9. */
   private val a13ApproxDistinct = (s: SparkSession, d: String) =>
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"),
+        count_distinct(col("l_orderkey")).as("exact_nd"))
+      .select(col("l_returnflag"),
+        (abs(col("approx_nd") - col("exact_nd")).cast("double")
+          / col("exact_nd").cast("double") <= 0.05).as("nd_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** CUBE: all grouping-set combinations (rollup's sibling, a11). */
@@ -1062,6 +1071,12 @@ object SparkEntry {
       """SELECT year(l_shipdate)::INT AS y, month(l_shipdate)::INT AS m,
          isodow(l_shipdate)::INT AS isodow, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "a13_approx_distinct" ->
+      // the oracle is the CLAIM that the sketch's 5% bound holds per
+      // group — TRUE is engine-independent; the Spark side computes the
+      // boolean from the real sketch-vs-exact comparison
+      """SELECT l_returnflag, TRUE AS nd_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "t6_lang_id" -> t6OracleSql,
     "t11_admission" -> t11OracleSql,
     "t10_repetition" ->

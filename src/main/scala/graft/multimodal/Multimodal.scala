@@ -69,7 +69,15 @@ object Multimodal {
     * in `batchSize` chunks so a real decoder could amortize model/codec
     * setup per chunk (the Pandas-UDF batch idiom). Narrow operation —
     * preserves partitioning, no shuffle. Output schema = input +
-    * `features array<float>`. */
+    * `features array<float>`.
+    *
+    * DELIBERATE BOUNDARY: `mapPartitions` forfeits whole-stage codegen
+    * and the columnar batch format on this one stage. That is the right
+    * trade here — the per-chunk codec/session amortization IS the
+    * operator's contract, and a Catalyst Expression evaluates row-at-a-
+    * time with no place to hold per-chunk state. Do not "optimize" this
+    * into an expression: it would break the real-codec integration point
+    * for a stage whose cost is decode CPU, not expression overhead. */
   def decodeFeatures(df: DataFrame, mediaCol: String, dim: Int, batchSize: Int = 256): DataFrame = {
     val outSchema = df.schema.add("features", ArrayType(FloatType, containsNull = false))
     val mediaIdx = df.schema.fieldIndex(mediaCol)

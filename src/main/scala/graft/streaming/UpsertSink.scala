@@ -74,12 +74,40 @@ class ParquetKpiStore(root: String) extends Serializable {
     }
     val vdir = s"${tableDir(table)}/v_$batchId"
     merged.write.mode(SaveMode.Overwrite).parquet(vdir)
-    // atomic-enough pointer swap: tiny file, single writer per query
-    val f = fs(spark)
-    val out = f.create(latestFile(table), true)
-    out.write(s"$batchId:$batchId".getBytes("UTF-8"))
-    out.close()
+    writePointerAtomic(spark, table, s"$batchId:$batchId")
     pruneOldVersions(spark, table, batchId)
+  }
+
+  /** Atomic pointer swap: write `_LATEST.tmp`, then rename OVER the live
+    * `_LATEST` — a racing reader sees the old pointer or the new one,
+    * never a truncated file (the previous create-overwrite truncated
+    * first; StreamingSpec's hammering reader caught that window).
+    *
+    * Two rename paths because Hadoop's is only atomic where the store
+    * supports it: on `file://`, `FileContext.rename(OVERWRITE)` is
+    * delete-then-rename (a visible gap — measured), so the swap uses
+    * POSIX rename(2) via NIO, bypassing the checksum layer for this one
+    * file; on HDFS-like stores the FileContext rename IS the atomic
+    * overwriting rename. */
+  private def writePointerAtomic(spark: SparkSession, table: String, content: String): Unit = {
+    val f = fs(spark)
+    val dst = latestFile(table)
+    val tmp = new Path(s"${tableDir(table)}/_LATEST.tmp")
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.createDirectories(tmpNio.getParent)
+      java.nio.file.Files.write(tmpNio, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpNio,
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = f.create(tmp, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Version GC: a long-running stream writes one version per batch —
@@ -176,8 +204,13 @@ class JdbcKpiStore(url: String) extends Serializable {
 
   /** Additively merge a batch's keyed components: existing rows get
     * value += delta, new keys insert; the watermark advances in the SAME
-    * transaction, so replay after any failure is exact-once. */
-  def merge(table: String, keys: Seq[String], updates: DataFrame, batchId: Long): Unit = {
+    * transaction, so replay after any failure is exact-once. The UPDATE
+    * arm is batched (one executeBatch round trip per `batchSize` chunk,
+    * same shape as [[JdbcUpsertSink.writePortable]], incl. the
+    * SUCCESS_NO_INFO recovery); rows the update missed go into one
+    * batched INSERT. */
+  def merge(table: String, keys: Seq[String], updates: DataFrame, batchId: Long,
+      batchSize: Int = 1000): Unit = {
     if (batchId <= appliedBatch(table)) return // idempotent replay
     ensureTable(updates, table, keys)
     val values = updates.columns.filterNot(keys.contains).toSeq
@@ -190,14 +223,26 @@ class JdbcKpiStore(url: String) extends Serializable {
           s"UPDATE ${d.q(table)} SET ${values.map(v => s"${d.q(v)} = ${d.q(v)} + ?").mkString(", ")} " +
             s"WHERE ${keys.map(k => s"${d.q(k)} = ?").mkString(" AND ")}")
         val in = c.prepareStatement(JdbcUpsertSink.insertSql(table, keys, values, d))
-        rows.foreach { r =>
+        def bindUpdate(r: org.apache.spark.sql.Row): Unit = {
           values.zipWithIndex.foreach { case (v, i) => up.setObject(i + 1, r.getAs[Any](v)) }
           keys.zipWithIndex.foreach { case (k, i) => up.setObject(values.length + i + 1, r.getAs[Any](k)) }
-          if (up.executeUpdate() == 0) {
+        }
+        rows.grouped(batchSize).foreach { chunk =>
+          chunk.foreach { r => bindUpdate(r); up.addBatch() }
+          var counts = up.executeBatch()
+          // SUCCESS_NO_INFO (-2): per-row hit/miss unknown — re-run the
+          // chunk row-by-row to recover real counts (see writePortable)
+          if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
+            counts = chunk.map { r => bindUpdate(r); up.executeUpdate() }.toArray
+          }
+          val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
+          var anyMiss = false
+          misses.foreach { r =>
             keys.zipWithIndex.foreach { case (k, i) => in.setObject(i + 1, r.getAs[Any](k)) }
             values.zipWithIndex.foreach { case (v, i) => in.setObject(keys.length + i + 1, r.getAs[Any](v)) }
-            in.executeUpdate()
+            in.addBatch(); anyMiss = true
           }
+          if (anyMiss) in.executeBatch()
         }
         val wm = c.prepareStatement(
           s"UPDATE ${d.q(metaTable)} SET ${d.q("batch_id")} = ? WHERE ${d.q("table_name")} = ?")

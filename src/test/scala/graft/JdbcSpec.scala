@@ -159,6 +159,24 @@ class JdbcSpec extends SparkTestBase {
     }
   }
 
+  test("JdbcKpiStore.merge batches updates; misses fall through to a batched insert") {
+    withDb("mergebatch") { u =>
+      val store = new graft.streaming.JdbcKpiStore(u)
+      val b0 = (0 until 10).map(i => (s"k$i", 1L)).toDF("k", "cnt")
+      store.merge("counts", Seq("k"), b0, 0L, batchSize = 3)
+      // batch 1 chunks (size 3) mix existing keys (additive UPDATE arm)
+      // and new keys (miss -> INSERT arm) inside the same executeBatch
+      val b1 = (5 until 15).map(i => (s"k$i", 2L)).toDF("k", "cnt")
+      store.merge("counts", Seq("k"), b1, 1L, batchSize = 3)
+      val got = store.readAll("counts", Seq("k", "cnt"))
+        .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+      val want = ((0 until 5).map(i => s"k$i" -> 1L) ++
+        (5 until 10).map(i => s"k$i" -> 3L) ++
+        (10 until 15).map(i => s"k$i" -> 2L)).toMap
+      assert(got == want)
+    }
+  }
+
   test("dialect SQL generation: MySQL upsert and ANSI update/insert quote identifiers") {
     val up = JdbcUpsertSink.upsertSql("t", Seq("k"), Seq("flight distance"))
     assert(up.contains("`flight distance`=VALUES(`flight distance`)"))

@@ -75,9 +75,20 @@ class RelationalOpsSpec extends SparkTestBase {
 
   test("approx_count_distinct stays within its rsd envelope of the exact count (a13)") {
     val dir = "/root/testdata/sf0.001"
+    // the registry query emits the 5% error-bound BOOLEAN (that is what
+    // the oracle hash-compares); it must hold for every group
+    val bounds = SparkEntry.queries("a13_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(bounds.nonEmpty && bounds.values.forall(identity),
+      s"sketch exceeded its 5% bound: $bounds")
+    // independent envelope check on the raw sketch values vs exact a9
     val exact = SparkEntry.queries("a9_distinct_count")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("a13_approx_distinct")(spark, dir)
+    val approx = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions
+        .approx_count_distinct(org.apache.spark.sql.functions.col("l_orderkey"), 0.02)
+        .as("approx_nd"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (k, a) =>

@@ -76,6 +76,35 @@ class StreamingSpec extends SparkTestBase {
     assert(got2 == Seq(("a", 5L), ("b", 1L)))
   }
 
+  test("_LATEST pointer swap is atomic: a hammering reader never sees a gap") {
+    import spark.implicits._
+    val st = tmpDir("atomic-store")
+    val store = new ParquetKpiStore(st)
+    store.merge(spark, "t", Seq("k"), Seq(("a", 1L)).toDF("k", "Count"), 0L)
+    @volatile var stop = false
+    @volatile var bad: Option[String] = None
+    // reader races every merge's pointer swap; with create-overwrite it
+    // could catch a truncated/empty _LATEST — with rename it cannot
+    val reader = new Thread(() => {
+      while (!stop && bad.isEmpty) {
+        try {
+          if (store.appliedBatch(spark, "t") < 0L)
+            bad = Some("reader observed a missing/empty pointer")
+        } catch { case e: Throwable => bad = Some(s"reader failed: $e") }
+      }
+    })
+    reader.start()
+    (1 to 10).foreach { i =>
+      store.merge(spark, "t", Seq("k"), Seq(("a", 1L)).toDF("k", "Count"), i.toLong)
+    }
+    stop = true
+    reader.join()
+    assert(bad.isEmpty, bad.getOrElse(""))
+    assert(store.appliedBatch(spark, "t") == 10L)
+    // no leftover temp file once the swap completes
+    assert(!new java.io.File(s"$st/t/_LATEST.tmp").exists())
+  }
+
   test("maxFilesPerTrigger bounds micro-batch size (backpressure knob)") {
     val in = tmpDir("bp-in"); val cp = tmpDir("bp-cp"); val st = tmpDir("bp-store")
     writeSegments(in, 4, 20)
