@@ -296,9 +296,26 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
       (-array_max(centroidScores(cents, vecCol)).getField("neg_id")).as("list_id"))
 
+  /** Per-row top-`nprobe` nearest lists, EXPLODED: (idCol, vecCol,
+    * list_id), nprobe rows per input row. A narrow map over the inlined
+    * centroid matrix — no join, no window, no Exchange — shared by
+    * [[ivfTopK]]'s probe side and the streaming embedding screen (which
+    * re-probes each arriving micro-batch against a static index).
+    * Ascending (cos, neg_id) reversed == (cos desc, centroid_id asc). */
+  def ivfProbeLists(
+      df: DataFrame,
+      cents: Array[(Long, Seq[Float])],
+      idCol: String,
+      vecCol: String,
+      nprobe: Int): DataFrame = {
+    val topLists = slice(reverse(array_sort(centroidScores(cents, vecCol))), 1, nprobe)
+    df.select(col(idCol), col(vecCol), explode(topLists).as("_sl"))
+      .select(col(idCol), col(vecCol), (-col("_sl.neg_id")).as("list_id"))
+  }
+
   /** Driver-side centroid materialization — bounded by nlist, which this
     * guard keeps honest. */
-  private[operators] def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] = {
+  def collectCentroids(centroids: DataFrame): Array[(Long, Seq[Float])] = {
     val rows = centroids
       .select(col("centroid_id").cast("long"), col("centroid_vec"))
       .limit(maxNlist + 1)
@@ -341,12 +358,10 @@ object Similarity {
     // same shape as ivfAssignCollected, generalized to top-nprobe).
     // The probe side is later broadcast against the corpus, so it gets
     // the same loud cardinality guard as the brute-force tiers.
-    // ascending (cos, neg_id) reversed == (cos desc, centroid_id asc)
-    val topLists = slice(reverse(array_sort(centroidScores(cents, vecCol))), 1, nprobe)
-    val probeLists = requireBoundedProbes(df.filter(probeFilter), "ivfTopK", maxProbes)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
-        explode(topLists).as("_sl"))
-      .select(col("probe_id"), col("_pv"), (-col("_sl.neg_id")).as("list_id"))
+    val probeLists = ivfProbeLists(
+      requireBoundedProbes(df.filter(probeFilter), "ivfTopK", maxProbes),
+      cents, idCol, vecCol, nprobe)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("list_id"))
 
     // candidates = probed lists only (equi-join on list id, hash join)
     val corpus = assigned.select(

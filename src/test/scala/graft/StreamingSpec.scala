@@ -223,6 +223,63 @@ class StreamingSpec extends SparkTestBase {
     assert(flagged.toSeq == Seq((900L, 10L)), s"got ${flagged.toSeq}")
   }
 
+  test("streaming embedding screen flags near-reference vectors per batch, exactly-once") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    import graft.streaming.StreamingEmbeddingScreen
+    import org.apache.spark.sql.functions.col
+    val base = tmpDir("sembed")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val refSet = Seq((900L, v(1, 0, 0, 0)), (901L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    val screen = new StreamingEmbeddingScreen(
+      s"$base/flagged", nlist = 2, nprobe = 2, threshold = 0.9)
+    val cents = Similarity.collectCentroids(
+      Similarity.ivfCentroids(refSet, "vec_id", "embedding", 2))
+    val refIndex = Similarity.ivfAssignCollected(refSet, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("ref_id"), col("embedding").as("_rv"), col("list_id"))
+
+    // batch 0: clean vectors only
+    screen.processBatch(spark, cents, refIndex, Seq(
+      (1L, v(0, 0, 1, 0)), (2L, v(0, 0, 0, 1))).toDF("vec_id", "embedding"),
+      0L, "vec_id", "embedding")
+    // batch 1: a planted near-dup of reference 900 arrives
+    val batch1 = Seq(
+      (10L, v(0.98, 0.1, 0.05, 0)),
+      (11L, v(0, 0, -1, 0.2))).toDF("vec_id", "embedding")
+    screen.processBatch(spark, cents, refIndex, batch1, 1L, "vec_id", "embedding")
+    screen.processBatch(spark, cents, refIndex, batch1, 1L, "vec_id", "embedding") // replay: no-op
+    val flagged = spark.read.parquet(s"$base/flagged/data")
+      .select("ref_id", "stream_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((900L, 10L)), s"got ${flagged.toSeq}")
+  }
+
+  test("streaming embedding screen end-to-end: file stream against a static IVF index") {
+    import spark.implicits._
+    import graft.streaming.StreamingEmbeddingScreen
+    val base = tmpDir("sembed-e2e")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val refSet = Seq((900L, v(1, 0, 0, 0)), (901L, v(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    // two arrival files -> two micro-batches (maxFilesPerTrigger = 1)
+    Seq((1L, v(0, 0, 1, 0))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    Seq((10L, v(0.99, 0.05, 0, 0)), (11L, v(0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val screen = new StreamingEmbeddingScreen(
+      s"$base/flagged", nlist = 2, nprobe = 2, threshold = 0.9)
+    screen.start(spark, refSet, stream, s"$base/cp").awaitTermination()
+    val flagged = spark.read.parquet(s"$base/flagged/data")
+      .select("ref_id", "stream_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq == Seq((900L, 10L)), s"got ${flagged.toSeq}")
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
