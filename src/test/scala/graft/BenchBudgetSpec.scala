@@ -1,0 +1,113 @@
+package graft
+
+/** Per-query wall-time regression gate — the cheap smoke against plan
+  * regressions (a lost pushdown, a surprise join-order flip, an HOF
+  * staging trap, a guard job creeping in) that value checks would never
+  * catch.
+  *
+  * Budgets are a COMMITTED table: 3× the round-4 steady-state
+  * measurement at sf0.001 on the test session (local[4], 4 shuffle
+  * partitions), floored at 1.0 s — generous enough for machine noise,
+  * tight enough that an order-of-magnitude plan regression trips.
+  * A new registry query without a budget row fails the coverage test;
+  * re-baseline deliberately (never by loosening a failing row without
+  * reading the plan first).
+  *
+  * Each query gets one untimed warmup (Janino codegen, JIT, parquet
+  * footers are process costs, not query costs — same discipline as
+  * Bench) and one timed run. */
+class BenchBudgetSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Seconds at sf0.001 on local[4] — see class doc for the formula. */
+  private val budgets: Map[String, Double] = Map(
+    "a10_percentiles" -> 1.3,
+    "a11_rollup" -> 1.2,
+    "a12_pivot" -> 1.1,
+    "a13_approx_distinct" -> 1.0,
+    "a14_cube" -> 1.0,
+    "a1_group_count_segment" -> 1.0,
+    "a2_group_count_status" -> 1.0,
+    "a3_two_key_count" -> 1.0,
+    "a4_group_count_events" -> 1.0,
+    "a5_histogram" -> 1.0,
+    "a6_conditional_pair" -> 1.0,
+    "a7_unpivot_mean" -> 1.1,
+    "a8_scalar_count" -> 1.0,
+    "a9_distinct_count" -> 1.0,
+    "d1_exact_dedup" -> 1.0,
+    "d2_fingerprint_dedup" -> 1.0,
+    "d3_lsh_buckets" -> 1.0,
+    "d4_simhash" -> 1.0,
+    "d5_embedding_neardup" -> 1.2,
+    "d6_neardup_pairs" -> 1.9,
+    "d7_decontaminate" -> 1.6,
+    "e1_json_extract" -> 1.0,
+    "e2_time_window" -> 1.0,
+    "e3_session_window" -> 1.0,
+    "e4_json_agg" -> 1.0,
+    "e5_sliding_window" -> 1.0,
+    "e6_from_json" -> 1.0,
+    "g1_segments" -> 1.0,
+    "j1_broadcast_dim" -> 1.4,
+    "j2_sortmerge_fact" -> 1.0,
+    "j3_semi" -> 1.0,
+    "j4_salted_join" -> 1.2,
+    "j5_q3_shape" -> 1.2,
+    "m1_multimodal_features" -> 1.0,
+    "m2_frame_sample" -> 1.0,
+    "m3_resize_meta" -> 1.0,
+    "p1_range_slice" -> 1.0,
+    "p2_derived_flag" -> 1.0,
+    "p3_cast_alias" -> 1.0,
+    "p4_date_parts" -> 1.0,
+    "s1_cosine_topk" -> 1.4,
+    "s2_lsh_topk" -> 1.6,
+    "s3_ivf_topk" -> 1.8,
+    "s4_normalize" -> 1.0,
+    "s5_lsh_multiprobe" -> 1.4,
+    "t10_repetition" -> 1.0,
+    "t11_admission" -> 1.0,
+    "t1_normalize" -> 1.0,
+    "t2_regex_extract" -> 1.0,
+    "t3_token_count" -> 1.0,
+    "t4_quality" -> 1.0,
+    "t5_fingerprint" -> 1.0,
+    "t6_lang_id" -> 1.0,
+    "t7_token_bpeish" -> 1.0,
+    "t8_top_bigrams" -> 1.3,
+    "t9_edit_distance" -> 1.0,
+    "w1_union" -> 1.0,
+    "w2_topk" -> 1.0,
+    "w3_window_rank" -> 1.0,
+    "w4_intersect" -> 1.2,
+    "w5_except" -> 1.2,
+    "w6_lag" -> 1.0,
+    "w7_moving_max" -> 1.0,
+    "w8_ranking_suite" -> 1.0,
+    "x1_hash_split" -> 1.0,
+    "x2_hash_sample" -> 1.0,
+    "x3_source_quota" -> 1.0,
+    "x4_stratified_sample" -> 1.0,
+  )
+
+  test("every registry query has a committed time budget") {
+    val missing = SparkEntry.queries.keySet -- budgets.keySet
+    assert(missing.isEmpty, s"new queries need budget rows: $missing")
+    val stale = budgets.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"budgets for removed queries: $stale")
+  }
+
+  test("no registry query exceeds its committed time budget") {
+    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, dir).count() // warmup: codegen/JIT/footer priming
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (sec > budgets(name)) Some(f"$name: $sec%.2f s > budget ${budgets(name)}%.1f s")
+      else None
+    }
+    assert(over.isEmpty, s"budget regressions:\n${over.mkString("\n")}")
+  }
+}
