@@ -31,11 +31,12 @@ object SparkEntry {
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** Flagship: TPC-H-Q1-shaped pricing summary joined to order priority —
-    * exercises scan pushdown, sort-merge join, multi-agg, ordering. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
-    val o = t(spark, dir, "orders")
+    * exercises scan pushdown, sort-merge join, multi-agg, ordering.
+    * Registered as `q0_flagship` (oracled); [[entry]] is the driver's
+    * smoke-check alias at sf0.001. */
+  private val q0Flagship = (s: SparkSession, d: String) => {
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") <= lit("1998-09-02"))
+    val o = t(s, d, "orders")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
       .agg(
@@ -45,6 +46,9 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
   }
+
+  def entry(spark: SparkSession): DataFrame =
+    q0Flagship(spark, "/root/testdata/sf0.001")
 
   // ====================================================================
   // Aggregations (reference KPI shapes A1-A8, Consumer.scala:129-145)
@@ -514,6 +518,18 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** k-means-refined IVF at full probe depth: Lloyd iterations move the
+    * centroids (and therefore every list assignment), but with
+    * nprobe == nlist the search is still exhaustive — the top-k must be
+    * IDENTICAL to brute force no matter where the centroids landed.
+    * Oracles the whole refine machinery (native vector-sum aggregate,
+    * empty-list carry-over, re-assignment) through the driver gate. */
+  private val s6IvfRefined = (s: SparkSession, d: String) =>
+    Similarity.ivfTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16, refineIters = 2)
+      .orderBy(col("probe_id"), col("rank"))
+
   /** L2 normalization exploded to scalars — unit-norm is the standard
     * ingest step that turns downstream cosine into plain dot product.
     * Norm components are exact IEEE double ops on both engines. */
@@ -707,6 +723,8 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q0_flagship" -> q0Flagship,
+    "s6_ivf_refined" -> s6IvfRefined,
     "a1_group_count_segment" -> a1,
     "a2_group_count_status" -> a2,
     "a3_two_key_count" -> a3,
@@ -835,16 +853,18 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(levenshtein(substr(text, 1, 20), substr(text, 6, 20)) AS INTEGER) AS edit_dist
          FROM documents ORDER BY doc_id""",
-    "s3_ivf_topk" ->
-      """SELECT probe_id, neighbor_id, rank FROM (
-           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
-               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
-                                               CAST(c.embedding AS DOUBLE[])) DESC,
-                        c.vec_id ASC) AS INTEGER) AS rank
-           FROM embeddings p CROSS JOIN embeddings c
-           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
-         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "s3_ivf_topk" -> ivfExhaustiveOracleSql,
+    // refined centroids, still exhaustive ⇒ same exact answer
+    "s6_ivf_refined" -> ivfExhaustiveOracleSql,
+    "q0_flagship" ->
+      """SELECT l_returnflag, l_linestatus, o_orderpriority,
+         SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "p1_range_slice" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS qty_int, l_returnflag AS rflag
          FROM lineitem
@@ -1153,6 +1173,20 @@ object SparkEntry {
     * `list_dot_product` accumulates left-to-right in double like the
     * engine's fold, so the sign bits — and therefore buckets, candidate
     * sets, and the verified top-k — agree exactly. */
+  /** Exhaustive-search ground truth shared by s3 (sampled centroids) and
+    * s6 (k-means-refined centroids): at nprobe == nlist the centroid
+    * positions cannot change the answer. */
+  private def ivfExhaustiveOracleSql: String =
+    """SELECT probe_id, neighbor_id, rank FROM (
+         SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                             CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS INTEGER) AS rank
+         FROM embeddings p CROSS JOIN embeddings c
+         WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+       ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+
   private def s2OracleSql: String = lshOracleSql(maxHamming = 0)
 
   /** s5: full two-bit multi-probe ≡ every bucket within Hamming 2. */

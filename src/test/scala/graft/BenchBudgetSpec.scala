@@ -22,6 +22,8 @@ class BenchBudgetSpec extends SparkTestBase {
 
   /** Seconds at sf0.001 on local[4] — see class doc for the formula. */
   private val budgets: Map[String, Double] = Map(
+    "q0_flagship" -> 1.2,
+    "s6_ivf_refined" -> 3.0,
     "a10_percentiles" -> 1.3,
     "a11_rollup" -> 1.2,
     "a12_pivot" -> 1.1,
