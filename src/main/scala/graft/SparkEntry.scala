@@ -481,6 +481,20 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Near-dup clustering: pairs → connected components → canonical id
+    * per doc. Same recall-1.0 precondition as d6 (the pair set is
+    * engine-independent), and component labels are a pure function of
+    * the pair set, so the oracle rebuilds them with a recursive
+    * transitive closure. */
+  private val d8NearDupGroups = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -766,6 +780,7 @@ object SparkEntry {
     "d4_simhash" -> d4Simhash,
     "d6_neardup_pairs" -> d6NearDupPairs,
     "d7_decontaminate" -> d7Decontaminate,
+    "d8_neardup_groups" -> d8NearDupGroups,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
@@ -1083,6 +1098,7 @@ object SparkEntry {
     "d7_decontaminate" ->
       // bipartite brute-force ground truth: eval slice vs training rest
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
+    "d8_neardup_groups" -> d8OracleSql,
     "a14_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -1219,26 +1235,60 @@ object SparkEntry {
   }
 
 
-  /** Brute-force exact-Jaccard oracle over 3-shingles (TextAnalysis
-    * semantics) for a given pair predicate — shared by the self (d6) and
-    * bipartite (d7) near-dup queries. */
-  private def jaccardOracle(pairPredicate: String): String =
-    s"""WITH sh AS (
-           SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                    ELSE list_transform(range(1, len(toks)-1),
-                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
-           FROM (SELECT doc_id,
-                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+') AS toks
-                 FROM documents)
-         )
-        SELECT id_a, id_b, j AS jaccard FROM (
+  /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard
+    * oracles. NOTE: raw (non-interpolated) string — regex backslashes
+    * are single here, unlike the s-interpolated callers. */
+  private def shingleCteSql: String =
+    """sh AS (
+         SELECT doc_id,
+           list_distinct(
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+         FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+               FROM documents)
+       )"""
+
+  /** Threshold-0.5 exact-Jaccard pair subquery over the `sh` CTE. */
+  private def jaccardPairsSql(pairPredicate: String): String =
+    s"""SELECT id_a, id_b, j FROM (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
             len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
           FROM sh a JOIN sh b ON $pairPredicate)
-        WHERE j >= 0.5 ORDER BY id_a, id_b"""
+        WHERE j >= 0.5"""
+
+  /** Brute-force exact-Jaccard oracle over 3-shingles (TextAnalysis
+    * semantics) for a given pair predicate — shared by the self (d6) and
+    * bipartite (d7) near-dup queries. */
+  private def jaccardOracle(pairPredicate: String): String =
+    s"""WITH $shingleCteSql
+        SELECT id_a, id_b, j AS jaccard
+        FROM (${jaccardPairsSql(pairPredicate)})
+        ORDER BY id_a, id_b"""
+
+  /** d8: transitive closure of the d6 pair graph (recursive CTE — fine
+    * at oracle scale), canonical = min over the reachable set incl.
+    * self. Singletons never join `reach`, so COALESCE keeps them as
+    * their own canonical. */
+  private def d8OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        SELECT d.doc_id,
+          LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS canonical_id
+        FROM documents d
+        LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+          ON d.doc_id = m.s
+        ORDER BY d.doc_id"""
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.admissionGate]]:
     * composes the t4 (quality), t10 (repetition), and t6 (language)

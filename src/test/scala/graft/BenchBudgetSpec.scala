@@ -44,6 +44,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d4_simhash" -> 1.0,
     "d5_embedding_neardup" -> 1.2,
     "d6_neardup_pairs" -> 1.9,
+    "d8_neardup_groups" -> 6.0,
     "d7_decontaminate" -> 1.6,
     "e1_json_extract" -> 1.0,
     "e2_time_window" -> 1.0,

@@ -73,6 +73,18 @@ class TextDedupSpec extends SparkTestBase {
     assert(hits.forall { case (a, b) => a < 100L && b >= 100L })
   }
 
+  test("near-dup components: chains merge transitively, canonical = min id, survivors kept") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    // 1-2-3 is a CHAIN (needs multi-round propagation), 4-5 a pair, 9 a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val got = comps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+    val kept = Dedup.keepCanonical(docs, "doc_id", comps)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L))
+  }
+
   test("d6 banding config gives recall 1.0 vs brute-force Jaccard on the fixture") {
     // d6_neardup_pairs' oracle is exact all-pairs Jaccard; the Spark side
     // only equals it if LSH misses nothing. Signatures are
