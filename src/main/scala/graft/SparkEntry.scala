@@ -544,6 +544,22 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16, refineIters = 2)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Int8-quantized top-k: quantize the corpus (4× storage at 100 TB),
+    * score probes against DEQUANTIZED vectors — the compressed-index
+    * retrieval tier. Quantization arithmetic is explicit IEEE double
+    * ops (max-abs scale, floor(+0.5) codes), so the oracle reproduces
+    * the codes, the reconstructed vectors, and therefore the exact
+    * ranking. Scale is staged as a column per the HOF contract. */
+  private val s7QuantizedTopK = (s: SparkSession, d: String) => {
+    import graft.functions.VectorOps
+    val base = t(s, d, "embeddings")
+      .withColumn("_qs", VectorOps.int8Scale(col("embedding")))
+      .withColumn("_q", VectorOps.quantizeInt8(col("embedding"), col("_qs")))
+      .withColumn("_dq", VectorOps.dequantizeInt8(col("_q"), col("_qs")))
+    Similarity.cosineTopK(base, "vec_id", "_dq", col("vec_id") < 5, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   /** L2 normalization exploded to scalars — unit-norm is the standard
     * ingest step that turns downstream cosine into plain dot product.
     * Norm components are exact IEEE double ops on both engines. */
@@ -784,6 +800,7 @@ object SparkEntry {
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
+    "s7_quantized_topk" -> s7QuantizedTopK,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1150,6 +1167,27 @@ object SparkEntry {
     },
     "s2_lsh_topk" -> s2OracleSql,
     "s5_lsh_multiprobe" -> s5OracleSql,
+    "s7_quantized_topk" ->
+      // identical quantize→dequantize arithmetic (max-abs/127 scale,
+      // floor(x/scale + 0.5) clamped to ±127, q*scale reconstruction)
+      """WITH dq AS (
+           SELECT vec_id,
+             CASE WHEN qs = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding, x ->
+                    LEAST(GREATEST(floor(CAST(x AS DOUBLE) / qs + 0.5), -127.0), 127.0) * qs) END AS v
+           FROM (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qs
+             FROM embeddings)
+         )
+         SELECT probe_id, neighbor_id, rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(p.v, c.v) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM dq p CROSS JOIN dq c
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
     "s4_normalize" ->
       // same left-to-right double accumulation for the norm; division
       // and sqrt are correctly-rounded IEEE ops on both engines

@@ -44,6 +44,31 @@ object VectorOps {
       .otherwise(transform(v, x => x.cast("double") / norm))
   }
 
+  /** Per-vector int8 scalar-quantization scale: max |x_i| / 127 — the
+    * 4× storage/IO reduction tier for an embedding corpus (store
+    * array<int8> + one scale instead of array<float>). Max is
+    * order-independent and the division is one IEEE op, so any engine
+    * reproduces the scale bit-exactly. */
+  def int8Scale(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** Quantize to int8 codes: clamp(floor(x/scale + 0.5), ±127). Zero
+    * vectors (scale 0) quantize to zeros. Explicit floor(+0.5) instead
+    * of round() — engines disagree on round-half ties, floor they
+    * don't. STAGE `scale` as a column first (it is captured by the
+    * per-element lambda; see the TextAnalysis staging contract). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    when(scale === 0d, transform(v, _ => lit(0)))
+      .otherwise(transform(v, x =>
+        least(greatest(floor(x.cast("double") / scale + 0.5).cast("double"), lit(-127.0)),
+          lit(127.0)).cast("int")))
+
+  /** Reconstruct approximate components: q_i × scale (array<double>) —
+    * feeds the same native cosine/dot expressions as full-precision
+    * vectors. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale)
+
   /** Native element-wise vector-sum aggregate (array<double> result);
     * partial-aggregates map-side, so a groupBy shuffles one array per
     * (group, partition) instead of dim-exploded rows. */

@@ -24,6 +24,7 @@ class BenchBudgetSpec extends SparkTestBase {
   private val budgets: Map[String, Double] = Map(
     "q0_flagship" -> 1.2,
     "s6_ivf_refined" -> 3.0,
+    "s7_quantized_topk" -> 1.6,
     "a10_percentiles" -> 1.3,
     "a11_rollup" -> 1.2,
     "a12_pivot" -> 1.1,

@@ -191,6 +191,36 @@ class SimilaritySpec extends SparkTestBase {
       .count() == 15)
   }
 
+  test("int8 quantization: codes in range, error <= scale/2, ranking stays close") {
+    val staged = vecs(100, 16).toDF("vec_id", "embedding")
+      .withColumn("_qs", VectorOps.int8Scale(col("embedding")))
+      .withColumn("_q", VectorOps.quantizeInt8(col("embedding"), col("_qs")))
+      .withColumn("_dq", VectorOps.dequantizeInt8(col("_q"), col("_qs")))
+    staged.select("embedding", "_qs", "_q", "_dq").collect().foreach { r =>
+      val v = r.getSeq[Float](0)
+      val qs = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      val dq = r.getSeq[Double](3)
+      assert(q.forall(c => c >= -127 && c <= 127))
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x.toDouble - y) <= qs / 2 + 1e-12, s"$x vs $y at scale $qs")
+      }
+    }
+    // zero vector: scale 0, codes all zero (no division)
+    val z = Seq((0L, Seq.fill(8)(0f))).toDF("vec_id", "embedding")
+      .withColumn("_qs", VectorOps.int8Scale(col("embedding")))
+      .select(VectorOps.quantizeInt8(col("embedding"), col("_qs")))
+      .collect().head.getSeq[Int](0)
+    assert(z == Seq.fill(8)(0))
+    // retrieval over dequantized vectors stays close to full precision
+    val exact = Similarity.cosineTopK(staged, "vec_id", "embedding", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.cosineTopK(staged, "vec_id", "_dq", col("vec_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"quantized recall $recall below floor")
+  }
+
   test("bucketStats: sum of bucket sizes equals corpus size") {
     val df = vecs(100, 8).toDF("vec_id", "embedding")
     val stats = Similarity.bucketStats(df, "embedding", 8, 4)
