@@ -102,11 +102,15 @@ object Dedup {
     * tokenizer over the corpus. Entries are deduplicated by logical plan
     * (CacheManager), so repeated queries over the same input reuse one
     * cache; callers running many corpora can `spark.catalog.clearCache()`. */
-  def stagedShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    TextAnalysis.withShingles(
+  def stagedShingles(
+      df: DataFrame, idCol: String, textCol: String, k: Int,
+      persist: Boolean = true): DataFrame = {
+    val staged = TextAnalysis.withShingles(
       spread(df.select(col(idCol), col(textCol))), textCol, k)
       .select(col(idCol), col("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persist) staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else staged
+  }
 
   /** Bucket membership from an already-staged shingle frame — the shingle
     * array enters as an attribute, so this adds only signature + band
@@ -220,8 +224,9 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val staged = stagedShingles(df, idCol, textCol, k)
+      maxBucketSize: Int = 1000,
+      persistStaged: Boolean = true): DataFrame = {
+    val staged = stagedShingles(df, idCol, textCol, k, persistStaged)
     val cands = candidatePairsFromBuckets(
       cappedBuckets(bucketsFromShingles(staged, idCol, numHashes, bands), maxBucketSize),
       idCol)
@@ -248,10 +253,16 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBucketSize: Int = 1000): DataFrame = {
-    // each side staged+persisted ONCE; bucket index and verify join share it
-    val sCorpus = stagedShingles(corpus, idCol, textCol, k)
-    val sProbes = stagedShingles(probes, idCol, textCol, k)
+      maxBucketSize: Int = 1000,
+      persistStaged: Boolean = true): DataFrame = {
+    // each side staged ONCE; bucket index and verify join share it.
+    // persistStaged = false for REPEATED short-lived inputs (a streaming
+    // micro-batch): each batch has a fresh plan, so CacheManager cannot
+    // dedupe the entries and a long-running stream would leak one cached
+    // shingle frame per batch — there, recomputing a small batch's
+    // shingles per consumer is the cheaper side of the trade.
+    val sCorpus = stagedShingles(corpus, idCol, textCol, k, persistStaged)
+    val sProbes = stagedShingles(probes, idCol, textCol, k, persistStaged)
     val bCorpus = cappedBuckets(
       bucketsFromShingles(sCorpus, idCol, numHashes, bands), maxBucketSize)
       .select(col(idCol).as("id_b"), col("band"), col("bucket"))
