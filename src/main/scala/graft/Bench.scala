@@ -11,6 +11,11 @@ import org.apache.spark.sql.SparkSession
   * in an "errors" array — a broken query must never masquerade as a
   * near-zero time. */
 object Bench {
+
+  /** ms precision — full doubles double the JSON line's length for
+    * digits below measurement noise (the artifact tail is size-capped). */
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -44,15 +49,29 @@ object Bench {
           System.err.println(s"[bench] $name failed timed run: ${e.getMessage}")
           errors ::= name; false
         })
-      name -> (if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0
+      // pipeline boundary: release frames the query's operators persisted
+      // (the timed run still reuses its own warmup's cache) — without
+      // this, 71 queries' staged frames accumulate and the later scale
+      // probes time cache pressure instead of the operators (round 4)
+      CachePool.releaseAll()
+      name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val streaming = benchStreaming(spark)
     val scale = benchScale(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get size-capped by capture harnesses; the file copy
+    // keeps the full per-query map parseable
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 
@@ -66,6 +85,11 @@ object Bench {
     try {
       import graft.operators.{Dedup, ScaleFixture, Similarity}
       import org.apache.spark.sql.functions.col
+      // the scale probes are the round-over-round evidence — isolate them
+      // from whatever cache/heap state the 71 registry queries left behind
+      CachePool.releaseAll(blocking = true)
+      spark.catalog.clearCache()
+      System.gc()
       val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val docs5 = ScaleFixture.scaleDocuments(docs1, 5)
@@ -120,8 +144,8 @@ object Bench {
       val (lshRecall, lshCand) = lshRecallAndCands(1)
       val (lshMpRecall, lshMpCand) = lshRecallAndCands(5)
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
-        s""""neardup_sec_1x":$ndT1,"neardup_sec_5x":$ndT5,""" +
-        s""""ivf_sec_1x":$ivT1,"ivf_sec_5x":$ivT5,""" +
+        s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
+        s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +

@@ -101,14 +101,21 @@ object Dedup {
     * executor-local disk, still far cheaper than re-running the regex
     * tokenizer over the corpus. Entries are deduplicated by logical plan
     * (CacheManager), so repeated queries over the same input reuse one
-    * cache; callers running many corpora can `spark.catalog.clearCache()`. */
+    * cache.
+    *
+    * LIFECYCLE: every persisted frame is registered with
+    * [[graft.CachePool]]; callers release at pipeline boundaries with
+    * `CachePool.releaseAll()` (the Verify/Bench harnesses do so after
+    * every query). Without a release, a long-lived session accumulates
+    * one cached shingle frame per distinct corpus for its lifetime. */
   def stagedShingles(
       df: DataFrame, idCol: String, textCol: String, k: Int,
       persist: Boolean = true): DataFrame = {
     val staged = TextAnalysis.withShingles(
       spread(df.select(col(idCol), col(textCol))), textCol, k)
       .select(col(idCol), col("_sh"))
-    if (persist) staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (persist) graft.CachePool.register(
+      staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else staged
   }
 
@@ -321,15 +328,18 @@ object Dedup {
     while (changed > 0 && it < maxIters) {
       val nbrMin = edges.join(labels, edges("t") === labels("id"))
         .groupBy(col("s")).agg(min(col("label")).as("nbr"))
+      // the convergence flag rides the propagation join itself (labels
+      // only ever decrease, so changed ⇔ strictly smaller): ONE join per
+      // round. The count below scans the just-materialized checkpoint
+      // blocks — a metadata-cheap local pass, not the second full
+      // propagation join each round previously re-ran.
+      val newLabel = least(col("label"), coalesce(col("nbr"), col("label")))
       val next = labels.join(nbrMin, labels("id") === nbrMin("s"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .select(col("id"), newLabel.as("label"),
+          (newLabel < col("label")).as("_changed"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.filter(col("_changed")).count()
+      labels = next.drop("_changed")
       it += 1
     }
     labels

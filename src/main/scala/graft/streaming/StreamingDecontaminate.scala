@@ -38,9 +38,15 @@ class StreamingDecontaminate(
   def processBatch(spark: SparkSession, evalSet: DataFrame, batch: DataFrame, batchId: Long): Unit = {
     val f = fs(spark)
     if (f.exists(marker(batchId))) return // replay after recovery: no-op
+    // persistStaged = false: a micro-batch is a fresh plan every trigger,
+    // so CacheManager could never dedupe the staged frames — persisting
+    // here would leak one cached shingle frame per batch for the
+    // query's lifetime (see the staging note in crossNearDupPairs);
+    // recomputing a small batch's shingles per consumer is the cheaper
+    // side of the trade
     Dedup.crossNearDupPairs(
         corpus = batch, probes = evalSet, "doc_id", "text",
-        threshold, k, numHashes, bands)
+        threshold, k, numHashes, bands, persistStaged = false)
       .write.mode(SaveMode.Append).parquet(s"$flaggedDir/data")
     f.create(marker(batchId), true).close()
   }
@@ -61,7 +67,20 @@ class StreamingDecontaminate(
         processBatch(spark, cachedEval, batch, batchId)
         ()
       }
-    (if (availableNow) w.trigger(Trigger.AvailableNow())
+    val query = (if (availableNow) w.trigger(Trigger.AvailableNow())
      else w.trigger(Trigger.ProcessingTime("1 second"))).start()
+    // lifecycle: the eval cache lives exactly as long as the query
+    val release = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          cachedEval.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    query
   }
 }

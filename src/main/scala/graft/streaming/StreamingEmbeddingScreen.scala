@@ -5,7 +5,7 @@ import graft.operators.Similarity
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /** Streaming embedding screen — the embedding analogue of
   * [[StreamingDecontaminate]]: every arriving micro-batch of vectors is
@@ -94,7 +94,20 @@ class StreamingEmbeddingScreen(
         processBatch(spark, cents, refIndex, batch, batchId, idCol, vecCol)
         ()
       }
-    (if (availableNow) w.trigger(Trigger.AvailableNow())
+    val query = (if (availableNow) w.trigger(Trigger.AvailableNow())
      else w.trigger(Trigger.ProcessingTime("1 second"))).start()
+    // lifecycle: the index cache lives exactly as long as the query — a
+    // session screening many streams must not accumulate dead ref frames
+    val release = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          refIndex.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    query
   }
 }

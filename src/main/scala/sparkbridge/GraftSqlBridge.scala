@@ -46,6 +46,12 @@ object GraftSqlBridge {
     spark.internalCreateDataFrame(rdd, outSchema)
   }
 
+  /** True when the session's CacheManager tracks no cached plans —
+    * the observability hook for the cache-lifecycle specs (unnamed
+    * cached DataFrames are invisible to the public catalog API). */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
+
   /** Register an expression builder as a SQL temp function so
     * `spark.sql("SELECT cosine_sim(a, b)")` resolves to the native
     * expression (codegen-capable path, unlike a Scala UDF). */

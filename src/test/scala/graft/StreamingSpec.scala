@@ -274,10 +274,18 @@ class StreamingSpec extends SparkTestBase {
       .parquet(s"$base/in")
     val screen = new StreamingEmbeddingScreen(
       s"$base/flagged", nlist = 2, nprobe = 2, threshold = 0.9)
+    spark.catalog.clearCache() // isolate the release assertion below
     screen.start(spark, refSet, stream, s"$base/cp").awaitTermination()
     val flagged = spark.read.parquet(s"$base/flagged/data")
       .select("ref_id", "stream_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(flagged.toSeq == Seq((900L, 10L)), s"got ${flagged.toSeq}")
+    // lifecycle: the persisted reference index is released when the
+    // query terminates (round-4 leak); the listener fires async → poll
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (!org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark)
+           && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark),
+      "reference index cache must be released on query termination")
   }
 
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
