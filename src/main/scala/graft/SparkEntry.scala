@@ -560,6 +560,31 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rank"))
   }
 
+  /** Quantized-IVF top-k at exhaustive probe depth: int8 codes live
+    * inside the inverted lists (the fp32 vectors never ride the index),
+    * probes stay full precision — asymmetric scoring (ADC). With
+    * nprobe == nlist and no re-rank the candidate set is total, so the
+    * result is brute force over dequantized codes: the oracle reuses
+    * s7's explicit-IEEE quantization arithmetic with the probe side
+    * left at full precision. Oracles the composed machinery — codes in
+    * lists, probe-list join, dequantized scoring. */
+  private val s8QuantizedIvf = (s: SparkSession, d: String) =>
+    Similarity.ivfTopKQuantized(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
+  /** Banded sign-LSH top-k (OR-amplification over 2 independent 4-bit
+    * tables): the candidate set is "signatures collide in ANY band" —
+    * deterministic given the exported plane constants, so the oracle
+    * reproduces both tables and the OR-join exactly (no recall
+    * assumption, same contract as s2/s5). */
+  private val s9LshBanded = (s: SparkSession, d: String) =>
+    Similarity.bandedSignTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, bands = 2, bitsPerBand = 4)
+      .orderBy(col("probe_id"), col("rank"))
+
   /** L2 normalization exploded to scalars — unit-norm is the standard
     * ingest step that turns downstream cosine into plain dot product.
     * Norm components are exact IEEE double ops on both engines. */
@@ -801,6 +826,8 @@ object SparkEntry {
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
     "s7_quantized_topk" -> s7QuantizedTopK,
+    "s8_quantized_ivf" -> s8QuantizedIvf,
+    "s9_lsh_banded" -> s9LshBanded,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1167,6 +1194,30 @@ object SparkEntry {
     },
     "s2_lsh_topk" -> s2OracleSql,
     "s5_lsh_multiprobe" -> s5OracleSql,
+    "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
+    "s8_quantized_ivf" ->
+      // s7's quantize→dequantize arithmetic on the corpus side; the
+      // probe side stays full precision (asymmetric scoring) — at
+      // nprobe == nlist the engine's candidate set is total, so this
+      // cross join is the exact twin
+      """WITH dq AS (
+           SELECT vec_id,
+             CASE WHEN qs = 0 THEN list_transform(embedding, x -> 0.0)
+                  ELSE list_transform(embedding, x ->
+                    LEAST(GREATEST(floor(CAST(x AS DOUBLE) / qs + 0.5), -127.0), 127.0) * qs) END AS v
+           FROM (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS qs
+             FROM embeddings)
+         )
+         SELECT probe_id, neighbor_id, rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), c.v) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM embeddings p CROSS JOIN dq c
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
     "s7_quantized_topk" ->
       // identical quantize→dequantize arithmetic (max-abs/127 scale,
       // floor(x/scale + 0.5) clamped to ±127, q*scale reconstruction)
@@ -1272,6 +1323,34 @@ object SparkEntry {
         ) WHERE rank <= 5 ORDER BY probe_id, rank"""
   }
 
+
+  /** DuckDB twin of [[graft.operators.Similarity.bandedSignTopK]]: each
+    * band's sign signature is rebuilt from the same exported plane
+    * constants (seed 42+band — band 0 is exactly s2's table), and the
+    * candidate condition is the OR over bands of signature equality. */
+  private def bandedLshOracleSql(bands: Int): String = {
+    val sigCols = (0 until bands).map { b =>
+      val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4, seed = 42L + b)
+      val sig = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($sig) AS s$b"
+    }.mkString(", ")
+    val anyBand = (0 until bands).map(b => s"p.s$b = c.s$b").mkString(" OR ")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding, $sigCols FROM embeddings
+        )
+        SELECT probe_id, neighbor_id, rank FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) DESC,
+                       c.vec_id ASC) AS INTEGER) AS rank
+          FROM sig p JOIN sig c ON ($anyBand) AND p.vec_id <> c.vec_id
+          WHERE p.vec_id < 5
+        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+  }
 
   /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard
     * oracles. NOTE: raw (non-interpolated) string — regex backslashes

@@ -165,15 +165,24 @@ object Similarity {
       .withColumn("_sig", sigFromDots(col("_dots"), hyperplanes))
     val corpus = bucketed
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"), col("_sig").as("_csig"))
-    // flip order staged as a column so probeMasks' element_at lambdas
-    // index a materialized array
-    val probeSide = bucketed.filter(probeFilter)
-      .withColumn("_flip", array_sort(
-        zip_with(col("_dots"), sequence(lit(0), lit(hyperplanes - 1)), (d, i) =>
-          struct(abs(d).as("conf"), i.cast("long").as("idx")))))
-      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
-        explode(transform(probeMasks(col("_flip"), hyperplanes, probes),
-          m => col("_sig").bitwiseXOR(m))).as("_psig"))
+    val probeSide =
+      if (probes == 1)
+        // single-probe: the only mask is 0 (the base bucket), so the
+        // whole flip-staging + mask-sort machinery reduces to plain
+        // signature equality — skip it (it cost s2 1.9× in round 4)
+        bucketed.filter(probeFilter)
+          .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+            col("_sig").as("_psig"))
+      else
+        // flip order staged as a column so probeMasks' element_at lambdas
+        // index a materialized array
+        bucketed.filter(probeFilter)
+          .withColumn("_flip", array_sort(
+            zip_with(col("_dots"), sequence(lit(0), lit(hyperplanes - 1)), (d, i) =>
+              struct(abs(d).as("conf"), i.cast("long").as("idx")))))
+          .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+            explode(transform(probeMasks(col("_flip"), hyperplanes, probes),
+              m => col("_sig").bitwiseXOR(m))).as("_psig"))
     probeSide.join(corpus,
       col("_psig") === col("_csig") && col("probe_id") =!= col("neighbor_id"))
   }
@@ -199,6 +208,74 @@ object Similarity {
       probes: Int = 1): DataFrame = {
     val scored = signLshCandidates(df, idCol, vecCol, probeFilter, dim, hyperplanes, seed, probes)
       .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Banded sign-LSH candidates — OR-amplification: `bands` INDEPENDENT
+    * sign-signature tables (one seed per band), and a pair is a
+    * candidate if ANY band's signatures collide. The classical
+    * alternative to multi-probe (Indyk & Motwani 1998; MMDS ch. 3
+    * banding): instead of searching more buckets of ONE table, build
+    * more tables — collision probability amplifies as 1−(1−p^r)^L for
+    * per-bit agreement p, which typically dominates multi-probe's
+    * recall/candidate frontier on clustered (real) embeddings.
+    * Generation stays hash-join shaped: both sides explode to
+    * (band, signature) rows and equi-join, so compared-pair volume is
+    * per-band bucket co-occupancy summed over bands — never n². Corpus
+    * index cost is `bands` signatures per row (the storage/compute price
+    * of OR-amplification; multi-probe keeps one). A pair colliding in
+    * several bands appears once per colliding band — [[bandedSignTopK]]
+    * dedups by (probe, neighbor) aggregation. */
+  def bandedSignCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
+      seed: Long = 42L): DataFrame = {
+    require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62)
+    // band b's table uses seed+b: band 0 is exactly the single-table
+    // signature (seed 42), so bands=1 degenerates to signLshCandidates
+    val sigs = array((0 until bands).map(b =>
+      signSignature(col(vecCol), dim, bitsPerBand, seed + b)): _*)
+    val withSigs = df.withColumn("_bsigs", sigs)
+    val corpus = withSigs
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+        posexplode(col("_bsigs")).as(Seq("_cband", "_csig")))
+    val probes = withSigs.filter(probeFilter)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+        posexplode(col("_bsigs")).as(Seq("_pband", "_psig")))
+    probes.join(corpus,
+      col("_pband") === col("_cband") && col("_psig") === col("_csig") &&
+        col("probe_id") =!= col("neighbor_id"))
+  }
+
+  /** Top-k over banded sign-LSH candidates: score every (probe,
+    * neighbor) candidate once (multi-band collisions dedup through the
+    * aggregation — the cosine is identical in every copy, so max is
+    * semantically a pick-one), then rank per probe. */
+  def bandedSignTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      bands: Int = 4,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val scored = bandedSignCandidates(
+        df, idCol, vecCol, probeFilter, dim, bands, bitsPerBand, seed)
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -376,5 +453,74 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Quantized IVF top-k — the compressed-index retrieval tier: int8
+    * codes live INSIDE the inverted lists (the fp32 vector never rides
+    * the index), probes score candidates from probed lists against the
+    * DEQUANTIZED codes with full-precision queries — asymmetric distance
+    * computation, the IVF-SQ design of FAISS (Johnson, Douze & Jégou,
+    * 2017). At 100 TB this is 4× less index storage and scan IO than
+    * [[ivfTopK]] for a rank-quality cost bounded by the quantization
+    * error (spec-measured).
+    *
+    * `rerank > 0` adds the standard two-stage refinement: the top
+    * `rerank` candidates per probe by quantized score fetch their fp32
+    * vectors by id (an equi-join against the corpus, shortlist-sized)
+    * and the final top-k is exact over that shortlist. With
+    * rerank ≥ |corpus| the result equals [[cosineTopK]] exactly.
+    *
+    * Anchors (oracled as `s8`): nprobe == nlist with rerank == 0 is
+    * exhaustive ADC — brute force over dequantized codes, reproducible
+    * bit-exactly by any engine from the explicit IEEE quantization ops
+    * (see [[graft.functions.VectorOps.quantizeInt8]]). */
+  def ivfTopKQuantized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      rerank: Int = 0,
+      maxProbes: Int = 10000): DataFrame = {
+    val cents = collectCentroids(ivfCentroids(df, idCol, vecCol, nlist))
+    // scale staged as a column per the HOF contract; the list rows carry
+    // (id, list, codes, scale) only — the 4× storage win is the point
+    val lists = ivfAssignCollected(df, cents, idCol, vecCol)
+      .withColumn("_qs", VectorOps.int8Scale(col(vecCol)))
+      .select(col(idCol).as("neighbor_id"), col("list_id"),
+        VectorOps.quantizeInt8(col(vecCol), col("_qs")).as("_q"), col("_qs"))
+    val probeLists = ivfProbeLists(
+      requireBoundedProbes(df.filter(probeFilter), "ivfTopKQuantized", maxProbes),
+      cents, idCol, vecCol, nprobe)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("list_id"))
+    val scored = broadcast(probeLists)
+      .join(lists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", VectorOps.cosineSim(
+        col("_pv"), VectorOps.dequantizeInt8(col("_q"), col("_qs"))))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    else {
+      val shortlist = scored
+        .withColumn("rank_q", row_number().over(wq))
+        .filter(col("rank_q") <= rerank)
+        .select(col("probe_id"), col("_pv"), col("neighbor_id"))
+      val full = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist
+        .join(full, Seq("neighbor_id"))
+        .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }
   }
 }

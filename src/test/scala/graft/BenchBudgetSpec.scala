@@ -25,6 +25,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "q0_flagship" -> 1.2,
     "s6_ivf_refined" -> 3.0,
     "s7_quantized_topk" -> 1.6,
+    "s8_quantized_ivf" -> 2.0,
+    "s9_lsh_banded" -> 2.2,
     "a10_percentiles" -> 1.3,
     "a11_rollup" -> 1.2,
     "a12_pivot" -> 1.1,

@@ -226,4 +226,134 @@ class SimilaritySpec extends SparkTestBase {
     val stats = Similarity.bucketStats(df, "embedding", 8, 4)
     assert(stats.agg(sum("bucket_size")).as[Long].head() == 100L)
   }
+
+  test("single-probe sign-LSH takes the fast path: no flip staging in the plan") {
+    // parquet-backed (a local Seq would constant-fold the projection away)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val one = Similarity.signLshCandidates(
+      embs, "vec_id", "embedding", col("vec_id") < 5, dim = 64, hyperplanes = 4, probes = 1)
+    val planOne = one.queryExecution.optimizedPlan.toString
+    assert(!planOne.contains("array_sort"),
+      "probes=1 must not pay the multi-probe flip staging (round-4 s2 regression)")
+    val five = Similarity.signLshCandidates(
+      embs, "vec_id", "embedding", col("vec_id") < 5, dim = 64, hyperplanes = 4, probes = 5)
+    assert(five.queryExecution.optimizedPlan.toString.contains("array_sort"),
+      "multi-probe still stages the margin-ordered flips")
+    // and the fast path is a pure plan change: same candidate set as the
+    // mask-0-only multi-probe formulation restricted to the base bucket
+    val oneSet = one.select(col("probe_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fiveSet = five.select(col("probe_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneSet.subsetOf(fiveSet))
+  }
+
+  /** Driver-side replica of the engine's exact IEEE quantization +
+    * asymmetric scoring arithmetic (sequential double accumulation in
+    * array order — the determinism contract both the oracle and these
+    * expectations rely on). */
+  private def adcExpected(
+      all: Seq[(Long, Seq[Float])], probeIds: Seq[Long], k: Int): Map[Long, Seq[Long]] = {
+    def quantDequant(v: Seq[Float]): Seq[Double] = {
+      var m = 0.0
+      v.foreach(x => m = math.max(m, math.abs(x.toDouble)))
+      val qs = m / 127.0
+      if (qs == 0d) v.map(_ => 0.0)
+      else v.map { x =>
+        val c = math.min(math.max(math.floor(x.toDouble / qs + 0.5), -127.0), 127.0)
+        c * qs
+      }
+    }
+    val dq = all.map { case (id, v) => id -> quantDequant(v) }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      a.zip(b).foreach { case (x, y) => dot += x * y; na += x * x; nb += y * y }
+      if (na == 0d || nb == 0d) 0d else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = all.toMap
+    probeIds.map { p =>
+      val pv = byId(p).map(_.toDouble)
+      p -> all.filter(_._1 != p)
+        .map { case (id, _) => (id, cos(pv, dq(id))) }
+        .sortBy { case (id, c) => (-c, id) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("quantized IVF at nprobe == nlist is exhaustive ADC: matches the IEEE-exact expectation") {
+    val data = vecs(100, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKQuantized(
+        df, "vec_id", "embedding", col("vec_id") < 5, k = 5, nlist = 8, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val want = adcExpected(data, (0L until 5L).toSeq, 5)
+    assert(got == want)
+  }
+
+  test("quantized IVF with full-depth re-rank reproduces exact brute force") {
+    val df = vecs(100, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val reranked = Similarity.ivfTopKQuantized(
+        df, "vec_id", "embedding", col("vec_id") < 5, k = 5, nlist = 8, nprobe = 8,
+        rerank = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(reranked == exact,
+      "re-ranking every candidate at full precision must equal cosineTopK")
+  }
+
+  test("quantized IVF prunes with nprobe < nlist and re-rank only improves recall") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(rerank: Int): Double = {
+      val got = Similarity.ivfTopKQuantized(
+          df, "vec_id", "embedding", col("vec_id") < 5, k = 5, nlist = 16, nprobe = 16,
+          rerank = rerank)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // at full probe depth the only error source is quantized ordering;
+    // a 3k-deep exact re-rank must recover at least as much as none
+    assert(recallOf(15) >= recallOf(0))
+    assert(recallOf(0) >= 0.6, "ADC ordering should stay close to exact")
+  }
+
+  test("banded sign-LSH: bands=1 equals the single-table candidate set; volume and recall grow with bands") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val single = Similarity.signLshCandidates(
+        df, "vec_id", "embedding", col("vec_id") < 5, dim = 16, hyperplanes = 6, probes = 1)
+      .select(col("probe_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def bandedPairs(bands: Int) = Similarity.bandedSignCandidates(
+        df, "vec_id", "embedding", col("vec_id") < 5, dim = 16,
+        bands = bands, bitsPerBand = 6)
+      .select(col("probe_id"), col("neighbor_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b1 = bandedPairs(1)
+    assert(b1 == single, "band 0 uses the base seed — bands=1 must degenerate to the single table")
+    val b4 = bandedPairs(4)
+    assert(b1.subsetOf(b4) && b4.size > b1.size,
+      "OR-amplification can only add candidates")
+
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(bands: Int): Double = {
+      val got = Similarity.bandedSignTopK(
+          df, "vec_id", "embedding", col("vec_id") < 5, k = 5, dim = 16,
+          bands = bands, bitsPerBand = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    assert(recallOf(4) >= recallOf(1))
+    // multi-band collisions dedup: ranks stay contiguous per probe
+    val rows = Similarity.bandedSignTopK(
+        df, "vec_id", "embedding", col("vec_id") < 5, k = 5, dim = 16,
+        bands = 4, bitsPerBand = 6)
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length))
+      assert(rs.map(_.getLong(1)).distinct.length == rs.length)
+    }
+  }
 }
