@@ -145,10 +145,13 @@ class ParquetKpiStore(root: String) extends Serializable {
   * advanced → replay re-adds them). Use [[JdbcUpsertSink.writePortable]]
   * for large keyed tables where last-write-wins semantics are safe.
   */
-class JdbcKpiStore(url: String) extends Serializable {
+class JdbcKpiStore(
+    url: String,
+    dialect: JdbcUpsertSink.SqlDialect = JdbcUpsertSink.AnsiDialect)
+    extends Serializable {
   import java.sql.Connection
 
-  private val d = JdbcUpsertSink.AnsiDialect
+  private val d = dialect
   private val metaTable = "graft_applied_batches"
 
   private def withConn[A](f: Connection => A): A = {
@@ -204,11 +207,22 @@ class JdbcKpiStore(url: String) extends Serializable {
 
   /** Additively merge a batch's keyed components: existing rows get
     * value += delta, new keys insert; the watermark advances in the SAME
-    * transaction, so replay after any failure is exact-once. The UPDATE
-    * arm is batched (one executeBatch round trip per `batchSize` chunk,
-    * same shape as [[JdbcUpsertSink.writePortable]], incl. the
-    * SUCCESS_NO_INFO recovery); rows the update missed go into one
-    * batched INSERT. */
+    * transaction, so replay after any failure is exact-once.
+    *
+    * MySQL dialect: ONE batched `INSERT … ON DUPLICATE KEY UPDATE
+    * v = v + VALUES(v)` — the additive semantics live in the statement
+    * itself, so per-row update counts (including the
+    * SUCCESS_NO_INFO (-2) that rewriteBatchedStatements returns) are
+    * irrelevant. This is the reference sink's dialect
+    * (Consumer.scala:159-166), upgraded from overwrite to additive.
+    *
+    * ANSI dialect: batched `UPDATE v = v + ?` per chunk, then one
+    * batched INSERT for the rows the update missed — correct ONLY on
+    * drivers that report real per-row counts (Derby, Postgres do). A
+    * driver answering SUCCESS_NO_INFO here is a hard error: additive
+    * updates were already applied once, so the writePortable trick of
+    * re-running the chunk to recover counts would double-add every
+    * delta (absolute-value upserts tolerate that; `+=` does not). */
   def merge(table: String, keys: Seq[String], updates: DataFrame, batchId: Long,
       batchSize: Int = 1000): Unit = {
     if (batchId <= appliedBatch(table)) return // idempotent replay
@@ -219,31 +233,18 @@ class JdbcKpiStore(url: String) extends Serializable {
     withConn { c =>
       c.setAutoCommit(false)
       try {
-        val up = c.prepareStatement(
-          s"UPDATE ${d.q(table)} SET ${values.map(v => s"${d.q(v)} = ${d.q(v)} + ?").mkString(", ")} " +
-            s"WHERE ${keys.map(k => s"${d.q(k)} = ?").mkString(" AND ")}")
-        val in = c.prepareStatement(JdbcUpsertSink.insertSql(table, keys, values, d))
-        def bindUpdate(r: org.apache.spark.sql.Row): Unit = {
-          values.zipWithIndex.foreach { case (v, i) => up.setObject(i + 1, r.getAs[Any](v)) }
-          keys.zipWithIndex.foreach { case (k, i) => up.setObject(values.length + i + 1, r.getAs[Any](k)) }
-        }
-        rows.grouped(batchSize).foreach { chunk =>
-          chunk.foreach { r => bindUpdate(r); up.addBatch() }
-          var counts = up.executeBatch()
-          // SUCCESS_NO_INFO (-2): per-row hit/miss unknown — re-run the
-          // chunk row-by-row to recover real counts (see writePortable)
-          if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
-            counts = chunk.map { r => bindUpdate(r); up.executeUpdate() }.toArray
+        if (d == JdbcUpsertSink.MySqlDialect) {
+          val up = c.prepareStatement(
+            JdbcUpsertSink.additiveUpsertSql(table, keys, values))
+          rows.grouped(batchSize).foreach { chunk =>
+            chunk.foreach { r =>
+              keys.zipWithIndex.foreach { case (k, i) => up.setObject(i + 1, r.getAs[Any](k)) }
+              values.zipWithIndex.foreach { case (v, i) => up.setObject(keys.length + i + 1, r.getAs[Any](v)) }
+              up.addBatch()
+            }
+            up.executeBatch() // counts irrelevant: semantics are in the SQL
           }
-          val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
-          var anyMiss = false
-          misses.foreach { r =>
-            keys.zipWithIndex.foreach { case (k, i) => in.setObject(i + 1, r.getAs[Any](k)) }
-            values.zipWithIndex.foreach { case (v, i) => in.setObject(keys.length + i + 1, r.getAs[Any](v)) }
-            in.addBatch(); anyMiss = true
-          }
-          if (anyMiss) in.executeBatch()
-        }
+        } else mergeAnsi(c, table, keys, values, rows, batchSize)
         val wm = c.prepareStatement(
           s"UPDATE ${d.q(metaTable)} SET ${d.q("batch_id")} = ? WHERE ${d.q("table_name")} = ?")
         wm.setLong(1, batchId); wm.setString(2, table)
@@ -255,6 +256,43 @@ class JdbcKpiStore(url: String) extends Serializable {
         }
         c.commit()
       } catch { case e: Throwable => c.rollback(); throw e }
+    }
+  }
+
+  /** ANSI arm of [[merge]]: batched count-reporting UPDATE + INSERT for
+    * misses. See merge's scaladoc for why SUCCESS_NO_INFO must abort. */
+  private def mergeAnsi(
+      c: Connection, table: String, keys: Seq[String], values: Seq[String],
+      rows: Array[org.apache.spark.sql.Row], batchSize: Int): Unit = {
+    val up = c.prepareStatement(
+      s"UPDATE ${d.q(table)} SET ${values.map(v => s"${d.q(v)} = ${d.q(v)} + ?").mkString(", ")} " +
+        s"WHERE ${keys.map(k => s"${d.q(k)} = ?").mkString(" AND ")}")
+    val in = c.prepareStatement(JdbcUpsertSink.insertSql(table, keys, values, d))
+    rows.grouped(batchSize).foreach { chunk =>
+      chunk.foreach { r =>
+        values.zipWithIndex.foreach { case (v, i) => up.setObject(i + 1, r.getAs[Any](v)) }
+        keys.zipWithIndex.foreach { case (k, i) => up.setObject(values.length + i + 1, r.getAs[Any](k)) }
+        up.addBatch()
+      }
+      val counts = up.executeBatch()
+      if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO)) {
+        // the deltas are already applied once; re-running the chunk to
+        // learn the counts would apply them twice. The transaction rolls
+        // back via merge's catch — nothing is half-committed.
+        throw new IllegalStateException(
+          "JDBC driver returned SUCCESS_NO_INFO for a batched additive " +
+            "UPDATE: per-row hit/miss is unrecoverable for `v = v + ?`. " +
+            "Use JdbcKpiStore with MySqlDialect (single-statement additive " +
+            "upsert) against drivers that batch without per-row counts.")
+      }
+      val misses = chunk.iterator.zip(counts.iterator).collect { case (r, 0) => r }
+      var anyMiss = false
+      misses.foreach { r =>
+        keys.zipWithIndex.foreach { case (k, i) => in.setObject(i + 1, r.getAs[Any](k)) }
+        values.zipWithIndex.foreach { case (v, i) => in.setObject(keys.length + i + 1, r.getAs[Any](v)) }
+        in.addBatch(); anyMiss = true
+      }
+      if (anyMiss) in.executeBatch()
     }
   }
 
@@ -294,6 +332,18 @@ object JdbcUpsertSink {
     val placeholders = cols.map(_ => "?")
     val updates = values.map(c => s"`$c`=VALUES(`$c`)")
     s"INSERT INTO `$table` (${quoted.mkString(", ")}) VALUES (${placeholders.mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
+  }
+
+  /** MySQL additive upsert: `INSERT … ON DUPLICATE KEY UPDATE
+    * v = v + VALUES(v)` — the `+=` semantics live in the statement, so
+    * batching needs no per-row counts (contrast [[updateSql]]'s
+    * count-dependent portable arm). Parameter order: keys then values. */
+  def additiveUpsertSql(table: String, keys: Seq[String], values: Seq[String]): String = {
+    val cols = keys ++ values
+    val quoted = cols.map(c => s"`$c`")
+    val updates = values.map(c => s"`$c`=`$c`+VALUES(`$c`)")
+    s"INSERT INTO `$table` (${quoted.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
       s"ON DUPLICATE KEY UPDATE ${updates.mkString(", ")}"
   }
 

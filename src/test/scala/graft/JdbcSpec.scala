@@ -184,5 +184,84 @@ class JdbcSpec extends SparkTestBase {
     assert(u2 == """UPDATE "t" SET "v b"=? WHERE "k a"=?""")
     val i2 = JdbcUpsertSink.insertSql("t", Seq("k a"), Seq("v b"), JdbcUpsertSink.AnsiDialect)
     assert(i2 == """INSERT INTO "t" ("k a", "v b") VALUES (?, ?)""")
+    val a2 = JdbcUpsertSink.additiveUpsertSql("t", Seq("k"), Seq("cnt"))
+    assert(a2 ==
+      "INSERT INTO `t` (`k`, `cnt`) VALUES (?, ?) ON DUPLICATE KEY UPDATE `cnt`=`cnt`+VALUES(`cnt`)")
+  }
+
+  test("MySQL dialect live (mock driver): additive single-statement merge, idempotent replay") {
+    MockMySqlJdbc.ensureRegistered()
+    val u = MockMySqlJdbc.url("kpimysql")
+    try {
+      val store = new graft.streaming.JdbcKpiStore(u, JdbcUpsertSink.MySqlDialect)
+      val b0 = Seq(("Male", 10L), ("Female", 12L)).toDF("gender", "cnt")
+      store.merge("gender_counts", Seq("gender"), b0, 0L)
+      // batch 1: additive hit + new key, chunked to exercise executeBatch
+      val b1 = Seq(("Male", 5L), ("Other", 3L), ("Female", 1L)).toDF("gender", "cnt")
+      store.merge("gender_counts", Seq("gender"), b1, 1L, batchSize = 2)
+      def state = store.readAll("gender_counts", Seq("gender", "cnt"))
+        .map(r => r.head.toString -> r(1).asInstanceOf[Long]).toMap
+      assert(state == Map("Male" -> 15L, "Female" -> 13L, "Other" -> 3L))
+      // at-least-once replay: watermark makes the re-merge a no-op
+      store.merge("gender_counts", Seq("gender"), b1, 1L)
+      assert(state == Map("Male" -> 15L, "Female" -> 13L, "Other" -> 3L))
+      // the additive arm is count-independent by construction: a driver
+      // answering executeBatch with SUCCESS_NO_INFO changes nothing
+      MockMySqlJdbc.database("kpimysql").forceNoInfoBatchCounts = true
+      store.merge("gender_counts", Seq("gender"),
+        Seq(("Male", 1L)).toDF("gender", "cnt"), 2L)
+      assert(state("Male") == 16L)
+    } finally MockMySqlJdbc.drop("kpimysql")
+  }
+
+  test("MySQL dialect live (mock driver): ON DUPLICATE KEY overwrite arm from executors") {
+    MockMySqlJdbc.ensureRegistered()
+    val u = MockMySqlJdbc.url("wmysql")
+    try {
+      val c = DriverManager.getConnection(u)
+      c.createStatement().execute(
+        "CREATE TABLE `t` (`k` VARCHAR(32) PRIMARY KEY, `v` BIGINT)")
+      c.close()
+      JdbcUpsertSink.write(
+        Seq(("a", 10L), ("b", 12L)).toDF("k", "v").repartition(3), u, "t", Seq("k"))
+      // VALUES() overwrite semantics: a becomes 25, not 35
+      JdbcUpsertSink.write(
+        Seq(("a", 25L), ("c", 3L)).toDF("k", "v").repartition(3), u, "t", Seq("k"))
+      val got = MockMySqlJdbc.database("wmysql").tables("t").rows.values
+        .map(r => r("k").toString -> r("v").asInstanceOf[Long]).toMap
+      assert(got == Map("a" -> 25L, "b" -> 12L, "c" -> 3L))
+    } finally MockMySqlJdbc.drop("wmysql")
+  }
+
+  test("SUCCESS_NO_INFO driver: writePortable recovers (absolute values); additive ANSI merge aborts") {
+    MockMySqlJdbc.ensureRegistered()
+    val u = MockMySqlJdbc.url("noinfo")
+    try {
+      val db = MockMySqlJdbc.database("noinfo")
+      val c = DriverManager.getConnection(u)
+      c.createStatement().execute(
+        "CREATE TABLE `pt` (`k` VARCHAR(32) PRIMARY KEY, `v` BIGINT)")
+      c.close()
+      JdbcUpsertSink.write(Seq(("a", 1L)).toDF("k", "v"), u, "pt", Seq("k"))
+      db.forceNoInfoBatchCounts = true
+      // hit (a) + miss (b): -2 counts force the row-by-row re-run, which
+      // is safe for absolute `v=?` updates, and b still reaches INSERT
+      JdbcUpsertSink.writePortable(
+        Seq(("a", 7L), ("b", 2L)).toDF("k", "v"), u, "pt", Seq("k"),
+        dialect = JdbcUpsertSink.MySqlDialect)
+      val got = db.tables("pt").rows.values
+        .map(r => r("k").toString -> r("v").asInstanceOf[Long]).toMap
+      assert(got == Map("a" -> 7L, "b" -> 2L))
+
+      // additive `v = v + ?` cannot recover from unknown counts: the
+      // ANSI-arm merge must abort instead of double-applying deltas
+      val store = new graft.streaming.JdbcKpiStore(u)
+      db.forceNoInfoBatchCounts = false
+      store.merge("counts", Seq("k"), Seq(("x", 1L)).toDF("k", "cnt"), 0L)
+      db.forceNoInfoBatchCounts = true
+      intercept[IllegalStateException] {
+        store.merge("counts", Seq("k"), Seq(("x", 1L)).toDF("k", "cnt"), 1L)
+      }
+    } finally MockMySqlJdbc.drop("noinfo")
   }
 }
