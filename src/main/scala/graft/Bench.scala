@@ -143,6 +143,29 @@ object Bench {
       }
       val (lshRecall, lshCand) = lshRecallAndCands(1)
       val (lshMpRecall, lshMpCand) = lshRecallAndCands(5)
+      // banded (OR-amplification) vs multi-probe at comparable search
+      // effort: 5 independent 4-bit tables vs 5 probed buckets of one
+      def bandedRecallAndCands(bands: Int): (Double, Long) = {
+        val got = pairs(Similarity.bandedSignTopK(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
+          dim = 64, bands = bands, bitsPerBand = 4)
+          .select(col("probe_id"), col("neighbor_id")))
+        val cands = Similarity.bandedSignCandidates(
+          embs1, "vec_id", "embedding", col("vec_id") < 5,
+          dim = 64, bands = bands, bitsPerBand = 4)
+          .select(col("probe_id"), col("neighbor_id")).distinct().count()
+        ((got & exact).size.toDouble / exact.size, cands)
+      }
+      val (lshBandRecall, lshBandCand) = bandedRecallAndCands(5)
+      // quantized IVF: rank-quality cost of int8 codes at partial probe
+      // depth, with and without the exact re-rank stage
+      def quantRecall(nprobe: Int, rerank: Int): Double = {
+        val got = pairs(Similarity.ivfTopKQuantized(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
+          nlist = 16, nprobe = nprobe, rerank = rerank)
+          .select(col("probe_id"), col("neighbor_id")))
+        (got & exact).size.toDouble / exact.size
+      }
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
@@ -150,7 +173,10 @@ object Bench {
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +
         s""""lsh_recall_at5":$lshRecall,"lsh_cand_pairs":$lshCand,""" +
-        s""""lsh_mp_recall_at5":$lshMpRecall,"lsh_mp_cand_pairs":$lshMpCand}"""
+        s""""lsh_mp_recall_at5":$lshMpRecall,"lsh_mp_cand_pairs":$lshMpCand,""" +
+        s""""lsh_band_recall_at5":$lshBandRecall,"lsh_band_cand_pairs":$lshBandCand,""" +
+        s""""ivfq_recall_at5_nprobe4":${quantRecall(4, 0)},""" +
+        s""""ivfq_rerank_recall_at5_nprobe4":${quantRecall(4, 15)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")

@@ -224,6 +224,13 @@ object Similarity {
     * more tables — collision probability amplifies as 1−(1−p^r)^L for
     * per-bit agreement p, which typically dominates multi-probe's
     * recall/candidate frontier on clustered (real) embeddings.
+    * Measured on the fixture (UNCLUSTERED random vectors — the hardest
+    * case): 5 tables × 4 bits reach recall 0.44 at 2.7k candidates vs
+    * multi-probe's 0.60 at 3.0k, so multi-probe [[signLshTopK]] stays
+    * the default here; prefer banding when the corpus is clustered or
+    * when probe latency matters more than index size (banding pays
+    * `bands`× signatures at INDEX time, multi-probe pays probe-time
+    * flip staging per QUERY).
     * Generation stays hash-join shaped: both sides explode to
     * (band, signature) rows and equi-join, so compared-pair volume is
     * per-band bucket co-occupancy summed over bands — never n². Corpus
