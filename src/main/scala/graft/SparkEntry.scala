@@ -276,6 +276,52 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** As-of join on the event stream: every purchase picks up the
+    * latest click (value + time) of the same user at-or-before it.
+    * Times compare as epoch MICROS on both engines — the parquet
+    * carries non-micro-aligned nanos, so comparing raw timestamps
+    * would let DuckDB (nanos) and Spark (micros) disagree at equal
+    * microseconds; the same goes for the (user, time) pre-aggregation
+    * key. Right side pre-aggregated per (user, time) with max_by /
+    * arg_max so the carry is deterministic. */
+  private val j6AsofJoin = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("last_click_value"))
+      .withColumn("last_click_tus", col("tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    TemporalJoin.asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus")
+      .select(col("event_id"), col("last_click_tus"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Bucketed range join: clicks (points) into 10-minute windows after
+    * each error (intervals), counted per error — the no-equi-key
+    * interval join the planner would otherwise BNL. Bucket width =
+    * window length, so each interval explodes to at most 2 buckets.
+    * Zero-match errors are kept by a left join back (count 0). */
+  private val j7RangeJoin = (s: SparkSession, d: String) => {
+    val tenMinUs = 600000000L
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("_pt"), col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_micros(col("ts")).as("_st"),
+        (unix_micros(col("ts")) + lit(tenMinUs)).as("_en"))
+    val matched = TemporalJoin.rangeJoinBucketed(
+        clicks, errors, "_pt", "_st", "_en", bucketWidth = tenMinUs)
+      .groupBy(col("error_id"))
+      .agg(count(lit(1)).as("clicks_within_10m"), min(col("click_id")).as("first_click_id"))
+    errors.select(col("error_id"))
+      .join(matched, Seq("error_id"), "left")
+      .select(col("error_id"),
+        coalesce(col("clicks_within_10m"), lit(0L)).as("clicks_within_10m"),
+        col("first_click_id"))
+      .orderBy(col("error_id"))
+  }
+
   // ====================================================================
   // Sort / limit / union / window (W1-W3 + analytic windows)
   // ====================================================================
@@ -802,6 +848,8 @@ object SparkEntry {
     "j3_semi" -> j3Semi,
     "j4_salted_join" -> j4SaltedJoin,
     "j5_q3_shape" -> j5Q3Shape,
+    "j6_asof_join" -> j6AsofJoin,
+    "j7_range_join" -> j7RangeJoin,
     "w1_union" -> w1Union,
     "w2_topk" -> w2TopK,
     "w3_window_rank" -> w3WindowRank,
@@ -1195,6 +1243,30 @@ object SparkEntry {
     "s2_lsh_topk" -> s2OracleSql,
     "s5_lsh_multiprobe" -> s5OracleSql,
     "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
+    "j6_asof_join" ->
+      // epoch_us on both sides: the parquet nanos are not micro-aligned,
+      // so raw-timestamp comparisons and (user, ts) grouping would
+      // diverge between a nanos engine and a micros engine
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS last_click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         ), l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT l.event_id, r.tus AS last_click_tus, r.last_click_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
+         ORDER BY l.event_id""",
+    "j7_range_join" ->
+      """SELECT e.event_id AS error_id,
+           count(c.event_id) AS clicks_within_10m,
+           min(c.event_id) AS first_click_id
+         FROM events e LEFT JOIN events c
+           ON c.event_type = 'click'
+           AND epoch_us(c.ts) >= epoch_us(e.ts)
+           AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+         WHERE e.event_type = 'error'
+         GROUP BY 1 ORDER BY 1""",
     "s8_quantized_ivf" ->
       // s7's quantize→dequantize arithmetic on the corpus side; the
       // probe side stays full precision (asymmetric scoring) — at

@@ -61,6 +61,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j3_semi" -> 1.0,
     "j4_salted_join" -> 1.2,
     "j5_q3_shape" -> 1.2,
+    "j6_asof_join" -> 1.0,
+    "j7_range_join" -> 1.0,
     "m1_multimodal_features" -> 1.0,
     "m2_frame_sample" -> 1.0,
     "m3_resize_meta" -> 1.0,

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.TemporalJoin
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofJoin: latest right at-or-before per key, exact ties match, no-prior is null") {
+    val left = Seq(
+      (1L, "a", 10L), // before any right row for a
+      (2L, "a", 20L), // exactly at a right row -> matches it
+      (3L, "a", 35L), // between rights -> latest earlier
+      (4L, "b", 50L), // other key
+      (5L, "c", 10L)  // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, 200.0),
+      ("a", 30L, 300.0),
+      ("b", 49L, 490.0),
+      ("b", 51L, 510.0)
+    ).toDF("k", "rt", "rv")
+      .withColumn("r_t", col("rt"))
+
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(got == Seq(
+      (1L, None, None),
+      (2L, Some(20L), Some(200.0)),
+      (3L, Some(30L), Some(300.0)),
+      (4L, Some(49L), Some(490.0)),
+      (5L, None, None)))
+  }
+
+  test("asofJoin plan: one key Exchange, no nested-loop or cartesian join") {
+    // parquet-backed to keep the plan honest
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("rt"),
+        col("value").as("rv"))
+      .groupBy(col("user_id"), col("rt")).agg(max(col("rv")).as("rv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val joined = TemporalJoin.asofJoin(purchases, clicks, Seq("user_id"), "t", "rt")
+    joined.collect() // finalize AQE
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"asof must never nest-loop:\n$plan")
+    assert(plan.contains("Window"), "carry must run as a window, not a join")
+  }
+
+  test("rangeJoinBucketed: half-open containment, boundary points, multi-bucket intervals") {
+    val points = Seq((1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 95L), (6L, 34L))
+      .toDF("pid", "p")
+    // intervals: [10,20) spans two width-8 buckets; [90,100) far away;
+    // [30,30) is empty and must match nothing
+    val intervals = Seq((100L, 10L, 20L), (200L, 90L, 100L), (300L, 30L, 30L))
+      .toDF("iid", "s", "e")
+    val got = TemporalJoin.rangeJoinBucketed(points, intervals, "p", "s", "e", bucketWidth = 8L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // p=10 and p=19 inside [10,20); p=20 excluded (half-open); p=95 in [90,100)
+    assert(got == Set((2L, 100L), (3L, 100L), (5L, 200L)))
+  }
+
+  test("rangeJoinBucketed: each containment appears exactly once (no cross-bucket dups)") {
+    val points = (0L until 50L).map(i => (i, i * 3L)).toDF("pid", "p")
+    val intervals = Seq((1L, 0L, 150L)).toDF("iid", "s", "e") // spans many width-7 buckets
+    val rows = TemporalJoin.rangeJoinBucketed(points, intervals, "p", "s", "e", bucketWidth = 7L)
+      .select(col("pid")).collect().map(_.getLong(0)).toSeq
+    assert(rows.length == rows.distinct.length, "a pair met in more than one bucket")
+    assert(rows.length == 50, "all points lie inside the interval")
+  }
+
+  test("rangeJoinBucketed plan: equi-join on the bucket id, no nested loop") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("p"), col("event_id").as("pid"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("iid"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lit(600000000L)).as("e"))
+    val joined = TemporalJoin.rangeJoinBucketed(clicks, errors, "p", "s", "e", 600000000L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed range join must stay an equi-join:\n$plan")
+  }
+}
