@@ -541,6 +541,21 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Same clustering as d8 through the O(log²)-round large-star /
+    * small-star algorithm — depth-independent, for graphs where
+    * min-label propagation's O(diameter) rounds would dominate. Labels
+    * are a pure function of the pair set, so it shares d8's
+    * transitive-closure oracle verbatim: the driver gate proves the
+    * two algorithms agree with the recursive ground truth. */
+  private val d9NearDupGroupsLogStar = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    Dedup.nearDupComponentsLogStar(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -870,6 +885,7 @@ object SparkEntry {
     "d6_neardup_pairs" -> d6NearDupPairs,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_neardup_groups" -> d8NearDupGroups,
+    "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
@@ -1191,6 +1207,7 @@ object SparkEntry {
       // bipartite brute-force ground truth: eval slice vs training rest
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
     "d8_neardup_groups" -> d8OracleSql,
+    "d9_neardup_groups_logstar" -> d8OracleSql,
     "a14_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)

@@ -342,7 +342,88 @@ object Dedup {
       labels = next.drop("_changed")
       it += 1
     }
+    // silent non-convergence would hand back WRONG dedup decisions —
+    // fail loudly; adversarially deep graphs belong on the O(log²)
+    // large-star/small-star path ([[nearDupComponentsLogStar]])
+    require(changed == 0,
+      s"nearDupComponents: not converged after $maxIters rounds " +
+        s"($changed labels still moving) — the pair graph is deeper than " +
+        "min-label propagation should walk; use nearDupComponentsLogStar")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the adversarial-depth path: O(log² n)
+    * rounds regardless of graph diameter, where min-label propagation
+    * ([[nearDupComponents]]) walks O(diameter). Same output contract:
+    * (id, label) for EVERY doc, label = component minimum.
+    *
+    * Each round: per-node neighborhood minimum (one groupBy + one join
+    * over the edge list), then re-wire — large-star hangs every
+    * larger-than-center neighbor onto the neighborhood min, small-star
+    * the rest. Connectivity is preserved by construction and the edge
+    * list contracts toward a star per component; convergence is
+    * detected by an order-independent edge-set signature (count +
+    * hash sum — one tiny aggregate per round, no edge-set diff join).
+    * Rounds localCheckpoint like the min-label path (same lineage
+    * discipline). */
+  def nearDupComponentsLogStar(
+      docs: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // order-independent edge-set fingerprint: XOR of per-edge hashes
+    // (overflow-free under ANSI, unlike a sum) + the count
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // one star re-wiring: per-node min m over Γ(u) ∪ {u}; large-star
+    // hangs every v > u onto m; small-star hangs v ≤ u onto m AND keeps
+    // the (u, m) attachment itself — dropping it disconnects u from its
+    // component (the paper's emission set is over Γ⁺(u), u included)
+    def star(und: DataFrame, large: Boolean): DataFrame = {
+      val dir = und.select(col("a").as("u"), col("b").as("v"))
+        .union(und.select(col("b").as("u"), col("a").as("v")))
+      val m = dir.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      val withM = dir.join(m, "u").withColumn("m", least(col("_mn"), col("u")))
+      val kept =
+        if (large) withM.filter(col("v") > col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+        else withM.filter(col("v") <= col("u"))
+          .select(col("v").as("a"), col("m").as("b"))
+          .union(withM.select(col("u").as("a"), col("m").as("b")))
+      canon(kept)
+    }
+    var edges = canon(
+      pairs.select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b")))
+      .localCheckpoint(true)
+    var sig = signature(edges)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIters) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+      val nextSig = signature(next)
+      stable = nextSig == sig
+      edges = next
+      sig = nextSig
+      it += 1
+    }
+    require(stable,
+      s"nearDupComponentsLogStar: edge set still moving after $maxIters rounds")
+    // star graphs: every node's label is its min neighbor (roots: self)
+    val nbrMin = edges.select(col("a").as("id"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("id"), col("a").as("nbr")))
+      .groupBy(col("id")).agg(min(col("nbr")).as("_n"))
+    docs.select(col(idCol).cast("long").as("id")).distinct()
+      .join(nbrMin, Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("_n"), col("id"))).as("label"))
   }
 
   /** Survivor selection: keep each component's canonical (minimum-id)

@@ -48,6 +48,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d5_embedding_neardup" -> 1.2,
     "d6_neardup_pairs" -> 1.9,
     "d8_neardup_groups" -> 6.0,
+    "d9_neardup_groups_logstar" -> 7.0,
     "d7_decontaminate" -> 1.6,
     "e1_json_extract" -> 1.0,
     "e2_time_window" -> 1.0,

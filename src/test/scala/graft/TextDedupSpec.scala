@@ -85,6 +85,44 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("large-star/small-star components agree with min-label on varied graph shapes") {
+    def labelsOf(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+        ids: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+      f(ids.toDF("doc_id"), "doc_id", edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rnd = new scala.util.Random(11)
+    val shapes: Seq[(Seq[Long], Seq[(Long, Long)])] = Seq(
+      // chain + pair + singleton (the existing min-label fixture)
+      (Seq(1L, 2L, 3L, 4L, 5L, 9L), Seq((1L, 2L), (2L, 3L), (4L, 5L))),
+      // two cliques bridged by one edge
+      ((0L until 10L), (for (a <- 0L until 4L; b <- a + 1 to 4L) yield (a, b)) ++
+        (for (a <- 5L until 9L; b <- a + 1 to 9L) yield (a, b)) :+ (4L, 5L)),
+      // random sparse graph
+      ((0L until 60L), Seq.fill(45)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b })
+    ).map { case (ids, es) => (ids.toSeq, es.toSeq) }
+    shapes.foreach { case (ids, edges) =>
+      val a = labelsOf(Dedup.nearDupComponents(_, _, _), ids, edges)
+      val b = labelsOf(Dedup.nearDupComponentsLogStar(_, _, _), ids, edges)
+      assert(a == b, s"algorithms disagree on $edges")
+    }
+  }
+
+  test("log-star converges on a deep chain where min-label propagation hits its round cap") {
+    val n = 120L
+    val ids = (0L until n).toDF("doc_id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // min-label needs O(n) rounds on a path graph: at its default cap it
+    // must now FAIL LOUDLY instead of returning wrong labels silently
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(ids, "doc_id", chain).collect()
+    }
+    // the alternating-star algorithm is depth-independent
+    val got = Dedup.nearDupComponentsLogStar(ids, "doc_id", chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
   test("d6 banding config gives recall 1.0 vs brute-force Jaccard on the fixture") {
     // d6_neardup_pairs' oracle is exact all-pairs Jaccard; the Spark side
     // only equals it if LSH misses nothing. Signatures are
