@@ -81,7 +81,7 @@ object Bench {
     * volumes at both sizes. Healthy bucketing ⇒ candidates (and ideally
     * wall time) grow ~5x, not 25x; ScaleSpec asserts the candidate
     * ratio, this reports the measured numbers per round. */
-  private def benchScale(spark: SparkSession, sfDir: String): String = {
+  private[graft] def benchScale(spark: SparkSession, sfDir: String): String = {
     try {
       import graft.operators.{Dedup, ScaleFixture, Similarity}
       import org.apache.spark.sql.functions.col

@@ -101,6 +101,29 @@ class BenchBudgetSpec extends SparkTestBase {
     "x4_stratified_sample" -> 1.0,
   )
 
+  test("scale probes run cache-isolated and stay within committed budgets") {
+    // round-4 finding: the probes regressed 2.7-4.3x purely from cache
+    // pressure left by earlier queries; gate them like any query so the
+    // round-over-round scale evidence stays evidence. Budgets follow the
+    // same 3x-steady-state rule (sf0.001, local[4]).
+    Bench.benchScale(spark, dir) // warmup: codegen/JIT/footers (same discipline as queries)
+    val json = Bench.benchScale(spark, dir)
+    def metric(name: String): Double = {
+      val m = s""""$name":(-?[0-9.]+)""".r.findFirstMatchIn(json)
+      assert(m.nonEmpty, s"$name missing from scale JSON: $json")
+      m.get.group(1).toDouble
+    }
+    val budgets = Map(
+      "ivf_sec_1x" -> 2.5, "ivf_sec_5x" -> 4.0,
+      "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0)
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val v = metric(name)
+      assert(v >= 0, s"$name failed to run")
+      if (v > budget) Some(f"$name: $v%.2f s > budget $budget%.1f s") else None
+    }
+    assert(over.isEmpty, s"scale-probe budget regressions:\n${over.mkString("\n")}")
+  }
+
   test("every registry query has a committed time budget") {
     val missing = SparkEntry.queries.keySet -- budgets.keySet
     assert(missing.isEmpty, s"new queries need budget rows: $missing")
