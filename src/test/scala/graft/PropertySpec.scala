@@ -126,4 +126,41 @@ class PropertySpec extends SparkTestBase {
     assert(rows.map(_._2).sorted.toSeq == (0L until n))
     assert(rows.sortBy(_._2).map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
   }
+
+  test("asofJoin matches a naive per-key scan on random keyed event sets") {
+    import graft.operators.TemporalJoin
+    val genLeft = Gen.listOfN(400, for {
+      k <- Gen.chooseNum(0L, 7L); t <- Gen.chooseNum(0L, 200L)
+    } yield (k, t))
+    val genRight = Gen.listOfN(150, for {
+      k <- Gen.chooseNum(0L, 9L); t <- Gen.chooseNum(0L, 220L)
+      v <- Gen.chooseNum(1L, 1000L)
+    } yield (k, t, v))
+    val leftRows = sample(genLeft, 17L).zipWithIndex
+      .map { case ((k, t), i) => (i.toLong, k, t) }
+    // one value per (key, time): the operator contract (carry order
+    // between equal-time right rows is undefined)
+    val rightRows = sample(genRight, 23L)
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+    val got = TemporalJoin.asofJoin(
+        leftRows.toDF("id", "k", "t"),
+        rightRows.toDF("k", "rt", "rv").withColumn("r_t", col("rt")),
+        Seq("k"), "t", "rt")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getAs[Any]("r_t")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Long])))).toMap
+
+    val byKey = rightRows.groupBy(_._1)
+    leftRows.foreach { case (id, k, t) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2)
+        .lastOption
+      assert(got(id) == ((want.map(_._2), want.map(_._3))),
+        s"id=$id key=$k t=$t: got ${got(id)}, want $want")
+    }
+    assert(got.size == leftRows.size, "every left row must appear exactly once")
+  }
 }
