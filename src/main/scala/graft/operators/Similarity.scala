@@ -490,8 +490,12 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       rerank: Int = 0,
+      refineIters: Int = 0,
       maxProbes: Int = 10000): DataFrame = {
-    val cents = collectCentroids(ivfCentroids(df, idCol, vecCol, nlist))
+    val sampled = ivfCentroids(df, idCol, vecCol, nlist)
+    val cents = collectCentroids(
+      if (refineIters > 0) kmeansRefine(df, sampled, idCol, vecCol, refineIters)
+      else sampled)
     // scale staged as a column per the HOF contract; the list rows carry
     // (id, list, codes, scale) only — the 4× storage win is the point
     val lists = ivfAssignCollected(df, cents, idCol, vecCol)

@@ -290,6 +290,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("quantized IVF composes with k-means refine: exhaustive ADC is centroid-invariant") {
+    // refine moves every centroid (and so every list assignment), but
+    // with nprobe == nlist the quantized scoring is still exhaustive —
+    // the same invariant that oracles s6 for the full-precision tier
+    val data = vecs(100, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopKQuantized(
+        df, "vec_id", "embedding", col("vec_id") < 5, k = 5, nlist = 8, nprobe = 8,
+        refineIters = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (p, rs) => p -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    assert(got == adcExpected(data, (0L until 5L).toSeq, 5))
+  }
+
   test("quantized IVF with full-depth re-rank reproduces exact brute force") {
     val df = vecs(100, 16).toDF("vec_id", "embedding")
     val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
