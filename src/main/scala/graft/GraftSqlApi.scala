@@ -127,5 +127,33 @@ object GraftSqlApi {
       """SELECT doc_id FROM documents
          WHERE substring(md5(cast(concat('sample:', cast(doc_id AS STRING)) AS BINARY)), 1, 8) < '33333333'
          ORDER BY doc_id""",
+    // the as-of join is pure SQL from this surface too: the same
+    // union + running-window carry the Scala operator plans (Spark SQL
+    // has no ASOF keyword; this IS the idiomatic formulation)
+    "j6_asof_join" ->
+      """WITH r AS (
+           SELECT user_id, unix_micros(ts) AS tus,
+                  max_by(value, event_id) AS last_click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         ), l AS (
+           SELECT event_id, user_id, unix_micros(ts) AS tus
+           FROM events WHERE event_type = 'purchase'
+         ), u AS (
+           SELECT event_id, user_id, tus, 1 AS side,
+                  CAST(NULL AS BIGINT) AS v_tus, CAST(NULL AS DOUBLE) AS v_val
+           FROM l
+           UNION ALL
+           SELECT CAST(NULL AS BIGINT), user_id, tus, 0 AS side,
+                  tus AS v_tus, last_click_value AS v_val
+           FROM r
+         )
+         SELECT event_id, last_click_tus, last_click_value FROM (
+           SELECT event_id, side,
+             LAST(v_tus, TRUE) OVER (PARTITION BY user_id ORDER BY tus, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_tus,
+             LAST(v_val, TRUE) OVER (PARTITION BY user_id ORDER BY tus, side
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+           FROM u
+         ) WHERE side = 1 ORDER BY event_id""",
   )
 }
