@@ -477,6 +477,20 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Greedy sequence packing into 256-token bins per source — the
+    * pre-training batching step. The walk is deterministic per (group,
+    * id order, sizes), so the oracle replays it as a recursive CTE over
+    * the same t3 token counts. */
+  private val x5PackGreedy = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
+    Packing.packGreedy(docs, "source", "doc_id", "n_tokens", budget = 256)
+      .select(col("id").as("doc_id"), col("group").as("source"),
+        col("n_tokens"), col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
   // Deduplication (exact + fingerprint + LSH + simhash)
   // ====================================================================
@@ -913,6 +927,7 @@ object SparkEntry {
     "x2_hash_sample" -> x2HashSample,
     "x3_source_quota" -> x3SourceQuota,
     "x4_stratified_sample" -> x4Stratified,
+    "x5_pack_greedy" -> x5PackGreedy,
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
@@ -1357,6 +1372,28 @@ object SparkEntry {
                  ELSE '${h(0.1)}' END
           ORDER BY doc_id"""
     },
+    "x5_pack_greedy" ->
+      // the greedy walk replayed as a recursive CTE: same t3 token
+      // counts, same rule (overflow opens a new bin with fill = n;
+      // first doc of a group always lands in bin 0, even oversized)
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents
+         ), pack AS (
+           SELECT doc_id, source, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens <= 256 THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + d.n_tokens <= 256 THEN p.fill + d.n_tokens
+                  ELSE CAST(d.n_tokens AS BIGINT) END
+           FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+         )
+         SELECT doc_id, source, n_tokens, bin_id FROM pack ORDER BY doc_id""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

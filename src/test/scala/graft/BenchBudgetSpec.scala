@@ -99,6 +99,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x2_hash_sample" -> 1.0,
     "x3_source_quota" -> 1.0,
     "x4_stratified_sample" -> 1.0,
+    "x5_pack_greedy" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
