@@ -5,10 +5,12 @@ package graft
   * staging trap, a guard job creeping in) that value checks would never
   * catch.
   *
-  * Budgets are a COMMITTED table: 3× the round-4 steady-state
-  * measurement at sf0.001 on the test session (local[4], 4 shuffle
-  * partitions), floored at 1.0 s — generous enough for machine noise,
-  * tight enough that an order-of-magnitude plan regression trips.
+  * Budgets are a COMMITTED table: 3× the steady-state measurement at
+  * sf0.001 on the test session (local[4], 4 shuffle partitions),
+  * floored at 1.0 s, plus headroom on rows observed within noise of
+  * their limit on a loaded box (round 5) — generous enough for machine
+  * noise, tight enough that an order-of-magnitude plan regression
+  * trips.
   * A new registry query without a budget row fails the coverage test;
   * re-baseline deliberately (never by loosening a failing row without
   * reading the plan first).
@@ -27,14 +29,14 @@ class BenchBudgetSpec extends SparkTestBase {
     "s7_quantized_topk" -> 1.6,
     "s8_quantized_ivf" -> 2.0,
     "s9_lsh_banded" -> 2.2,
-    "a10_percentiles" -> 1.3,
-    "a11_rollup" -> 1.2,
+    "a10_percentiles" -> 1.6,
+    "a11_rollup" -> 1.5,
     "a12_pivot" -> 1.1,
-    "a13_approx_distinct" -> 1.0,
+    "a13_approx_distinct" -> 1.3,
     "a14_cube" -> 1.0,
     "a1_group_count_segment" -> 1.0,
     "a2_group_count_status" -> 1.0,
-    "a3_two_key_count" -> 1.0,
+    "a3_two_key_count" -> 1.3,
     "a4_group_count_events" -> 1.0,
     "a5_histogram" -> 1.0,
     "a6_conditional_pair" -> 1.0,
@@ -45,8 +47,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "d2_fingerprint_dedup" -> 1.0,
     "d3_lsh_buckets" -> 1.0,
     "d4_simhash" -> 1.0,
-    "d5_embedding_neardup" -> 1.2,
-    "d6_neardup_pairs" -> 1.9,
+    "d5_embedding_neardup" -> 1.5,
+    "d6_neardup_pairs" -> 2.4,
     "d8_neardup_groups" -> 6.0,
     "d9_neardup_groups_logstar" -> 7.0,
     "d7_decontaminate" -> 1.6,
@@ -60,8 +62,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j1_broadcast_dim" -> 1.4,
     "j2_sortmerge_fact" -> 1.0,
     "j3_semi" -> 1.0,
-    "j4_salted_join" -> 1.2,
-    "j5_q3_shape" -> 1.2,
+    "j4_salted_join" -> 1.6,
+    "j5_q3_shape" -> 1.8,
     "j6_asof_join" -> 1.0,
     "j7_range_join" -> 1.0,
     "m1_multimodal_features" -> 1.0,
