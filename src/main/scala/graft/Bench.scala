@@ -84,7 +84,7 @@ object Bench {
   private[graft] def benchScale(spark: SparkSession, sfDir: String): String = {
     try {
       import graft.operators.{Dedup, ScaleFixture, Similarity}
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, unix_micros}
       // the scale probes are the round-over-round evidence — isolate them
       // from whatever cache/heap state the 71 registry queries left behind
       CachePool.releaseAll(blocking = true)
@@ -143,6 +143,23 @@ object Bench {
       }
       val (lshRecall, lshCand) = lshRecallAndCands(1)
       val (lshMpRecall, lshMpCand) = lshRecallAndCands(5)
+      // as-of join growth on the key axis (5x disjoint user spaces):
+      // per-key union+window work should grow ~linearly with keys
+      val ev1 = graft.sources.Tables.events(spark, sfDir)
+      val ev5 = ScaleFixture.scaleEvents(ev1, 5)
+      def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+          .agg(org.apache.spark.sql.functions.max_by(col("value"), col("event_id"))
+            .as("last_click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        graft.operators.TemporalJoin
+          .asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus")
+          .count()
+      }
+      val (asofT1, _) = time(asofCount(ev1))
+      val (asofT5, _) = time(asofCount(ev5))
       // banded (OR-amplification) vs multi-probe at comparable search
       // effort: 5 independent 4-bit tables vs 5 probed buckets of one
       def bandedRecallAndCands(bands: Int): (Double, Long) = {
@@ -169,6 +186,7 @@ object Bench {
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
+        s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +

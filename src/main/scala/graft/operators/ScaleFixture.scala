@@ -44,6 +44,17 @@ object ScaleFixture {
         perturbText(col("text"), r).as("text"))
     }.reduce(_.unionByName(_))
 
+  /** `replicas` copies of an event table keyed by `user_id`: replica r
+    * offsets user ids by [[idStride]] (disjoint key spaces) and event
+    * ids likewise; times are preserved. Models key-space growth — the
+    * axis a per-key operator (as-of join, sessionization) scales on. */
+  def scaleEvents(events: DataFrame, replicas: Int): DataFrame =
+    (0 until replicas).map { r =>
+      events
+        .withColumn("user_id", col("user_id") + lit(r * idStride))
+        .withColumn("event_id", col("event_id") + lit(r * idStride))
+    }.reduce(_.unionByName(_))
+
   /** `replicas` copies of (vec_id, embedding); replica r circularly
     * rotates coordinates by 7·r and flips the sign of every other
     * element. A coordinate permutation (+ sign pattern) preserves norms
