@@ -71,6 +71,37 @@ class StreamingAsofSpec extends SparkTestBase {
     }
   }
 
+  test("state survives checkpoint restart: versions from before the restart still serve lookups") {
+    val base = tmpDir("asof-restart")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "key BIGINT, t BIGINT, right DOUBLE")
+    def stream = spark.readStream.schema(schema).parquet(s"$base/in").as[AsofInput]
+    def run(): Unit = {
+      val q = StreamingAsofEnrich.enrich(stream)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: only versions arrive; state is built, nothing emitted
+    Seq(AsofInput(1L, 10L, Some(100.0)), AsofInput(2L, 20L, Some(200.0)))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$base/in")
+    run()
+    // run 2 (fresh query from the checkpoint): lookups arrive — they can
+    // only be enriched if run 1's versions were recovered from state
+    Seq(AsofInput(1L, 15L, None), AsofInput(2L, 25L, None))
+      .toDS().coalesce(1).write.mode("append").parquet(s"$base/in")
+    run()
+    val got = spark.read.parquet(s"$base/out").as[AsofOutput].collect()
+      .map(o => o.key -> ((o.asofT, o.asofValue))).toMap
+    assert(got == Map(
+      1L -> ((Some(10L), Some(100.0))),
+      2L -> ((Some(20L), Some(200.0)))))
+  }
+
   test("version retention: maxVersions evicts oldest, late lookups degrade as documented") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[AsofInput]
