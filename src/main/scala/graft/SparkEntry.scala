@@ -477,6 +477,23 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic epoch shuffle: hash-seeded total training order,
+    * positions via the distributed row index (no single-task window).
+    * Both engines order by the identical md5 prefix + id tiebreak. */
+  private val x6EpochShuffle = (s: SparkSession, d: String) =>
+    Sampling.epochOrder(
+        t(s, d, "documents").select(col("doc_id")), "doc_id", epoch = 3)
+      .select(col("doc_id"), col("position"))
+      .orderBy(col("position"))
+
+  /** Sliding chunk spans (64-token chunks, stride 48): the
+    * context-window preparation step. Spans are pure integer arithmetic
+    * over t3 token counts — bit-exact on any engine. */
+  private val x7ChunkSpans = (s: SparkSession, d: String) =>
+    TextAnalysis.chunkSpans(t(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Greedy sequence packing into 256-token bins per source — the
     * pre-training batching step. The walk is deterministic per (group,
     * id order, sizes), so the oracle replays it as a recursive CTE over
@@ -928,6 +945,8 @@ object SparkEntry {
     "x3_source_quota" -> x3SourceQuota,
     "x4_stratified_sample" -> x4Stratified,
     "x5_pack_greedy" -> x5PackGreedy,
+    "x6_epoch_shuffle" -> x6EpochShuffle,
+    "x7_chunk_spans" -> x7ChunkSpans,
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
@@ -1394,6 +1413,28 @@ object SparkEntry {
            FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
          )
          SELECT doc_id, source, n_tokens, bin_id FROM pack ORDER BY doc_id""",
+    "x6_epoch_shuffle" ->
+      """SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY substr(md5('epoch3:' || doc_id::VARCHAR), 1, 8), doc_id) - 1
+             AS BIGINT) AS position
+         FROM documents ORDER BY position""",
+    "x7_chunk_spans" ->
+      // integer-exact replay: t3 token counts, count = max(1, ceil(n/48)),
+      // span i = [i*48, i*48 + 64) clamped to n
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n, GREATEST(1, (n + 47) // 48) AS cnt FROM d
+         )
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(i * 48 AS INTEGER) AS token_start,
+           CAST(GREATEST(LEAST(64, n - i * 48), 0) AS INTEGER) AS token_len
+         FROM c, unnest(range(0, cnt)) AS t(i)
+         ORDER BY doc_id, chunk_idx""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

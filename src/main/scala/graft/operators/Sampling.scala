@@ -91,6 +91,24 @@ object Sampling {
     df.filter(u < threshold)
   }
 
+  /** Deterministic epoch shuffle: a dense 0-based training ORDER over
+    * the keys, re-drawn per epoch (the salt carries the epoch number),
+    * key as tiebreaker — reproducible across runs and engines, unlike
+    * `orderBy(rand())`. The index rides the engine's distributed row
+    * index (range-partitioned sort + AQE-pinned zipWithIndex), NOT a
+    * global `row_number()` window — a no-partition window collapses to
+    * one task, the exact scale-killer the segmentation path documents.
+    * The materialized position is what makes resumable data loaders
+    * (skip to step N) possible; consumers that only need the ORDER can
+    * sort by [[uniformHex]] directly and skip the index. */
+  def epochOrder(
+      df: DataFrame,
+      keyCol: String,
+      epoch: Int,
+      outCol: String = "position"): DataFrame =
+    RelationalOps.withRowIndex(df, outCol,
+      Seq(uniformHex(col(keyCol), s"epoch$epoch"), col(keyCol)))
+
   /** Assign every key to one of the named splits with the given weights
     * (must sum to ≤ 1; any remainder falls into the last split). The
     * assignment column is appended; rows never move or duplicate. */

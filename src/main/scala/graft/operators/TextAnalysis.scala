@@ -94,6 +94,34 @@ object TextAnalysis {
   def tokenCountBpeish(c: Column): Column =
     size(regexp_extract_all(c, lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  /** Sliding chunk spans for context-window preparation: chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens), i in 0 until
+    * max(1, ceil(n / stride)) — so consecutive chunks overlap by
+    * chunkTokens − stride tokens and every doc (even empty) emits at
+    * least one span. Output: one row per (doc, chunk) with
+    * (chunk_idx, token_start, token_len); the caller slices content by
+    * span (the spans are the plan — emitting sliced text here would
+    * multiply the corpus by the overlap factor before it's needed).
+    * Pure narrow map + explode: no shuffle, linear in output spans. */
+  def chunkSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride ($stride) <= chunkTokens ($chunkTokens)")
+    df.select(col(idCol), tokenCount(col(textCol)).as("_n"))
+      .withColumn("_cnt", greatest(lit(1),
+        expr(s"(_n + ${stride - 1}) div $stride")))
+      .select(col(idCol),
+        col("_n"), explode(sequence(lit(0), (col("_cnt") - 1).cast("int"))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("token_start"),
+        greatest(least(lit(chunkTokens), col("_n") - col("chunk_idx") * stride), lit(0))
+          .cast("int").as("token_len"))
+  }
+
   /** Quality heuristics: length band, token count, mean word length,
     * punctuation & digit ratios. Returns the input plus metric columns
     * and a boolean `quality_ok`. */

@@ -102,6 +102,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "x3_source_quota" -> 1.0,
     "x4_stratified_sample" -> 1.0,
     "x5_pack_greedy" -> 1.0,
+    "x6_epoch_shuffle" -> 1.2,
+    "x7_chunk_spans" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -104,4 +104,41 @@ class SamplingSpec extends SparkTestBase {
     assert(!p.contains("Exchange"), s"repetition signals must not shuffle:\n$p")
     assert(!p.contains("Generate"), s"repetition signals must not explode:\n$p")
   }
+
+  test("epochOrder: dense permutation, deterministic per epoch, distinct across epochs") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 300L).toDF("doc_id")
+    def order(epoch: Int): Seq[Long] =
+      Sampling.epochOrder(df, "doc_id", epoch)
+        .collect().map(r => (r.getLong(1), r.getLong(0)))
+        .sortBy(_._1).map(_._2).toSeq
+    val e1 = order(1)
+    assert(e1.sorted == (1L to 300L), "positions must cover every key exactly once")
+    assert(order(1) == e1, "same epoch must reproduce the same order")
+    val e2 = order(2)
+    assert(e2.sorted == (1L to 300L))
+    assert(e1 != e2, "different epochs must draw different orders")
+    // the index path must be the distributed row index, not a global window
+    val plan = Sampling.epochOrder(df, "doc_id", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"epochOrder must not use a global window:\n$plan")
+  }
+
+  test("chunkSpans: overlap arithmetic, short docs, empty docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 100 tokens at chunk 64 / stride 48 -> ceil(100/48)=3 chunks:
+    // [0,64), [48,112)->len 52, [96,160)->len 4
+    val long = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, long), (2L, "just five little tokens here"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkSpans(df, "doc_id", "text", chunkTokens = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0, 0, 64), (1L, 1, 48, 52), (1L, 2, 96, 4),
+      (2L, 0, 0, 5),
+      (3L, 0, 0, 0)))
+  }
 }
