@@ -677,6 +677,17 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, bands = 2, bitsPerBand = 4)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Random projection 64→16 dims exploded to scalars: the JL
+    * dimensionality-reduction tier, oracled through the same exported
+    * plane constants as s2 (list_dot_product / √16 — IEEE-exact). */
+  private val s10RandomProjection = (s: SparkSession, d: String) =>
+    t(s, d, "embeddings")
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        posexplode(Similarity.randomProject(col("embedding"), dim = 64, outDim = 16))
+          .as(Seq("pos", "component")))
+      .orderBy(col("vec_id"), col("pos"))
+
   /** L2 normalization exploded to scalars — unit-norm is the standard
     * ingest step that turns downstream cosine into plain dot product.
     * Norm components are exact IEEE double ops on both engines. */
@@ -923,6 +934,7 @@ object SparkEntry {
     "s7_quantized_topk" -> s7QuantizedTopK,
     "s8_quantized_ivf" -> s8QuantizedIvf,
     "s9_lsh_banded" -> s9LshBanded,
+    "s10_random_projection" -> s10RandomProjection,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1294,6 +1306,7 @@ object SparkEntry {
     "s2_lsh_topk" -> s2OracleSql,
     "s5_lsh_multiprobe" -> s5OracleSql,
     "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
+    "s10_random_projection" -> s10OracleSql,
     "j6_asof_join" ->
       // epoch_us on both sides: the parquet nanos are not micro-aligned,
       // so raw-timestamp comparisons and (user, ts) grouping would
@@ -1470,7 +1483,7 @@ object SparkEntry {
   private def lshOracleSql(maxHamming: Int): String = {
     val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4)
     val sig = planes.zipWithIndex.map { case (p, i) =>
-      val arr = p.mkString("[", ", ", "]")
+      val arr = doubleArraySql(p)
       s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     val bucketJoin =
@@ -1499,7 +1512,7 @@ object SparkEntry {
     val sigCols = (0 until bands).map { b =>
       val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4, seed = 42L + b)
       val sig = planes.zipWithIndex.map { case (p, i) =>
-        val arr = p.mkString("[", ", ", "]")
+        val arr = doubleArraySql(p)
         s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
       }.mkString(" + ")
       s"($sig) AS s$b"
@@ -1517,6 +1530,36 @@ object SparkEntry {
           FROM sig p JOIN sig c ON ($anyBand) AND p.vec_id <> c.vec_id
           WHERE p.vec_id < 5
         ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+  }
+
+  /** Double-array literal for DuckDB with an exponent suffix on every
+    * element: a bare decimal list literal parses as DECIMAL[], whose
+    * later cast to double is NOT correctly rounded (≈1-ulp drift —
+    * caught by s10's value-level compare; the sign/ranking-level s2/s5
+    * oracles could never see it). An exponent forces true DOUBLE
+    * parsing, which round-trips the shortest-repr constants exactly. */
+  private def doubleArraySql(p: Array[Double]): String =
+    p.map { w =>
+      val r = w.toString
+      if (r.contains("E") || r.contains("e")) r else r + "e0"
+    }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[graft.operators.Similarity.randomProject]]: the
+    * identical plane constants folded STRICTLY left-to-right
+    * (list_reduce over element products — `list_dot_product` is not
+    * sequential-order-exact), divided by √outDim. */
+  private def s10OracleSql: String = {
+    val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 16)
+    val comps = planes.map { p =>
+      val arr = doubleArraySql(p)
+      s"""(list_reduce(list_transform(range(1, 65),
+            j -> CAST(embedding[j] AS DOUBLE) * ($arr)[j]), (a, b) -> a + b)
+          / sqrt(16.0))"""
+    }.mkString("[", ", ", "]")
+    s"""SELECT vec_id, CAST(p - 1 AS INTEGER) AS pos, comps[p] AS component
+        FROM (SELECT vec_id, $comps AS comps FROM embeddings WHERE vec_id < 50),
+             unnest(range(1, 17)) AS t(p)
+        ORDER BY vec_id, pos"""
   }
 
   /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard

@@ -116,6 +116,20 @@ object Similarity {
     sigFromDots(planeDots(vecCol, dim, h, seed), h)
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * out_i = (v · plane_i) / √outDim over the same seeded deterministic
+    * hyperplanes as the sign-LSH tier — sign-LSH is exactly the 1-bit
+    * quantization of this map. A storage/IO tier alongside int8
+    * quantization: 64→16 dims is 4× fewer components, and downstream
+    * cosine/top-k run unchanged on the projected column. Pure narrow
+    * map, reproducible anywhere from the exported plane constants
+    * ([[planeComponents]]) — division by a √ of an integer is one
+    * correctly-rounded IEEE op, so any engine reproduces components
+    * bit-exactly. */
+  def randomProject(vecCol: Column, dim: Int, outDim: Int, seed: Long = 42L): Column =
+    transform(planeDots(vecCol, dim, outDim, seed),
+      d => d / sqrt(lit(outDim.toDouble)))
+
   /** Maximum useful `probes` for h hyperplanes: the base bucket, every
     * single-bit flip, and every two-bit flip. */
   def maxSignProbes(h: Int): Int = 1 + h + h * (h - 1) / 2

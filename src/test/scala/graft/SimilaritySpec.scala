@@ -227,6 +227,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(stats.agg(sum("bucket_size")).as[Long].head() == 100L)
   }
 
+  test("randomProject: bit-exact vs a driver-side plane fold; sign-LSH is its 1-bit form") {
+    val data = vecs(30, 16)
+    val planes = Similarity.planeComponents(dim = 16, h = 8)
+    val got = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.randomProject(col("embedding"), 16, 8).as("p"),
+        Similarity.signSignature(col("embedding"), 16, 8).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toSeq
+    val byId = data.toMap
+    got.foreach { case (id, proj, sig) =>
+      val v = byId(id)
+      val want = planes.map { p =>
+        var acc = 0.0
+        v.zip(p).foreach { case (x, w) => acc += x.toDouble * w }
+        acc / math.sqrt(8.0)
+      }
+      assert(proj == want.toSeq, s"projection mismatch for $id")
+      // sign-LSH bit i is exactly sign(projection_i): positive scaling
+      // (1/sqrt(outDim)) cannot move a dot across zero
+      (0 until 8).foreach { i =>
+        assert((((sig >> i) & 1L) == 1L) == (proj(i) >= 0d), s"bit $i of $id")
+      }
+    }
+  }
+
   test("single-probe sign-LSH takes the fast path: no flip staging in the plan") {
     // parquet-backed (a local Seq would constant-fold the projection away)
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
