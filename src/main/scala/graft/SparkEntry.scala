@@ -477,6 +477,13 @@ object SparkEntry {
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
 
+  /** Top-5 TF-IDF terms per doc (log-free rational score — see
+    * [[TextAnalysis.tfIdfTopTerms]]: `ln` is not correctly rounded in
+    * any common libm, the rational form is engine-exact). */
+  private val t12Tfidf = (s: SparkSession, d: String) =>
+    TextAnalysis.tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)
+      .orderBy(col("doc_id"), col("term"))
+
   /** Deterministic epoch shuffle: hash-seeded total training order,
     * positions via the distributed row index (no single-task window).
     * Both engines order by the identical md5 prefix + id tiebreak. */
@@ -956,6 +963,7 @@ object SparkEntry {
     "x2_hash_sample" -> x2HashSample,
     "x3_source_quota" -> x3SourceQuota,
     "x4_stratified_sample" -> x4Stratified,
+    "t12_tfidf" -> t12Tfidf,
     "x5_pack_greedy" -> x5PackGreedy,
     "x6_epoch_shuffle" -> x6EpochShuffle,
     "x7_chunk_spans" -> x7ChunkSpans,
@@ -1426,6 +1434,26 @@ object SparkEntry {
            FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
          )
          SELECT doc_id, source, n_tokens, bin_id FROM pack ORDER BY doc_id""",
+    "t12_tfidf" ->
+      // same normalize/tokenize as t1/t8; score = tf*(N+1)/(df+1) with
+      // identical int-exact operands and one multiply + one divide
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+         ), dfq AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, term, tf, df, score FROM (
+           SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf AS DOUBLE) * (n.n + 1) / (dfq.df + 1) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY CAST(tf.tf AS DOUBLE) * (n.n + 1) / (dfq.df + 1) DESC,
+                        tf.term ASC) AS rk
+           FROM tf JOIN dfq ON tf.term = dfq.term, n
+         ) WHERE rk <= 5 ORDER BY doc_id, term""",
     "x6_epoch_shuffle" ->
       """SELECT doc_id,
            CAST(ROW_NUMBER() OVER (

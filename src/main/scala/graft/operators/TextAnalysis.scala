@@ -122,6 +122,43 @@ object TextAnalysis {
           .cast("int").as("token_len"))
   }
 
+  /** Per-document top-`k` TF-IDF terms — the classic salient-term
+    * extractor. Two aggregations + one join, all hash-partial:
+    * term frequency per (doc, term), document frequency per term (one
+    * row per (doc, term) already exists, so df is a plain count), then
+    * score and rank per doc. WindowGroupLimit pushes the per-doc top-k
+    * below the final exchange.
+    *
+    * The score is the LOG-FREE rational form tf · (N+1)/(df+1):
+    * `ln` is correctly-rounded in NO common libm, so the classic
+    * tf·ln((N+1)/(df+1)) would drift across engines and break the
+    * bit-exact oracle contract; for a FIXED corpus the rational form
+    * is a strictly monotone transform of the idf argument, and callers
+    * wanting the log score apply `log` to the emitted ratio downstream.
+    * N (corpus size) is a driver-side count — bounded metadata, the
+    * same class as the IVF centroid materialization. */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = df.count()
+    val tf = withTokens(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = col("tf").cast("double") * lit(nDocs + 1L) / (col("df") + lit(1L))
+    val w = Window.partitionBy(col(idCol)).orderBy(score.desc, col("term").asc)
+    tf.join(docFreq, "term")
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   /** Quality heuristics: length band, token count, mean word length,
     * punctuation & digit ratios. Returns the input plus metric columns
     * and a boolean `quality_ok`. */

@@ -102,6 +102,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x2_hash_sample" -> 1.0,
     "x3_source_quota" -> 1.0,
     "x4_stratified_sample" -> 1.0,
+    "t12_tfidf" -> 1.3,
     "x5_pack_greedy" -> 1.0,
     "x6_epoch_shuffle" -> 1.2,
     "x7_chunk_spans" -> 1.0,

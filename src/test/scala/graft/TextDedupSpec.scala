@@ -85,6 +85,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("tfIdfTopTerms: rare repeated terms outrank ubiquitous ones; k bounds per doc") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common unique"),
+      (3L, "common filler words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // doc 1: zebra tf=3 df=1 -> score 3*4/2 = 6; common tf=2 df=3 -> 2*4/4 = 2
+    val d1 = got(1L).sortBy(_._2).toSeq
+    assert(d1 == Seq((1L, "common", 2L, 3L), (1L, "zebra", 3L, 1L)))
+    // doc 2: unique (df=1) must beat common (df=3): 1*4/2=2 vs 1*4/4=1
+    val d2top = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 2L).collect().map(_.getString(1)).toSeq
+    assert(d2top == Seq("unique"))
+    got.values.foreach(rows => assert(rows.length <= 2))
+  }
+
   test("large-star/small-star components agree with min-label on varied graph shapes") {
     def labelsOf(f: (org.apache.spark.sql.DataFrame, String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
         ids: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
