@@ -594,6 +594,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Spans whose 3-gram recurs in ≥ 2 distinct docs — exact-substring
+    * overlap at span granularity (cut the span, keep the doc). */
+  private val d10RepeatedNgrams = (s: SparkSession, d: String) =>
+    Dedup.repeatedNgramSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minDocs = 2)
+      .orderBy(col("doc_id"), col("pos"))
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -935,6 +942,7 @@ object SparkEntry {
     "d7_decontaminate" -> d7Decontaminate,
     "d8_neardup_groups" -> d8NearDupGroups,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
+    "d10_repeated_ngrams" -> d10RepeatedNgrams,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
@@ -1262,6 +1270,29 @@ object SparkEntry {
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
     "d8_neardup_groups" -> d8OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
+    "d10_repeated_ngrams" ->
+      // positional shingles (same n=3 + short-doc whole-text rule as the
+      // near-dup CTE, WITHOUT list_distinct — positions matter here),
+      // then shingles held by >= 2 distinct docs
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         ), spans AS (
+           SELECT doc_id,
+             CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS pos,
+             unnest(s) AS shingle
+           FROM sh
+         ), rep AS (
+           SELECT shingle FROM spans GROUP BY shingle
+           HAVING count(DISTINCT doc_id) >= 2
+         )
+         SELECT doc_id, pos, shingle FROM spans JOIN rep USING (shingle)
+         ORDER BY doc_id, pos""",
     "a14_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)

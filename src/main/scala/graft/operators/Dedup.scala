@@ -433,6 +433,39 @@ object Dedup {
       components.filter(col("id") === col("label")).select(col("id").as(idCol)),
       idCol)
 
+  /** Cross-document repeated n-gram spans — the exact-substring overlap
+    * signal (the primitive behind suffix-array dedup, Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2021,
+    * re-expressed bucket-first): every (doc, position) whose word
+    * n-gram also occurs in at least `minDocs` distinct documents.
+    * Downstream pipelines cut or down-weight the flagged spans rather
+    * than whole docs — finer-grained than d6's whole-doc Jaccard.
+    *
+    * Shape: one shingle pass (shared NGramShingles expression),
+    * positional explode, ONE aggregation keyed by shingle (hash
+    * partial — the shuffle carries distinct shingles, not the corpus),
+    * and a semi-join of spans against the repeated-shingle set (small
+    * by construction: only shingles occurring in ≥ minDocs docs).
+    * Short docs (< n tokens) participate as their whole-text single
+    * shingle, same as the near-dup pipelines. */
+  def repeatedNgramSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Int = 2): DataFrame = {
+    val spans = TextAnalysis.withShingles(
+        spread(df.select(col(idCol), col(textCol))), textCol, n)
+      .select(col(idCol), posexplode(col("_sh")).as(Seq("pos", "shingle")))
+    val repeated = spans
+      .groupBy(col("shingle"))
+      .agg(count_distinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("shingle"))
+    spans.join(repeated, "shingle")
+      .select(col(idCol), col("pos"), col("shingle"))
+  }
+
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
     * the 64 bits of xxhash64(token) votes +1/-1; the signature sets bits
     * with positive vote totals. One scan, no shuffle. The per-token hash

@@ -52,6 +52,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d6_neardup_pairs" -> 2.4,
     "d8_neardup_groups" -> 6.0,
     "d9_neardup_groups_logstar" -> 7.0,
+    "d10_repeated_ngrams" -> 1.3,
     "d7_decontaminate" -> 1.6,
     "e1_json_extract" -> 1.0,
     "e2_time_window" -> 1.0,

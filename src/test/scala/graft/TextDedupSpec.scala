@@ -85,6 +85,20 @@ class TextDedupSpec extends SparkTestBase {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("repeatedNgramSpans: shared phrases flagged at the right positions, unique spans clean") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 unique2 unique3"),
+      (2L, "prefix words alpha beta gamma delta suffix"),
+      (3L, "totally different content with no overlap at all")).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // the shared run "alpha beta gamma delta" yields two shared 3-grams
+    // at sliding positions in each doc; doc 3 contributes nothing
+    assert(got == Set(
+      (1L, 0, "alpha beta gamma"), (1L, 1, "beta gamma delta"),
+      (2L, 2, "alpha beta gamma"), (2L, 3, "beta gamma delta")))
+  }
+
   test("tfIdfTopTerms: rare repeated terms outrank ubiquitous ones; k bounds per doc") {
     import graft.operators.TextAnalysis
     val docs = Seq(
