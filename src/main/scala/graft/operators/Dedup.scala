@@ -453,9 +453,13 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      minDocs: Int = 2): DataFrame = {
-    val spans = TextAnalysis.withShingles(
-        spread(df.select(col(idCol), col(textCol))), textCol, n)
+      minDocs: Int = 2,
+      persistStaged: Boolean = true): DataFrame = {
+    // both consumers (the repeated-shingle aggregation and the span
+    // semi-join) read the ONE persisted staged-shingle frame — the
+    // same single-evaluation contract as the near-dup pipelines
+    // (CachePool-registered; release at the pipeline boundary)
+    val spans = stagedShingles(df, idCol, textCol, n, persistStaged)
       .select(col(idCol), posexplode(col("_sh")).as(Seq("pos", "shingle")))
     val repeated = spans
       .groupBy(col("shingle"))
