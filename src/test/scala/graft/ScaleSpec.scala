@@ -62,4 +62,20 @@ class ScaleSpec extends SparkTestBase {
     // the largest list must grow ~5x (linear), not ~25x
     assert(max5 <= 7 * max1, s"max list occupancy $max1 -> $max5 super-linear")
   }
+
+  test("repeated n-gram span volume grows ~linearly: perturbed replicas share no shingles") {
+    import graft.operators.{Dedup, ScaleFixture}
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val docs5 = ScaleFixture.scaleDocuments(docs1, 5)
+    try {
+      val n1 = Dedup.repeatedNgramSpans(docs1, "doc_id", "text").count()
+      val n5 = Dedup.repeatedNgramSpans(docs5, "doc_id", "text").count()
+      assert(n1 > 0, "fixture must contain shared shingles (planted dups)")
+      // cross-replica sharing would multiply repeated spans
+      // super-linearly; the alphabet rotation must prevent that
+      assert(n5 <= 6 * n1, s"repeated spans $n1 -> $n5 super-linear at 5x")
+      assert(n5 >= 4 * n1, s"repeated spans $n1 -> $n5 lost replicas")
+    } finally graft.CachePool.releaseAll()
+  }
 }
