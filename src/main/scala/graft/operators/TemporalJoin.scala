@@ -59,6 +59,9 @@ object TemporalJoin {
     val collisions = left.columns.toSeq.intersect(valueCols)
     require(collisions.isEmpty,
       s"asofJoin: rename right value columns colliding with left: $collisions")
+    val reserved = Seq("_t", "_side")
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"asofJoin: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
     val lv = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -95,6 +98,8 @@ object TemporalJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val overlap = points.columns.toSeq.intersect(intervals.columns.toSeq)
     require(overlap.isEmpty, s"rangeJoinBucketed: rename overlapping columns: $overlap")
+    require(!(points.columns ++ intervals.columns).contains("_b"),
+      "rangeJoinBucketed: _b is the internal bucket column — rename it in the inputs")
     val p = points.withColumn("_b", expr(s"`$pointCol` div ${bucketWidth}L"))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
