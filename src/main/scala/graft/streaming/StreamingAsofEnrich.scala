@@ -27,7 +27,11 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *  - a lookup older than the oldest retained version enriches against
   *    what remains (or null) — `maxVersions` is the retention knob, the
   *    same bounded-state discipline as watermarked aggregations. State
-  *    size is O(keys × maxVersions), independent of stream length. */
+  *    size is O(keys × maxVersions), independent of stream length;
+  *  - several versions sharing one (key, time) keep the last processed
+  *    (arrival order — undefined across partitions): pre-aggregate to
+  *    one version per (key, time), the same contract as the batch
+  *    operator. */
 object StreamingAsofEnrich {
 
   /** One input event: a reference version when `right` is set, a lookup
