@@ -84,7 +84,7 @@ object Bench {
   private[graft] def benchScale(spark: SparkSession, sfDir: String): String = {
     try {
       import graft.operators.{Dedup, ScaleFixture, Similarity}
-      import org.apache.spark.sql.functions.{col, unix_micros}
+      import org.apache.spark.sql.functions.{col, lit, pmod, unix_micros, when}
       // the scale probes are the round-over-round evidence — isolate them
       // from whatever cache/heap state the 71 registry queries left behind
       CachePool.releaseAll(blocking = true)
@@ -92,16 +92,24 @@ object Bench {
       System.gc()
       val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
-      val docs5 = ScaleFixture.scaleDocuments(docs1, 5)
+      // The 5x frames are synthetic: a 5-way union whose per-replica
+      // perturbation (translate / rotate+sign-flip HOFs) is recomputed by
+      // EVERY action an operator runs internally (centroid jobs, guard
+      // counts, the final count). Unpersisted, the probe times fixture
+      // recompute, not the operator (round-5 finding: ivf_sec_5x 9.7x for
+      // 5x data). Persist + materialize before timing; release after.
+      val docs5 = ScaleFixture.scaleDocuments(docs1, 5).persist()
       val embs1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val embs5 = ScaleFixture.scaleEmbeddings(embs1, 5)
+      val embs5 = ScaleFixture.scaleEmbeddings(embs1, 5).persist()
       def time(f: => Long): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = f
         ((System.nanoTime() - t0) / 1e9, n)
       }
+      docs5.count(); embs5.count() // materialize outside the timed region
       val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
       val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
+      docs5.unpersist()
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       var iv1 = Set.empty[(Long, Long)]
@@ -113,6 +121,7 @@ object Bench {
       }
       val (ivT5, _) = time(Similarity.ivfTopK(
         embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      embs5.unpersist()
       // measured approximation quality: recall@5 vs exact brute force on
       // the same probes, as a CURVE over the pruning knob — the fixture
       // embeddings are unclustered random vectors (the hardest case for
@@ -146,20 +155,43 @@ object Bench {
       // as-of join growth on the key axis (5x disjoint user spaces):
       // per-key union+window work should grow ~linearly with keys
       val ev1 = graft.sources.Tables.events(spark, sfDir)
-      val ev5 = ScaleFixture.scaleEvents(ev1, 5)
-      def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
+      val ev5 = ScaleFixture.scaleEvents(ev1, 5).persist()
+      ev5.count() // materialize outside the timed region
+      def asofSides(ev: org.apache.spark.sql.DataFrame) = {
         val clicks = ev.filter(col("event_type") === "click")
           .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
           .agg(org.apache.spark.sql.functions.max_by(col("value"), col("event_id"))
             .as("last_click_value"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+        (purchases, clicks)
+      }
+      def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
+        val (purchases, clicks) = asofSides(ev)
         graft.operators.TemporalJoin
           .asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus")
           .count()
       }
       val (asofT1, _) = time(asofCount(ev1))
       val (asofT5, _) = time(asofCount(ev5))
+      ev5.unpersist()
+      // hot-key DEPTH axis — the complement of the key-count axis above:
+      // one key absorbs ~50% of all events, so the plain window
+      // serializes that key's whole history into one task; the ranged
+      // split (asofJoinSkew) must hold wall time near the plain 1x cost
+      val evHot = ev1.withColumn("user_id",
+        when(pmod(col("event_id"), lit(2)) === 0, lit(-1L))
+          .otherwise(col("user_id"))).persist()
+      evHot.count()
+      val (asofHotT, _) = time(asofCount(evHot))
+      val (asofHotSplitT, _) = time {
+        val (purchases, clicks) = asofSides(evHot)
+        graft.operators.TemporalJoin
+          .asofJoinSkew(purchases, clicks, Seq("user_id"), "tus", "tus",
+            bucketWidth = 3600L * 1000000L) // 1 h of epoch micros per range
+          .count()
+      }
+      evHot.unpersist()
       // banded (OR-amplification) vs multi-probe at comparable search
       // effort: 5 independent 4-bit tables vs 5 probed buckets of one
       def bandedRecallAndCands(bands: Int): (Double, Long) = {
@@ -187,6 +219,7 @@ object Bench {
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
+        s""""asof_hot_sec_plain":${r3(asofHotT)},"asof_hot_sec_split":${r3(asofHotSplitT)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +
@@ -208,11 +241,16 @@ object Bench {
     * The reference's design envelope was ~1000 rows/s
     * (reference: src/main/scala/Producer.scala:46 — 1000-row segments
     * emitted once per second). */
-  private def benchStreaming(spark: SparkSession): String = {
+  private[graft] def benchStreaming(
+      spark: SparkSession,
+      segmentsOverride: Option[Int] = None,
+      perSegOverride: Option[Int] = None): String = {
     try {
       val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
-      val segments = sys.env.getOrElse("SPARK_GRAFT_STREAM_SEGMENTS", "40").toInt
-      val perSeg = sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000").toInt
+      val segments = segmentsOverride.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SEGMENTS", "40").toInt)
+      val perSeg = perSegOverride.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_ROWS", "2000").toInt)
       val rows = segments * perSeg
       graft.airline.AirlineFixture.writeSegments(s"$base/in", segments, perSeg)
       val store = new graft.streaming.ParquetKpiStore(s"$base/store")

@@ -325,7 +325,11 @@ object Dedup {
       .localCheckpoint(true)
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    // `maxIters` bounds rounds OF CHANGE; convergence is only observable
+    // via one extra quiet round, so allow maxIters+1 total — otherwise a
+    // graph converging exactly at the cap fails loudly on a correct
+    // result (the quiet confirming round is metadata-cheap)
+    while (changed > 0 && it <= maxIters) {
       val nbrMin = edges.join(labels, edges("t") === labels("id"))
         .groupBy(col("s")).agg(min(col("label")).as("nbr"))
       // the convergence flag rides the propagation join itself (labels
@@ -346,7 +350,7 @@ object Dedup {
     // fail loudly; adversarially deep graphs belong on the O(log²)
     // large-star/small-star path ([[nearDupComponentsLogStar]])
     require(changed == 0,
-      s"nearDupComponents: not converged after $maxIters rounds " +
+      s"nearDupComponents: not converged after $maxIters rounds of change " +
         s"($changed labels still moving) — the pair graph is deeper than " +
         "min-label propagation should walk; use nearDupComponentsLogStar")
     labels

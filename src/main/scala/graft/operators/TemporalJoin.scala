@@ -41,9 +41,9 @@ object TemporalJoin {
     * must not collide with left column names — pre-rename them (they
     * arrive on the output as-is). If several right rows share one
     * (key, time), pre-aggregate to one (e.g. `max_by`) — the carry
-    * order between them is undefined. Null VALUES inside a right row
-    * are treated as missing (the carry reaches further back for that
-    * column only).
+    * order between them is undefined. All carried columns come from the
+    * SINGLE matched right row — a null value inside that row arrives as
+    * null (DuckDB ASOF semantics), never back-filled from an older row.
     *
     * 100 TB: one hash Exchange on `keys` + one sort — time-skewed keys
     * cost what any per-key window costs; there is no index build and no
@@ -59,34 +59,118 @@ object TemporalJoin {
     val collisions = left.columns.toSeq.intersect(valueCols)
     require(collisions.isEmpty,
       s"asofJoin: rename right value columns colliding with left: $collisions")
-    val reserved = Seq("_t", "_side")
+    val reserved = Seq("_t", "_side", "_vals")
     require((left.columns ++ right.columns).intersect(reserved).isEmpty,
       s"asofJoin: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
     val lv = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
+    // one struct per right row, carried atomically: per-column
+    // last(ignoreNulls) would blend attributes from DIFFERENT versions
+    // whenever a version holds a null in one column
     val rv = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .select((keys.map(col) :+ col("_t") :+ col("_side")) ++ valueCols.map(col): _*)
+      .select(keys.map(col) :+ col("_t") :+ col("_side")
+        :+ struct(valueCols.map(col): _*).as("_vals"): _*)
     // equal timestamps sort right-before-left so an exact match is
     // visible to the left row (<= semantics, same as DuckDB ASOF)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lv.unionByName(rv, allowMissingColumns = true)
-      .select(
-        (left.columns.toSeq.map(col) :+ col("_side")) ++
-          valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(left.columns.toSeq.map(col) :+ col("_side")
+        :+ last(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
       .filter(col("_side") === 1)
-      .select(left.columns.toSeq.map(col) ++ valueCols.map(col): _*)
+      .select(left.columns.toSeq.map(col) ++
+        valueCols.map(c => col("_vals").getField(c).as(c)): _*)
+  }
+
+  /** Skew-resistant as-of join — identical contract and output to
+    * [[asofJoin]], for inputs where a single key holds a pathological
+    * share of the rows (one user with 10⁸ events). [[asofJoin]]'s
+    * window partitions by key alone, so the hot key's entire history
+    * serializes into ONE task's sort; here time is split into ranges of
+    * `bucketWidth` and the heavy window partitions by (key, range), so
+    * a hot key fans out across min(ranges, partitions) tasks.
+    *
+    * Two passes: (1) the same union+window carry as [[asofJoin]] but
+    * per (key, range) — finds matches within the left row's own range;
+    * (2) a per-(key, range) summary of the LAST right version in each
+    * range (one hash aggregate), carried forward across ranges by a
+    * window over the per-key RANGE LIST (rows = occupied ranges per
+    * key — data-volume-independent, bounded by timespan/bucketWidth)
+    * and joined back on (key, range) to fill left rows whose match
+    * lies in an earlier range. Extra cost vs [[asofJoin]]: one hash
+    * aggregate + one bucket-keyed join — both on the split key, so no
+    * single-task stage remains anywhere in the plan.
+    *
+    * Choose `bucketWidth` so a hot key's densest range fits one task
+    * comfortably (e.g. a day of a key that logs 10⁶ events/day);
+    * uniform keys pay only the small summary join. */
+  def asofJoinSkew(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val valueCols = right.columns.toSeq.diff(keys :+ rightTime)
+    require(valueCols.nonEmpty, "asofJoinSkew: right side carries no value columns")
+    val collisions = left.columns.toSeq.intersect(valueCols)
+    require(collisions.isEmpty,
+      s"asofJoinSkew: rename right value columns colliding with left: $collisions")
+    val reserved = Seq("_t", "_side", "_vals", "_rng", "_carry")
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"asofJoinSkew: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
+    // floor division in exact long arithmetic (same rationale as
+    // rangeJoinBucketed): time columns must be integral (epoch micros,
+    // day numbers, ...)
+    val rngExpr = s"(_t - pmod(_t, ${bucketWidth}L)) div ${bucketWidth}L"
+    val lv = left
+      .withColumn("_t", col(leftTime).cast("long"))
+      .withColumn("_side", lit(1))
+      .withColumn("_rng", expr(rngExpr))
+    val rv = right
+      .withColumn("_t", col(rightTime).cast("long"))
+      .withColumn("_side", lit(0))
+      .withColumn("_vals", struct(valueCols.map(col): _*))
+      .withColumn("_rng", expr(rngExpr))
+      .select(keys.map(col) ++ Seq(col("_t"), col("_side"), col("_vals"), col("_rng")): _*)
+    val splitKeys = keys.map(col) :+ col("_rng")
+    // pass 1: within-range carry — the hot key's rows spread across its
+    // occupied ranges instead of one task
+    val w = Window.partitionBy(splitKeys: _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = lv.unionByName(rv, allowMissingColumns = true)
+      .select(left.columns.toSeq.map(col) ++ Seq(col("_side"), col("_rng"),
+        last(col("_vals"), ignoreNulls = true).over(w).as("_vals")): _*)
+      .filter(col("_side") === 1)
+    // pass 2: per-range final right version, carried across the per-key
+    // range list (ranges occupied by EITHER side — a left-only range
+    // must still receive the carry from earlier right-bearing ranges)
+    val rangeList = lv.select(splitKeys: _*).distinct()
+      .unionByName(rv.select(splitKeys: _*).distinct()).distinct()
+    val rangeLast = rv.groupBy(splitKeys: _*)
+      .agg(max_by(col("_vals"), col("_t")).as("_vals"))
+    val cw = Window.partitionBy(keys.map(col): _*).orderBy(col("_rng").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = rangeList.join(rangeLast, keys :+ "_rng", "left")
+      .select(splitKeys :+ last(col("_vals"), ignoreNulls = true).over(cw).as("_carry"): _*)
+    within.join(carryIn, keys :+ "_rng")
+      .select(left.columns.toSeq.map(col) ++
+        valueCols.map(c => coalesce(col("_vals"), col("_carry")).getField(c).as(c)): _*)
   }
 
   /** Bucketed interval-containment join: rows of `points` matched to
     * rows of `intervals` with `start <= point < end` (half-open, the
     * time-window convention). Columns must be disjoint across the two
-    * inputs; numeric (long) domains must be non-negative (epoch micros,
-    * day numbers, ...). Empty intervals (end <= start) match nothing.
+    * inputs; long domains may be negative (pre-1970 epochs) — bucket
+    * ids use floor division, so a point and its covering interval land
+    * in the same bucket on both sides of zero. Empty intervals
+    * (end <= start) match nothing.
     * Output: one row per (point, interval) containment, all columns. */
   def rangeJoinBucketed(
       points: DataFrame,
@@ -100,12 +184,20 @@ object TemporalJoin {
     require(overlap.isEmpty, s"rangeJoinBucketed: rename overlapping columns: $overlap")
     require(!(points.columns ++ intervals.columns).contains("_b"),
       "rangeJoinBucketed: _b is the internal bucket column — rename it in the inputs")
-    val p = points.withColumn("_b", expr(s"`$pointCol` div ${bucketWidth}L"))
+    // floor division in exact long arithmetic: `div` truncates toward
+    // zero, which (being monotone) never drops a containment but folds
+    // -w+1..w-1 into one double-width bucket 0 — uneven candidate
+    // volume exactly where pre/post-1970 data concentrates. pmod's
+    // non-negative remainder makes (x - pmod(x, w)) an exact multiple
+    // of w at floor(x/w)·w, with no double-precision detour.
+    def fdiv(x: String): String =
+      s"(($x) - pmod($x, ${bucketWidth}L)) div ${bucketWidth}L"
+    val p = points.withColumn("_b", expr(fdiv(s"`$pointCol`")))
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_b", explode(sequence(
-        expr(s"`$startCol` div ${bucketWidth}L"),
-        expr(s"(`$endCol` - 1) div ${bucketWidth}L"))))
+        expr(fdiv(s"`$startCol`")),
+        expr(fdiv(s"`$endCol` - 1")))))
     p.join(iv, Seq("_b"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_b")

@@ -132,9 +132,13 @@ object TextAnalysis {
     * The score is the LOG-FREE rational form tf · (N+1)/(df+1):
     * `ln` is correctly-rounded in NO common libm, so the classic
     * tf·ln((N+1)/(df+1)) would drift across engines and break the
-    * bit-exact oracle contract; for a FIXED corpus the rational form
-    * is a strictly monotone transform of the idf argument, and callers
-    * wanting the log score apply `log` to the emitted ratio downstream.
+    * bit-exact oracle contract. CAVEAT: the monotone-transform
+    * equivalence holds only at FIXED tf — across terms the rational
+    * ranking can deviate from the classic log ranking (a term in every
+    * doc scores tf·(N+1)/(N+1) = tf where the log form gives ~0, so it
+    * can outrank a rarer term). Callers who need classic TF-IDF
+    * ordering should keep `k` generous and re-rank downstream by
+    * tf·ln((N+1)/(df+1)) from the emitted tf/df columns.
     * N (corpus size) is a driver-side count — bounded metadata, the
     * same class as the IVF centroid materialization. */
   def tfIdfTopTerms(

@@ -123,13 +123,30 @@ class BenchBudgetSpec extends SparkTestBase {
     }
     val budgets = Map(
       "ivf_sec_1x" -> 2.5, "ivf_sec_5x" -> 4.0,
-      "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0)
+      "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0,
+      "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.0,
+      "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val v = metric(name)
       assert(v >= 0, s"$name failed to run")
       if (v > budget) Some(f"$name: $v%.2f s > budget $budget%.1f s") else None
     }
     assert(over.isEmpty, s"scale-probe budget regressions:\n${over.mkString("\n")}")
+  }
+
+  test("streaming KPI throughput stays above a committed floor") {
+    // round-5 finding: rows_per_sec drifted 15.9k -> 11.2k with no gate
+    // to catch it. Floor = ~1/3 of the steady-state local[4] measurement
+    // on a small drain (10 segments x 1000 rows) — machine-noise
+    // tolerant, but an order-of-magnitude sink/fan-out regression trips.
+    Bench.benchStreaming(spark, Some(2), Some(200)) // warmup: codegen + sink classes
+    val json = Bench.benchStreaming(spark, Some(10), Some(1000))
+    val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
+    assert(m.nonEmpty, s"rows_per_sec missing from streaming JSON: $json")
+    val rps = m.get.group(1).toDouble
+    assert(rps > 0, s"streaming bench failed to run: $json")
+    assert(rps >= 1500.0,
+      f"streaming throughput $rps%.0f rows/s below committed floor 1500 rows/s")
   }
 
   test("every registry query has a committed time budget") {

@@ -35,6 +35,20 @@ class TemporalJoinSpec extends SparkTestBase {
       (5L, None, None)))
   }
 
+  test("asofJoin: null values inside the matched version are carried as nulls, never blended") {
+    // the matched (latest) version holds rv=null: a per-column carry
+    // would back-fill rv=200.0 from the OLDER version and emit a row
+    // mixing attributes of two versions; the struct carry must not
+    val left = Seq((1L, "a", 40L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, Some(200.0), "old"),
+      ("a", 30L, None, "new")
+    ).toDF("k", "rt", "rv", "tag")
+    val got = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt")
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("rv")), r.getAs[String]("tag")))
+    assert(got.toSeq == Seq((1L, None, "new")))
+  }
+
   test("asofJoin plan: one key Exchange, no nested-loop or cartesian join") {
     // parquet-backed to keep the plan honest
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
@@ -50,6 +64,59 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"asof must never nest-loop:\n$plan")
     assert(plan.contains("Window"), "carry must run as a window, not a join")
+  }
+
+  test("asofJoinSkew agrees with asofJoin across bucket widths, incl. a 50%-hot key") {
+    // one key holds half of all rows (the pathological shape the split
+    // exists for); widths cover many-ranges, boundary-aligned, and
+    // one-range (degenerates to the plain shape) regimes
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 400).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(6)}"
+      (i.toLong, k, rnd.nextInt(1000).toLong)
+    }.toDF("id", "k", "t")
+    val right = (0 until 300).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(8)}"
+      (k, rnd.nextInt(1100).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // one per (key, time): op contract
+      .toDF("k", "rt", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("rv")))).toSet
+    val plain = rows(TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt"))
+    for (w <- Seq(7L, 100L, 4096L)) {
+      val split = rows(TemporalJoin.asofJoinSkew(left, right, Seq("k"), "t", "rt", w))
+      assert(split == plain, s"bucketWidth=$w diverges from asofJoin")
+    }
+  }
+
+  test("asofJoinSkew: null values in the matched version carry as nulls; no-prior stays null") {
+    val left = Seq((1L, "a", 40L), (2L, "a", 5L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, Some(200.0), "old"),
+      ("a", 30L, None, "new")
+    ).toDF("k", "rt", "rv", "tag")
+    val got = TemporalJoin.asofJoinSkew(left, right, Seq("k"), "t", "rt", bucketWidth = 8L)
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("rv")),
+        Option(r.getAs[Any]("tag")))).toSet
+    assert(got == Set((1L, None, Some("new")), (2L, None, None)))
+  }
+
+  test("asofJoinSkew plan: heavy window partitions by (key, range), no nested loop") {
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("rt"), col("value").as("rv"))
+      .groupBy(col("user_id"), col("rt")).agg(max(col("rv")).as("rv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+    val joined = TemporalJoin.asofJoinSkew(
+      purchases, clicks, Seq("user_id"), "t", "rt", bucketWidth = 3600L * 1000000L)
+    val plain = TemporalJoin.asofJoin(purchases, clicks, Seq("user_id"), "t", "rt")
+    assert(joined.collect().map(_.toString).sorted.toSeq ==
+      plain.collect().map(_.toString).sorted.toSeq)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"skew as-of must never nest-loop:\n$plan")
+    assert(plan.contains("_rng"), "the window must partition on the split range key")
   }
 
   test("rangeJoinBucketed: half-open containment, boundary points, multi-bucket intervals") {
@@ -73,6 +140,18 @@ class TemporalJoinSpec extends SparkTestBase {
       .select(col("pid")).collect().map(_.getLong(0)).toSeq
     assert(rows.length == rows.distinct.length, "a pair met in more than one bucket")
     assert(rows.length == 50, "all points lie inside the interval")
+  }
+
+  test("rangeJoinBucketed: negative domains bucket by floor division (pre-1970 epochs)") {
+    // boundary points on both sides of zero: half-open containment must
+    // hold exactly and each pair appear once, with uniform-width buckets
+    val points = Seq((1L, -3L), (2L, -10L), (3L, -1L), (4L, 0L), (5L, -11L))
+      .toDF("pid", "p")
+    val intervals = Seq((100L, -10L, -1L), (200L, -2L, 3L)).toDF("iid", "s", "e")
+    val got = TemporalJoin.rangeJoinBucketed(points, intervals, "p", "s", "e", bucketWidth = 8L)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
   }
 
   test("rangeJoinBucketed plan: equi-join on the bucket id, no nested loop") {

@@ -156,6 +156,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == (0L until n).map(_ -> 0L).toMap)
   }
 
+  test("min-label converging exactly at the round cap succeeds (quiet round is extra)") {
+    // path 0-1-2-3 needs exactly 3 rounds of change; maxIters bounds
+    // CHANGE rounds, and the quiet confirming round must not count
+    // against the cap — previously this threw on a converged result
+    val ids = (0L until 4L).toDF("doc_id")
+    val chain = (0L until 3L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupComponents(ids, "doc_id", chain, maxIters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 4L).map(_ -> 0L).toMap)
+    // one round short must still fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupComponents(ids, "doc_id", chain, maxIters = 2).collect()
+    }
+  }
+
   test("d6 banding config gives recall 1.0 vs brute-force Jaccard on the fixture") {
     // d6_neardup_pairs' oracle is exact all-pairs Jaccard; the Spark side
     // only equals it if LSH misses nothing. Signatures are
