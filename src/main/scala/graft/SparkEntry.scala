@@ -528,14 +528,54 @@ object SparkEntry {
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
-  private val d3LshBuckets = (s: SparkSession, d: String) =>
-    Dedup.lshBuckets(t(s, d, "documents"), "doc_id", "text")
-      .orderBy(col("doc_id"), col("band"))
-
-  private val d4Simhash = (s: SparkSession, d: String) =>
-    Dedup.withSimhash(t(s, d, "documents").select(col("doc_id"), col("text")), "text")
-      .select(col("doc_id"), col("simhash"))
+  /** LSH bucket index (d3) graded as engine-checkable INVARIANTS (the
+    * a13 technique): xxhash64 has no DuckDB twin, so a VALUE oracle is
+    * impossible, but the structural claims are engine-independent —
+    * every doc emits exactly one bucket per band (complete, distinct),
+    * and the native single-pass MinHashSignature expression agrees
+    * bucket-for-bucket with an independently-planned declarative HOF
+    * pipeline. The raw (id, band, bucket) table remains the operator's
+    * product (DedupPlanSpec pins its schema and shuffle payload;
+    * TextDedupSpec pins signature bit-identity). */
+  private val d3LshBuckets = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val native = Dedup.lshBuckets(docs, "doc_id", "text")
+    val hof = TextAnalysis.withShingles(docs, "text", 3)
+      .withColumn("_sig", Dedup.minhashSignatureHof(col("_sh"), 32))
+      .select(col("doc_id"), explode(Dedup.bandHashes(col("_sig"), 32, 8)).as("bh"))
+      .select(col("doc_id"), col("bh.band").as("band"), col("bh.bucket").as("bucket_hof"))
+    native.join(hof, Seq("doc_id", "band"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (count(lit(1)) === 8).as("bands_complete"),
+        (count_distinct(col("band")) === 8).as("bands_distinct"),
+        bool_and(col("bucket") === col("bucket_hof")).as("native_matches_hof"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Simhash (d4) graded as engine-checkable INVARIANTS (same xxhash64
+    * reason as d3): the signature is identical across two independently
+    * executed pipeline instances, and appending one token moves it at
+    * most 24 of 64 bits — the locality property that makes simhash a
+    * near-dup signature at all (measured max 13 at sf0.01, 15 at sf0.1,
+    * mean ~2.5; the bound holds with ~10-bit headroom). TextDedupSpec
+    * additionally pins near/far hamming behavior on planted pairs. */
+  private val d4Simhash = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val base = Dedup.withSimhash(docs, "text")
+    val again = Dedup.withSimhash(docs, "text", "simhash2")
+      .select(col("doc_id"), col("simhash2"))
+    val pert = Dedup.withSimhash(
+      docs.withColumn("text", concat(col("text"), lit(" perturbance"))),
+      "text", "simhash_p")
+      .select(col("doc_id"), col("simhash_p"))
+    base.join(again, "doc_id").join(pert, "doc_id")
+      .select(
+        col("doc_id"),
+        (col("simhash") === col("simhash2")).as("deterministic"),
+        (Dedup.hamming(col("simhash"), col("simhash_p")) <= 24).as("perturb_within_24"))
+      .orderBy(col("doc_id"))
+  }
 
   /** End-to-end oracled LSH near-dup: candidates are engine-specific, but
     * the Jaccard-verified pair set at threshold 0.5 is engine-independent
@@ -1168,6 +1208,16 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, ARG_MIN(text, doc_id) AS text FROM documents
          GROUP BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')))
          ORDER BY doc_id""",
+    // d3/d4 oracles are the engine-independent CLAIMS (a13 pattern):
+    // the Spark side computes each boolean from the real xxhash64-based
+    // pipelines, the oracle asserts they all hold per document
+    "d3_lsh_buckets" ->
+      """SELECT doc_id, TRUE AS bands_complete, TRUE AS bands_distinct,
+         TRUE AS native_matches_hof
+         FROM documents ORDER BY doc_id""",
+    "d4_simhash" ->
+      """SELECT doc_id, TRUE AS deterministic, TRUE AS perturb_within_24
+         FROM documents ORDER BY doc_id""",
     "s1_cosine_topk" ->
       """SELECT probe_id, neighbor_id, rank FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,

@@ -63,6 +63,22 @@ object AirlineKpis {
     df.groupBy(col("Flight Distance").as("flight_distance"))
       .agg((sum(satisfied).cast("double") / count(lit(1))).as("mean_satisfaction"))
 
+  /** K8 in ADDITIVE-COMPONENT form for the streaming path (same
+    * pattern as [[meanSatisfactionComponents]]): a mean is not additive
+    * across micro-batches, so the store carries (Σ satisfied, count)
+    * per flight distance and the mean is derived at read time via
+    * [[deriveFlightDistanceImpact]]. */
+  def flightDistanceComponents(df: DataFrame): DataFrame =
+    df.groupBy(col("Flight Distance").as("flight_distance"))
+      .agg(sum(satisfied).cast("long").as("sat_sum"), count(lit(1)).as("cnt"))
+
+  /** Read-side view over the merged K8 components — matches
+    * [[flightDistanceImpact]] on the same input. */
+  def deriveFlightDistanceImpact(components: DataFrame): DataFrame =
+    components.select(
+      col("flight_distance"),
+      (col("sat_sum").cast("double") / col("cnt")).as("mean_satisfaction"))
+
   /** A7 (Consumer.scala:368-401) as unpivot + single aggregation;
     * decimal(3,2) so a mean of exactly 1.00 is representable. */
   def meanSatisfactionByFeature(df: DataFrame): DataFrame = {
@@ -111,6 +127,7 @@ object AirlineKpis {
     ("type_travel_counts", typeTravelCounts _, Seq("Type_of_Travel")),
     ("age_distribution", ageDistribution _, Seq("Age")),
     ("loyalty_by_age", loyaltyByAge _, Seq("Age")),
+    ("flight_distance_impact", flightDistanceComponents _, Seq("flight_distance")),
     ("mean_satisfaction_by_feature", meanSatisfactionComponents _,
       Seq("feature_name", "feature_value")))
 }

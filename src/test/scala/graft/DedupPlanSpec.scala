@@ -63,7 +63,12 @@ class DedupPlanSpec extends SparkTestBase {
   test("shingle arrays do not ride through the bucket-explode shuffle") {
     // the LSH index table carries (id, band, bucket) only — a shingle or
     // signature array in the exchange payload would blow up shuffle bytes
-    val q = SparkEntry.queries("d3_lsh_buckets")(spark, dir)
+    // (raw operator form; the registry's d3 wraps it in invariant checks)
+    val q = graft.operators.Dedup.lshBuckets(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      "doc_id", "text")
     assert(q.schema.fieldNames.toSeq == Seq("doc_id", "band", "bucket"))
     val exchanges = flatten(q.queryExecution.executedPlan)
       .filter(_.getClass.getSimpleName.contains("ShuffleExchange"))

@@ -23,11 +23,28 @@ class StreamingSpec extends SparkTestBase {
     KpiStream.runToCompletion(spark, s"$in/*", cp, store)
 
     val batch = graft.sources.Tables.airlineCsv(spark, s"$in/*")
+    // the full reference workload: 8 tables on the delivery path (K8's
+    // flight_distance_impact included — round-5 gap)
+    assert(AirlineKpis.all.size == 8, "the streaming fan-out must ship all 8 KPI tables")
     AirlineKpis.all.foreach { case (table, transform, keys) =>
       val want = transform(batch).orderBy(keys.map(col): _*).collect().toSeq
       val got = store.read(spark, table).get.orderBy(keys.map(col): _*).collect().toSeq
       assert(got == want, s"KPI $table mismatch")
     }
+  }
+
+  test("K8 streams as components; derived flight-distance mean == batch KPI") {
+    val in = tmpDir("k8-in"); val cp = tmpDir("k8-cp"); val st = tmpDir("k8-store")
+    writeSegments(in, 3, 40)
+    val store = new ParquetKpiStore(st)
+    KpiStream.runToCompletion(spark, s"$in/*", cp, store)
+    val derived = AirlineKpis.deriveFlightDistanceImpact(
+      store.read(spark, "flight_distance_impact").get)
+      .orderBy("flight_distance").collect().toSeq
+    val batch = AirlineKpis.flightDistanceImpact(
+      graft.sources.Tables.airlineCsv(spark, s"$in/*"))
+      .orderBy("flight_distance").collect().toSeq
+    assert(derived == batch)
   }
 
   test("non-additive KPI (A7 mean) streams as components; derived mean == batch mean") {
