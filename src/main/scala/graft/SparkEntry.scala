@@ -106,6 +106,40 @@ object SparkEntry {
         percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate percentiles — the 100 TB twin of a10: `percentile` is
+    * a full per-group sort-based aggregate, `percentile_approx` a
+    * mergeable sketch (partial-combinable, bounded memory). The sketch
+    * VALUE is engine-specific, so the oracle grades the RANK-ERROR
+    * CLAIM (a13 pattern): the query re-joins the returned values
+    * against the data (broadcast — 3 rows) and asserts the realized
+    * rank brackets the target quantile within eps. Ties make
+    * `count(<=)/n` jump coarsely on this integer-valued column, so the
+    * bracket is the two-sided form count(<v)/n ≤ q+eps ∧
+    * count(≤v)/n ≥ q−eps — exact for duplicate-heavy data. */
+  private val a15ApproxPercentiles = (s: SparkSession, d: String) => {
+    val eps = 0.005 // accuracy=1000 guarantees 0.001; 5x machine headroom
+    val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val appx = li.groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("med_a"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("p90_a"))
+    def rankFrac(cmp: Column): Column =
+      sum(when(cmp, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    li.join(broadcast(appx), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        rankFrac(col("l_quantity") < col("med_a")).as("lt_med"),
+        rankFrac(col("l_quantity") <= col("med_a")).as("le_med"),
+        rankFrac(col("l_quantity") < col("p90_a")).as("lt_p90"),
+        rankFrac(col("l_quantity") <= col("p90_a")).as("le_p90"))
+      .select(col("l_returnflag"),
+        (col("lt_med") <= lit(0.5 + eps) && col("le_med") >= lit(0.5 - eps))
+          .as("med_rank_ok"),
+        (col("lt_p90") <= lit(0.9 + eps) && col("le_p90") >= lit(0.9 - eps))
+          .as("p90_rank_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   private val a11Rollup = (s: SparkSession, d: String) =>
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -641,6 +675,28 @@ object SparkEntry {
         n = 3, minDocs = 2)
       .orderBy(col("doc_id"), col("pos"))
 
+  /** d10's spans consolidated into maximal cut ranges — the edit a
+    * pipeline ships (cut contiguous regions, not n-grams). One extra
+    * per-doc window pass over the flagged spans. */
+  private val d11SpanCuts = (s: SparkSession, d: String) =>
+    Dedup.repeatedSpanCuts(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minDocs = 2)
+      .orderBy(col("doc_id"), col("cut_start"))
+
+  /** End-to-end dedup decision: docs → LSH+verify pairs → connected
+    * components → surviving (canonical) rows. The stages are each
+    * oracled (d6/d8); this verifies the composed CUT a pipeline
+    * actually applies, via the same transitive-closure ground truth. */
+  private val d12DedupCut = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    Dedup.keepCanonical(docs.select(col("doc_id"), col("text")), "doc_id", comps)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
   // Similarity search over embeddings
   // ====================================================================
@@ -983,6 +1039,8 @@ object SparkEntry {
     "d8_neardup_groups" -> d8NearDupGroups,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
     "d10_repeated_ngrams" -> d10RepeatedNgrams,
+    "d11_span_cuts" -> d11SpanCuts,
+    "d12_dedup_cut" -> d12DedupCut,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
@@ -1000,6 +1058,7 @@ object SparkEntry {
     "a12_pivot" -> a12Pivot,
     "a13_approx_distinct" -> a13ApproxDistinct,
     "a14_cube" -> a14Cube,
+    "a15_approx_percentiles" -> a15ApproxPercentiles,
     "p4_date_parts" -> p4DateParts,
     "e5_sliding_window" -> e5SlidingWindow,
     "d5_embedding_neardup" -> d5EmbeddingNearDup,
@@ -1320,6 +1379,8 @@ object SparkEntry {
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
     "d8_neardup_groups" -> d8OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
+    "d11_span_cuts" -> d11OracleSql,
+    "d12_dedup_cut" -> d12OracleSql,
     "d10_repeated_ngrams" ->
       // positional shingles (same n=3 + short-doc whole-text rule as the
       // near-dup CTE, WITHOUT list_distinct — positions matter here),
@@ -1356,6 +1417,11 @@ object SparkEntry {
       // group — TRUE is engine-independent; the Spark side computes the
       // boolean from the real sketch-vs-exact comparison
       """SELECT l_returnflag, TRUE AS nd_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a15_approx_percentiles" ->
+      // the claim: the sketch value's realized rank brackets the target
+      // quantile within eps (computed Spark-side from the real sketch)
+      """SELECT l_returnflag, TRUE AS med_rank_ok, TRUE AS p90_rank_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "t6_lang_id" -> t6OracleSql,
     "t11_admission" -> t11OracleSql,
@@ -1724,6 +1790,67 @@ object SparkEntry {
         FROM documents d
         LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
           ON d.doc_id = m.s
+        ORDER BY d.doc_id"""
+
+  /** d11: d10's positional-shingle pipeline + lag-based gap-and-island
+    * consolidation — flagged spans cover [pos, pos+2]; islands break
+    * where pos > lag(pos) + 3 (beyond overlap-or-adjacency). */
+  private def d11OracleSql: String =
+    """WITH sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(range(1, len(toks)-1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s
+         FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+               FROM documents)
+       ), spans AS (
+         SELECT doc_id,
+           CAST(generate_subscripts(s, 1) - 1 AS INTEGER) AS pos,
+           unnest(s) AS shingle
+         FROM sh
+       ), rep AS (
+         SELECT shingle FROM spans GROUP BY shingle
+         HAVING count(DISTINCT doc_id) >= 2
+       ), flagged AS (
+         SELECT doc_id, pos FROM spans JOIN rep USING (shingle)
+       ), mk AS (
+         SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 3
+                THEN 1 ELSE 0 END AS brk
+         FROM flagged
+       ), isl AS (
+         SELECT doc_id, pos,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         FROM mk
+       )
+       SELECT doc_id,
+         CAST(min(pos) AS INTEGER) AS cut_start,
+         CAST(max(pos) + 2 AS INTEGER) AS cut_end,
+         CAST(max(pos) - min(pos) + 3 AS INTEGER) AS cut_tokens
+       FROM isl GROUP BY doc_id, g
+       ORDER BY doc_id, cut_start"""
+
+  /** d12: d8's transitive-closure ground truth restricted to survivors
+    * (rows whose id IS the component canonical), with the doc payload. */
+  private def d12OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        SELECT d.doc_id, d.text
+        FROM documents d
+        LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+          ON d.doc_id = m.s
+        WHERE LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id
         ORDER BY d.doc_id"""
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.admissionGate]]:

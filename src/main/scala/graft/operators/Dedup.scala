@@ -474,6 +474,44 @@ object Dedup {
       .select(col(idCol), col("pos"), col("shingle"))
   }
 
+  /** Maximal cut ranges from [[repeatedNgramSpans]] — the edit a
+    * pipeline actually applies (Lee et al. cut contiguous regions, not
+    * individual n-grams): flagged spans cover tokens [pos, pos+n-1];
+    * overlapping or exactly-adjacent coverages merge into one island,
+    * so each output row is a disjoint, non-adjacent token range
+    * (`cut_start`..`cut_end`, inclusive) with its token count.
+    *
+    * Shape: d10's span pipeline + ONE per-doc window pass (gap-and-
+    * island via lag + running sum) + one hash aggregate over (doc,
+    * island). The window partitions by doc — bounded by doc token
+    * count, the same per-key cost class as any per-doc fold. */
+  def repeatedSpanCuts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minDocs: Int = 2,
+      persistStaged: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = repeatedNgramSpans(df, idCol, textCol, n, minDocs, persistStaged)
+      .select(col(idCol), col("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // island break: previous span covers up to lag(pos)+n-1, so ranges
+    // stay contiguous while pos <= lag(pos)+n (overlap OR adjacency)
+    val brk = when(
+      lag(col("pos"), 1).over(w).isNull ||
+        col("pos") > lag(col("pos"), 1).over(w) + n, 1).otherwise(0)
+    spans
+      .withColumn("_isl", sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(
+        min(col("pos")).as("cut_start"),
+        (max(col("pos")) + lit(n - 1)).as("cut_end"))
+      .select(col(idCol), col("cut_start"), col("cut_end"),
+        (col("cut_end") - col("cut_start") + 1).as("cut_tokens"))
+  }
+
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
     * the 64 bits of xxhash64(token) votes +1/-1; the signature sets bits
     * with positive vote totals. One scan, no shuffle. The per-token hash

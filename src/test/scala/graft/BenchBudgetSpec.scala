@@ -34,6 +34,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a11_rollup" -> 1.5,
     "a12_pivot" -> 1.1,
     "a13_approx_distinct" -> 1.3,
+    "a15_approx_percentiles" -> 1.5,
     "a14_cube" -> 1.0,
     "a1_group_count_segment" -> 1.0,
     "a2_group_count_status" -> 1.0,
@@ -53,6 +54,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "d8_neardup_groups" -> 6.0,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
+    "d11_span_cuts" -> 1.6,
+    "d12_dedup_cut" -> 6.5,
     "d7_decontaminate" -> 1.6,
     "e1_json_extract" -> 1.0,
     "e2_time_window" -> 1.0,

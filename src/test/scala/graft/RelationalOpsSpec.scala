@@ -97,4 +97,30 @@ class RelationalOpsSpec extends SparkTestBase {
       assert(math.abs(a - e) / e <= 0.10, s"$k: approx $a vs exact $e")
     }
   }
+
+  test("percentile_approx rank error is bounded per group (a15)") {
+    val dir = "/root/testdata/sf0.001"
+    // the registry query emits the two-sided rank-bracket BOOLEANS the
+    // oracle hash-compares; every group must satisfy both
+    val rows = SparkEntry.queries("a15_approx_percentiles")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (g, medOk, p90Ok) =>
+      assert(medOk && p90Ok, s"group $g: rank bracket violated (med=$medOk p90=$p90Ok)")
+    }
+    // independent check: the sketch value is an ACTUAL data value whose
+    // exact-percentile distance is small (integer quantities, so the
+    // approx median must land within one integer step of the exact one)
+    import org.apache.spark.sql.functions.{col, expr}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("exact_med"),
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("appx_med"))
+      .collect()
+    both.foreach { r =>
+      val (e, a) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(e - a) <= 1.0, s"${r.getString(0)}: approx med $a vs exact $e")
+    }
+  }
 }

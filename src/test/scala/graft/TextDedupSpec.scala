@@ -99,6 +99,57 @@ class TextDedupSpec extends SparkTestBase {
       (2L, 2, "alpha beta gamma"), (2L, 3, "beta gamma delta")))
   }
 
+  test("repeatedSpanCuts: islands merge overlap/adjacency; cutting them drops exactly the flagged tokens") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique1 unique2 unique3 alpha beta gamma delta tail1"),
+      (2L, "prefix words alpha beta gamma delta suffix epsilon zeta eta theta iota"),
+      (3L, "epsilon zeta eta theta iota and then something else entirely here now"),
+      (4L, "totally different content with no overlap at all whatsoever in this")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val cuts = Dedup.repeatedSpanCuts(docs, "doc_id", "text", n = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // coverage equivalence: the union of cut ranges == the union of
+    // flagged [pos, pos+2] spans, per doc — cutting the ranges removes
+    // exactly the flagged tokens, no more, no fewer
+    val spanCover = spans.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, p) => p to p + 2 }.toSet).toMap
+    val cutCover = cuts.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, s, e, _) => s to e }.toSet).toMap
+    assert(cutCover == spanCover, s"cut coverage != span coverage")
+    // islands are maximal: disjoint AND separated by at least one
+    // surviving token (adjacent ranges would have merged)
+    cuts.groupBy(_._1).values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 + 1, s"ranges touch: end=$e1 next=$s2")
+        case _ =>
+      }
+      rs.foreach { case (_, s, e, tk) => assert(tk == e - s + 1) }
+    }
+    // doc 1 repeats the shared phrase twice with a unique gap between:
+    // two distinct islands must survive consolidation
+    assert(cuts.count(_._1 == 1L) == 2)
+  }
+
+  test("d12 cut: survivors are exactly the canonical docs of the d8 closure") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val survivors = Dedup.keepCanonical(docs, "doc_id", comps)
+      .select("doc_id").as[Long].collect().toSet
+    val canonical = comps.filter(col("id") === col("label"))
+      .select("id").as[Long].collect().toSet
+    assert(survivors == canonical)
+    // every non-survivor is represented by a surviving canonical
+    val labels = comps.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.values.toSet.subsetOf(survivors))
+  }
+
   test("tfIdfTopTerms: rare repeated terms outrank ubiquitous ones; k bounds per doc") {
     import graft.operators.TextAnalysis
     val docs = Seq(
