@@ -67,6 +67,57 @@ class EventStreamSpec extends SparkTestBase {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("session-window state rows stay bounded under watermark advance (RocksDB)") {
+    // the §2.9 state contract, observed rather than assumed: with a
+    // watermark, the store holds only OPEN sessions — closed ones are
+    // evicted as the watermark passes their end, so state is O(open
+    // sessions), not O(sessions ever created). 40 sessions stream
+    // through; the store must never hold more than ~2 batches' worth
+    // (eviction lags one batch: a session becomes evictable only once
+    // a LATER batch advances the watermark past its end).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+      val users = 0L until 5L
+      val sessions = mem.toDF().toDF("user_id", "ts")
+        .withWatermark("ts", "2 minutes")
+        .groupBy(session_window(col("ts"), "1 minute"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"), col("cnt"))
+      val q = sessions.writeStream.format("memory").queryName("sess_state")
+        .outputMode("append").start()
+      val stateRows = scala.collection.mutable.ArrayBuffer[Long]()
+      (0 until 8).foreach { b =>
+        // one new session per user per batch, 10 min apart — far beyond
+        // the 1 min gap, so every batch closes the previous sessions
+        mem.addData(users.map(u => (u, t(10 * b))): _*)
+        q.processAllAvailable()
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .foreach(p => stateRows += p.stateOperators(0).numRowsTotal)
+      }
+      q.stop()
+      assert(stateRows.nonEmpty, "no state-operator progress observed")
+      assert(stateRows.max <= 3L * users.size,
+        s"state not evicted under watermark advance: $stateRows")
+      // and the evicted sessions were EMITTED, not lost: all but the
+      // last un-finalized batches appear in the sink
+      val emitted = spark.table("sess_state").count()
+      assert(emitted >= 5L * 6, s"only $emitted sessions emitted")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming session windows with watermark match the batch session query") {
     val out = tmpDir("sess-out"); val cp = tmpDir("sess-cp")
     val sessions = EventStream.source(spark, glob)
