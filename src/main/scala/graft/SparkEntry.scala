@@ -989,6 +989,114 @@ object SparkEntry {
   }
 
   // ====================================================================
+  // Change capture, sketch merge, PII redaction (pipeline metadata ops)
+  // ====================================================================
+
+  /** SCD-2 version intervals from the event change log — one shuffle +
+    * one per-key sort ([[ChangeCapture.scd2]]). timestamp_ntz casts for
+    * the same parquet-NANOS alignment e2 documents. */
+  private val x8Scd2 = (s: SparkSession, d: String) =>
+    ChangeCapture.scd2(
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("valid_from").cast("timestamp_ntz").as("valid_from"),
+        col("valid_to").cast("timestamp_ntz").as("valid_to"),
+        col("is_current"), col("value"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  /** Latest-version snapshot — ONE partial-combinable max_by aggregate
+    * ([[ChangeCapture.latestSnapshot]]); the oracle uses the
+    * independent row_number-window formulation. */
+  private val x9LatestSnapshot = (s: SparkSession, d: String) =>
+    ChangeCapture.latestSnapshot(
+      Tables.events(s, d).select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      Seq("user_id"), "ts", tieBreakers = Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"), col("value"))
+      .orderBy(col("user_id"))
+
+  /** Mergeable-sketch architecture probe — the 100 TB distinct-count
+    * deployment shape: each shard reduces to ONE fixed-size HLL sketch
+    * (Datasketches, `hll_sketch_agg`), the shuffle carries sketches
+    * (not values), and a union aggregate merges them. The oracle grades
+    * two engine-independent CLAIMS (a13 pattern): (1) the merge is
+    * GROUPING-INVARIANT — union over 8 hash shards equals union over 5
+    * (register-max merge is associative/commutative, so re-partitioning
+    * the corpus cannot change the answer; this is what makes the
+    * architecture valid at any cluster layout); (2) the merged estimate
+    * is within 5% of exact. Note the direct un-sharded sketch is NOT
+    * compared by value: a streamed sketch estimates via HIP, a merged
+    * union via the composite estimator — equal registers, different
+    * estimator, a documented Datasketches property. */
+  private val a16SketchUnion = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_orderkey"))
+    def mergedNd(shards: Int, out: String) =
+      li.withColumn("_shard", pmod(col("l_orderkey"), lit(shards)))
+        .groupBy(col("l_returnflag"), col("_shard"))
+        .agg(hll_sketch_agg(col("l_orderkey"), 12).as("sk"))
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), allowDifferentLgConfigK = false))
+          .as(out))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("exact_nd"))
+    mergedNd(8, "nd_8").join(mergedNd(5, "nd_5"), "l_returnflag")
+      .join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        (col("nd_8") === col("nd_5")).as("merge_grouping_invariant"),
+        (abs(col("nd_8") - col("exact_nd")).cast("double")
+          / col("exact_nd").cast("double") <= 0.05).as("nd_within_5pct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** PII redaction over documents seeded with deterministic synthetic
+    * emails/IPs (the fixture corpus carries none) — the seeding is
+    * replayed identically in the DuckDB twin, and the Java/RE2-portable
+    * patterns ([[TextAnalysis.EmailPattern]]) make the redacted TEXT
+    * value-oracled, not just the flags. */
+  private val t13PiiRedact = (s: SparkSession, d: String) => {
+    val seeded = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .withColumn("_pii_text", concat(
+        substring(col("text"), 1, 64),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".0.7"))).otherwise(lit(""))))
+    TextAnalysis.redactPii(seeded, "_pii_text", out = "text_redacted")
+      .select(col("doc_id"), col("text_redacted"), col("had_email"), col("had_ip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom pre-filter in front of exact decontamination (d7's cheap
+    * first pass at 100 TB). The bloom bits are engine-local (murmur3),
+    * so the oracle grades the NO-FALSE-NEGATIVE guarantee (a13
+    * pattern): `fn_free` = flagged-or-provably-clean must be TRUE for
+    * every corpus doc, alongside the fully value-oracled exact
+    * shares-a-shingle truth the filter must never miss. */
+  private val d13BloomPrefilter = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val probes = docs.filter(col("doc_id") < 50)
+    val flags = Dedup.bloomPrefilterFlags(corpus, probes, "doc_id", "text", k = 3)
+    // exact ≥1-shared-shingle truth — shares the probes' staged shingle
+    // cache with the filter build (CacheManager dedupes by plan)
+    val sC = Dedup.stagedShingles(corpus, "doc_id", "text", 3)
+    val sP = Dedup.stagedShingles(probes, "doc_id", "text", 3)
+    val probeShingles = sP.select(explode(col("_sh")).as("_g")).distinct()
+    val sharing = sC.select(col("doc_id"), explode(col("_sh")).as("_g"))
+      .join(probeShingles, Seq("_g"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("_shares", lit(true))
+    flags.join(sharing, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_shares"), lit(false)).as("shares_shingle"),
+        (col("bloom_flagged") || !coalesce(col("_shares"), lit(false))).as("fn_free"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship" -> q0Flagship,
@@ -1077,6 +1185,11 @@ object SparkEntry {
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
+    "x8_scd2" -> x8Scd2,
+    "x9_latest_snapshot" -> x9LatestSnapshot,
+    "a16_sketch_union" -> a16SketchUnion,
+    "t13_pii_redact" -> t13PiiRedact,
+    "d13_bloom_prefilter" -> d13BloomPrefilter,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1377,6 +1490,7 @@ object SparkEntry {
     "d7_decontaminate" ->
       // bipartite brute-force ground truth: eval slice vs training rest
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
+    "d13_bloom_prefilter" -> d13OracleSql,
     "d8_neardup_groups" -> d8OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,
@@ -1623,6 +1737,54 @@ object SparkEntry {
            CAST(GREATEST(LEAST(64, n - i * 48), 0) AS INTEGER) AS token_len
          FROM c, unnest(range(0, cnt)) AS t(i)
          ORDER BY doc_id, chunk_idx""",
+    "x8_scd2" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+         lead(ts) OVER w AS valid_to,
+         (lead(ts) OVER w IS NULL) AS is_current, value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from, event_id""",
+    "x9_latest_snapshot" ->
+      // independent formulation: row_number window vs the engine's
+      // max_by aggregate
+      """SELECT user_id, event_id, ts, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "a16_sketch_union" ->
+      // the oracle is the CLAIM pair (a13 pattern): the register-max
+      // merge is grouping-invariant (8-shard union == 5-shard union),
+      // and the estimate's 5% bound holds — both computed Spark-side
+      // from the real sketches
+      """SELECT l_returnflag, TRUE AS merge_grouping_invariant, TRUE AS nd_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "t13_pii_redact" ->
+      // replay the deterministic PII seeding, then redact with the SAME
+      // Java/RE2-portable patterns — full value oracle on the text
+      """WITH seeded AS (
+           SELECT doc_id,
+             substr(text, 1, 64)
+             || CASE WHEN doc_id % 3 = 0
+                  THEN ' reach me at user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                  THEN ' from 10.' || (doc_id % 256) || '.0.7' ELSE '' END AS pt
+           FROM documents
+         ), re AS (
+           SELECT doc_id, pt,
+             regexp_replace(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS no_email
+           FROM seeded
+         )
+         SELECT doc_id,
+           regexp_replace(no_email,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+             AS text_redacted,
+           (no_email <> pt) AS had_email,
+           (regexp_replace(no_email,
+             '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+             <> no_email) AS had_ip
+         FROM re ORDER BY doc_id""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the
@@ -1760,6 +1922,21 @@ object SparkEntry {
               / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
           FROM sh a JOIN sh b ON $pairPredicate)
         WHERE j >= 0.5"""
+
+  /** d13: exact shares-a-shingle truth per corpus doc (the quantity the
+    * Bloom pre-filter must never miss) + the TRUE no-false-negative
+    * claim computed Spark-side from the real filter. */
+  private def d13OracleSql: String =
+    s"""WITH $shingleCteSql,
+        px AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
+        cx AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50),
+        shared AS (SELECT DISTINCT cx.doc_id FROM cx JOIN px USING (g))
+        SELECT sh.doc_id,
+          (shared.doc_id IS NOT NULL) AS shares_shingle,
+          TRUE AS fn_free
+        FROM sh LEFT JOIN shared ON sh.doc_id = shared.doc_id
+        WHERE sh.doc_id >= 50
+        ORDER BY sh.doc_id"""
 
   /** Brute-force exact-Jaccard oracle over 3-shingles (TextAnalysis
     * semantics) for a given pair predicate — shared by the self (d6) and

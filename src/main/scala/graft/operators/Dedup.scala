@@ -281,6 +281,57 @@ object Dedup {
     verifyStagedPairs(cands, sProbes, sCorpus, idCol, threshold)
   }
 
+  /** Broadcast Bloom pre-filter for decontamination — the cheap first
+    * pass in front of [[crossNearDupPairs]] at 100 TB: ONE narrow scan
+    * of the corpus (no shuffle, no join) marks every doc that could
+    * share a shingle with the probe set; only flagged docs (typically a
+    * tiny fraction) proceed to LSH bucketing + exact verification.
+    *
+    * Shape: the probe side reduces to a set of distinct shingle hashes
+    * (bounded — it is the benchmark/eval set by definition, and the
+    * `maxProbeShingles` require fails loudly if not), packed into one
+    * Bloom filter whose bytes ride the task binary
+    * ([[graft.functions.BloomAnyContain]]); the corpus side maps each
+    * doc's shingle-hash array through the filter in-place. A doc with
+    * Jaccard > 0 against ANY probe shares ≥ 1 shingle, and Bloom
+    * filters have no false negatives — so `bloom_flagged = false` is a
+    * PROOF of non-contamination. False positives (rate `fpp`) only cost
+    * a redundant exact check downstream.
+    *
+    * Output: `corpus` plus a `bloom_flagged` boolean (same row count,
+    * narrow map — composes with any downstream filter). */
+  def bloomPrefilterFlags(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      fpp: Double = 0.001,
+      maxProbeShingles: Long = 10L * 1000 * 1000,
+      persistStaged: Boolean = true): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    require(!corpus.columns.contains("bloom_flagged"),
+      "bloomPrefilterFlags: bloom_flagged is the output column — rename it in the input")
+    val sProbes = stagedShingles(probes, idCol, textCol, k, persistStaged)
+    val probeHashes = sProbes.select(explode(col("_sh")).as("_g"))
+      .select(xxhash64(col("_g")).as("_h")).distinct()
+    val nProbe = probeHashes.count() // one bounded job — probe-set metadata
+    require(nProbe <= maxProbeShingles,
+      s"bloomPrefilterFlags: $nProbe distinct probe shingles exceed maxProbeShingles=" +
+        s"$maxProbeShingles — the broadcast filter would be oversized; shard the probe set")
+    val bloom = probeHashes.stat.bloomFilter("_h", math.max(nProbe, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.GraftSqlBridge
+    TextAnalysis.withShingles(corpus, textCol, k, out = "_sh_bloom")
+      .withColumn("bloom_flagged", GraftSqlBridge.column(graft.functions.BloomAnyContain(
+        GraftSqlBridge.expression(transform(col("_sh_bloom"), g => xxhash64(g))), bytes)))
+      .drop("_sh_bloom")
+  }
+
   /** Connected components over the near-dup pair graph — the step that
     * turns verified pairs into DEDUP DECISIONS: docs in one component
     * are duplicates of each other and the component's minimum id is the

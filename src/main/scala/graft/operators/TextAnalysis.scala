@@ -269,6 +269,29 @@ object TextAnalysis {
       .withColumn("admit", col("reject_reason") === "ok")
   }
 
+  /** PII redaction patterns — the regex subset shared verbatim by Java
+    * regex (Spark codegen) and RE2 (DuckDB/Go engines): no backrefs, no
+    * lookaround, so the same pattern string is portable and the oracle
+    * can replay the redaction bit-for-bit. Patterns are deliberately
+    * high-recall (a 999.999.999.999 "IP" redacts too): in a training
+    * pipeline a false redaction costs a token, a missed leak costs an
+    * incident. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Redact emails and IPv4 literals from `textCol`: adds
+    * `<out>` (redacted text), `had_email` / `had_ip` flags. One narrow
+    * pass, no shuffle; the repeated regexp_replace subtrees fall under
+    * whole-stage codegen's subexpression elimination, so each pattern
+    * runs once per row. */
+  def redactPii(df: DataFrame, textCol: String, out: String = "text_redacted"): DataFrame = {
+    val t = col(textCol)
+    val noEmail = regexp_replace(t, EmailPattern, "<EMAIL>")
+    df.withColumn("had_email", noEmail =!= t)
+      .withColumn(out, regexp_replace(noEmail, Ipv4Pattern, "<IP>"))
+      .withColumn("had_ip", col(out) =!= noEmail)
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

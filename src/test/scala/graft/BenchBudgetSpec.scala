@@ -110,6 +110,11 @@ class BenchBudgetSpec extends SparkTestBase {
     "x5_pack_greedy" -> 1.0,
     "x6_epoch_shuffle" -> 1.2,
     "x7_chunk_spans" -> 1.0,
+    "x8_scd2" -> 1.0,
+    "x9_latest_snapshot" -> 1.0,
+    "a16_sketch_union" -> 1.5,
+    "t13_pii_redact" -> 1.0,
+    "d13_bloom_prefilter" -> 1.6,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.ChangeCapture
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class ChangeCaptureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def changes = Seq(
+    (1L, 10L, 100L, "a"),
+    (1L, 20L, 101L, "b"),
+    (1L, 20L, 102L, "b2"), // tie on time, broken by event id
+    (2L, 5L, 103L, "x"),
+    (3L, 7L, 104L, "only")
+  ).toDF("k", "t", "eid", "v")
+
+  test("scd2 intervals tile each key's timeline with one open current row") {
+    val out = ChangeCapture.scd2(changes, Seq("k"), "t", tieBreakers = Seq("eid"))
+    // exactly one is_current per key, and it is the max-(t, eid) change
+    val current = out.filter(col("is_current")).orderBy("k").collect()
+    assert(current.map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq ==
+      Seq((1L, "b2"), (2L, "x"), (3L, "only")))
+    // intervals chain: valid_to of row i == valid_from of row i+1 per key
+    val w = Window.partitionBy("k").orderBy(col("valid_from"), col("eid"))
+    val broken = out
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(!col("is_current") && (col("valid_to") =!= col("next_from")))
+      .count()
+    assert(broken == 0, "closed intervals must chain to the next version")
+    assert(out.count() == changes.count(), "one interval per change, none dropped")
+  }
+
+  test("scd2 refuses output-column collisions") {
+    val bad = changes.withColumnRenamed("v", "valid_to")
+    val e = intercept[IllegalArgumentException] {
+      ChangeCapture.scd2(bad, Seq("k"), "t")
+    }
+    assert(e.getMessage.contains("valid_to"))
+  }
+
+  test("latestSnapshot equals the row_number-window formulation") {
+    val got = ChangeCapture.latestSnapshot(changes, Seq("k"), "t", tieBreakers = Seq("eid"))
+      .orderBy("k").collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Long]("eid"), r.getAs[String]("v")))
+    val w = Window.partitionBy("k").orderBy(col("t").desc, col("eid").desc)
+    val want = changes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("k").collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[Long]("t"), r.getAs[Long]("eid"), r.getAs[String]("v")))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("latestSnapshot combines map-side — partial_max_by below the exchange, no window") {
+    val plan = ChangeCapture.latestSnapshot(changes, Seq("k"), "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"snapshot must not window full history:\n$plan")
+    // struct-valued max_by plans as SortAggregate (per-partition sort on
+    // the GROUP KEY only); the load-bearing property is the partial
+    // aggregate BELOW the exchange — each map task reduces its slice to
+    // one row per local key, so the shuffle carries keys, not history
+    val exchangeAt = plan.indexOf("Exchange")
+    val partialAt = plan.indexOf("partial_max_by")
+    assert(exchangeAt >= 0 && partialAt > exchangeAt,
+      s"expected partial_max_by on the map side (below Exchange):\n$plan")
+  }
+}

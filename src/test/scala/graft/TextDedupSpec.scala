@@ -305,4 +305,65 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(2L) == "de")
     assert(got(3L) == "und")
   }
+
+  test("redactPii masks emails and IPs, flags them, and is a no-op on clean text") {
+    val df = Seq(
+      (1L, "mail me at first.last+tag@sub.example.co.uk today"),
+      (2L, "server at 192.168.001.7 and backup 10.0.0.255."),
+      (3L, "both a@b.io and 8.8.8.8 appear"),
+      (4L, "no pii here, just version 1.2 and a price of 3.4.5x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(df, "text")
+      .select("doc_id", "text_redacted", "had_email", "had_ip")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == (("mail me at <EMAIL> today", true, false)))
+    assert(got(2L) == (("server at <IP> and backup <IP>.", false, true)))
+    assert(got(3L) == (("both <EMAIL> and <IP> appear", true, true)))
+    // 1.2 and 3.4.5x are not IPv4 shapes; nothing redacts
+    assert(got(4L) == (("no pii here, just version 1.2 and a price of 3.4.5x", false, false)))
+  }
+
+  test("bloomPrefilterFlags: overlapping docs always flagged; disjoint corpus mostly clear") {
+    val probes = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "a sentence containing the quick brown fox inside it"), // shares shingles
+      (101L, "completely unrelated words about maritime navigation charts"),
+      (102L, "pack my box with five dozen liquor jugs exactly"), // shares shingles
+      (103L, "granite mountains erode slowly under glacial pressure")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomPrefilterFlags(corpus, probes, "doc_id", "text", k = 3)
+      .select("doc_id", "bloom_flagged")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // no false negatives is a STRUCTURAL guarantee, not a probability
+    assert(got(100L) && got(102L), "docs sharing a shingle must be flagged")
+    // deterministic fixture + deterministic hashing: these two resolve
+    // clear at fpp=1e-3 (a false positive would only cost a redundant
+    // downstream check, but the fixture pins the common case)
+    assert(!got(101L) && !got(103L), "disjoint docs should pass the filter")
+    graft.CachePool.releaseAll()
+  }
+
+  test("bloomPrefilterFlags rejects oversized probe sets loudly") {
+    val probes = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val corpus = Seq((2L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomPrefilterFlags(corpus, probes, "doc_id", "text",
+        k = 3, maxProbeShingles = 2)
+    }
+    assert(e.getMessage.contains("maxProbeShingles"))
+    graft.CachePool.releaseAll()
+  }
+
+  test("redactPii is idempotent: redacting redacted text changes nothing") {
+    val df = Seq((1L, "a@b.io at 1.2.3.4")).toDF("doc_id", "text")
+    val once = TextAnalysis.redactPii(df, "text")
+      .select(col("doc_id"), col("text_redacted").as("text"))
+    val twice = TextAnalysis.redactPii(once, "text")
+      .select("text_redacted", "had_email", "had_ip").head()
+    assert(twice.getString(0) == "<EMAIL> at <IP>")
+    assert(!twice.getBoolean(1) && !twice.getBoolean(2))
+  }
 }
