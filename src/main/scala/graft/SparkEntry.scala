@@ -1096,6 +1096,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Morton z-values over (partkey, suppkey) — the curve math
+    * [[graft.operators.Layout.writeZOrdered]] clusters by (the writer
+    * additionally min/max-scales each dimension first). Pure bitwise
+    * arithmetic, so the oracle replays the identical magic-mask
+    * dilation in SQL and the curve is fully value-oracled. */
+  private val x10Zorder = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zValue(
+          pmod(col("l_partkey"), lit(65536)),
+          pmod(col("l_suppkey"), lit(65536))).as("zval"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1190,6 +1203,7 @@ object SparkEntry {
     "a16_sketch_union" -> a16SketchUnion,
     "t13_pii_redact" -> t13PiiRedact,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
+    "x10_zorder" -> x10Zorder,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1491,6 +1505,27 @@ object SparkEntry {
       // bipartite brute-force ground truth: eval slice vs training rest
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),
     "d13_bloom_prefilter" -> d13OracleSql,
+    "x10_zorder" ->
+      // the same 4-step magic-mask bit dilation, replayed in SQL
+      """WITH q AS (
+           SELECT l_orderkey, l_linenumber,
+             l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+           FROM lineitem
+         ), s1 AS (
+           SELECT l_orderkey, l_linenumber,
+             (a | (a << 8)) & 16711935 AS a1, (b | (b << 8)) & 16711935 AS b1 FROM q
+         ), s2 AS (
+           SELECT l_orderkey, l_linenumber,
+             (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1
+         ), s3 AS (
+           SELECT l_orderkey, l_linenumber,
+             (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+         ), s4 AS (
+           SELECT l_orderkey, l_linenumber,
+             (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3
+         )
+         SELECT l_orderkey, l_linenumber, (a4 | (b4 << 1)) AS zval
+         FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,

@@ -115,6 +115,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a16_sketch_union" -> 1.5,
     "t13_pii_redact" -> 1.0,
     "d13_bloom_prefilter" -> 1.6,
+    "x10_zorder" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

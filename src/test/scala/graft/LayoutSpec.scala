@@ -54,4 +54,37 @@ class LayoutSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("LessThan"),
       s"range predicate must push to the parquet scan:\n$plan")
   }
+
+  test("z-ordered layout bounds per-file spans on BOTH dimensions; linear sort only on one") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // per-file normalized span of a dimension: mean over files of
+    // (max - min) / global_range — 1.0 means every file spans everything
+    def meanSpan(path: String, dim: String): Double = {
+      val global = li.agg(
+        (max(col(dim)) - min(col(dim))).cast("double")).head().getDouble(0)
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max(col(dim)) - min(col(dim))).cast("double") / global).as("s"))
+        .agg(avg(col("s"))).head().getDouble(0)
+      spans
+    }
+    val zPath = tmpDir("layout") + "/z"
+    Layout.writeZOrdered(li, zPath, "l_partkey", "l_suppkey", numFiles = 16)
+    val linPath = tmpDir("layout") + "/lin"
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linPath)
+    assert(spark.read.parquet(zPath).count() == li.count(), "z-write is lossless")
+    val (zA, zB) = (meanSpan(zPath, "l_partkey"), meanSpan(zPath, "l_suppkey"))
+    val (lA, lB) = (meanSpan(linPath, "l_partkey"), meanSpan(linPath, "l_suppkey"))
+    // the linear layout serves only its sort column: the second
+    // dimension degenerates to (near-)full-range files
+    assert(lA < 0.2, s"linear sort should bound its own column (got $lA)")
+    assert(lB > 0.8, s"fixture sanity: suppkey should be unclustered under partkey sort (got $lB)")
+    // the curve bounds BOTH: each dimension's mean span must be well
+    // under the linear layout's unserved dimension
+    assert(zA < 0.5 && zB < 0.5,
+      s"z-order must bound both dims: partkey $zA, suppkey $zB vs linear ($lA, $lB)")
+  }
 }
