@@ -1110,6 +1110,101 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   // ====================================================================
+  // Anti / full-outer joins, grouping sets, exact moments, interval
+  // overlap, fuzzy join, source mixture
+  // ====================================================================
+
+  /** Left-anti join at the (user, day) grain: user-days with clicks but
+    * no errors. Plans as a shuffled hash join with LeftAnti type — no
+    * NOT-IN subquery rewrite, no per-row probe query. */
+  private val j8Anti = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    def userDays(tpe: String) = ev.filter(col("event_type") === tpe)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+    userDays("click").join(userDays("error"), Seq("user_id", "day"), "left_anti")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Full-outer join of two aggregates with disjoint key coverage —
+    * daily click counts vs daily error counts per user; either side may
+    * be absent, so both carried counts coalesce to 0. */
+  private val j9FullOuter = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    def daily(tpe: String, name: String) = ev.filter(col("event_type") === tpe)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as(name))
+    daily("click", "clicks")
+      .join(daily("error", "errors"), Seq("user_id", "day"), "full_outer")
+      .select(col("user_id"), col("day"),
+        coalesce(col("clicks"), lit(0L)).as("clicks"),
+        coalesce(col("errors"), lit(0L)).as("errors"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** GROUPING SETS — the general form rollup (a11) and cube (a14) are
+    * shorthands of: an explicit, non-prefix-closed set list. `gid`
+    * disambiguates a NULL key value from a NULL introduced by
+    * aggregation (Spark's grouping_id bit convention: first listed
+    * column = most significant bit; the oracle reconstructs it from
+    * per-column GROUPING()). */
+  private val a17GroupingSets = (s: SparkSession, d: String) =>
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Exact-arithmetic variance/correlation (see
+    * [[RelationalOps.exactMoments]]): the determinism-safe form of
+    * var_pop/corr — float power sums are partition-order-dependent,
+    * decimal power sums are not. */
+  private val a18ExactMoments = (s: SparkSession, d: String) =>
+    RelationalOps.exactMoments(t(s, d, "lineitem"), Seq("l_returnflag"),
+      "l_quantity", 0, "l_extendedprice", 2)
+      .orderBy(col("l_returnflag"))
+
+  /** Interval-overlap join without an equi-key: 30-minute error windows
+    * × 5-minute click windows, bucketed into an equi-join
+    * ([[TemporalJoin.intervalOverlapJoin]] — the shape Spark would
+    * otherwise plan as BroadcastNestedLoopJoin). */
+  private val j10IntervalOverlap = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("e_start"),
+        (unix_micros(col("ts")) + lit(1800000000L)).as("e_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_start"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("c_end"))
+    TemporalJoin.intervalOverlapJoin(errs, clicks,
+      "e_start", "e_end", "c_start", "c_end", bucketWidth = 1800000000L)
+      .select(col("error_id"), col("click_id"))
+      .orderBy(col("error_id"), col("click_id"))
+  }
+
+  /** Fuzzy-key self-join: all customer-name pairs within edit distance
+    * 1, via complete deletion-neighborhood signatures
+    * ([[graft.operators.FuzzyJoin]]) — linear signature inflation + one
+    * equi-join, verified by exact levenshtein; the oracle brute-forces
+    * all pairs. */
+  private val j11FuzzyJoin = (s: SparkSession, d: String) =>
+    FuzzyJoin.editDistance1Join(t(s, d, "customer"), "c_custkey", "c_name")
+      .orderBy(col("id1"), col("id2"))
+
+  /** Epoch-weighted source mixture ([[Sampling.mixture]]): 2.5 epochs
+    * of src0, 0.5 of src1, 1.0 of the rest — the data-recipe primitive
+    * for up/down-weighting sources across training epochs. */
+  private val x11Mixture = (s: SparkSession, d: String) =>
+    Sampling.mixture(t(s, d, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.5), defaultWeight = 1.0)
+      .orderBy(col("epoch"), col("doc_id"))
+
+  // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q0_flagship" -> q0Flagship,
@@ -1204,6 +1299,13 @@ object SparkEntry {
     "t13_pii_redact" -> t13PiiRedact,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "x10_zorder" -> x10Zorder,
+    "j8_anti" -> j8Anti,
+    "j9_full_outer" -> j9FullOuter,
+    "j10_interval_overlap" -> j10IntervalOverlap,
+    "j11_fuzzy_join" -> j11FuzzyJoin,
+    "a17_grouping_sets" -> a17GroupingSets,
+    "a18_exact_moments" -> a18ExactMoments,
+    "x11_mixture" -> x11Mixture,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1820,6 +1922,89 @@ object SparkEntry {
              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
              <> no_email) AS had_ip
          FROM re ORDER BY doc_id""",
+    "j8_anti" ->
+      """WITH c AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'click'),
+              e AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day FROM events WHERE event_type = 'error')
+         SELECT c.user_id, c.day FROM c ANTI JOIN e ON c.user_id = e.user_id AND c.day = e.day
+         ORDER BY user_id, day""",
+    "j9_full_outer" ->
+      """WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS clicks
+                    FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+              e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS errors
+                    FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+         SELECT COALESCE(c.user_id, e.user_id) AS user_id,
+                COALESCE(c.day, e.day) AS day,
+                COALESCE(clicks, 0) AS clicks,
+                COALESCE(errors, 0) AS errors
+         FROM c FULL JOIN e ON c.user_id = e.user_id AND c.day = e.day
+         ORDER BY user_id, day""",
+    "j10_interval_overlap" ->
+      // brute-force inequality join (DuckDB plans IEJoin); the engine
+      // side must produce the identical pair set through buckets
+      """SELECT a.error_id, b.click_id FROM
+           (SELECT event_id AS error_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+              FROM events WHERE event_type = 'error') a
+         JOIN
+           (SELECT event_id AS click_id, epoch_us(ts) AS s2, epoch_us(ts) + 300000000 AS e2
+              FROM events WHERE event_type = 'click') b
+           ON a.s < b.e2 AND b.s2 < a.e
+         ORDER BY error_id, click_id""",
+    "j11_fuzzy_join" ->
+      // all-pairs ground truth: completeness of the deletion-neighborhood
+      // signatures is exactly what this compares against
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id1, id2""",
+    "a17_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INTEGER) AS gid,
+           count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "a18_exact_moments" ->
+      // identical shape: exact DECIMAL power sums -> one double cast ->
+      // a fixed sequence of IEEE ops (see RelationalOps.exactMoments)
+      """WITH sums AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+           FROM (SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(18,0)) AS x,
+                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                 FROM lineitem)
+           GROUP BY 1
+         ), m AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM sums)
+         SELECT l_returnflag, n,
+           (nd * sxx - sx * sx) / (nd * nd) AS var_pop_x,
+           (nd * syy - sy * sy) / (nd * nd) AS var_pop_y,
+           (nd * sxy - sx * sy)
+             / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS corr_xy
+         FROM m ORDER BY l_returnflag""",
+    "x11_mixture" -> {
+      val h05 = graft.operators.Sampling.hexThreshold(0.5)
+      s"""WITH m AS (
+           SELECT doc_id, source, 0 AS epoch FROM documents
+            WHERE substr(md5('mix0:' || doc_id::VARCHAR), 1, 8) <
+              CASE WHEN source = 'src0' THEN 'g'
+                   WHEN source = 'src1' THEN '$h05' ELSE 'g' END
+           UNION ALL
+           SELECT doc_id, source, 1 AS epoch FROM documents
+            WHERE substr(md5('mix1:' || doc_id::VARCHAR), 1, 8) <
+              CASE WHEN source = 'src0' THEN 'g'
+                   WHEN source = 'src1' THEN '00000000' ELSE '00000000' END
+           UNION ALL
+           SELECT doc_id, source, 2 AS epoch FROM documents
+            WHERE substr(md5('mix2:' || doc_id::VARCHAR), 1, 8) <
+              CASE WHEN source = 'src0' THEN '$h05'
+                   WHEN source = 'src1' THEN '00000000' ELSE '00000000' END
+         )
+         SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM m
+         ORDER BY epoch, doc_id"""
+    },
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -101,4 +101,45 @@ object RelationalOps {
     * Consumer.scala:389-397, without the emptyDataFrame seed quirk). */
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
+
+  /** Order-independent second-moment statistics (population variance and
+    * Pearson correlation) per group. `var_pop`/`corr` over doubles are
+    * NONDETERMINISTIC on any distributed engine — float accumulation
+    * order follows partition order, so two runs of the same query can
+    * disagree in the last bits. Here the five power sums (Σx, Σy, Σx²,
+    * Σxy, Σy²) accumulate in DECIMAL — exact and commutative, so the
+    * shuffle order cannot matter — and the variance / correlation
+    * derivations are a FIXED sequence of correctly-rounded IEEE double
+    * ops applied to those exact sums: bit-identical on every engine
+    * that mirrors the expression shape (the DuckDB oracle does).
+    *
+    * `xScale`/`yScale` are the decimal scales that make the inputs
+    * exact rationals (a price with cents: 2). Sums are still one
+    * map-side-combined hash aggregate — the determinism costs nothing.
+    * Capacity: |x|·10^xScale up to ~10¹⁸ and group sizes up to ~10¹⁹
+    * rows fit decimal(38) power sums — audit before raising scales. */
+  def exactMoments(
+      df: DataFrame,
+      keys: Seq[String],
+      xCol: String, xScale: Int,
+      yCol: String, yScale: Int): DataFrame = {
+    val x = col(xCol).cast(s"decimal(18,$xScale)")
+    val y = col(yCol).cast(s"decimal(18,$yScale)")
+    val sums = df.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast("double").as("sx"),
+      sum(y).cast("double").as("sy"),
+      sum(x * x).cast("double").as("sxx"),
+      sum(x * y).cast("double").as("sxy"),
+      sum(y * y).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    val cv = n * col("sxy") - col("sx") * col("sy")
+    sums.select(keys.map(col) ++ Seq(
+      col("n"),
+      (vx / (n * n)).as("var_pop_x"),
+      (vy / (n * n)).as("var_pop_y"),
+      (cv / sqrt(vx * vy)).as("corr_xy")): _*)
+  }
 }

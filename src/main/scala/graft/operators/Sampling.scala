@@ -109,6 +109,41 @@ object Sampling {
     RelationalOps.withRowIndex(df, outCol,
       Seq(uniformHex(col(keyCol), s"epoch$epoch"), col(keyCol)))
 
+  /** Epoch-weighted source mixture — the training-mix primitive
+    * "2.5 epochs of src0, 0.5 of src1, 1.0 of everything else"
+    * (how LLM data recipes up-weight scarce high-quality sources and
+    * down-weight boilerplate). Weight `w` yields ⌈w⌉ passes: epochs
+    * 0..⌊w⌋−1 keep the whole group, the final partial epoch keeps a
+    * frac(w)-rate hash sample. Each output row is tagged with its
+    * `epochCol` number; the salt carries the epoch, so partial epochs
+    * draw INDEPENDENT subsets (re-reading the same rows every epoch
+    * would defeat the mixing). Pure narrow maps + a union — no
+    * shuffle, retry-safe, reproducible across runs and engines. */
+  def mixture(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double,
+      salt: String = "mix",
+      epochCol: String = "epoch"): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0, s"mixture weights must be non-negative, got $w"))
+    val epochs = math.ceil((weights.values.toSeq :+ defaultWeight).max).toInt
+    require(epochs >= 1, "mixture: all weights are zero — empty mixture")
+    val copies = (0 until epochs).map { e =>
+      def rate(w: Double): Double = math.min(1.0, math.max(0.0, w - e))
+      val u = uniformHex(col(keyCol), s"$salt$e")
+      val threshold = whenChain(
+        weights.toSeq.sortBy(_._1).map { case (g, w) =>
+          (col(groupCol) === g) -> lit(hexThreshold(rate(w)))
+        },
+        lit(hexThreshold(rate(defaultWeight))))
+      df.filter(u < threshold).withColumn(epochCol, lit(e))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
   /** Assign every key to one of the named splits with the given weights
     * (must sum to ≤ 1; any remainder falls into the last split). The
     * assignment column is appended; rows never move or duplicate. */

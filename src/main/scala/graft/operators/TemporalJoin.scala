@@ -202,4 +202,50 @@ object TemporalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("_b")
   }
+
+  /** Bucketed interval-overlap join — the symmetric sibling of
+    * [[rangeJoinBucketed]]: one row per (left, right) pair whose
+    * half-open intervals intersect, `ls < re && rs < le`. Both sides
+    * explode to every bucket they cover and candidates equi-join on the
+    * bucket id; a pair can meet in MANY buckets, so each surviving pair
+    * is claimed by exactly one — the bucket holding the overlap's start
+    * `max(ls, rs)` (covered by both intervals whenever the overlap is
+    * non-empty) — which replaces a `distinct` over the wide pair output
+    * with a cheap scalar filter. Empty intervals (end <= start) match
+    * nothing. Long domains may be negative — floor division via pmod,
+    * same rationale as [[rangeJoinBucketed]].
+    *
+    * 100 TB: candidate volume is bucket co-occupancy; tune
+    * `bucketWidth` toward the typical interval length so each interval
+    * explodes to O(1) buckets. The join is a plain shuffled equi-join —
+    * the planner's alternative for this predicate is
+    * BroadcastNestedLoopJoin, which is quadratic and single-stage. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lsCol: String, leCol: String,
+      rsCol: String, reCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSeq.intersect(right.columns.toSeq)
+    require(overlap.isEmpty, s"intervalOverlapJoin: rename overlapping columns: $overlap")
+    require(!(left.columns ++ right.columns).contains("_b"),
+      "intervalOverlapJoin: _b is the internal bucket column — rename it in the inputs")
+    def fdiv(x: String): String =
+      s"(($x) - pmod($x, ${bucketWidth}L)) div ${bucketWidth}L"
+    val lv = left
+      .filter(col(leCol) > col(lsCol))
+      .withColumn("_b", explode(sequence(
+        expr(fdiv(s"`$lsCol`")),
+        expr(fdiv(s"`$leCol` - 1")))))
+    val rv = right
+      .filter(col(reCol) > col(rsCol))
+      .withColumn("_b", explode(sequence(
+        expr(fdiv(s"`$rsCol`")),
+        expr(fdiv(s"`$reCol` - 1")))))
+    lv.join(rv, Seq("_b"))
+      .filter(col(lsCol) < col(reCol) && col(rsCol) < col(leCol))
+      .filter(col("_b") === expr(fdiv(s"greatest(`$lsCol`, `$rsCol`)")))
+      .drop("_b")
+  }
 }

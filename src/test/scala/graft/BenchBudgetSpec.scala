@@ -116,6 +116,13 @@ class BenchBudgetSpec extends SparkTestBase {
     "t13_pii_redact" -> 1.0,
     "d13_bloom_prefilter" -> 1.6,
     "x10_zorder" -> 1.0,
+    "j8_anti" -> 1.0,
+    "j9_full_outer" -> 1.0,
+    "j10_interval_overlap" -> 1.2,
+    "j11_fuzzy_join" -> 1.4,
+    "a17_grouping_sets" -> 1.0,
+    "a18_exact_moments" -> 1.0,
+    "x11_mixture" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

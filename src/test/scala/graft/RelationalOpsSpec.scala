@@ -123,4 +123,37 @@ class RelationalOpsSpec extends SparkTestBase {
       assert(math.abs(e - a) <= 1.0, s"${r.getString(0)}: approx med $a vs exact $e")
     }
   }
+
+  test("exactMoments: matches closed-form variance/correlation on a known set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // x = 1..4, y = 2x exactly: var_pop_x = 1.25, corr = 1.0 exactly
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+      .map { case (x, y) => ("g", x, y) }.toDF("k", "x", "y")
+    val r = RelationalOps.exactMoments(df, Seq("k"), "x", 0, "y", 2).collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Double]("var_pop_x") == 1.25)
+    assert(r.getAs[Double]("var_pop_y") == 5.0)
+    assert(r.getAs[Double]("corr_xy") == 1.0)
+    // anti-correlated pair
+    val df2 = Seq(("g", 1.0, 8.0), ("g", 2.0, 6.0), ("g", 3.0, 4.0), ("g", 4.0, 2.0))
+      .toDF("k", "x", "y")
+    val r2 = RelationalOps.exactMoments(df2, Seq("k"), "x", 0, "y", 2).collect()(0)
+    assert(r2.getAs[Double]("corr_xy") == -1.0)
+  }
+
+  test("exactMoments is bit-identical across partition layouts (float agg is not)") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    def run(parts: Int): Map[String, (Double, Double)] =
+      RelationalOps.exactMoments(li.repartition(parts, col("l_orderkey")),
+          Seq("l_returnflag"), "l_quantity", 0, "l_extendedprice", 2)
+        .collect()
+        .map(r => r.getString(0) -> (r.getAs[Double]("var_pop_y"), r.getAs[Double]("corr_xy")))
+        .toMap
+    val a = run(2)
+    val b = run(7)
+    // == on doubles: BIT-equality is the whole contract here
+    assert(a == b, s"moments drifted across partitionings:\n$a\n$b")
+  }
 }

@@ -141,4 +141,38 @@ class SamplingSpec extends SparkTestBase {
       (2L, 0, 0, 5),
       (3L, 0, 0, 0)))
   }
+
+  test("mixture: integer weights give exact full copies, fractional epochs sample") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (1L to 1000L).map(i => (i, if (i <= 200) "hot" else if (i <= 400) "cold" else "base"))
+      .toDF("id", "src")
+    val mixed = Sampling.mixture(df, "src", "id",
+      Map("hot" -> 2.5, "cold" -> 0.5), defaultWeight = 1.0)
+    val byEpoch = mixed.groupBy("src", "epoch").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // full epochs are exact copies
+    assert(byEpoch(("hot", 0)) == 200 && byEpoch(("hot", 1)) == 200)
+    assert(byEpoch(("base", 0)) == 600)
+    assert(!byEpoch.contains(("base", 1)) && !byEpoch.contains(("cold", 1)))
+    // partial epochs land near the rate (md5-uniform, 200 draws)
+    assert(math.abs(byEpoch(("hot", 2)) - 100.0) < 40, byEpoch(("hot", 2)))
+    assert(math.abs(byEpoch(("cold", 0)) - 100.0) < 40, byEpoch(("cold", 0)))
+    // partial epochs draw INDEPENDENT subsets: epoch 2 of hot is not a
+    // prefix/subset of epoch 0 (same keys, different salt)
+    val e2 = mixed.filter($"src" === "hot" && $"epoch" === 2).select("id")
+    assert(e2.count() > 0)
+    // deterministic: re-running yields the identical multiset
+    val again = Sampling.mixture(df, "src", "id",
+      Map("hot" -> 2.5, "cold" -> 0.5), defaultWeight = 1.0)
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+  }
+
+  test("mixture: zero weight drops a group entirely") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq((1L, "junk"), (2L, "keep")).toDF("id", "src")
+    val mixed = Sampling.mixture(df, "src", "id", Map("junk" -> 0.0), defaultWeight = 1.0)
+    assert(mixed.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

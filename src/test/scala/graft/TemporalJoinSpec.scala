@@ -167,4 +167,44 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
       s"bucketed range join must stay an equi-join:\n$plan")
   }
+
+  test("intervalOverlapJoin matches the naive overlap join, one row per pair") {
+    // spans crossing many buckets, touching intervals (no overlap under
+    // half-open semantics), empty intervals, negative domains
+    val left = Seq(
+      (1L, 0L, 10L),    // overlaps r1, r2
+      (2L, 10L, 20L),   // touches r1 at 10 -> NO match with [5,10)
+      (3L, -25L, -5L),  // negative domain
+      (4L, 30L, 30L),   // empty -> matches nothing
+      (5L, 0L, 100L)    // long span across many buckets
+    ).toDF("lid", "ls", "le")
+    val right = Seq(
+      (101L, 5L, 10L),
+      (102L, 9L, 12L),
+      (103L, -10L, -8L),
+      (104L, 29L, 31L),
+      (105L, 99L, 200L)
+    ).toDF("rid", "rs", "re")
+    val naive = left.as("a").join(right.as("b"),
+        col("ls") < col("re") && col("rs") < col("le") && col("le") > col("ls") && col("re") > col("rs"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    for (w <- Seq(3L, 7L, 64L)) {
+      val rows = TemporalJoin.intervalOverlapJoin(left, right, "ls", "le", "rs", "re", w)
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(rows == rows.distinct, s"width $w: a pair met in more than one bucket")
+      assert(rows == naive, s"width $w: got $rows want $naive")
+    }
+  }
+
+  test("intervalOverlapJoin plan: equi-join on the bucket id, no nested loop") {
+    val left = Seq((1L, 0L, 10L)).toDF("lid", "ls", "le")
+    val right = Seq((2L, 5L, 15L)).toDF("rid", "rs", "re")
+    val joined = TemporalJoin.intervalOverlapJoin(left, right, "ls", "le", "rs", "re", 8L)
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed overlap join must stay an equi-join:\n$plan")
+  }
 }
