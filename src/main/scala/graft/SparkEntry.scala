@@ -790,6 +790,18 @@ object SparkEntry {
   /** Random projection 64→16 dims exploded to scalars: the JL
     * dimensionality-reduction tier, oracled through the same exported
     * plane constants as s2 (list_dot_product / √16 — IEEE-exact). */
+  /** Product-quantized top-k with md5-SAMPLED codebooks (refineIters=0):
+    * every step — codebook sample, per-subspace argmin encode, codeword
+    * reconstruction, ADC cosine ranking — is engine-reproducible, so the
+    * oracle replays the whole index build in SQL. The k-means-refined
+    * variant is spec-measured (recall floor) rather than oracled: Lloyd
+    * means depend on engine-local float accumulation order. */
+  private val s11PqTopK = (s: SparkSession, d: String) =>
+    Similarity.pqTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
   private val s10RandomProjection = (s: SparkSession, d: String) =>
     t(s, d, "embeddings")
       .filter(col("vec_id") < 50)
@@ -1264,6 +1276,7 @@ object SparkEntry {
     "s8_quantized_ivf" -> s8QuantizedIvf,
     "s9_lsh_banded" -> s9LshBanded,
     "s10_random_projection" -> s10RandomProjection,
+    "s11_pq_topk" -> s11PqTopK,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1713,6 +1726,7 @@ object SparkEntry {
     "s5_lsh_multiprobe" -> s5OracleSql,
     "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
     "s10_random_projection" -> s10OracleSql,
+    "s11_pq_topk" -> s11OracleSql,
     "j6_asof_join" ->
       // epoch_us on both sides: the parquet nanos are not micro-aligned,
       // so raw-timestamp comparisons and (user, ts) grouping would
@@ -2118,6 +2132,50 @@ object SparkEntry {
              unnest(range(1, 17)) AS t(p)
         ORDER BY vec_id, pos"""
   }
+
+  /** DuckDB twin of [[graft.operators.Similarity.pqTopK]] with sampled
+    * codebooks — the ENTIRE index build replayed in SQL: (1) the md5
+    * sample picks the same 16 codebook rows (identical hex-string order
+    * as Sampling.uniformHex); (2) codes are the per-subspace argmin of
+    * squared L2 folded strictly left-to-right (list_reduce seeds with
+    * the first element — bit-identical to Spark's fold from 0.0, since
+    * 0.0 + x ≡ x), ties to the smaller codeword index; (3) candidates
+    * rank by cosine against the flatten-reconstructed codewords. */
+  private def s11OracleSql: String =
+    """WITH samp AS (
+         SELECT embedding, j FROM (
+           SELECT embedding,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('pq:' || vec_id::VARCHAR), 1, 8), vec_id) - 1 AS j
+           FROM embeddings
+         ) WHERE j < 16
+       ), cw AS (
+         SELECT t.s, samp.j,
+           list_transform(range(1, 17),
+             i -> CAST(embedding[CAST(t.s * 16 + i AS INTEGER)] AS DOUBLE)) AS cw
+         FROM samp, (SELECT unnest(range(0, 4)) AS s) t
+       ), codes AS (
+         SELECT vec_id, s, j AS code FROM (
+           SELECT e.vec_id, c.s, c.j,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+               ORDER BY list_reduce(list_transform(range(1, 17),
+                 i -> (CAST(e.embedding[CAST(c.s * 16 + i AS INTEGER)] AS DOUBLE) - c.cw[i])
+                    * (CAST(e.embedding[CAST(c.s * 16 + i AS INTEGER)] AS DOUBLE) - c.cw[i])),
+                 (a, b) -> a + b) ASC, c.j ASC) AS rn
+           FROM embeddings e CROSS JOIN cw c
+         ) WHERE rn = 1
+       ), recon AS (
+         SELECT codes.vec_id, flatten(list(cw.cw ORDER BY codes.s)) AS v
+         FROM codes JOIN cw ON cw.s = codes.s AND cw.j = codes.code
+         GROUP BY codes.vec_id
+       )
+       SELECT probe_id, neighbor_id, rank FROM (
+         SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), r.v) DESC,
+                      r.vec_id ASC) AS INTEGER) AS rank
+         FROM embeddings p CROSS JOIN recon r
+         WHERE p.vec_id < 5 AND r.vec_id <> p.vec_id
+       ) WHERE rank <= 5 ORDER BY probe_id, rank"""
 
   /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard
     * oracles. NOTE: raw (non-interpolated) string — regex backslashes

@@ -476,6 +476,194 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) tier
+  // --------------------------------------------------------------------
+
+  /** Sampled PQ codebooks: the `ksub` corpus rows with the smallest
+    * portable md5 draw ([[Sampling.uniformHex]], ties by id) each donate
+    * their `m` subvectors — codebook(s)(j) = subvector s of sampled row
+    * j. ENGINE-REPRODUCIBLE (the reason this is the oracled form): any
+    * SQL engine re-derives the identical sample from md5 hex strings,
+    * unlike k-means output, which depends on engine-local float
+    * accumulation order. [[pqRefineCodebooks]] upgrades quality when
+    * reproducibility-by-SQL is not required.
+    *
+    * Driver materialization is ksub rows — same bounded-metadata class
+    * as [[collectCentroids]], same loud guard. */
+  def pqSampledCodebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      ksub: Int,
+      salt: String = "pq"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(ksub <= maxNlist, s"ksub=$ksub must stay driver-small (≤ $maxNlist)")
+    val dsub = dim / m
+    val rows = df
+      .orderBy(Sampling.uniformHex(col(idCol), salt), col(idCol))
+      .limit(ksub)
+      .select(col(vecCol))
+      .collect()
+    require(rows.length == ksub,
+      s"pqSampledCodebooks: corpus has only ${rows.length} rows, need ksub=$ksub")
+    val full = rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(m, ksub)((s, j) => full(j).slice(s * dsub, (s + 1) * dsub))
+  }
+
+  /** Squared-L2 distance between a materialized subvector column and an
+    * inlined codeword, folded STRICTLY left-to-right in doubles (the
+    * engine-portable summation order — 0.0 + x₁ ≡ x₁, so a fold from
+    * zero equals a first-element-seeded reduce). */
+  private def l2sq(sub: Column, cw: Column): Column =
+    aggregate(
+      zip_with(sub, cw, (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+      lit(0.0), (a, b) => a + b)
+
+  /** Append `_codes` (array<int>, length m): per subspace, the index of
+    * the nearest codeword by squared L2, ties to the smallest index.
+    * Subvectors are staged as a materialized column first (the HOF
+    * staging contract — element_at inside the per-codeword lambdas is
+    * then an O(1) array access), and each subspace's codebook enters the
+    * plan as ONE typedlit matrix node, so expression-tree size is O(m)
+    * regardless of ksub × dsub. Narrow map: no join, no shuffle. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = dim / m
+    val ksub = codebooks(0).length
+    val subs = array((0 until m).map(s => slice(col(vecCol), s * dsub + 1, dsub)): _*)
+    df.withColumn("_subs", subs)
+      .withColumn("_codes", array((0 until m).map { s =>
+        val ids = typedLit((0 until ksub).map(_.toLong))
+        val mat = typedLit(codebooks(s).map(_.toSeq).toSeq)
+        val sub = element_at(col("_subs"), s + 1)
+        // max over struct(-dist, -idx) == (min dist, tie min idx) —
+        // the centroidScores tie-break pattern
+        (-array_max(zip_with(ids, mat, (j, cw) =>
+          struct((-l2sq(sub, cw)).as("negd"), (-j).as("negj"))))
+          .getField("negj")).cast("int")
+      }: _*))
+      .drop("_subs")
+  }
+
+  /** Reconstruction of a PQ-coded vector (array<double>, length dim):
+    * the concatenation of each subspace's chosen codeword. This is what
+    * ADC scores against — the fp32 corpus vector never rides the index.
+    * m × log₂(ksub) bits per vector (m=4, ksub=16 → 16 bits vs 64×4
+    * bytes fp32: 128× smaller index payload). */
+  def pqReconstruct(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    concat(codebooks.toSeq.zipWithIndex.map { case (cb, s) =>
+      element_at(typedLit(cb.map(_.toSeq).toSeq),
+        element_at(codes, s + 1) + 1)
+    }: _*)
+
+  /** Lloyd refinement of PQ codebooks — ONE narrow encode pass plus ONE
+    * (subspace, code)-keyed aggregation per iteration REGARDLESS of m
+    * (the per-subspace-loop alternative would scan the corpus m× per
+    * iteration). The shuffle carries native vector-sum partials: one
+    * array per (subspace, code, partition). Codewords that lost all
+    * members keep their previous value. Output codebooks are
+    * engine-LOCAL (float accumulation order) — use for quality; the
+    * sampled codebooks remain the SQL-reproducible tier. */
+  def pqRefineCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      codebooks: Array[Array[Array[Double]]],
+      iters: Int): Array[Array[Array[Double]]] = {
+    val m = codebooks.length
+    val dsub = dim / m
+    var cur = codebooks
+    for (_ <- 0 until iters) {
+      val subs = array((0 until m).map(s => slice(col(vecCol), s * dsub + 1, dsub)): _*)
+      val exploded = pqEncode(df.select(col(vecCol)), vecCol, dim, cur)
+        .withColumn("_subs", subs)
+        .select(posexplode(zip_with(col("_codes"), col("_subs"),
+          (c, v) => struct(c.as("code"), v.as("sub")))).as(Seq("s", "cs")))
+        .select(col("s"), col("cs.code").as("code"), col("cs.sub").as("sub"))
+      val means = exploded
+        .groupBy(col("s"), col("code"))
+        .agg(VectorOps.vecSum(col("sub")).as("_vsum"), count(col("sub")).as("_n"))
+        .select(col("s"), col("code"),
+          transform(col("_vsum"), v => v / col("_n")).as("cw"))
+        .collect() // bounded: ≤ m × ksub rows of dsub doubles
+      val next = cur.map(_.map(identity)) // keep old codeword where no members
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+      }
+      cur = next
+    }
+    cur
+  }
+
+  /** PQ top-k — asymmetric distance computation (ADC) over product-
+    * quantized codes (Jégou, Douze & Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): the corpus is encoded once
+    * into m sub-codes, probes stay full precision, and candidates are
+    * ranked by cosine against the RECONSTRUCTED vectors. With sampled
+    * codebooks (refineIters = 0) every step is engine-reproducible —
+    * the oracled form (`s11`). `rerank > 0` adds the standard two-stage
+    * refinement: top `rerank` by ADC score fetch fp32 vectors by id and
+    * the final top-k is exact over that shortlist (identical to the s8
+    * pattern; rerank ≥ |corpus| reproduces [[cosineTopK]] exactly).
+    *
+    * 100 TB: the index payload is m × log₂(ksub) bits per vector (128×
+    * smaller than fp32 at m=4, ksub=16) — encode is a narrow map, and
+    * scan IO over codes replaces scan IO over embeddings. This tier
+    * composes with IVF the same way int8 does (codes inside lists). */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      refineIters: Int = 0,
+      rerank: Int = 0,
+      maxProbes: Int = 10000): DataFrame = {
+    val sampled = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
+    val cb =
+      if (refineIters > 0) pqRefineCodebooks(df, vecCol, dim, sampled, refineIters)
+      else sampled
+    val corpus = pqEncode(df, vecCol, dim, cb)
+      .select(col(idCol).as("neighbor_id"), pqReconstruct(col("_codes"), cb).as("_rv"))
+    val probes = requireBoundedProbes(df.filter(probeFilter), "pqTopK", maxProbes)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"))
+    val scored = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", VectorOps.cosineSim(col("_pv"), col("_rv")))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    else {
+      val shortlist = scored
+        .withColumn("rank_q", row_number().over(wq))
+        .filter(col("rank_q") <= rerank)
+        .select(col("probe_id"), col("_pv"), col("neighbor_id"))
+      val full = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist
+        .join(full, Seq("neighbor_id"))
+        .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }
+  }
+
   /** Quantized IVF top-k — the compressed-index retrieval tier: int8
     * codes live INSIDE the inverted lists (the fp32 vector never rides
     * the index), probes score candidates from probed lists against the

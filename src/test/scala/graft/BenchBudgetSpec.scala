@@ -30,6 +30,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "s8_quantized_ivf" -> 2.0,
     "s9_lsh_banded" -> 2.2,
     "s10_random_projection" -> 1.2,
+    "s11_pq_topk" -> 1.6,
     "a10_percentiles" -> 1.6,
     "a11_rollup" -> 1.5,
     "a12_pivot" -> 1.1,

@@ -394,4 +394,97 @@ class SimilaritySpec extends SparkTestBase {
       assert(rs.map(_.getLong(1)).distinct.length == rs.length)
     }
   }
+
+  test("PQ: codes bounded, encode deterministic, reconstruction spans full dim") {
+    val df = vecs(120, 16).toDF("vec_id", "embedding")
+    val cb = Similarity.pqSampledCodebooks(df, "vec_id", "embedding", dim = 16, m = 4, ksub = 8)
+    assert(cb.length == 4 && cb.forall(_.length == 8) && cb.forall(_.forall(_.length == 4)))
+    val coded = Similarity.pqEncode(df, "embedding", 16, cb)
+      .select(col("vec_id"), col("_codes"),
+        Similarity.pqReconstruct(col("_codes"), cb).as("_rv"))
+    val rows = coded.collect()
+    assert(rows.length == 120)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 4 && codes.forall(c => c >= 0 && c < 8))
+      assert(r.getSeq[Double](2).length == 16)
+    }
+    // sampled codebooks are a pure function of the md5 order — re-derived
+    // codebooks must encode every row identically
+    val cb2 = Similarity.pqSampledCodebooks(df, "vec_id", "embedding", dim = 16, m = 4, ksub = 8)
+    val again = Similarity.pqEncode(df, "embedding", 16, cb2)
+      .select(col("vec_id"), col("_codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Int](1)))
+  }
+
+  test("PQ with corpus-deep re-rank reproduces exact brute force") {
+    val df = vecs(150, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+        k = 5, dim = 16, m = 4, ksub = 8, rerank = 150)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pq == exact, "rerank >= |corpus| must be exact — ADC only shapes the shortlist")
+  }
+
+  /** Clustered fixture: real embedding corpora are clustered (that is
+    * what PQ codewords exploit); uniform-random vectors are PQ's
+    * worst case and make refine-vs-sample comparisons meaningless —
+    * k-means then minimizes L2 distortion toward the origin, which is
+    * orthogonal to cosine ORDER. */
+  private def clusteredVecs(n: Int, dim: Int, centers: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(11)
+    val cs = Seq.fill(centers)(Seq.fill(dim)(rnd.nextFloat() * 2 - 1))
+    (0 until n).map { i =>
+      val c = cs(i % centers)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+  }
+
+  test("PQ ADC recall: floor on uniform data, refinement helps on clustered data") {
+    def recallOf(data: Seq[(Long, Seq[Float])], refineIters: Int, rerank: Int): Double = {
+      val df = data.toDF("vec_id", "embedding")
+      val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = Similarity.pqTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+          k = 5, dim = 16, m = 4, ksub = 8, refineIters = refineIters, rerank = rerank)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val uniform = vecs(200, 16)
+    val sampled = recallOf(uniform, 0, 0)
+    assert(sampled >= 0.2, s"sampled-codebook ADC recall $sampled below floor (uniform worst case)")
+    // a shortlist re-rank must recover at least the ADC-only recall
+    assert(recallOf(uniform, 0, 40) >= sampled)
+    val clustered = clusteredVecs(200, 16, 12)
+    val cSampled = recallOf(clustered, 0, 0)
+    val cRefined = recallOf(clustered, 2, 0)
+    assert(cRefined >= cSampled,
+      s"refined recall $cRefined below sampled $cSampled on clustered data " +
+        "— Lloyd codewords should track the cluster structure")
+    // ADC-only recall on tight clusters is bounded by within-cluster
+    // ambiguity (cluster-mates share a reconstruction); the production
+    // shape is ADC shortlist + exact re-rank, which must resolve it
+    assert(recallOf(clustered, 2, 40) >= 0.8,
+      "ADC shortlist + exact re-rank should resolve within-cluster order")
+  }
+
+  test("pqRefineCodebooks: shape preserved, refinement reduces mean reconstruction error") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val cb0 = Similarity.pqSampledCodebooks(df, "vec_id", "embedding", dim = 16, m = 4, ksub = 8)
+    val cb1 = Similarity.pqRefineCodebooks(df, "embedding", 16, cb0, iters = 2)
+    assert(cb1.length == 4 && cb1.forall(_.length == 8) && cb1.forall(_.forall(_.length == 4)))
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      val err = Similarity.pqEncode(df, "embedding", 16, cb)
+        .select(VectorOps.cosineSim(col("embedding"),
+          Similarity.pqReconstruct(col("_codes"), cb)).as("c"))
+        .agg(avg(lit(1.0) - col("c"))).as[Double].collect().head
+      err
+    }
+    // Lloyd steps monotonically reduce within-cell distortion; cosine
+    // alignment of reconstructions must not get worse than sampled
+    assert(mse(cb1) <= mse(cb0) + 1e-9,
+      s"refined reconstruction error ${mse(cb1)} worse than sampled ${mse(cb0)}")
+  }
 }
