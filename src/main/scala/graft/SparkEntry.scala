@@ -1028,6 +1028,23 @@ object SparkEntry {
         col("ts").cast("timestamp_ntz").as("ts"), col("value"))
       .orderBy(col("user_id"))
 
+  /** Count-min-sketch heavy hitters over document tokens — the
+    * fixed-memory frequency pass ([[graft.operators.FrequencySketch]]).
+    * One corpus pass builds the sketch (shuffle carries one counter
+    * grid per partition), the exact top-20 terms point-query it, and
+    * the emitted boolean is the CMS error contract: never undercounts,
+    * overshoot ≤ ⌈eps·N⌉. The oracle grades the exact counts plus the
+    * engine-independent CLAIM (a13 pattern — the estimate itself is
+    * hash-seed-local). */
+  private val a19HeavyHitters = (s: SparkSession, d: String) => {
+    val toks = TextAnalysis.withTokens(
+        t(s, d, "documents").select(col("doc_id"), col("text")), "text")
+      .select(explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+    FrequencySketch.heavyHittersVerified(toks, "term", k = 20)
+      .orderBy(col("true_cnt").desc, col("item").asc)
+  }
+
   /** Mergeable-sketch architecture probe — the 100 TB distinct-count
     * deployment shape: each shard reduces to ONE fixed-size HLL sketch
     * (Datasketches, `hll_sketch_agg`), the shuffle carries sketches
@@ -1309,6 +1326,7 @@ object SparkEntry {
     "x8_scd2" -> x8Scd2,
     "x9_latest_snapshot" -> x9LatestSnapshot,
     "a16_sketch_union" -> a16SketchUnion,
+    "a19_heavy_hitters" -> a19HeavyHitters,
     "t13_pii_redact" -> t13PiiRedact,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "x10_zorder" -> x10Zorder,
@@ -1910,6 +1928,19 @@ object SparkEntry {
       // from the real sketches
       """SELECT l_returnflag, TRUE AS merge_grouping_invariant, TRUE AS nd_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a19_heavy_hitters" ->
+      // exact top-20 token counts (same tokenization as t10/t12) plus
+      // the engine-independent CMS bound claim; the sketch estimate
+      // itself is hash-seed-local and therefore not value-compared
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         )
+         SELECT item, true_cnt, TRUE AS est_ok FROM (
+           SELECT item, count(*) AS true_cnt
+           FROM (SELECT unnest(tk) AS item FROM toks)
+           WHERE item <> '' GROUP BY item
+         ) ORDER BY true_cnt DESC, item ASC LIMIT 20""",
     "t13_pii_redact" ->
       // replay the deterministic PII seeding, then redact with the SAME
       // Java/RE2-portable patterns — full value oracle on the text

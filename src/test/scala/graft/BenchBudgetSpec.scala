@@ -114,6 +114,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x8_scd2" -> 1.0,
     "x9_latest_snapshot" -> 1.0,
     "a16_sketch_union" -> 1.5,
+    "a19_heavy_hitters" -> 1.3,
     "t13_pii_redact" -> 1.0,
     "d13_bloom_prefilter" -> 1.6,
     "x10_zorder" -> 1.0,
