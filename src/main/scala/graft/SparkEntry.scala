@@ -1225,6 +1225,18 @@ object SparkEntry {
     FuzzyJoin.editDistance1Join(t(s, d, "customer"), "c_custkey", "c_name")
       .orderBy(col("id1"), col("id2"))
 
+  /** Exact weighted budget apportionment ([[Sampling.apportionSample]]):
+    * 100 docs split 7:5:3:1 across sources by largest remainder —
+    * integer arithmetic end-to-end, so the oracle replays floor shares,
+    * remainder ranking, AND the md5-ordered per-group selection. */
+  private val x12Apportion = (s: SparkSession, d: String) =>
+    Sampling.apportionSample(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id",
+        weights = Map("src0" -> 7L, "src1" -> 5L, "src2" -> 3L),
+        defaultWeight = 1L, budget = 100L)
+      .orderBy(col("doc_id"))
+
   /** Epoch-weighted source mixture ([[Sampling.mixture]]): 2.5 epochs
     * of src0, 0.5 of src1, 1.0 of the rest — the data-recipe primitive
     * for up/down-weighting sources across training epochs. */
@@ -1337,6 +1349,7 @@ object SparkEntry {
     "a17_grouping_sets" -> a17GroupingSets,
     "a18_exact_moments" -> a18ExactMoments,
     "x11_mixture" -> x11Mixture,
+    "x12_apportion" -> x12Apportion,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2050,6 +2063,34 @@ object SparkEntry {
          SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch FROM m
          ORDER BY epoch, doc_id"""
     },
+    "x12_apportion" ->
+      // full largest-remainder replay in INTEGER arithmetic (floor
+      // share = 100·w // W, remainder = 100·w % W — exact in any
+      // engine), then the identical md5-ordered per-group selection
+      """WITH g AS (
+           SELECT source,
+             CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 5
+                         WHEN 'src2' THEN 3 ELSE 1 END AS w
+           FROM (SELECT DISTINCT source FROM documents)
+         ), tot AS (SELECT sum(w) AS tw FROM g),
+         base AS (
+           SELECT source, (100 * w) // tw AS fl, (100 * w) % tw AS rem
+           FROM g, tot
+         ),
+         alloc AS (
+           SELECT source,
+             fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+               <= 100 - (SELECT sum(fl) FROM base) THEN 1 ELSE 0 END AS n
+           FROM base
+         ),
+         ranked AS (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY substr(md5('apportion:' || doc_id::VARCHAR), 1, 8), doc_id) AS rn
+           FROM documents
+         )
+         SELECT doc_id, source FROM ranked JOIN alloc USING (source)
+         WHERE rn <= n ORDER BY doc_id""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -70,6 +70,64 @@ object Sampling {
       .drop("_qrk")
   }
 
+  /** Exact weighted budget apportionment: split an integer row `budget`
+    * across the groups of `groupCol` proportionally to INTEGER weights
+    * (largest-remainder / Hamilton method), then keep each group's
+    * allocation by hash order. The training-curation primitive
+    * "exactly 100k docs, weighted 7:5:3:1 across sources" —
+    * [[stratifiedSample]] gives per-group RATES (binomial counts),
+    * [[groupQuota]] a flat CAP; this gives exact proportional COUNTS.
+    *
+    * Integer weights are the portability contract: floor shares and
+    * remainders are pure integer arithmetic (`budget·w / W`,
+    * `budget·w mod W`), so any engine replays the allocation
+    * bit-for-bit — no float summation order anywhere (the reason
+    * weights are `Long`, not `Double`). Groups absent from `weights`
+    * use `defaultWeight`; a group allocated more rows than it has
+    * simply yields all of them (no reallocation pass — document the
+    * shortfall upstream if budgets must be exact-total).
+    *
+    * Scale: one bounded driver materialization of the group list (loud
+    * guard — group keys are source/domain/language-cardinality
+    * metadata) + one shuffle on the group key for the per-group rank,
+    * identical cost shape to [[groupQuota]]. */
+  def apportionSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      weights: Map[String, Long],
+      defaultWeight: Long,
+      budget: Long,
+      salt: String = "apportion",
+      maxGroups: Int = 100000): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0, s"weights must be non-negative, got $w"))
+    val groups = df.select(col(groupCol).cast("string"))
+      .distinct().limit(maxGroups + 1).collect().map(_.getString(0))
+    require(groups.length <= maxGroups,
+      s"apportionSample: more than $maxGroups groups — the allocation table " +
+        "must stay driver-small; bucket the group key first")
+    val w: Map[String, Long] = groups.map(g => g -> weights.getOrElse(g, defaultWeight)).toMap
+    val totalW = w.values.sum
+    require(totalW > 0, "apportionSample: all weights are zero")
+    val shares = w.map { case (g, wt) => g -> (budget * wt / totalW, budget * wt % totalW) }
+    val leftover = budget - shares.values.map(_._1).sum
+    val bonus = shares.toSeq
+      .sortBy { case (g, (_, rem)) => (-rem, g) }
+      .take(leftover.toInt).map(_._1).toSet
+    val alloc = shares.map { case (g, (fl, _)) => g -> (fl + (if (bonus(g)) 1L else 0L)) }
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col(groupCol))
+      .orderBy(uniformHex(col(keyCol), salt), col(keyCol))
+    val allocCol = whenChain(
+      alloc.toSeq.sortBy(_._1).map { case (g, n) => (col(groupCol) === g) -> lit(n) },
+      lit(0L))
+    df.withColumn("_ark", row_number().over(rk))
+      .filter(col("_ark") <= allocCol)
+      .drop("_ark")
+  }
+
   /** Per-group sampling rates (e.g. up-weight rare domains, down-weight
     * boilerplate-heavy ones) — deterministic, one narrow pass. Groups
     * absent from `rates` use `defaultRate`. */

@@ -125,6 +125,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a17_grouping_sets" -> 1.0,
     "a18_exact_moments" -> 1.0,
     "x11_mixture" -> 1.0,
+    "x12_apportion" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -175,4 +175,36 @@ class SamplingSpec extends SparkTestBase {
     val mixed = Sampling.mixture(df, "src", "id", Map("junk" -> 0.0), defaultWeight = 1.0)
     assert(mixed.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("apportionSample: Hamilton counts exact, total equals budget, deterministic") {
+    // 4 groups × 50 rows; weights 7:5:3:1 over budget 100, W = 16 —
+    // floor shares (43, 31, 18, 6) = 98, remainders (12, 4, 12, 4):
+    // two leftovers go to the largest remainders (a first by name, c)
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 4}")).toDF("id", "grp")
+    val got = Sampling.apportionSample(df, "grp", "id",
+      weights = Map("g0" -> 7L, "g1" -> 5L, "g2" -> 3L, "g3" -> 1L),
+      defaultWeight = 1L, budget = 100L)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 44L, "g1" -> 31L, "g2" -> 19L, "g3" -> 6L),
+      s"allocation off: $counts")
+    assert(counts.values.sum == 100L)
+    val again = Sampling.apportionSample(df.repartition(7), "grp", "id",
+      weights = Map("g0" -> 7L, "g1" -> 5L, "g2" -> 3L, "g3" -> 1L),
+      defaultWeight = 1L, budget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("id").collect().map(_.getLong(0)).toSet,
+      "selection must be partitioning-independent")
+  }
+
+  test("apportionSample: a group smaller than its share yields all its rows, no reallocation") {
+    val df = ((0 until 5).map(i => (i.toLong, "tiny")) ++
+      (100 until 200).map(i => (i.toLong, "big"))).toDF("id", "grp")
+    val got = Sampling.apportionSample(df, "grp", "id",
+      weights = Map("tiny" -> 1L, "big" -> 1L), defaultWeight = 1L, budget = 40L)
+    val counts = got.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("tiny") == 5L, "undersized group keeps everything it has")
+    assert(counts("big") == 20L, "other groups keep their own share (documented: no reallocation)")
+  }
 }
