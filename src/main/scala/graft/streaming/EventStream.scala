@@ -99,6 +99,30 @@ object EventStream {
       expr(s"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"))
   }
 
+  /** Stream-stream LEFT OUTER join — the same per-user time-bounded
+    * match as [[streamStreamJoin]] plus NULL emission for left events
+    * that never meet a right event in their window. Outer stream joins
+    * REQUIRE both watermarks and the time-range condition: a left row
+    * is declared matchless only once the right watermark passes
+    * `l_ts + withinSeconds`, which is what bounds the state store AND
+    * makes null emission deterministic-by-watermark rather than
+    * best-effort (rows still inside the horizon at shutdown are simply
+    * not emitted — they are undecided, not unmatched). */
+  def streamStreamLeftOuterJoin(
+      left: DataFrame,
+      right: DataFrame,
+      userCol: String,
+      watermark: String,
+      withinSeconds: Long): DataFrame = {
+    val l = left.select(col(userCol).as("l_user"), col("ts").as("l_ts"),
+      col("event_id").as("l_event_id")).withWatermark("l_ts", watermark)
+    val r = right.select(col(userCol).as("r_user"), col("ts").as("r_ts"),
+      col("event_id").as("r_event_id")).withWatermark("r_ts", watermark)
+    l.join(r,
+      expr(s"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval $withinSeconds seconds"),
+      "leftOuter")
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count carried in the state store across micro-batches (update
     * mode). The explicit-state escape hatch for semantics the built-in

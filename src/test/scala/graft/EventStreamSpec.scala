@@ -182,6 +182,45 @@ class EventStreamSpec extends SparkTestBase {
     assert(missing.size < want.size, "stream emitted nothing from the interior")
   }
 
+  test("stream-stream LEFT OUTER join: matches agree with batch, null rows are provably matchless") {
+    val src = EventStream.source(spark, glob)
+    val joined = EventStream.streamStreamLeftOuterJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"),
+      "user_id", "1 hour", withinSeconds = 1800)
+    val q = joined.writeStream.format("memory").queryName("ssloj_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssloj_test")
+      .select(col("l_event_id"), col("r_event_id")).collect()
+    val matched = rows.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nullLeft = rows.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+
+    val batch = Tables.events(spark, dir)
+    val want = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"), col("event_id").as("l_event_id"))
+      .join(batch.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("event_id").as("r_event_id")),
+        expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + interval 1800 seconds"))
+      .select("l_event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchMatchedLeft = want.map(_._1)
+
+    // matched output is exactly inner-join semantics (subset: append
+    // only emits watermark-finalized rows)
+    assert(matched.subsetOf(want), "stream emitted a pair batch does not have")
+    assert(matched.nonEmpty)
+    // a NULL row is a POSITIVE claim — the watermark passed the window
+    // and no match existed; it must never contradict the batch join
+    assert((nullLeft & batchMatchedLeft).isEmpty,
+      s"${(nullLeft & batchMatchedLeft).size} events emitted as matchless but matched in batch")
+    assert(nullLeft.nonEmpty,
+      "fixture should contain clicks with no purchase in-window — null path unexercised")
+    // no event appears both matched and null (the state machine decides once)
+    assert((nullLeft & matched.map(_._1)).isEmpty)
+  }
+
   test("mapGroupsWithState running counts converge to batch group counts") {
     val counts = EventStream.statefulUserCounts(EventStream.source(spark, glob))
     val q = counts.toDF("user_id", "cnt")
