@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -119,4 +119,37 @@ object Multimodal {
         sha2(concat(col(mediaCol), col("frame_idx").cast("string").cast("binary")), 256)
           .cast("binary"))
   }
+
+  /** Magic-byte registry for [[sniffMime]] — REAL format signatures
+    * (this part of the multimodal path needs no codec): JPEG SOI
+    * `FF D8 FF`, PNG `89 50 4E 47`, RIFF `52 49 46 46` (WAV/AVI
+    * container). Probe order is first-match; payloads matching nothing
+    * sniff as `application/octet-stream`. */
+  val magicBytes: Seq[(String, Array[Byte])] = Seq(
+    "image/jpeg" -> Array(0xFF, 0xD8, 0xFF).map(_.toByte),
+    "image/png" -> Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte),
+    "audio/wav" -> Array(0x52, 0x49, 0x46, 0x46).map(_.toByte))
+
+  /** Sniffed MIME of a binary payload from its leading magic bytes.
+    * The prefix compare runs over `hex()` strings — engine-portable
+    * (binary slicing is not; every SQL engine agrees on hex), and a
+    * narrow per-row expression, no decode required. This is the cheap
+    * pre-decode integrity gate a media pipeline runs corpus-wide:
+    * declared-vs-sniffed mismatches mark corrupt uploads, extension
+    * lies, and transcoding bugs BEFORE the expensive decode stage. */
+  def sniffMime(media: Column): Column =
+    magicBytes.foldRight(lit("application/octet-stream"): Column) {
+      case ((mime, magic), els) =>
+        val hexPrefix = magic.map(b => f"${b & 0xff}%02X").mkString
+        when(substring(hex(media), 1, hexPrefix.length) === hexPrefix, lit(mime))
+          .otherwise(els)
+    }
+
+  /** Declared-vs-sniffed modality validation: appends `sniffed_mime`
+    * and `modality_ok`. Rows failing the check should be quarantined,
+    * not decoded — a mismatched payload fed to the declared codec is
+    * the classic media-pipeline crash. */
+  def validateModality(df: DataFrame, mediaCol: String, declaredCol: String): DataFrame =
+    df.withColumn("sniffed_mime", sniffMime(col(mediaCol)))
+      .withColumn("modality_ok", col("sniffed_mime") === col(declaredCol))
 }

@@ -67,4 +67,30 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.attachFakeMedia(docs, "text"), "media", dim = 2)
     assert(out.rdd.getNumPartitions == 5)
   }
+
+  test("sniffMime: real magic bytes detected, truncated/absent magic falls through, lies flagged") {
+    def payload(magic: Array[Byte], body: String): Array[Byte] =
+      magic ++ body.getBytes("UTF-8")
+    val jpeg = Multimodal.magicBytes.toMap.apply("image/jpeg")
+    val png = Multimodal.magicBytes.toMap.apply("image/png")
+    val wav = Multimodal.magicBytes.toMap.apply("audio/wav")
+    val rows = Seq(
+      (1L, payload(jpeg, "pic"), "image/jpeg"),
+      (2L, payload(png, "pic"), "image/png"),
+      (3L, payload(wav, "aud"), "audio/wav"),
+      (4L, payload(Array.empty[Byte], "plain text"), "application/octet-stream"),
+      (5L, payload(jpeg.take(2), "truncated magic"), "application/octet-stream"),
+      (6L, payload(wav, "lied about"), "image/jpeg")) // declared jpeg, is RIFF
+      .toDF("id", "media", "declared_mime")
+    val got = Multimodal.validateModality(rows, "media", "declared_mime")
+      .select("id", "sniffed_mime", "modality_ok")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got(1L) == ("image/jpeg", true))
+    assert(got(2L) == ("image/png", true))
+    assert(got(3L) == ("audio/wav", true))
+    assert(got(4L) == ("application/octet-stream", true))
+    assert(got(5L) == ("application/octet-stream", true),
+      "a 2-byte JPEG prefix is NOT a JPEG — truncated magic must fall through to octet-stream")
+    assert(got(6L) == ("audio/wav", false), "declared jpeg but RIFF bytes — must flag")
+  }
 }
