@@ -478,6 +478,15 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
       .orderBy(col("doc_id"))
 
+  /** Lexical diversity: stopword share + hapax-legomena ratio, per-row
+    * sorted-array folds (no shuffle) — the oracle is the exploded
+    * groupBy twin. */
+  private val t14Lexical = (s: SparkSession, d: String) =>
+    TextAnalysis.lexicalDiversity(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens"), col("stopword_cnt"),
+        col("hapax_cnt"), col("stopword_ratio"), col("hapax_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Composed admission gate: the full preprocessing decision. */
   private val t11Admission = (s: SparkSession, d: String) =>
     TextAnalysis.admissionGate(t(s, d, "documents"))
@@ -926,6 +935,15 @@ object SparkEntry {
   private val m3Resize = (s: SparkSession, d: String) =>
     Multimodal1.resized(t(s, d, "documents"))
 
+  /** Declared-vs-sniffed modality validation over REAL magic bytes
+    * (JPEG/PNG/RIFF prefixes need no codec): payloads carry the magic
+    * of modality doc_id%4, declarations lie on doc_id%7 rows (shifted
+    * one modality over) — the pre-decode integrity gate flags exactly
+    * those. The oracle rebuilds the same blobs and sniffs the same hex
+    * prefixes — a full value oracle on the binary path. */
+  private val m4Modality = (s: SparkSession, d: String) =>
+    Multimodal1.modality(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -950,6 +968,30 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"),
           col("resize_dims.w").as("w"), col("resize_dims.h").as("h"))
         .orderBy(col("doc_id"))
+
+    /** Fixture + validation for m4: media = magic(doc_id%4) ++ utf8(text)
+      * with octet-stream rows carrying no magic; declared mime follows
+      * doc_id%4 except doc_id%7 rows declare the NEXT modality. */
+    def modality(docs: DataFrame): DataFrame = {
+      val mimes = Multimodal.magicBytes.map(_._1) :+ "application/octet-stream"
+      val magicFor = Multimodal.magicBytes.map { case (_, m) => m } :+ Array.empty[Byte]
+      val idx = pmod(col("doc_id"), lit(4)).cast("int")
+      val declIdx = when(pmod(col("doc_id"), lit(7)) === 0,
+        pmod(col("doc_id") + 1, lit(4)).cast("int")).otherwise(idx)
+      def pick(i: Column, vals: Seq[Column]): Column =
+        vals.zipWithIndex.foldRight(vals.last) { case ((v, j), els) =>
+          when(i === j, v).otherwise(els)
+        }
+      val media = concat(
+        pick(idx, magicFor.map(lit(_))), encode(col("text"), "UTF-8"))
+      Multimodal.validateModality(
+        docs.select(col("doc_id"), col("text"))
+          .withColumn("media", media)
+          .withColumn("declared_mime", pick(declIdx, mimes.map(lit(_)))),
+        "media", "declared_mime")
+        .select(col("doc_id"), col("declared_mime"), col("sniffed_mime"), col("modality_ok"))
+        .orderBy(col("doc_id"))
+    }
 
     /** Frame payloads as hex (sha256 is engine-independent). */
     def frames(docs: DataFrame): DataFrame =
@@ -1335,11 +1377,13 @@ object SparkEntry {
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
+    "m4_modality_check" -> m4Modality,
     "x8_scd2" -> x8Scd2,
     "x9_latest_snapshot" -> x9LatestSnapshot,
     "a16_sketch_union" -> a16SketchUnion,
     "a19_heavy_hitters" -> a19HeavyHitters,
     "t13_pii_redact" -> t13PiiRedact,
+    "t14_lexical" -> t14Lexical,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "x10_zorder" -> x10Zorder,
     "j8_anti" -> j8Anti,
@@ -1619,6 +1663,32 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "m1_multimodal_features" -> m1OracleSql,
+    "m4_modality_check" ->
+      // rebuild the same magic-prefixed blobs and sniff the same hex
+      // prefixes — full value oracle on the binary path (hex() is the
+      // engine-portable binary compare; blob slicing is not)
+      """WITH m AS (
+           SELECT doc_id,
+             (CASE doc_id % 4
+                WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+                WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+                WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+                ELSE ''::BLOB END || encode(text)) AS media,
+             CASE (CASE WHEN doc_id % 7 = 0 THEN (doc_id + 1) % 4 ELSE doc_id % 4 END)
+               WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream' END AS declared_mime
+           FROM documents
+         ), s AS (
+           SELECT doc_id, declared_mime,
+             CASE WHEN substr(hex(media), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                  WHEN substr(hex(media), 1, 8) = '89504E47' THEN 'image/png'
+                  WHEN substr(hex(media), 1, 8) = '52494646' THEN 'audio/wav'
+                  ELSE 'application/octet-stream' END AS sniffed_mime
+           FROM m
+         )
+         SELECT doc_id, declared_mime, sniffed_mime,
+           declared_mime = sniffed_mime AS modality_ok
+         FROM s ORDER BY doc_id""",
     "m2_frame_sample" ->
       """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
          sha256(text || f::VARCHAR) AS frame_hex
@@ -1737,6 +1807,31 @@ object SparkEntry {
          SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
            nd::DOUBLE / n::DOUBLE AS distinct_ratio,
            best::DOUBLE / n::DOUBLE AS top_share
+         FROM agg ORDER BY doc_id""",
+    "t14_lexical" ->
+      // exploded groupBy twin of the per-row sorted-array folds: token
+      // frequencies per doc, hapax = freq-1 tokens, stopword share over
+      // the fixed list; ratios are small-int divisions (bit-equal)
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), t AS (
+           SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) WHERE tok <> ''
+         ), freq AS (
+           SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id, sum(c) AS n, count(*) AS nd,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hap,
+             sum(CASE WHEN tok IN ('a','an','the','and','or','of','to','in','is','it')
+                 THEN c ELSE 0 END) AS stp
+           FROM freq GROUP BY 1
+         )
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(stp AS BIGINT) AS stopword_cnt, CAST(hap AS BIGINT) AS hapax_cnt,
+           stp::DOUBLE / n::DOUBLE AS stopword_ratio,
+           hap::DOUBLE / nd::DOUBLE AS hapax_ratio
          FROM agg ORDER BY doc_id""",
     "x1_hash_split" -> {
       val t1 = graft.operators.Sampling.hexThreshold(0.8)

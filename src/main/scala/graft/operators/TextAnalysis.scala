@@ -246,6 +246,59 @@ object TextAnalysis {
       .drop("_rep_toks")
   }
 
+  /** Default stopword list for [[lexicalDiversity]] — deliberately tiny
+    * and fixed: the ratio is a QUALITY SIGNAL (natural prose carries a
+    * stable function-word share; keyword soup and boilerplate do not),
+    * not an NLP tokenization feature. */
+  val defaultStopwords: Seq[String] =
+    Seq("a", "an", "the", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document lexical-diversity signals: `n_tokens`,
+    * `stopword_cnt`/`stopword_ratio` (function-word share — near-zero
+    * flags keyword stuffing and non-prose), and `hapax_cnt`/
+    * `hapax_ratio` (tokens occurring exactly once / distinct tokens —
+    * the classic hapax-legomena diversity measure; template text scores
+    * low). Complements [[repetitionSignals]]' distinct_ratio/top_share.
+    *
+    * Per ROW with no shuffle, same contract as [[repetitionSignals]]:
+    * hapax counting is a fold over the SORTED token array tracking
+    * run-of-one boundaries — O(n log n) per doc, zero exchanges (the
+    * explode → groupBy(doc, token) twin shuffles corpus × tokens rows;
+    * that formulation is the ORACLE, not the engine). Ratios are
+    * small-integer divisions — bit-equal doubles in any engine. */
+  def lexicalDiversity(
+      df: DataFrame,
+      textCol: String = "text",
+      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val staged = withTokens(df, textCol, "_lex_toks")
+    val toks = filter(col("_lex_toks"), t => t =!= "")
+    val n = size(toks).cast("long")
+    val nd = size(array_distinct(toks)).cast("long")
+    val stopCnt = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val sorted = array_sort(toks)
+    val hapax = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("hap")),
+      (acc, t) => {
+        val same = t === acc.getField("prev")
+        val hap = when(!same && acc.getField("run") === 1L, acc.getField("hap") + 1L)
+          .otherwise(acc.getField("hap"))
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"), hap.as("hap"))
+      },
+      acc => acc.getField("hap") +
+        when(acc.getField("run") === 1L, 1L).otherwise(0L))
+    staged
+      .withColumn("n_tokens", n)
+      .withColumn("stopword_cnt", stopCnt)
+      .withColumn("hapax_cnt", hapax)
+      .withColumn("stopword_ratio",
+        stopCnt.cast("double") / greatest(n, lit(1L)).cast("double"))
+      .withColumn("hapax_ratio",
+        hapax.cast("double") / greatest(nd, lit(1L)).cast("double"))
+      .drop("_lex_toks")
+  }
+
   /** Composed admission gate — the preprocessing decision a training
     * pipeline actually runs: quality heuristics + repetition signals +
     * language filter in ONE narrow pass (each component stage is

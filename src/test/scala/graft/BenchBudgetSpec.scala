@@ -75,6 +75,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "m1_multimodal_features" -> 1.0,
     "m2_frame_sample" -> 1.0,
     "m3_resize_meta" -> 1.0,
+    "m4_modality_check" -> 1.0,
     "p1_range_slice" -> 1.0,
     "p2_derived_flag" -> 1.0,
     "p3_cast_alias" -> 1.0,
@@ -116,6 +117,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a16_sketch_union" -> 1.5,
     "a19_heavy_hitters" -> 1.3,
     "t13_pii_redact" -> 1.0,
+    "t14_lexical" -> 1.0,
     "d13_bloom_prefilter" -> 1.6,
     "x10_zorder" -> 1.0,
     "j8_anti" -> 1.0,

@@ -34,6 +34,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(short == Seq("a b"))
   }
 
+  test("lexicalDiversity: hand-computed stopword and hapax counts, empty text safe") {
+    val df = Seq(
+      (1L, "the cat and the dog"), // n=5 stop=3 (the,the,and) nd=4 hapax=3 (cat,and,dog)... and is hapax too
+      (2L, "cat cat cat"),         // n=3 stop=0 nd=1 hapax=0
+      (3L, ""))                    // all zeros, no div-by-zero
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(df, "text")
+      .select("doc_id", "n_tokens", "stopword_cnt", "hapax_cnt", "stopword_ratio", "hapax_ratio")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // doc 1: tokens [the, cat, and, the, dog]; freq the:2 cat:1 and:1 dog:1
+    assert(got(1L) == ((5L, 3L, 3L, 0.6, 0.75)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((3L, 0L, 0L, 0.0, 0.0)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((0L, 0L, 0L, 0.0, 0.0)), s"doc3: ${got(3L)}")
+  }
+
   test("exact dedup keeps min id per distinct content") {
     val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("doc_id", "text")
     val got = Dedup.exactDedup(df.select($"text", $"doc_id"), "text", "doc_id")
