@@ -664,6 +664,76 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ top-k — the full FAISS IVFPQ composition (Jégou et al.
+    * 2011; Johnson, Douze & Jégou 2017): PQ codes live INSIDE the
+    * inverted lists, so the index payload per vector is a list id plus
+    * m sub-codes (m·log₂(ksub) bits — 128× under fp32 at m=4, ksub=16)
+    * and probes scan only their `nprobe` lists, scoring candidates by
+    * ADC against reconstructed codewords with full-precision queries.
+    * This is the billion-scale retrieval shape: pruning bounds the rows
+    * touched, quantization bounds the bytes per row.
+    *
+    * Anchor (oracled as `s12`): nprobe == nlist with rerank == 0 makes
+    * the candidate set total, so the result is exhaustive ADC over
+    * sampled codebooks — EXACTLY [[pqTopK]]'s oracled form; the s11 SQL
+    * twin verifies the composed machinery (codes in lists, probe-list
+    * join, reconstruction scoring) end to end. `rerank > 0` adds the
+    * standard fp32 shortlist refinement (s8 pattern). */
+  def ivfTopKPq(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      refineIters: Int = 0,
+      rerank: Int = 0,
+      maxProbes: Int = 10000): DataFrame = {
+    val cents = collectCentroids(ivfCentroids(df, idCol, vecCol, nlist))
+    val sampled = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
+    val cb =
+      if (refineIters > 0) pqRefineCodebooks(df, vecCol, dim, sampled, refineIters)
+      else sampled
+    // the index rows: (neighbor_id, list_id, codes) — fp32 never rides it
+    val lists = pqEncode(ivfAssignCollected(df, cents, idCol, vecCol), vecCol, dim, cb)
+      .select(col(idCol).as("neighbor_id"), col("list_id"), col("_codes"))
+    val probeLists = ivfProbeLists(
+      requireBoundedProbes(df.filter(probeFilter), "ivfTopKPq", maxProbes),
+      cents, idCol, vecCol, nprobe)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("list_id"))
+    val scored = broadcast(probeLists)
+      .join(lists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", VectorOps.cosineSim(
+        col("_pv"), pqReconstruct(col("_codes"), cb)))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    else {
+      val shortlist = scored
+        .withColumn("rank_q", row_number().over(wq))
+        .filter(col("rank_q") <= rerank)
+        .select(col("probe_id"), col("_pv"), col("neighbor_id"))
+      val full = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist
+        .join(full, Seq("neighbor_id"))
+        .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }
+  }
+
   /** Quantized IVF top-k — the compressed-index retrieval tier: int8
     * codes live INSIDE the inverted lists (the fp32 vector never rides
     * the index), probes score candidates from probed lists against the

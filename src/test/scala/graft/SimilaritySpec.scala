@@ -470,6 +470,29 @@ class SimilaritySpec extends SparkTestBase {
       "ADC shortlist + exact re-rank should resolve within-cluster order")
   }
 
+  test("IVF-PQ: exhaustive probes equal brute-force PQ; pruning keeps recall; re-rank recovers") {
+    val df = vecs(200, 16).toDF("vec_id", "embedding")
+    val pqExhaustive = Similarity.pqTopK(df, "vec_id", "embedding", col("vec_id") < 5,
+        k = 5, dim = 16, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivfpqFull = Similarity.ivfTopKPq(df, "vec_id", "embedding", col("vec_id") < 5,
+        k = 5, dim = 16, nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfpqFull == pqExhaustive,
+      "nprobe == nlist makes the candidate set total — IVF-PQ must equal brute-force ADC")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 5, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(nprobe: Int, rerank: Int): Double = {
+      val got = Similarity.ivfTopKPq(df, "vec_id", "embedding", col("vec_id") < 5,
+          k = 5, dim = 16, nlist = 8, nprobe = nprobe, m = 4, ksub = 8, rerank = rerank)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // pruning loses candidates, quantization blurs order; both bounded
+    assert(recallOf(4, 0) > 0.0, "half-depth IVF-PQ should find something")
+    assert(recallOf(8, 40) >= recallOf(8, 0), "fp32 re-rank can only help at fixed candidates")
+  }
+
   test("pqRefineCodebooks: shape preserved, refinement reduces mean reconstruction error") {
     val df = vecs(200, 16).toDF("vec_id", "embedding")
     val cb0 = Similarity.pqSampledCodebooks(df, "vec_id", "embedding", dim = 16, m = 4, ksub = 8)
