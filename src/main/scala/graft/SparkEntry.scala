@@ -208,6 +208,26 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** RANGE-frame window (vs w7's ROWS frame): per-user trailing
+    * 10-minute aggregates over event TIME, not row count — frames grow
+    * and shrink with event density, and equal-timestamp peers are all
+    * in-frame (RANGE semantics both engines share). Emitted aggregates
+    * are order-free (count, max), immune to float summation order.
+    * Epoch-micros long ordering per the j6/e2 NANOS-alignment contract. */
+  private val w9RangeFrame = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("tus"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"))
+      .rangeBetween(-600000000L, Window.currentRow)
+    ev.select(col("event_id"),
+        count(lit(1)).over(w).as("n_10m"),
+        max(col("value")).over(w).as("max_val_10m"))
+      .orderBy(col("event_id"))
+  }
+
   // ====================================================================
   // Projections / filters / conditionals (P1-P8, U1/U2 as native when)
   // ====================================================================
@@ -811,6 +831,16 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, m = 4, ksub = 16)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** IVF-PQ at exhaustive probe depth: codes inside the inverted lists,
+    * candidate set total at nprobe == nlist — equals [[Similarity.pqTopK]]'s
+    * sampled-codebook ADC, so s11's SQL twin oracles the composed
+    * machinery (the s8-over-s7 pattern, applied to PQ). */
+  private val s12IvfPq = (s: SparkSession, d: String) =>
+    Similarity.ivfTopKPq(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
   private val s10RandomProjection = (s: SparkSession, d: String) =>
     t(s, d, "embeddings")
       .filter(col("vec_id") < 50)
@@ -1304,6 +1334,7 @@ object SparkEntry {
     "a10_percentiles" -> a10,
     "a11_rollup" -> a11Rollup,
     "w7_moving_max" -> w7MovingMax,
+    "w9_range_frame" -> w9RangeFrame,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
     "p1_range_slice" -> p1RangeSlice,
@@ -1348,6 +1379,7 @@ object SparkEntry {
     "s9_lsh_banded" -> s9LshBanded,
     "s10_random_projection" -> s10RandomProjection,
     "s11_pq_topk" -> s11PqTopK,
+    "s12_ivf_pq" -> s12IvfPq,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -1436,6 +1468,16 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "w9_range_frame" ->
+      // RANGE frame over epoch micros — DuckDB's RANGE BETWEEN shares
+      // Spark's peer semantics (equal ordering values are all in-frame);
+      // count/max are order-free, so no float-summation drift possible
+      """SELECT event_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS n_10m,
+           max(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS max_val_10m
+         FROM events ORDER BY event_id""",
     "w7_moving_max" ->
       """SELECT o_custkey, o_orderkey,
          MAX(o_totalprice) OVER (PARTITION BY o_custkey
@@ -1853,6 +1895,7 @@ object SparkEntry {
     "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
     "s10_random_projection" -> s10OracleSql,
     "s11_pq_topk" -> s11OracleSql,
+    "s12_ivf_pq" -> s11OracleSql,
     "j6_asof_join" ->
       // epoch_us on both sides: the parquet nanos are not micro-aligned,
       // so raw-timestamp comparisons and (user, ts) grouping would

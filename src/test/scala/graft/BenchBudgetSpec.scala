@@ -31,6 +31,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "s9_lsh_banded" -> 2.2,
     "s10_random_projection" -> 1.2,
     "s11_pq_topk" -> 1.6,
+    "s12_ivf_pq" -> 1.8,
     "a10_percentiles" -> 1.6,
     "a11_rollup" -> 1.5,
     "a12_pivot" -> 1.1,
@@ -103,6 +104,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w5_except" -> 1.2,
     "w6_lag" -> 1.0,
     "w7_moving_max" -> 1.0,
+    "w9_range_frame" -> 1.0,
     "w8_ranking_suite" -> 1.0,
     "x1_hash_split" -> 1.0,
     "x2_hash_sample" -> 1.0,
