@@ -208,6 +208,21 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Bloom-pruned selective join ([[RuntimeFilter.bloomPrunedJoin]]):
+    * urgent high-value orders' keys ship to the lineitem scan as a
+    * Bloom filter, so non-matching rows die BEFORE the exchange. No
+    * false negatives ⇒ the oracle is the PLAIN join — the runtime
+    * filter must be invisible in the result. */
+  private val j12BloomJoin = (s: SparkSession, d: String) =>
+    RuntimeFilter.bloomPrunedJoin(
+        t(s, d, "lineitem"),
+        t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000),
+        "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** RANGE-frame window (vs w7's ROWS frame): per-user trailing
     * 10-minute aggregates over event TIME, not row count — frames grow
     * and shrink with event density, and equal-timestamp peers are all
@@ -1335,6 +1350,7 @@ object SparkEntry {
     "a11_rollup" -> a11Rollup,
     "w7_moving_max" -> w7MovingMax,
     "w9_range_frame" -> w9RangeFrame,
+    "j12_bloom_join" -> j12BloomJoin,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
     "p1_range_slice" -> p1RangeSlice,
@@ -1468,6 +1484,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "j12_bloom_join" ->
+      // the runtime filter must be invisible: plain join, same answer
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "w9_range_frame" ->
       // RANGE frame over epoch micros — DuckDB's RANGE BETWEEN shares
       // Spark's peer semantics (equal ordering values are all in-frame);

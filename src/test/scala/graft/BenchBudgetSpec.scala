@@ -126,6 +126,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "j9_full_outer" -> 1.0,
     "j10_interval_overlap" -> 1.2,
     "j11_fuzzy_join" -> 1.4,
+    "j12_bloom_join" -> 1.4,
     "a17_grouping_sets" -> 1.0,
     "a18_exact_moments" -> 1.0,
     "x11_mixture" -> 1.0,
