@@ -215,6 +215,16 @@ object Bench {
           .select(col("probe_id"), col("neighbor_id")))
         (got & exact).size.toDouble / exact.size
       }
+      // PQ: rank-quality cost of sampled-codebook ADC (m=4, ksub=16 —
+      // a 128x-smaller index payload), with and without the fp32
+      // shortlist re-rank stage
+      def pqRecall(rerank: Int): Double = {
+        val got = pairs(Similarity.pqTopK(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
+          dim = 64, m = 4, ksub = 16, rerank = rerank)
+          .select(col("probe_id"), col("neighbor_id")))
+        (got & exact).size.toDouble / exact.size
+      }
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
@@ -227,7 +237,9 @@ object Bench {
         s""""lsh_mp_recall_at5":$lshMpRecall,"lsh_mp_cand_pairs":$lshMpCand,""" +
         s""""lsh_band_recall_at5":$lshBandRecall,"lsh_band_cand_pairs":$lshBandCand,""" +
         s""""ivfq_recall_at5_nprobe4":${quantRecall(4, 0)},""" +
-        s""""ivfq_rerank_recall_at5_nprobe4":${quantRecall(4, 15)}}"""
+        s""""ivfq_rerank_recall_at5_nprobe4":${quantRecall(4, 15)},""" +
+        s""""pq_recall_at5":${pqRecall(0)},""" +
+        s""""pq_rerank_recall_at5":${pqRecall(15)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")
