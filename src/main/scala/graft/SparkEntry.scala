@@ -208,6 +208,57 @@ object SparkEntry {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Equi-depth histogram: ntile(8) SEMANTICS over l_extendedprice —
+    * quantile-bucketed value profiling (the skew-diagnosis twin of a5's
+    * equi-WIDTH histogram) — WITHOUT ntile's global no-partition window,
+    * which collapses to one task (the scale-killer the segmentation
+    * path documents). The bucket id is closed-form integer math over
+    * the distributed row index: first N mod k buckets take ⌈N/k⌉ rows,
+    * the rest ⌊N/k⌋ — exactly DuckDB's ntile, which is the oracle.
+    * Total order pinned by (price, orderkey, linenumber). */
+  private val a20Equidepth = (s: SparkSession, d: String) => {
+    val base = t(s, d, "lineitem")
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val n = base.count() // one scalar metadata job (t12's N pattern)
+    val k = 8L
+    val q = n / k
+    val r = n % k
+    val indexed = RelationalOps.withRowIndex(base, "_pos",
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+    val p = col("_pos")
+    val bucket = when(p < r * (q + 1), p / (q + 1))
+      .otherwise(lit(r) + (p - r * (q + 1)) / q)
+    indexed
+      .withColumn("bucket", (bucket + 1).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Incremental aggregate maintenance
+    * ([[ChangeCapture.additiveComponents]]): the corpus splits into a
+    * "yesterday" base and a "today" delta, each reduces to keyed
+    * (Σ, n) components, and the merge must be BIT-EQUAL to aggregating
+    * the full table from scratch — which is exactly the oracle (plain
+    * full-table SQL). Sums stay in exact decimal; the mean converts to
+    * double once, read-side. */
+  private val x13IncrementalAgg = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    val cut = lit("1995-06-01")
+    val base = ChangeCapture.additiveComponents(
+      li.filter(col("l_shipdate") < cut), Seq("l_returnflag"), "l_quantity")
+    val delta = ChangeCapture.additiveComponents(
+      li.filter(col("l_shipdate") >= cut), Seq("l_returnflag"), "l_quantity")
+    ChangeCapture.mergeComponents(base, delta, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        col("sum_v").cast("double").as("sum_qty"),
+        col("n_v").as("n"),
+        (col("sum_v").cast("double") / col("n_v").cast("double")).as("mean_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Bloom-pruned selective join ([[RuntimeFilter.bloomPrunedJoin]]):
     * urgent high-value orders' keys ship to the lineitem scan as a
     * Bloom filter, so non-matching rows die BEFORE the exchange. No
@@ -917,6 +968,29 @@ object SparkEntry {
         col("cnt"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Per-EVENT sessionization (vs e3's per-session aggregate): the
+    * feature-engineering surface — every event gets its user-scoped
+    * session index and in-session position via the gaps-and-islands
+    * pattern (new-session flag where the gap exceeds 30 min, running
+    * sum per user). One shuffle on user_id; integer outputs only. */
+  private val e7Sessionize = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val newSession = when(
+      col("tus") - lag(col("tus"), 1).over(ord) > 1800000000L, 1)
+      .otherwise(when(lag(col("tus"), 1).over(ord).isNull, 1).otherwise(0))
+    ev.withColumn("_new", newSession)
+      .withColumn("session_seq",
+        sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("event_seq",
+        row_number().over(Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("tus"), col("event_id"))))
+      .select(col("event_id"), col("session_seq"), col("event_seq"))
+      .orderBy(col("event_id"))
+  }
+
   private val d5EmbeddingNearDup = (s: SparkSession, d: String) =>
     Dedup.embeddingNearDupExact(
       t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1351,6 +1425,9 @@ object SparkEntry {
     "w7_moving_max" -> w7MovingMax,
     "w9_range_frame" -> w9RangeFrame,
     "j12_bloom_join" -> j12BloomJoin,
+    "x13_incremental_agg" -> x13IncrementalAgg,
+    "e7_sessionize" -> e7Sessionize,
+    "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
     "p1_range_slice" -> p1RangeSlice,
@@ -1484,6 +1561,46 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "e7_sessionize" ->
+      // the same gaps-and-islands construction in window SQL: both
+      // engines agree on lag/sum/row_number over the pinned order
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+         ), flagged AS (
+           SELECT event_id, user_id, tus,
+             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                    THEN 1
+                  WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                    > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e
+         ), sessions AS (
+           SELECT event_id, user_id, tus,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM flagged
+         )
+         SELECT event_id, session_seq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+             ORDER BY tus, event_id) AS INTEGER) AS event_seq
+         FROM sessions ORDER BY event_id""",
+    "a20_equidepth_hist" ->
+      // real ntile over the same pinned total order — the oracle USES
+      // the global window the engine-side formulation avoids
+      """SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo,
+           max(l_extendedprice) AS hi
+         FROM (
+           SELECT l_extendedprice,
+             CAST(ntile(8) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS bucket
+           FROM lineitem
+         ) GROUP BY bucket ORDER BY bucket""",
+    "x13_incremental_agg" ->
+      // maintained components must be bit-equal to the from-scratch
+      // aggregate: the oracle IS the full-table query (sums are exact —
+      // integer-valued doubles far below 2^53, so order cannot matter)
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+           count(l_quantity) AS n,
+           sum(l_quantity) / count(l_quantity) AS mean_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "j12_bloom_join" ->
       // the runtime filter must be invisible: plain join, same answer
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty

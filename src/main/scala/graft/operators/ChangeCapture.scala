@@ -75,4 +75,39 @@ object ChangeCapture {
       .agg(max_by(struct(valueCols.map(col): _*), ord).as("_latest"))
       .select(keys.map(col) ++ valueCols.map(c => col("_latest").getField(c).as(c)): _*)
   }
+
+  // --------------------------------------------------------------------
+  // Incremental aggregate maintenance (additive components)
+  // --------------------------------------------------------------------
+
+  /** Keyed additive components (Σ value, count) — the commutative
+    * monoid every incrementally-maintainable aggregate reduces to
+    * (mean = Σ/n read-side; the same design the streaming KPI sinks use
+    * per batch, here as the BATCH surface). At 100 TB this is the
+    * difference between "re-scan the corpus nightly" and "aggregate
+    * yesterday's delta and merge": component frames are key-cardinality
+    * small, so maintenance cost tracks the DELTA, not the corpus.
+    * Sums stay in exact DECIMAL/long arithmetic — merging never
+    * accumulates float error, so a maintained aggregate is bit-equal
+    * to a from-scratch recompute (the x13 oracle). */
+  def additiveComponents(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col(valueCol)).as("sum_v"), count(col(valueCol)).as("n_v"))
+
+  /** Merge two component frames — associative and commutative (one
+    * union + one re-aggregation over key-cardinality rows), so deltas
+    * can arrive in any order and any grouping. */
+  def mergeComponents(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("sum_v")).as("sum_v"), sum(col("n_v")).as("n_v"))
+
+  /** Retraction form: negated components subtract a delta (CDC deletes
+    * / corrections) through the same merge path. Keys whose count
+    * reaches zero remain as (0, 0) rows — filter `n_v =!= 0` when a
+    * fully-retracted key should disappear. */
+  def negateComponents(components: DataFrame): DataFrame =
+    components
+      .withColumn("sum_v", -col("sum_v"))
+      .withColumn("n_v", -col("n_v"))
 }

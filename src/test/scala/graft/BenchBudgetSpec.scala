@@ -30,7 +30,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "s8_quantized_ivf" -> 2.0,
     "s9_lsh_banded" -> 2.2,
     "s10_random_projection" -> 1.2,
-    "s11_pq_topk" -> 1.6,
+    "s11_pq_topk" -> 2.4,
     "s12_ivf_pq" -> 1.8,
     "a10_percentiles" -> 1.6,
     "a11_rollup" -> 1.5,
@@ -131,6 +131,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "a18_exact_moments" -> 1.0,
     "x11_mixture" -> 1.0,
     "x12_apportion" -> 1.0,
+    "x13_incremental_agg" -> 1.0,
+    "e7_sessionize" -> 1.0,
+    "a20_equidepth_hist" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

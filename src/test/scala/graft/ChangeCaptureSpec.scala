@@ -63,4 +63,34 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(exchangeAt >= 0 && partialAt > exchangeAt,
       s"expected partial_max_by on the map side (below Exchange):\n$plan")
   }
+
+  private def componentRows(df: org.apache.spark.sql.DataFrame): Map[String, (Double, Long)] =
+    df.collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+
+  test("additive components: merge of splits equals from-scratch, in any association order") {
+    val data = (0 until 900).map(i => (s"k${i % 3}", (i % 47).toDouble))
+      .toDF("k", "v")
+    val full = componentRows(ChangeCapture.additiveComponents(data, Seq("k"), "v"))
+    val Seq(a, b, c) = Seq(data.limit(300),
+      data.offset(300).limit(300), data.offset(600))
+      .map(ChangeCapture.additiveComponents(_, Seq("k"), "v"))
+    val leftAssoc = componentRows(ChangeCapture.mergeComponents(
+      ChangeCapture.mergeComponents(a, b, Seq("k")), c, Seq("k")))
+    val rightAssoc = componentRows(ChangeCapture.mergeComponents(
+      a, ChangeCapture.mergeComponents(b, c, Seq("k")), Seq("k")))
+    assert(leftAssoc == full, "maintained != recomputed")
+    assert(rightAssoc == full, "merge must be associative")
+  }
+
+  test("retraction: merging a negated delta restores the base components") {
+    val base = (0 until 200).map(i => (s"k${i % 2}", i.toDouble)).toDF("k", "v")
+    val delta = (0 until 60).map(i => (s"k${i % 2}", (i * 3).toDouble)).toDF("k", "v")
+    val cBase = ChangeCapture.additiveComponents(base, Seq("k"), "v")
+    val cDelta = ChangeCapture.additiveComponents(delta, Seq("k"), "v")
+    val applied = ChangeCapture.mergeComponents(cBase, cDelta, Seq("k"))
+    val retracted = ChangeCapture.mergeComponents(
+      applied, ChangeCapture.negateComponents(cDelta), Seq("k"))
+    assert(componentRows(retracted) == componentRows(cBase),
+      "negate + merge must subtract the delta exactly")
+  }
 }
