@@ -237,6 +237,27 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** End-to-end curation pipeline — the composed decision a training
+    * pipeline ships: admission gate (t11) → LSH near-dup pairs + exact
+    * verify → connected components → canonical survivors (d12), all
+    * over the ADMITTED corpus. Each stage is individually oracled;
+    * this verifies the COMPOSITION (the d12 pattern, one level up).
+    * Subsetting preserves the d6 recall-1.0 precondition: two admitted
+    * near-dups collide in the same bands regardless of what else was
+    * filtered out. */
+  private val x14Curate = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val admitted = TextAnalysis.admissionGate(docs)
+      .filter(col("admit"))
+      .select(col("doc_id"), col("text"))
+    val pairs = Dedup.nearDupPairs(admitted, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(admitted, "doc_id", pairs)
+    Dedup.keepCanonical(admitted, "doc_id", comps)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental aggregate maintenance
     * ([[ChangeCapture.additiveComponents]]): the corpus splits into a
     * "yesterday" base and a "today" delta, each reduces to keyed
@@ -978,15 +999,19 @@ object SparkEntry {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
     val ord = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val newSession = when(
       col("tus") - lag(col("tus"), 1).over(ord) > 1800000000L, 1)
       .otherwise(when(lag(col("tus"), 1).over(ord).isNull, 1).otherwise(0))
+    // event_seq = position within user MINUS the session's start
+    // position, both over the SAME (user_id) window spec — one
+    // Exchange + one sort total; a row_number() over (user, session)
+    // would re-shuffle on the widened key for zero semantic gain
     ev.withColumn("_new", newSession)
-      .withColumn("session_seq",
-        sum(col("_new")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("session_seq", sum(col("_new")).over(run))
+      .withColumn("_seq", row_number().over(ord))
       .withColumn("event_seq",
-        row_number().over(Window.partitionBy(col("user_id"), col("session_seq"))
-          .orderBy(col("tus"), col("event_id"))))
+        (col("_seq") - max(when(col("_new") === 1, col("_seq"))).over(run) + 1).cast("int"))
       .select(col("event_id"), col("session_seq"), col("event_seq"))
       .orderBy(col("event_id"))
   }
@@ -1426,6 +1451,7 @@ object SparkEntry {
     "w9_range_frame" -> w9RangeFrame,
     "j12_bloom_join" -> j12BloomJoin,
     "x13_incremental_agg" -> x13IncrementalAgg,
+    "x14_curate" -> x14Curate,
     "e7_sessionize" -> e7Sessionize,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
@@ -1561,6 +1587,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "x14_curate" -> x14OracleSql,
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order
@@ -2667,7 +2694,22 @@ object SparkEntry {
     val langsAsc = sw.keys.toSeq.sorted
     val hitCols = langsAsc.map(l => s"${hits(l)} AS h_$l").mkString(", ")
     val langCases = langsAsc.reverse.dropRight(1).map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
-    s"""WITH q AS (
+    s"""WITH $admissionCtesSql
+        SELECT doc_id, reject_reason = 'ok' AS admit, reject_reason
+        FROM admq ORDER BY doc_id"""
+  }
+
+  /** Admission CTE chain (q/rep/lid → `admq` = (doc_id,
+    * reject_reason)) — shared by t11's oracle and the x14 pipeline
+    * oracle, so the two can never drift. */
+  private def admissionCtesSql: String = {
+    val sw = graft.operators.TextAnalysis.stopwords
+    def hits(lang: String) =
+      s"len(list_filter(tk, t -> t IN (${sw(lang).map(w => s"'$w'").mkString(", ")})))"
+    val langsAsc = sw.keys.toSeq.sorted
+    val hitCols = langsAsc.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+    val langCases = langsAsc.reverse.dropRight(1).map(l => s"WHEN h_$l = m THEN '$l'").mkString(" ")
+    s"""q AS (
           SELECT doc_id,
             CAST(length(text) AS BIGINT) AS n_chars_m,
             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2688,10 +2730,7 @@ object SparkEntry {
               SELECT doc_id, $hitCols FROM (
                 SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
                 FROM documents)))
-        )
-        SELECT q.doc_id,
-          reject_reason = 'ok' AS admit, reject_reason
-        FROM (
+        ), admq AS (
           SELECT q.doc_id,
             CASE WHEN NOT ((n_chars_m BETWEEN 20 AND 1000000) AND (n_tok BETWEEN 5 AND 500000)
                            AND (CAST(punct AS DOUBLE) / GREATEST(n_chars_m, 1) < 0.3)) THEN 'low_quality'
@@ -2700,8 +2739,46 @@ object SparkEntry {
                  WHEN lang_pred NOT IN ('en') THEN 'language'
                  ELSE 'ok' END AS reject_reason
           FROM q JOIN rep ON q.doc_id = rep.doc_id JOIN lid ON q.doc_id = lid.doc_id
-        ) q ORDER BY doc_id"""
+        )"""
   }
+
+  /** DuckDB twin of the x14 curation pipeline: the admission chain
+    * feeds the exact-Jaccard pair graph and its recursive closure,
+    * both restricted to ADMITTED docs — survivors are each admitted
+    * component's minimum id (the d12 canonical rule over the d8
+    * closure, composed with t11's gate; every stage is individually
+    * oracled, this verifies the composition). */
+  private def x14OracleSql: String =
+    s"""WITH RECURSIVE $admissionCtesSql,
+        adm AS (
+          SELECT d.doc_id, d.text FROM documents d
+          JOIN admq USING (doc_id) WHERE reject_reason = 'ok'
+        ),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(
+              CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(range(1, len(toks)-1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+          FROM (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))), '\\s+') AS toks
+                FROM adm)
+        ),
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s)
+        SELECT a2.doc_id
+        FROM adm a2
+        LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+          ON a2.doc_id = m.s
+        WHERE LEAST(a2.doc_id, COALESCE(m.mn, a2.doc_id)) = a2.doc_id
+        ORDER BY a2.doc_id"""
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.langId]]: per-language
     * stopword-hit counts over lower/trim/whitespace tokens, argmax with

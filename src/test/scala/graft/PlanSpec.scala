@@ -105,6 +105,18 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"ivfAssign must not join:\n$p")
   }
 
+  test("sessionization plans ONE exchange: all window functions share the user partitioning") {
+    // e7 computes session_seq AND in-session position from a single
+    // (user_id)-partitioned window spec; a row_number over
+    // (user, session_seq) would add a second hash Exchange on the
+    // widened key — this pins the one-shuffle shape
+    val q = SparkEntry.queries("e7_sessionize")(spark, dir)
+    val p = plan(q)
+    val windowExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(windowExchanges == 1,
+      s"expected exactly one user_id hash exchange, found $windowExchanges:\n$p")
+  }
+
   test("EVERY registry query: no CartesianProduct, no nondeterministic expressions") {
     // A cartesian product in any query is an instant scale-killer; a
     // nondeterministic expression (rand etc.) breaks retry/replay
