@@ -217,13 +217,44 @@ object Bench {
       }
       // PQ: rank-quality cost of sampled-codebook ADC (m=4, ksub=16 —
       // a 128x-smaller index payload), with and without the fp32
-      // shortlist re-rank stage
+      // shortlist re-rank stage. NOTE the fixture is uniform-random
+      // vectors — PQ's documented WORST case (no cluster structure for
+      // codewords to exploit), so these two numbers are the floor, not
+      // the operating point; the clustered probe below is the
+      // operating-point evidence.
       def pqRecall(rerank: Int): Double = {
         val got = pairs(Similarity.pqTopK(
           embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
           dim = 64, m = 4, ksub = 16, rerank = rerank)
           .select(col("probe_id"), col("neighbor_id")))
         (got & exact).size.toDouble / exact.size
+      }
+      // clustered corpus derived deterministically from the fixture:
+      // row i blends 85% of center (vec_id mod 16) with 15% of itself,
+      // giving 16 tight clusters — the shape real embedding corpora
+      // have and PQ codewords are designed for
+      val clustered = {
+        import org.apache.spark.sql.functions.{transform => atransform, zip_with}
+        val centers = embs1.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("_cid"), col("embedding").as("_cv"))
+        embs1.withColumn("_cid", pmod(col("vec_id"), lit(16)))
+          .join(centers, "_cid")
+          .select(col("vec_id"),
+            zip_with(col("_cv"), col("embedding"),
+              (c, v) => (c * lit(0.85d) + v * lit(0.15d)).cast("float")).as("embedding"))
+          .persist()
+      }
+      clustered.count()
+      val pqClusteredRecall = {
+        val cExact = pairs(Similarity.cosineTopK(
+          clustered, "vec_id", "embedding", col("vec_id") < 5, 5))
+        val got = pairs(Similarity.pqTopK(
+          clustered, "vec_id", "embedding", col("vec_id") < 5, 5,
+          dim = 64, m = 4, ksub = 16, refineIters = 2, rerank = 40)
+          .select(col("probe_id"), col("neighbor_id")))
+        val r = (got & cExact).size.toDouble / cExact.size
+        clustered.unpersist()
+        r
       }
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
@@ -239,7 +270,8 @@ object Bench {
         s""""ivfq_recall_at5_nprobe4":${quantRecall(4, 0)},""" +
         s""""ivfq_rerank_recall_at5_nprobe4":${quantRecall(4, 15)},""" +
         s""""pq_recall_at5":${pqRecall(0)},""" +
-        s""""pq_rerank_recall_at5":${pqRecall(15)}}"""
+        s""""pq_rerank_recall_at5":${pqRecall(15)},""" +
+        s""""pq_clustered_recall_at5":$pqClusteredRecall}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")
