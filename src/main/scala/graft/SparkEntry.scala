@@ -247,9 +247,15 @@ object SparkEntry {
     * filtered out. */
   private val x14Curate = (s: SparkSession, d: String) => {
     val docs = t(s, d, "documents")
-    val admitted = TextAnalysis.admissionGate(docs)
-      .filter(col("admit"))
-      .select(col("doc_id"), col("text"))
+    // the admission pass is regex-heavy and referenced by THREE
+    // downstream stages (pair generation, components, canonical keep)
+    // — persist it once through the CachePool lifecycle or every stage
+    // re-tokenizes the corpus
+    val admitted = CachePool.register(
+      TextAnalysis.admissionGate(docs)
+        .filter(col("admit"))
+        .select(col("doc_id"), col("text"))
+        .persist())
     val pairs = Dedup.nearDupPairs(admitted, "doc_id", "text",
       threshold = 0.5, k = 3, numHashes = 32, bands = 8)
     val comps = Dedup.nearDupComponents(admitted, "doc_id", pairs)
