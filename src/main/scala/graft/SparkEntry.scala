@@ -1022,6 +1022,18 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Cross-corpus embedding decontamination: eval vectors (vec_id < 20)
+    * broadcast against the train corpus (vec_id >= 20); flagged train
+    * rows carry their best-matching eval id. Catches the paraphrased
+    * leakage the n-gram screen (d7) cannot. */
+  private val d14EmbedScreen = (s: SparkSession, d: String) => {
+    val em = t(s, d, "embeddings")
+    Dedup.embeddingCrossScreen(
+      em.filter(col("vec_id") >= 20), em.filter(col("vec_id") < 20),
+      "vec_id", "embedding", threshold = 0.25)
+      .orderBy(col("train_id"))
+  }
+
   private val d5EmbeddingNearDup = (s: SparkSession, d: String) =>
     Dedup.embeddingNearDupExact(
       t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1542,6 +1554,7 @@ object SparkEntry {
     "t13_pii_redact" -> t13PiiRedact,
     "t14_lexical" -> t14Lexical,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
+    "d14_embed_screen" -> d14EmbedScreen,
     "x10_zorder" -> x10Zorder,
     "j8_anti" -> j8Anti,
     "j9_full_outer" -> j9FullOuter,
@@ -1594,6 +1607,20 @@ object SparkEntry {
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "x14_curate" -> x14OracleSql,
+    "d14_embed_screen" ->
+      // per flagged train row, the best eval match (cos DESC, eval_id
+      // ASC) — list_cosine_similarity is the established bit-exact twin
+      """SELECT train_id, eval_id FROM (
+           SELECT c.vec_id AS train_id, e.vec_id AS eval_id,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                               CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id ASC) AS rn
+           FROM embeddings c JOIN embeddings e
+             ON c.vec_id >= 20 AND e.vec_id < 20
+           WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])) >= 0.25
+         ) WHERE rn = 1 ORDER BY train_id""",
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order

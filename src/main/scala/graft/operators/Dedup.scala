@@ -620,4 +620,36 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Cross-corpus embedding decontamination — the SEMANTIC twin of
+    * [[crossNearDupPairs]] (which screens on n-gram Jaccard) and the
+    * batch form of the streaming embedding screen: the bounded eval set
+    * broadcasts against the training corpus, and every training row
+    * whose cosine to ANY eval vector clears `threshold` is flagged with
+    * its best-matching eval id (ties by smaller eval id — total order,
+    * oracle-stable). Paraphrased leakage survives exact and n-gram
+    * screens; the embedding screen is the layer that catches it.
+    *
+    * 100 TB: the corpus is scanned once and never shuffled for the
+    * match itself; only FLAGGED rows (leakage-rate small) enter the
+    * per-row best-match aggregation. */
+  def embeddingCrossScreen(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxEval: Int = 100000): DataFrame = {
+    val probes = Similarity.requireBoundedProbes(
+      evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("_ev")),
+      "embeddingCrossScreen", maxEval)
+    val base = corpus.select(col(idCol).as("train_id"), col(vecCol).as("_tv"))
+    base
+      .join(broadcast(probes), col("train_id") =!= col("eval_id"))
+      .withColumn("cos", VectorOps.cosineSim(col("_tv"), col("_ev")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg_id"))).as("_best"))
+      .select(col("train_id"), (-col("_best.neg_id")).as("eval_id"))
+  }
 }

@@ -121,6 +121,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t13_pii_redact" -> 1.0,
     "t14_lexical" -> 1.0,
     "d13_bloom_prefilter" -> 1.6,
+    "d14_embed_screen" -> 1.2,
     "x10_zorder" -> 1.0,
     "j8_anti" -> 1.0,
     "j9_full_outer" -> 1.0,

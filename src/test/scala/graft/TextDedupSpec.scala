@@ -34,6 +34,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(short == Seq("a b"))
   }
 
+  test("embeddingCrossScreen: planted paraphrase leak flagged with best eval match, clean rows pass") {
+    val evalSet = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f))) // near-collinear with eval 1
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      (100L, Seq(2f, 0.05f, 0f, 0f)), // scaled near-copy of eval 1 — a paraphrase leak
+      (101L, Seq(0f, 0f, 1f, 0f)),    // orthogonal — clean
+      (102L, Seq(0f, 1f, 0f, 0f)))    // weakly related — below threshold
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Dedup.embeddingCrossScreen(
+        train, evalSet, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(100L), s"only the planted leak should flag: $got")
+    // both eval vectors clear 0.9 vs train 100; the BEST (higher cos,
+    // then smaller id) must win deterministically
+    assert(got(100L) == 1L)
+  }
+
   test("lexicalDiversity: hand-computed stopword and hapax counts, empty text safe") {
     val df = Seq(
       (1L, "the cat and the dog"), // n=5 stop=3 (the,the,and) nd=4 hapax=3 (cat,and,dog)... and is hapax too
