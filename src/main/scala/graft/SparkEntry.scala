@@ -600,6 +600,13 @@ object SparkEntry {
         col("hapax_cnt"), col("stopword_ratio"), col("hapax_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Rarity metrics vs the corpus' own top-20 vocabulary (the fixture
+    * has 31 distinct tokens, so the cut exercises the OOV path). */
+  private val t15Rarity = (s: SparkSession, d: String) =>
+    TextAnalysis.rarityMetrics(t(s, d, "documents"), "doc_id", "text", vocabSize = 20)
+      .select(col("doc_id"), col("n_tokens"), col("oov_cnt"), col("min_df"), col("oov_rate"))
+      .orderBy(col("doc_id"))
+
   /** Composed admission gate: the full preprocessing decision. */
   private val t11Admission = (s: SparkSession, d: String) =>
     TextAnalysis.admissionGate(t(s, d, "documents"))
@@ -1553,6 +1560,7 @@ object SparkEntry {
     "a19_heavy_hitters" -> a19HeavyHitters,
     "t13_pii_redact" -> t13PiiRedact,
     "t14_lexical" -> t14Lexical,
+    "t15_rarity" -> t15Rarity,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "d14_embed_screen" -> d14EmbedScreen,
     "x10_zorder" -> x10Zorder,
@@ -2049,6 +2057,33 @@ object SparkEntry {
            nd::DOUBLE / n::DOUBLE AS distinct_ratio,
            best::DOUBLE / n::DOUBLE AS top_share
          FROM agg ORDER BY doc_id""",
+    "t15_rarity" ->
+      // identical CTE chain: (doc, token) tf, token df, top-20 vocab cut
+      // by (df DESC, token ASC), left join + doc re-aggregation; rate is
+      // one small-int division
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), t AS (
+           SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) WHERE tok <> ''
+         ), dt AS (
+           SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2
+         ), dfreq AS (
+           SELECT tok, count(*) AS df FROM dt GROUP BY 1
+         ), vocab AS (
+           SELECT tok FROM (
+             SELECT tok, ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) AS rn FROM dfreq
+           ) WHERE rn <= 20
+         )
+         SELECT dt.doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END) AS BIGINT) AS oov_cnt,
+           CAST(min(df) AS BIGINT) AS min_df,
+           sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END)::DOUBLE / sum(tf)::DOUBLE AS oov_rate
+         FROM dt JOIN dfreq USING (tok) LEFT JOIN vocab v ON dt.tok = v.tok
+         GROUP BY 1 ORDER BY 1""",
     "t14_lexical" ->
       // exploded groupBy twin of the per-row sorted-array folds: token
       // frequencies per doc, hapax = freq-1 tokens, stopword share over

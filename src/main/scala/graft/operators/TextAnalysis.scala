@@ -299,6 +299,47 @@ object TextAnalysis {
       .drop("_lex_toks")
   }
 
+  /** Per-document rarity metrics against the corpus' own vocabulary:
+    * `oov_cnt`/`oov_rate` (token occurrences outside the top-`vocabSize`
+    * tokens by document frequency) and `min_df` (document frequency of
+    * the doc's RAREST token). High OOV flags noise/encoding damage;
+    * min_df = 1 flags docs carrying corpus-unique strings (serial
+    * numbers, hashes, contamination canaries). The vocabulary is
+    * data-derived — no external list to ship — and the cut is
+    * deterministic (df DESC, token ASC).
+    *
+    * Shape: one (doc, token) hash aggregate, one token-keyed df
+    * aggregate, a broadcast of the vocabSize-bounded vocabulary, one
+    * doc-keyed re-aggregation — the t12 cost class; the shuffle carries
+    * distinct (doc, token) pairs, never raw token occurrences. */
+  def rarityMetrics(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = withTokens(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+    val docTerm = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfreq
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(true).as("_inv"))
+    docTerm
+      .join(dfreq, "term")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("_inv").isNull, col("tf")).otherwise(0L)).as("oov_cnt"),
+        min(col("df")).as("min_df"))
+      .withColumn("oov_rate",
+        col("oov_cnt").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** Composed admission gate — the preprocessing decision a training
     * pipeline actually runs: quality heuristics + repetition signals +
     * language filter in ONE narrow pass (each component stage is

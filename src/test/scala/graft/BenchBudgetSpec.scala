@@ -120,6 +120,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a19_heavy_hitters" -> 1.3,
     "t13_pii_redact" -> 1.0,
     "t14_lexical" -> 1.0,
+    "t15_rarity" -> 1.2,
     "d13_bloom_prefilter" -> 1.6,
     "d14_embed_screen" -> 1.2,
     "x10_zorder" -> 1.0,

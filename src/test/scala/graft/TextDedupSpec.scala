@@ -69,6 +69,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(3L) == ((0L, 0L, 0L, 0.0, 0.0)), s"doc3: ${got(3L)}")
   }
 
+  test("rarityMetrics: OOV counted against the df-ranked vocab cut, min_df finds unique strings") {
+    // corpus: "common" in all 4 docs, "mid" in 2, unique serials in one
+    val df = Seq(
+      (1L, "common mid serialxyz"),
+      (2L, "common mid common"),
+      (3L, "common common"),
+      (4L, "common"))
+      .toDF("doc_id", "text")
+    // vocabSize=1: only "common" (df=4) is in-vocab
+    val got = graft.operators.TextAnalysis.rarityMetrics(df, "doc_id", "text", vocabSize = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((3L, 2L, 1L, 2.0 / 3.0)), s"doc1: ${got(1L)}") // mid+serial OOV; serial df=1
+    assert(got(2L) == ((3L, 1L, 2L, 1.0 / 3.0)), s"doc2: ${got(2L)}") // one mid occurrence OOV
+    assert(got(3L) == ((2L, 0L, 4L, 0.0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((1L, 0L, 4L, 0.0)), s"doc4: ${got(4L)}")
+  }
+
   test("exact dedup keeps min id per distinct content") {
     val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("doc_id", "text")
     val got = Dedup.exactDedup(df.select($"text", $"doc_id"), "text", "doc_id")
