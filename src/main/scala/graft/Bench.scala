@@ -244,13 +244,19 @@ object Bench {
               (c, v) => (c * lit(0.85d) + v * lit(0.15d)).cast("float")).as("embedding"))
           .persist()
       }
-      clustered.count()
+      val nClustered = clustered.count()
       val pqClusteredRecall = {
         val cExact = pairs(Similarity.cosineTopK(
           clustered, "vec_id", "embedding", col("vec_id") < 5, 5))
+        // re-rank budget tracks cluster size (corpus/16): ADC collapses
+        // cluster-mates to one reconstruction, so the shortlist must
+        // cover the cluster for the exact stage to order within it —
+        // the standard IVF-PQ practice of sizing rerank to the probed
+        // list, which keeps this metric fixture-size-stable
+        val rr = math.max(40L, nClustered / 16 + 8).toInt
         val got = pairs(Similarity.pqTopK(
           clustered, "vec_id", "embedding", col("vec_id") < 5, 5,
-          dim = 64, m = 4, ksub = 16, refineIters = 2, rerank = 40)
+          dim = 64, m = 4, ksub = 16, refineIters = 2, rerank = rr)
           .select(col("probe_id"), col("neighbor_id")))
         val r = (got & cExact).size.toDouble / cExact.size
         clustered.unpersist()
