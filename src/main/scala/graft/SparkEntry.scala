@@ -600,6 +600,19 @@ object SparkEntry {
         col("hapax_cnt"), col("stopword_ratio"), col("hapax_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Token-budget selection: highest lexical diversity first until
+    * 10k tokens are spent ([[Sampling.tokenBudgetSelect]] — two-level
+    * distributed prefix sum, no unpartitioned window). */
+  private val x15BudgetSelect = (s: SparkSession, d: String) => {
+    val scored = TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("distinct_ratio"))
+    Sampling.tokenBudgetSelect(scored, "n_tokens",
+        Seq(col("distinct_ratio").desc, col("doc_id").asc), tokenBudget = 10000L)
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rarity metrics vs the corpus' own top-20 vocabulary (the fixture
     * has 31 distinct tokens, so the cut exercises the OOV path). */
   private val t15Rarity = (s: SparkSession, d: String) =>
@@ -1561,6 +1574,7 @@ object SparkEntry {
     "t13_pii_redact" -> t13PiiRedact,
     "t14_lexical" -> t14Lexical,
     "t15_rarity" -> t15Rarity,
+    "x15_budget_select" -> x15BudgetSelect,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "d14_embed_screen" -> d14EmbedScreen,
     "x10_zorder" -> x10Zorder,
@@ -2057,6 +2071,26 @@ object SparkEntry {
            nd::DOUBLE / n::DOUBLE AS distinct_ratio,
            best::DOUBLE / n::DOUBLE AS top_share
          FROM agg ORDER BY doc_id""",
+    "x15_budget_select" ->
+      // prefix-cut twin: t10's ratio CTEs, one running sum over the
+      // identical (diversity DESC, doc_id) order, keep cum <= budget
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), freq AS (
+           SELECT doc_id, tok, count(*) AS c
+           FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id, count(*) AS nd, sum(c) AS n FROM freq GROUP BY 1
+         ), c AS (
+           SELECT doc_id, n,
+             sum(n) OVER (ORDER BY nd::DOUBLE / n::DOUBLE DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM agg
+         )
+         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens
+         FROM c WHERE cum <= 10000 ORDER BY doc_id""",
     "t15_rarity" ->
       // identical CTE chain: (doc, token) tf, token df, top-20 vocab cut
       // by (df DESC, token ASC), left join + doc re-aggregation; rate is

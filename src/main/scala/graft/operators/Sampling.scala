@@ -128,6 +128,54 @@ object Sampling {
       .drop("_ark")
   }
 
+  /** Token-budget selection: rank docs by a caller-supplied ORDER
+    * (quality/diversity score descending, id tiebreak) and keep the
+    * prefix whose cumulative token count stays within `tokenBudget` —
+    * "the best data that fits the budget", the selection step between
+    * scoring and packing in a data recipe. A doc is kept iff the
+    * running total INCLUDING it is within budget (first-fit prefix;
+    * docs after the first overflow are dropped even if a smaller later
+    * doc would fit — prefix semantics keep the cut order-stable and
+    * engine-replayable, unlike best-fit knapsack).
+    *
+    * The global running sum is a TWO-LEVEL distributed prefix sum, not
+    * an unpartitioned window (which serializes the corpus into one
+    * task — the scale-killer the segmentation path documents): the
+    * distributed row index fixes the total order, rows bucket by
+    * position, per-bucket subtotals roll up through one tiny window
+    * over the bucket list (rows = positions/bucketSize — metadata-
+    * scale), and each row's cumulative is its bucket's offset plus a
+    * within-bucket running sum under a (bucket)-PARTITIONED window.
+    * All integer arithmetic — any engine replays the cut exactly. */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      tokenCol: String,
+      orderKeys: Seq[Column],
+      tokenBudget: Long,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(tokenBudget >= 0, "tokenBudget must be non-negative")
+    require(bucketSize > 0, "bucketSize must be positive")
+    require(!df.columns.exists(Seq("_pos", "_bk", "_cum", "_boff").contains),
+      "tokenBudgetSelect: _pos/_bk/_cum/_boff are internal column names")
+    import org.apache.spark.sql.expressions.Window
+    val indexed = RelationalOps.withRowIndex(df, "_pos", orderKeys)
+      // `div` = exact integral division (positions are non-negative);
+      // `/` on longs is DOUBLE division and drifts past 2^52 positions
+      .withColumn("_bk", expr(s"_pos div ${bucketSize}L"))
+    val bw = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk"))
+      .agg(sum(col(tokenCol)).as("_bsum"))
+      .select(col("_bk"),
+        coalesce(sum(col("_bsum")).over(bw), lit(0L)).as("_boff"))
+    val ww = Window.partitionBy(col("_bk")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    indexed
+      .join(broadcast(offsets), "_bk")
+      .withColumn("_cum", col("_boff") + sum(col(tokenCol)).over(ww))
+      .filter(col("_cum") <= tokenBudget)
+      .drop("_pos", "_bk", "_boff", "_cum")
+  }
+
   /** Per-group sampling rates (e.g. up-weight rare domains, down-weight
     * boilerplate-heavy ones) — deterministic, one narrow pass. Groups
     * absent from `rates` use `defaultRate`. */

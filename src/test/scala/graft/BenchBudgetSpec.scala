@@ -135,6 +135,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x12_apportion" -> 1.0,
     "x13_incremental_agg" -> 1.0,
     "x14_curate" -> 6.0,
+    "x15_budget_select" -> 1.2,
     "e7_sessionize" -> 1.0,
     "a20_equidepth_hist" -> 1.2,
   )

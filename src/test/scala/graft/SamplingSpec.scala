@@ -176,6 +176,21 @@ class SamplingSpec extends SparkTestBase {
     assert(mixed.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("tokenBudgetSelect: exact prefix cut, invariant across bucket granularities") {
+    val df = (1 to 100).map(i => (i.toLong, 10L)).toDF("id", "ntok")
+    def ids(bucketSize: Long) = Sampling.tokenBudgetSelect(
+        df, "ntok", Seq(col("id").asc), tokenBudget = 255, bucketSize = bucketSize)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // 10 tokens each: 25 docs = 250 <= 255, the 26th would hit 260
+    assert(ids(1 << 20) == (1L to 25L), "single-bucket prefix cut wrong")
+    // tiny buckets force the cross-bucket offset path — same answer
+    assert(ids(7) == (1L to 25L), "bucket-boundary offsets broke the running sum")
+    assert(ids(1) == (1L to 25L), "degenerate one-row buckets must still work")
+    // edge budgets
+    assert(Sampling.tokenBudgetSelect(df, "ntok", Seq(col("id").asc), 0).count() == 0)
+    assert(Sampling.tokenBudgetSelect(df, "ntok", Seq(col("id").asc), 1000000).count() == 100)
+  }
+
   test("apportionSample: Hamilton counts exact, total equals budget, deterministic") {
     // 4 groups × 50 rows; weights 7:5:3:1 over budget 100, W = 16 —
     // floor shares (43, 31, 18, 6) = 98, remainders (12, 4, 12, 4):
