@@ -1020,6 +1020,24 @@ object SparkEntry {
     * session index and in-session position via the gaps-and-islands
     * pattern (new-session flag where the gap exceeds 30 min, running
     * sum per user). One shuffle on user_id; integer outputs only. */
+  /** Forward fill — gap-filling a sparse metric from the last non-null
+    * observation per user (the as-of carry applied to missingness):
+    * nulls are SEEDED deterministically (every 5th event id) so the
+    * fill path is exercised and the oracle replays seed + fill. Same
+    * one-exchange window shape as e7; leading nulls stay null. */
+  private val e8ForwardFill = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit(null)).otherwise(col("value"))
+          .as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("v").isNull.as("was_null"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy(col("event_id"))
+  }
+
   private val e7Sessionize = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
@@ -1491,6 +1509,7 @@ object SparkEntry {
     "x13_incremental_agg" -> x13IncrementalAgg,
     "x14_curate" -> x14Curate,
     "e7_sessionize" -> e7Sessionize,
+    "e8_forward_fill" -> e8ForwardFill,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
@@ -1643,6 +1662,20 @@ object SparkEntry {
            WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
                                         CAST(e.embedding AS DOUBLE[])) >= 0.25
          ) WHERE rn = 1 ORDER BY train_id""",
+    "e8_forward_fill" ->
+      // identical seed (every 5th event id nulled) + IGNORE NULLS carry
+      // over the same pinned per-user order; values pass through with
+      // no arithmetic, so the compare is exact
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+           FROM events
+         )
+         SELECT event_id, v IS NULL AS was_null,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM e ORDER BY event_id""",
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order

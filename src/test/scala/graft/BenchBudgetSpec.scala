@@ -137,6 +137,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x14_curate" -> 6.0,
     "x15_budget_select" -> 1.2,
     "e7_sessionize" -> 1.0,
+    "e8_forward_fill" -> 1.0,
     "a20_equidepth_hist" -> 1.2,
   )
 
