@@ -444,6 +444,46 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join (j6's time-mirror): every click picks up the
+    * EARLIEST purchase (value + time) of the same user at-or-after it —
+    * the "time-to-conversion" lookup. Same epoch-micros discipline and
+    * deterministic (user, time) pre-aggregation as j6; DuckDB's ASOF
+    * with `>=` is the native oracle. */
+  private val j13ForwardAsof = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("next_purchase_value"))
+      .withColumn("next_purchase_tus", col("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    TemporalJoin.asofJoinForward(clicks, purchases, Seq("user_id"), "tus", "tus")
+      .select(col("event_id"), col("next_purchase_tus"), col("next_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Join-size estimation from per-key statistics — the planner
+    * diagnostic run BEFORE committing to a join: |A ⋈ B| on key k is
+    * exactly Σ_k cntA(k)·cntB(k), two small aggregates joined on the
+    * key — the fact tables are never joined row-for-row. Emitted next
+    * to the materialized join's count(*) with an equality claim, so the
+    * oracle proves the estimate IS the cardinality. At 100 TB the
+    * statistics path costs two map-side-combined aggs; the row-level
+    * join it predicts may be unrunnable — that asymmetry is the op. */
+  private val a22JoinSize = (s: SparkSession, d: String) => {
+    val o = t(s, d, "orders").select(col("o_custkey"))
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val est = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("na"))
+      .join(c.groupBy(col("c_custkey")).agg(count(lit(1)).as("nb")),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum(col("na") * col("nb")).as("est_rows"))
+    val exact = o.join(c, col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    est.crossJoin(exact)
+      .select(col("est_rows"), col("exact_rows"),
+        (col("est_rows") === col("exact_rows")).as("agree"))
+  }
+
   /** Bucketed range join: clicks (points) into 10-minute windows after
     * each error (intervals), counted per error — the no-equi-key
     * interval join the planner would otherwise BNL. Bucket width =
@@ -610,6 +650,28 @@ object SparkEntry {
     Sampling.tokenBudgetSelect(scored, "n_tokens",
         Seq(col("distinct_ratio").desc, col("doc_id").asc), tokenBudget = 10000L)
       .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Weighted sampling without replacement, integer-weight replication
+    * form: each doc gets `w` independent md5 draws (one per replica
+    * index), keeps its best, and the global top-k best draws win — an
+    * item with twice the weight gets twice the lottery tickets.
+    * Deterministic (retry-safe, no rand()) and exactly replayable in
+    * SQL, unlike the u^(1/w) exponential-key form whose pow() is not
+    * correctly rounded across engines. Inflation is Σw ≤ 5n rows of
+    * (id, hash) pairs; the top-k is TakeOrdered, never a global sort. */
+  private val x16WeightedSample = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), (pmod(col("n_chars"), lit(5)) + 1).as("w"))
+    docs
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1L), col("w"))).as("r"))
+      .select(col("doc_id"), col("w"),
+        md5(concat_ws(":", lit("ws"), col("doc_id"), col("r"))).as("pri"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(min(col("pri")).as("pri"))
+      .orderBy(col("pri")).limit(200)
       .orderBy(col("doc_id"))
   }
 
@@ -792,6 +854,24 @@ object SparkEntry {
       threshold = 0.5, k = 3, numHashes = 32, bands = 8)
     Dedup.nearDupComponents(docs, "doc_id", pairs)
       .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Leakage-safe split — the group-aware form of x1's hash split: the
+    * split key is the near-dup COMPONENT label, not the doc id, so two
+    * near-duplicate documents can never straddle train/val/test (the
+    * eval-contamination channel a doc-keyed split leaves open; same
+    * hash ⇒ same split by construction). Cost over x1 = the d8
+    * component pass; the split assignment itself stays a narrow map. */
+  private val x17LeakSafeSplit = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comp = Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("label").as("group_id"))
+    Sampling.assignSplit(comp, "group_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("group_id"), col("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -1015,11 +1095,6 @@ object SparkEntry {
         col("cnt"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** Per-EVENT sessionization (vs e3's per-session aggregate): the
-    * feature-engineering surface — every event gets its user-scoped
-    * session index and in-session position via the gaps-and-islands
-    * pattern (new-session flag where the gap exceeds 30 min, running
-    * sum per user). One shuffle on user_id; integer outputs only. */
   /** Forward fill — gap-filling a sparse metric from the last non-null
     * observation per user (the as-of carry applied to missingness):
     * nulls are SEEDED deterministically (every 5th event id) so the
@@ -1038,6 +1113,130 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Time-grid resample — the metrics-alignment op: bucket events to a
+    * 1-hour grid per user, then materialize EVERY grid cell between the
+    * user's first and last observation (gap cells included), with the
+    * last observed max carried across gaps. Spine generation is one
+    * per-user agg + `explode(sequence(...))` — cells per key = active
+    * range / width (~10³ here; a 100 TB deployment with multi-million-
+    * cell keys would pre-split ranges before exploding). Aggregates are
+    * order-independent (count, max) so the compare is exact. */
+  private val e9Resample = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val width = 3600000000L // 1-hour cells, epoch micros
+    val obs = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${width}L").as("bk"),
+        col("value"))
+      .groupBy(col("user_id"), col("bk"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("mx"))
+    val spine = obs.groupBy(col("user_id"))
+      .agg(min(col("bk")).as("_mn"), max(col("bk")).as("_mx"))
+      .select(col("user_id"), explode(sequence(col("_mn"), col("_mx"))).as("bk"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("user_id", "bk"), "left")
+      .select(col("user_id"), col("bk"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("mx").isNull.as("gap"),
+        last(col("mx"), ignoreNulls = true).over(w).as("carried"))
+      .orderBy(col("user_id"), col("bk"))
+  }
+
+  /** Linear interpolation over e9's grid gaps — the other standard gap
+    * policy (forward fill carries, interpolation blends): each gap cell
+    * takes v_p + (v_n − v_p)·(bk − bk_p)/(bk_n − bk_p) from its
+    * neighboring observations. Neighbor carry is last/first(ignoreNulls)
+    * over the SAME (user, bk) window partitioning — one Exchange, two
+    * Window ops. Gap cells sit strictly between observations (the spine
+    * is observation-bounded), so denominators are never zero; observed
+    * cells pass mx through untouched, dodging the 0/0 NaN. The
+    * interpolation expression shape is identical on both sides, so the
+    * IEEE result is bit-equal. */
+  private val e10Interpolate = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val width = 3600000000L
+    val obs = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${width}L").as("bk"),
+        col("value"))
+      .groupBy(col("user_id"), col("bk"))
+      .agg(max(col("value")).as("mx"))
+    val spine = obs.groupBy(col("user_id"))
+      .agg(min(col("bk")).as("_mn"), max(col("bk")).as("_mx"))
+      .select(col("user_id"), explode(sequence(col("_mn"), col("_mx"))).as("bk"))
+    val part = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+    val back = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val cells = spine.join(obs, Seq("user_id", "bk"), "left")
+    val obsBk = when(col("mx").isNotNull, col("bk"))
+    cells
+      .withColumn("_pbk", last(obsBk, ignoreNulls = true).over(back))
+      .withColumn("_pv", last(col("mx"), ignoreNulls = true).over(back))
+      .withColumn("_nbk", first(obsBk, ignoreNulls = true).over(fwd))
+      .withColumn("_nv", first(col("mx"), ignoreNulls = true).over(fwd))
+      .select(col("user_id"), col("bk"), col("mx").isNull.as("gap"),
+        when(col("mx").isNull,
+          col("_pv") + (col("_nv") - col("_pv")) * (col("bk") - col("_pbk"))
+            / (col("_nbk") - col("_pbk")))
+          .otherwise(col("mx")).as("v_interp"))
+      .orderBy(col("user_id"), col("bk"))
+  }
+
+  /** Funnel analysis — the product-analytics sequential-milestone op:
+    * per user, first `view`, first `click` AFTER that view, first
+    * `purchase` after that click. The sequential dependency is resolved
+    * with THREE chained min-windows over the SAME user partition — one
+    * Exchange, one scan, no self-joins (the naive form is k scans + k
+    * joins). Epoch-micros integers end to end; the compare is exact. */
+  private val w10Funnel = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("tus") > col("t1"),
+        col("tus"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("tus") > col("t2"),
+        col("tus"))).over(w))
+    ev.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1us"), min(col("t2")).as("t2us"),
+        min(col("t3")).as("t3us"))
+      .select(col("user_id"), col("t1us"), col("t2us"), col("t3us"),
+        when(col("t3us").isNotNull, 3).when(col("t2us").isNotNull, 2)
+          .when(col("t1us").isNotNull, 1).otherwise(0)
+          .cast("int").as("steps_reached"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-group IQR outlier fences — the classic distribution screen a
+    * feature pipeline runs before training: exact q1/q3 per event type
+    * (the a10 percentile semantics both engines interpolate
+    * identically), Tukey fences at 1.5·IQR computed with the SAME IEEE
+    * expression shape on both sides, flag + count. The fences frame is
+    * |event_type| rows — broadcast back onto the fact scan, so the
+    * flagging pass is map-side; total cost is two aggs and zero
+    * fact-side shuffles beyond the percentile's. */
+  private val a21IqrOutliers = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val fences = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q1") - (col("q3") - col("q1")) * 1.5).as("lo"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max(when(col("value") > col("hi"), col("value"))).as("worst_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Per-EVENT sessionization (vs e3's per-session aggregate): the
+    * feature-engineering surface — every event gets its user-scoped
+    * session index and in-session position via the gaps-and-islands
+    * pattern (new-session flag where the gap exceeds 30 min, running
+    * sum per user). One shuffle on user_id; integer outputs only. */
   private val e7Sessionize = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
@@ -1510,6 +1709,11 @@ object SparkEntry {
     "x14_curate" -> x14Curate,
     "e7_sessionize" -> e7Sessionize,
     "e8_forward_fill" -> e8ForwardFill,
+    "e9_resample" -> e9Resample,
+    "e10_interpolate" -> e10Interpolate,
+    "w10_funnel" -> w10Funnel,
+    "a21_iqr_outliers" -> a21IqrOutliers,
+    "x16_weighted_sample" -> x16WeightedSample,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
@@ -1522,6 +1726,8 @@ object SparkEntry {
     "j4_salted_join" -> j4SaltedJoin,
     "j5_q3_shape" -> j5Q3Shape,
     "j6_asof_join" -> j6AsofJoin,
+    "j13_forward_asof" -> j13ForwardAsof,
+    "a22_join_size" -> a22JoinSize,
     "j7_range_join" -> j7RangeJoin,
     "w1_union" -> w1Union,
     "w2_topk" -> w2TopK,
@@ -1543,6 +1749,7 @@ object SparkEntry {
     "d6_neardup_pairs" -> d6NearDupPairs,
     "d7_decontaminate" -> d7Decontaminate,
     "d8_neardup_groups" -> d8NearDupGroups,
+    "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
     "d10_repeated_ngrams" -> d10RepeatedNgrams,
     "d11_span_cuts" -> d11SpanCuts,
@@ -1676,6 +1883,116 @@ object SparkEntry {
              ORDER BY tus, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
          FROM e ORDER BY event_id""",
+    "e9_resample" ->
+      // same grid arithmetic (integer floor division on positive epoch
+      // micros), same inclusive spine, order-independent aggregates
+      // (count, max) — the compare is exact
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) // 3600000000 AS bk,
+             count(*) AS n_events, max(value) AS mx
+           FROM events GROUP BY 1, 2
+         ), r AS (
+           SELECT user_id, min(bk) AS mn, max(bk) AS mx FROM b GROUP BY 1
+         ), spine AS (
+           SELECT user_id, unnest(generate_series(mn, mx)) AS bk FROM r
+         )
+         SELECT s.user_id, s.bk,
+           coalesce(b.n_events, 0) AS n_events,
+           b.mx IS NULL AS gap,
+           last_value(b.mx IGNORE NULLS) OVER (PARTITION BY s.user_id
+             ORDER BY s.bk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+         FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bk = b.bk
+         ORDER BY s.user_id, s.bk""",
+    "e10_interpolate" ->
+      // same spine, same neighbor carry (mx-driven nulls make the two
+      // separate bk/v carries consistent), same IEEE expression shape
+      """WITH b AS (
+           SELECT user_id, epoch_us(ts) // 3600000000 AS bk, max(value) AS mx
+           FROM events GROUP BY 1, 2
+         ), r AS (
+           SELECT user_id, min(bk) AS mn, max(bk) AS mx FROM b GROUP BY 1
+         ), spine AS (
+           SELECT user_id, unnest(generate_series(mn, mx)) AS bk FROM r
+         ), cells AS (
+           SELECT s.user_id, s.bk, b.mx
+           FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bk = b.bk
+         ), n AS (
+           SELECT user_id, bk, mx,
+             last_value(CASE WHEN mx IS NOT NULL THEN bk END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pbk,
+             last_value(mx IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN mx IS NOT NULL THEN bk END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bk
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nbk,
+             first_value(mx IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bk
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           FROM cells
+         )
+         SELECT user_id, bk, mx IS NULL AS gap,
+           CASE WHEN mx IS NULL
+             THEN pv + (nv - pv) * (bk - pbk) / (nbk - pbk)
+             ELSE mx END AS v_interp
+         FROM n ORDER BY user_id, bk""",
+    "w10_funnel" ->
+      // the same three chained min-windows; integer micros end to end
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_type FROM events
+         ), a AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+             OVER (PARTITION BY user_id) AS t1 FROM e
+         ), b AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+             OVER (PARTITION BY user_id) AS t2 FROM a
+         ), c AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+             OVER (PARTITION BY user_id) AS t3 FROM b
+         )
+         SELECT user_id, min(t1) AS t1us, min(t2) AS t2us, min(t3) AS t3us,
+           CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+                     WHEN min(t2) IS NOT NULL THEN 2
+                     WHEN min(t1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS steps_reached
+         FROM c GROUP BY 1 ORDER BY 1""",
+    "a21_iqr_outliers" ->
+      // exact interpolated quartiles (the a10 agreement), Tukey fences
+      // with the identical IEEE expression shape, flag + count
+      """WITH f AS (
+           SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+           FROM events GROUP BY 1
+         ), fences AS (
+           SELECT event_type,
+             q1 - (q3 - q1) * 1.5 AS lo,
+             q3 + (q3 - q1) * 1.5 AS hi
+           FROM f
+         )
+         SELECT e.event_type,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE e.value < lo OR e.value > hi) AS n_outliers,
+           max(e.value) FILTER (WHERE e.value > hi) AS worst_high
+         FROM events e JOIN fences USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
+    "x16_weighted_sample" ->
+      // identical replica expansion, identical md5 draw strings — the
+      // lottery replays exactly; ties are md5 collisions (none)
+      """WITH w AS (
+           SELECT doc_id, (n_chars % 5) + 1 AS w FROM documents
+         ), draws AS (
+           SELECT doc_id, w, unnest(generate_series(1, w)) AS r FROM w
+         ), best AS (
+           SELECT doc_id, w,
+             min(md5('ws:' || doc_id::VARCHAR || ':' || r::VARCHAR)) AS pri
+           FROM draws GROUP BY 1, 2
+         ), top AS (
+           SELECT * FROM best ORDER BY pri LIMIT 200
+         )
+         SELECT doc_id, w, pri FROM top ORDER BY doc_id""",
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order
@@ -2042,6 +2359,7 @@ object SparkEntry {
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,
     "d12_dedup_cut" -> d12OracleSql,
+    "x17_leak_safe_split" -> x17OracleSql,
     "d10_repeated_ngrams" ->
       // positional shingles (same n=3 + short-doc whole-text rule as the
       // near-dup CTE, WITHOUT list_distinct — positions matter here),
@@ -2211,6 +2529,31 @@ object SparkEntry {
          SELECT l.event_id, r.tus AS last_click_tus, r.last_click_value
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
          ORDER BY l.event_id""",
+    "j13_forward_asof" ->
+      // DuckDB ASOF with >= is the native forward form; same epoch_us
+      // discipline as j6
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS next_purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ), l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'click'
+         )
+         SELECT l.event_id, r.tus AS next_purchase_tus, r.next_purchase_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus >= l.tus
+         ORDER BY l.event_id""",
+    "a22_join_size" ->
+      """WITH est AS (
+           SELECT CAST(sum(na * nb) AS BIGINT) AS est_rows FROM
+             (SELECT o_custkey, count(*) AS na FROM orders GROUP BY 1) a
+             JOIN (SELECT c_custkey, count(*) AS nb FROM customer GROUP BY 1) b
+             ON a.o_custkey = b.c_custkey
+         ), ex AS (
+           SELECT count(*) AS exact_rows
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         )
+         SELECT est_rows, exact_rows, est_rows = exact_rows AS agree
+         FROM est, ex""",
     "j7_range_join" ->
       """SELECT e.event_id AS error_id,
            count(c.event_id) AS clicks_within_10m,
@@ -2818,6 +3161,35 @@ object SparkEntry {
           ON d.doc_id = m.s
         WHERE LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) = d.doc_id
         ORDER BY d.doc_id"""
+
+  /** x17: d8's closure labels each doc with its component canonical;
+    * the x1 md5 split CASE is then keyed by that GROUP id — the oracle
+    * proves both the grouping and that near-dups share a split. */
+  private def x17OracleSql: String = {
+    val t1 = graft.operators.Sampling.hexThreshold(0.8)
+    val t2 = graft.operators.Sampling.hexThreshold(0.9)
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lab AS (
+          SELECT d.doc_id,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS group_id
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s)
+        SELECT doc_id, group_id,
+          CASE WHEN substr(md5('split:' || group_id::VARCHAR), 1, 8) < '$t1' THEN 'train'
+               WHEN substr(md5('split:' || group_id::VARCHAR), 1, 8) < '$t2' THEN 'val'
+               ELSE 'test' END AS split
+        FROM lab ORDER BY doc_id"""
+  }
 
   /** DuckDB twin of [[graft.operators.TextAnalysis.admissionGate]]:
     * composes the t4 (quality), t10 (repetition), and t6 (language)

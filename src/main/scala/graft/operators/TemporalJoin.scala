@@ -86,6 +86,51 @@ object TemporalJoin {
         valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 
+  /** Forward as-of join — the time-mirror of [[asofJoin]]: for every
+    * left row, the EARLIEST right row with `right(rightTime) >=
+    * left(leftTime)` and equal `keys` (the "next quote" / "next
+    * calibration reading" lookup). Right rows at exactly the left
+    * timestamp DO match. Same carried-struct contract, same single
+    * Exchange + sort cost; the only changes are the frame direction
+    * (current row → unbounded following, `first(ignoreNulls)`) and the
+    * tie order (left before right at equal `_t`, so an exact match sits
+    * inside the left row's forward frame).
+    *
+    * Identity with the backward form: forward-as-of on `t` ≡
+    * [[asofJoin]] on negated time — pinned by TemporalJoinSpec. */
+  def asofJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val valueCols = right.columns.toSeq.diff(keys :+ rightTime)
+    require(valueCols.nonEmpty, "asofJoinForward: right side carries no value columns")
+    val collisions = left.columns.toSeq.intersect(valueCols)
+    require(collisions.isEmpty,
+      s"asofJoinForward: rename right value columns colliding with left: $collisions")
+    val reserved = Seq("_t", "_side", "_vals")
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"asofJoinForward: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
+    val lv = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+    val rv = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+      .select(keys.map(col) :+ col("_t") :+ col("_side")
+        :+ struct(valueCols.map(col): _*).as("_vals"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    lv.unionByName(rv, allowMissingColumns = true)
+      .select(left.columns.toSeq.map(col) :+ col("_side")
+        :+ first(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
+      .filter(col("_side") === 0)
+      .select(left.columns.toSeq.map(col) ++
+        valueCols.map(c => col("_vals").getField(c).as(c)): _*)
+  }
+
   /** Skew-resistant as-of join — identical contract and output to
     * [[asofJoin]], for inputs where a single key holds a pathological
     * share of the rows (one user with 10⁸ events). [[asofJoin]]'s

@@ -138,7 +138,15 @@ class BenchBudgetSpec extends SparkTestBase {
     "x15_budget_select" -> 1.2,
     "e7_sessionize" -> 1.0,
     "e8_forward_fill" -> 1.0,
+    "e9_resample" -> 1.5,
+    "e10_interpolate" -> 1.5,
+    "w10_funnel" -> 1.0,
     "a20_equidepth_hist" -> 1.2,
+    "a21_iqr_outliers" -> 1.0,
+    "x16_weighted_sample" -> 1.0,
+    "j13_forward_asof" -> 1.0,
+    "a22_join_size" -> 1.0,
+    "x17_leak_safe_split" -> 3.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

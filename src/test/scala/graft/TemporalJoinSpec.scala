@@ -35,6 +35,46 @@ class TemporalJoinSpec extends SparkTestBase {
       (5L, None, None)))
   }
 
+  test("asofJoinForward: earliest right at-or-after per key; mirror identity with asofJoin on negated time") {
+    val left = Seq(
+      (1L, "a", 10L), // before both rights -> earliest following (20)
+      (2L, "a", 20L), // exactly at a right row -> matches it
+      (3L, "a", 35L), // after all rights for a -> null
+      (4L, "b", 50L), // between b's rights -> 51
+      (5L, "c", 10L)  // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, 200.0),
+      ("a", 30L, 300.0),
+      ("b", 49L, 490.0),
+      ("b", 51L, 510.0)
+    ).toDF("k", "rt", "rv")
+      .withColumn("r_t", col("rt"))
+
+    val got = TemporalJoin.asofJoinForward(left, right, Seq("k"), "t", "rt")
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(20L), Some(200.0)),
+      (2L, Some(20L), Some(200.0)),
+      (3L, None, None),
+      (4L, Some(51L), Some(510.0)),
+      (5L, None, None)))
+
+    // forward-as-of on t must equal backward-as-of on -t, row for row
+    val mirrored = TemporalJoin.asofJoin(
+        left.withColumn("t", -col("t")),
+        right.withColumn("rt", -col("rt")),
+        Seq("k"), "t", "rt")
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(mirrored == got, "forward as-of diverges from backward as-of on negated time")
+  }
+
   test("asofJoin: null values inside the matched version are carried as nulls, never blended") {
     // the matched (latest) version holds rv=null: a per-column carry
     // would back-fill rv=200.0 from the OLDER version and emit a row
