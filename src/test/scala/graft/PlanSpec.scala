@@ -117,6 +117,18 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one user_id hash exchange, found $windowExchanges:\n$p")
   }
 
+  test("funnel plans ONE exchange: the three chained min-windows share the user partitioning") {
+    // w10's sequential milestones (t2 depends on t1, t3 on t2) are three
+    // Window ops over the SAME (user_id) partition — the final groupBy
+    // rides that partitioning too, so the whole funnel is one shuffle;
+    // the naive per-step join form is k scans + k shuffles
+    val q = SparkEntry.queries("w10_funnel")(spark, dir)
+    val p = plan(q)
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly one user_id hash exchange, found $userExchanges:\n$p")
+  }
+
   test("EVERY registry query: no CartesianProduct, no nondeterministic expressions") {
     // A cartesian product in any query is an instant scale-killer; a
     // nondeterministic expression (rand etc.) breaks retry/replay
