@@ -1295,6 +1295,55 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Conditional next-token statistics — the corpus-level language-model
+    * signal (what follows each token, and how often): positional bigram
+    * pairs from the materialized token arrays (a narrow transform — no
+    * window, no self-join), counted once, then per-first-token top-3 by
+    * (count desc, token asc) with the exact conditional probability
+    * cnt/total (one double division). The top-k rides WindowGroupLimit;
+    * the shuffle carries distinct bigrams only. */
+  private val t16BigramStats = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val bg = TextAnalysis.withTokens(docs, "text")
+      .select(explode(expr(
+        "transform(slice(_toks, 1, greatest(size(_toks)-1, 0))," +
+          " (x, i) -> struct(x AS tok, _toks[i+1] AS next_tok))")).as("p"))
+      .select(col("p.tok").as("tok"), col("p.next_tok").as("next_tok"))
+      .groupBy(col("tok"), col("next_tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val rank = Window.partitionBy(col("tok"))
+      .orderBy(col("cnt").desc, col("next_tok").asc)
+    bg.withColumn("rn", row_number().over(rank))
+      .withColumn("tot", sum(col("cnt")).over(Window.partitionBy(col("tok"))))
+      .filter(col("rn") <= 3)
+      .select(col("tok"), col("rn").cast("int").as("rn"), col("next_tok"),
+        col("cnt"), (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+      .orderBy(col("tok"), col("rn"))
+  }
+
+  /** Group-wise z-score normalization — feature scaling with the a18
+    * exact-moments discipline applied row-wise: per-group (n, Σx, Σx²)
+    * through decimal(18,2) (order-independent, bit-stable), mean and
+    * population variance re-derived in doubles with the IDENTICAL
+    * expression shape on both engines, sqrt correctly rounded by
+    * contract, then z = (x − μ)/σ per row. The stats frame is
+    * |groups| rows — broadcast; normalization is map-side. */
+  private val x18ZscoreNorm = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem")
+    val x = col("l_extendedprice").cast("decimal(18,2)")
+    val g = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+    li.join(broadcast(g), Seq("l_returnflag"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        ((col("l_extendedprice") - col("sx") / col("n")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) / (col("n") * col("n"))))
+          .as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Typed JSON parse: from_json with an explicit schema projects the
     * whole props document once (vs per-key get_json_object scans in e1);
     * the struct then feeds ordinary columnar expressions. */
@@ -1810,6 +1859,8 @@ object SparkEntry {
     "j11_fuzzy_join" -> j11FuzzyJoin,
     "a17_grouping_sets" -> a17GroupingSets,
     "a18_exact_moments" -> a18ExactMoments,
+    "t16_bigram_stats" -> t16BigramStats,
+    "x18_zscore_norm" -> x18ZscoreNorm,
     "x11_mixture" -> x11Mixture,
     "x12_apportion" -> x12Apportion,
   )
@@ -1883,6 +1934,44 @@ object SparkEntry {
              ORDER BY tus, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
          FROM e ORDER BY event_id""",
+    "t16_bigram_stats" ->
+      // identical tokenization twin (d11's), positional pair zip via
+      // parallel unnest, same (cnt desc, token asc) tie order, one
+      // double/double division for the conditional probability
+      """WITH tk AS (
+           SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+           FROM documents
+         ), b AS (
+           SELECT
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS tok,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS next_tok
+           FROM tk
+         ), c AS (
+           SELECT tok, next_tok, count(*) AS cnt FROM b GROUP BY 1, 2
+         ), r AS (
+           SELECT tok, next_tok, cnt,
+             row_number() OVER (PARTITION BY tok ORDER BY cnt DESC, next_tok ASC) AS rn,
+             sum(cnt) OVER (PARTITION BY tok) AS tot
+           FROM c
+         )
+         SELECT tok, CAST(rn AS INTEGER) AS rn, next_tok, cnt,
+           cnt::DOUBLE / tot::DOUBLE AS p
+         FROM r WHERE rn <= 3 ORDER BY tok, rn""",
+    "x18_zscore_norm" ->
+      // decimal power sums (order-independent), then the identical
+      // double expression: z = (x - sx/n) / sqrt((n*sxx - sx*sx)/(n*n))
+      """WITH g AS (
+           SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1
+         )
+         SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           (l.l_extendedprice - sx / n)
+             / sqrt((n * sxx - sx * sx) / (n * n)) AS z
+         FROM lineitem l JOIN g USING (l_returnflag)
+         ORDER BY l.l_orderkey, l.l_linenumber""",
     "e9_resample" ->
       // same grid arithmetic (integer floor division on positive epoch
       // micros), same inclusive spine, order-independent aggregates

@@ -147,6 +147,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j13_forward_asof" -> 1.0,
     "a22_join_size" -> 1.0,
     "x17_leak_safe_split" -> 3.5,
+    "t16_bigram_stats" -> 1.2,
+    "x18_zscore_norm" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
