@@ -121,6 +121,13 @@ object Bench {
       }
       val (ivT5, _) = time(Similarity.ivfTopK(
         embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      // embedding near-dup growth on the corpus axis (d5's shape):
+      // bounded probes broadcast against ONE corpus scan — wall should
+      // track corpus size (~5x), never probes × corpus
+      val (edT1, _) = time(Dedup.embeddingNearDupExact(
+        embs1, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())
+      val (edT5, _) = time(Dedup.embeddingNearDupExact(
+        embs5, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())
       embs5.unpersist()
       // measured approximation quality: recall@5 vs exact brute force on
       // the same probes, as a CURVE over the pruning knob — the fixture
@@ -265,6 +272,7 @@ object Bench {
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
+        s""""embdup_sec_1x":${r3(edT1)},"embdup_sec_5x":${r3(edT5)},""" +
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
         s""""asof_hot_sec_plain":${r3(asofHotT)},"asof_hot_sec_split":${r3(asofHotSplitT)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +

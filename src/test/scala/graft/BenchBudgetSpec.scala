@@ -165,6 +165,7 @@ class BenchBudgetSpec extends SparkTestBase {
     }
     val budgets = Map(
       "ivf_sec_1x" -> 2.5, "ivf_sec_5x" -> 4.0,
+      "embdup_sec_1x" -> 1.0, "embdup_sec_5x" -> 1.5,
       "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0,
       "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.0,
       "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0)
