@@ -1295,6 +1295,37 @@ object SparkEntry {
       .limit(20)
   }
 
+  /** Rolling anomaly detection — x18's windowed sibling, the monitoring
+    * op: per user, a trailing-20-observation z-score over `value`. The
+    * window power sums ride decimal(18,2)/decimal(37,4) (value is an
+    * exact 2-decimal quantity, so decimal addition is exact and
+    * order-independent — windowed float sums would be
+    * association-order-dependent and engine-divergent), then the same
+    * double expression shape as x18 per row. z is emitted only once the
+    * window holds ≥5 observations with positive variance; the flag
+    * fires at |z| > 3. One Exchange on user_id. */
+  private val e11RollingAnomaly = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(-19, Window.currentRow)
+    val x = col("value").cast("decimal(18,2)")
+    val windowed = ev
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s1", sum(x).over(w).cast("double"))
+      .withColumn("s2", sum(x * x).over(w).cast("double"))
+    val varNum = col("n_win") * col("s2") - col("s1") * col("s1")
+    val z = (col("value") - col("s1") / col("n_win")) /
+      sqrt(varNum / (col("n_win") * col("n_win")))
+    windowed
+      .select(col("event_id"), col("n_win"),
+        when(col("n_win") >= 5 && varNum > 0, z).as("z"))
+      .withColumn("anomaly", coalesce(abs(col("z")) > 3, lit(false)))
+      .orderBy(col("event_id"))
+  }
+
   /** Conditional next-token statistics — the corpus-level language-model
     * signal (what follows each token, and how often): positional bigram
     * pairs from the materialized token arrays (a narrow transform — no
@@ -1861,6 +1892,7 @@ object SparkEntry {
     "a18_exact_moments" -> a18ExactMoments,
     "t16_bigram_stats" -> t16BigramStats,
     "x18_zscore_norm" -> x18ZscoreNorm,
+    "e11_rolling_anomaly" -> e11RollingAnomaly,
     "x11_mixture" -> x11Mixture,
     "x12_apportion" -> x12Apportion,
   )
@@ -1957,6 +1989,33 @@ object SparkEntry {
          SELECT tok, CAST(rn AS INTEGER) AS rn, next_tok, cnt,
            cnt::DOUBLE / tot::DOUBLE AS p
          FROM r WHERE rn <= 3 ORDER BY tok, rn""",
+    "e11_rolling_anomaly" ->
+      // decimal window power sums (exact, association-order-free), the
+      // identical double z expression, same >=5-obs positive-variance
+      // emission guard
+      """WITH e AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus, value,
+             CAST(value AS DECIMAL(18,2)) AS xd
+           FROM events
+         ), s AS (
+           SELECT event_id, value,
+             count(*) OVER w AS n_win,
+             CAST(sum(xd) OVER w AS DOUBLE) AS s1,
+             CAST(sum(xd * xd) OVER w AS DOUBLE) AS s2
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         ), zz AS (
+           SELECT event_id, n_win,
+             CASE WHEN n_win >= 5 AND n_win * s2 - s1 * s1 > 0
+               THEN (value - s1 / n_win)
+                 / sqrt((n_win * s2 - s1 * s1) / (n_win * n_win))
+               END AS z
+           FROM s
+         )
+         SELECT event_id, n_win, z,
+           coalesce(abs(z) > 3, false) AS anomaly
+         FROM zz ORDER BY event_id""",
     "x18_zscore_norm" ->
       // decimal power sums (order-independent), then the identical
       // double expression: z = (x - sx/n) / sqrt((n*sxx - sx*sx)/(n*n))

@@ -149,6 +149,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x17_leak_safe_split" -> 3.5,
     "t16_bigram_stats" -> 1.2,
     "x18_zscore_norm" -> 1.2,
+    "e11_rolling_anomaly" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
