@@ -682,6 +682,30 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("oov_cnt"), col("min_df"), col("oov_rate"))
       .orderBy(col("doc_id"))
 
+  /** Vocabulary coverage curve over the corpus' top-25 terms (the
+    * fixture has 31 distinct tokens, so the cut leaves uncovered mass
+    * and the coverage column stays < 1). */
+  private val t17VocabCoverage = (s: SparkSession, d: String) =>
+    TextAnalysis.vocabCoverage(t(s, d, "documents"), "text", vocabSize = 25)
+      .orderBy(col("rank"))
+
+  /** Per-language relative admission: keep docs at or above their own
+    * language's 25th-percentile length. */
+  private val t18QuantileGate = (s: SparkSession, d: String) =>
+    Sampling.quantileGate(
+        t(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", q = 0.25)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("admit_thresh"), col("admit"))
+      .orderBy(col("doc_id"))
+
+  /** Distributed ROC-AUC of length predicting lang == 'en' — the
+    * rank-sum form with exact integer numerator (one row out). */
+  private val x20Auc = (s: SparkSession, d: String) =>
+    Evaluation.rocAuc(
+      t(s, d, "documents").select(col("n_chars"), (col("lang") === "en").as("is_en")),
+      "n_chars", "is_en")
+
   /** Composed admission gate: the full preprocessing decision. */
   private val t11Admission = (s: SparkSession, d: String) =>
     TextAnalysis.admissionGate(t(s, d, "documents"))
@@ -904,6 +928,22 @@ object SparkEntry {
     Dedup.repeatedSpanCuts(t(s, d, "documents"), "doc_id", "text",
         n = 3, minDocs = 2)
       .orderBy(col("doc_id"), col("cut_start"))
+
+  /** Cross-doc boilerplate passages (CCNet paragraph dedup adapted to
+    * unstructured text): non-overlapping 8-token passages, distinct-doc
+    * frequency per passage content, flagged at df ≥ 3. */
+  private val d15Boilerplate = (s: SparkSession, d: String) =>
+    Dedup.boilerplatePassages(t(s, d, "documents"), "doc_id", "text",
+        passageTokens = 8, minDocs = 3)
+      .orderBy(col("doc_id"), col("passage_idx"))
+
+  /** d15's edit applied: drop flagged passages, reassemble survivors in
+    * passage order (docs that are ALL boilerplate keep an empty
+    * clean_text — admission is the gate's decision, not a row drop). */
+  private val d16BoilerplateStrip = (s: SparkSession, d: String) =>
+    Dedup.stripBoilerplate(t(s, d, "documents"), "doc_id", "text",
+        passageTokens = 8, minDocs = 3)
+      .orderBy(col("doc_id"))
 
   /** End-to-end dedup decision: docs → LSH+verify pairs → connected
     * components → surviving (canonical) rows. The stages are each
@@ -1833,6 +1873,8 @@ object SparkEntry {
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
     "d10_repeated_ngrams" -> d10RepeatedNgrams,
     "d11_span_cuts" -> d11SpanCuts,
+    "d15_boilerplate" -> d15Boilerplate,
+    "d16_boilerplate_strip" -> d16BoilerplateStrip,
     "d12_dedup_cut" -> d12DedupCut,
     "s1_cosine_topk" -> s1CosineTopK,
     "s2_lsh_topk" -> s2LshTopK,
@@ -1880,6 +1922,9 @@ object SparkEntry {
     "t13_pii_redact" -> t13PiiRedact,
     "t14_lexical" -> t14Lexical,
     "t15_rarity" -> t15Rarity,
+    "t17_vocab_coverage" -> t17VocabCoverage,
+    "t18_quantile_gate" -> t18QuantileGate,
+    "x20_auc" -> x20Auc,
     "x15_budget_select" -> x15BudgetSelect,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "d14_embed_screen" -> d14EmbedScreen,
@@ -2508,6 +2553,51 @@ object SparkEntry {
     "d11_span_cuts" -> d11OracleSql,
     "d12_dedup_cut" -> d12OracleSql,
     "x17_leak_safe_split" -> x17OracleSql,
+    "d15_boilerplate" ->
+      // non-overlapping 8-token passage slices (1-based inclusive list
+      // slicing == Spark's slice(toks, i*8+1, 8)), distinct-doc df per
+      // passage content, flag at df >= 3
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), pass AS (
+           SELECT doc_id, CAST(i AS INT) AS passage_idx,
+             array_to_string(tk[i*8+1 : i*8+8], ' ') AS passage
+           FROM (SELECT doc_id, tk, unnest(range((len(tk) + 7) // 8)) AS i FROM toks)
+         ), dfreq AS (
+           SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+           FROM pass GROUP BY 1
+         )
+         SELECT p.doc_id, p.passage_idx, p.passage, f.df_docs,
+           f.df_docs >= 3 AS boilerplate
+         FROM pass p JOIN dfreq f USING (passage)
+         ORDER BY p.doc_id, p.passage_idx""",
+    "d16_boilerplate_strip" ->
+      // d15's chain + per-doc reassembly of surviving passages in
+      // passage order; all-boilerplate docs keep an empty clean_text
+      """WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), pass AS (
+           SELECT doc_id, CAST(i AS INT) AS passage_idx,
+             array_to_string(tk[i*8+1 : i*8+8], ' ') AS passage
+           FROM (SELECT doc_id, tk, unnest(range((len(tk) + 7) // 8)) AS i FROM toks)
+         ), dfreq AS (
+           SELECT passage, count(DISTINCT doc_id) AS df_docs
+           FROM pass GROUP BY 1
+         ), flagged AS (
+           SELECT p.doc_id, p.passage_idx, p.passage,
+             f.df_docs >= 3 AS boilerplate
+           FROM pass p JOIN dfreq f USING (passage)
+         )
+         SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_passages,
+           CAST(sum(CASE WHEN boilerplate THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           coalesce(string_agg(passage, ' ' ORDER BY passage_idx)
+             FILTER (WHERE NOT boilerplate), '') AS clean_text
+         FROM flagged GROUP BY doc_id ORDER BY doc_id""",
     "d10_repeated_ngrams" ->
       // positional shingles (same n=3 + short-doc whole-text rule as the
       // near-dup CTE, WITHOUT list_distinct — positions matter here),
@@ -2617,6 +2707,67 @@ object SparkEntry {
            sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END)::DOUBLE / sum(tf)::DOUBLE AS oov_rate
          FROM dt JOIN dfreq USING (tok) LEFT JOIN vocab v ON dt.tok = v.tok
          GROUP BY 1 ORDER BY 1""",
+    "t17_vocab_coverage" ->
+      // identical chain: token-keyed tf, top-25 cut by (tf DESC, term
+      // ASC), rank + running sum over the cut, scalar total; coverage
+      // is one exact-int division to DOUBLE
+      """WITH toks AS (
+           SELECT regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
+           FROM documents
+         ), tf AS (
+           SELECT tok AS term, count(*) AS tf
+           FROM (SELECT unnest(tk) AS tok FROM toks) WHERE tok <> ''
+           GROUP BY 1
+         ), tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tf FROM tf),
+         top AS (
+           SELECT term, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS rank
+           FROM tf QUALIFY rank <= 25
+         )
+         SELECT term, CAST(rank AS INT) AS rank, CAST(tf AS BIGINT) AS tf,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, term ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf,
+           total_tf,
+           CAST(sum(tf) OVER (ORDER BY tf DESC, term ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(total_tf AS DOUBLE) AS coverage
+         FROM top, tot ORDER BY rank""",
+    "t18_quantile_gate" ->
+      // per-lang quantile_cont == Spark percentile (the a10-proven
+      // interpolation parity); the >= compare runs on bit-identical
+      // doubles on both sides
+      """WITH th AS (
+           SELECT lang, quantile_cont(n_chars, 0.25) AS admit_thresh
+           FROM documents GROUP BY 1
+         )
+         SELECT d.doc_id, d.lang, d.n_chars, th.admit_thresh,
+           CAST(d.n_chars AS DOUBLE) >= th.admit_thresh AS admit
+         FROM documents d JOIN th USING (lang) ORDER BY d.doc_id""",
+    "x20_auc" ->
+      // same tie-corrected rank sum in exact integers; DuckDB's single
+      // ordered window replays the two-level distributed prefix sum
+      // exactly (same strictly-below semantics)
+      """WITH b AS (
+           SELECT n_chars AS s,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+             count(*) AS c
+           FROM documents GROUP BY 1
+         ), r AS (
+           SELECT pos, c,
+             coalesce(sum(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+           FROM b
+         ), a AS (
+           SELECT CAST(sum(pos * (2 * below + c + 1)) AS BIGINT) AS two_rpos,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(c - pos) AS BIGINT) AS n_neg
+           FROM r
+         )
+         SELECT n_pos, n_neg,
+           two_rpos - n_pos * (n_pos + 1) AS numer2,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(two_rpos - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+         FROM a""",
     "t14_lexical" ->
       // exploded groupBy twin of the per-row sorted-array folds: token
       // frequencies per doc, hapax = freq-1 tokens, stopword share over

@@ -563,6 +563,79 @@ object Dedup {
         (col("cut_end") - col("cut_start") + 1).as("cut_tokens"))
   }
 
+  /** Cross-document boilerplate passages — the CCNet paragraph-dedup
+    * idea (Wenzek et al., "CCNet: Extracting high quality monolingual
+    * datasets from web crawl data", 2020 — drop paragraphs whose hash
+    * repeats across documents) adapted to unstructured text: each doc's
+    * token stream splits into consecutive NON-overlapping
+    * `passageTokens`-token passages (so staged output tokens == input
+    * tokens — no ×k shingle blow-up), passages aggregate by content for
+    * a distinct-document frequency, and a passage is boilerplate when
+    * `df_docs ≥ minDocs` (navigation chrome, license footers, cookie
+    * banners all light up here).
+    *
+    * Shape: one narrow slice pass, ONE passage-keyed hash aggregate
+    * (the shuffle carries distinct passages), one equi-join back on the
+    * passage key. Nothing is quadratic; degenerate repeated passages
+    * concentrate into single aggregate rows, not bucket blow-ups.
+    *
+    * Output grain: one row per (doc, passage_idx) with `passage`,
+    * `df_docs`, `boilerplate`. */
+  def boilerplatePassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      passageTokens: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    require(passageTokens > 0, "passageTokens must be positive")
+    require(minDocs > 1, "minDocs must be > 1 (df ≥ 1 is every passage)")
+    val p = passageTokens
+    val staged = TextAnalysis.withTokens(df.select(col(idCol), col(textCol)), textCol)
+    // npass = ceil(n/p) in exact int arithmetic; sequence() must be
+    // guarded for empty docs (sequence(0,-1) would DESCEND, not empty)
+    val npass = expr(s"cast((size(_toks) + ${p - 1}) div $p as int)")
+    val passages = staged
+      .select(col(idCol),
+        when(npass > 0, sequence(lit(0), npass - 1)).otherwise(array().cast("array<int>"))
+          .as("_pidx"), col("_toks"))
+      .select(col(idCol),
+        explode(col("_pidx")).as("passage_idx"), col("_toks"))
+      .select(col(idCol), col("passage_idx"),
+        concat_ws(" ", slice(col("_toks"), col("passage_idx") * p + 1, lit(p))).as("passage"))
+    val dfreq = passages
+      .groupBy(col("passage"))
+      .agg(count_distinct(col(idCol)).as("df_docs"))
+    passages.join(dfreq, "passage")
+      .select(col(idCol), col("passage_idx"), col("passage"), col("df_docs"),
+        (col("df_docs") >= minDocs).as("boilerplate"))
+  }
+
+  /** Boilerplate strip — the edit [[boilerplatePassages]] implies: drop
+    * flagged passages and reassemble each document from the survivors
+    * in passage order. One per-doc hash aggregate over the passage
+    * frame (collect + array_sort of (idx, passage) structs — bounded by
+    * the doc's own passage count, the same per-key class as any per-doc
+    * fold). Docs whose every passage is boilerplate survive with empty
+    * `clean_text` — the admission decision belongs to the caller's
+    * gate, not a silent row drop here. */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      passageTokens: Int = 8,
+      minDocs: Int = 3): DataFrame =
+    boilerplatePassages(df, idCol, textCol, passageTokens, minDocs)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("boilerplate"), 1L).otherwise(0L)).as("n_boilerplate"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(
+              when(!col("boilerplate"),
+                struct(col("passage_idx"), col("passage"))))),
+            s => s.getField("passage"))).as("clean_text"))
+
   /** 64-bit SimHash from a MATERIALIZED token array: per token, each of
     * the 64 bits of xxhash64(token) votes +1/-1; the signature sets bits
     * with positive vote totals. One scan, no shuffle. The per-token hash

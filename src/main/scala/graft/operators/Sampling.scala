@@ -197,6 +197,34 @@ object Sampling {
     df.filter(u < threshold)
   }
 
+  /** Per-group quantile admission gate — "keep documents at or above
+    * their language's Nth-percentile quality": absolute thresholds
+    * misfire across heterogeneous groups (a short German doc is not a
+    * short English doc), so the cut is RELATIVE to each group's own
+    * score distribution.
+    *
+    * Shape: one grouped percentile aggregate (exact, sort-based — the
+    * a10 cost class; at corpus scale swap `percentile` for
+    * `percentile_approx`, the a15-documented twin — the gate only moves
+    * by the sketch's rank-error bound), a BROADCAST of the per-group
+    * thresholds (cardinality = |groups|), one narrow flag pass. The
+    * corpus itself is never shuffled.
+    *
+    * Output: input columns plus `<out>_thresh` (the group's threshold)
+    * and `<out>` (metric ≥ threshold). */
+  def quantileGate(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      q: Double,
+      out: String = "admit"): DataFrame = {
+    require(q >= 0 && q <= 1, s"q must be in [0,1], got $q")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile(col(metricCol), lit(q)).as(s"${out}_thresh"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .withColumn(out, col(metricCol).cast("double") >= col(s"${out}_thresh"))
+  }
+
   /** Deterministic epoch shuffle: a dense 0-based training ORDER over
     * the keys, re-drawn per epoch (the salt carries the epoch number),
     * key as tiebreaker — reproducible across runs and engines, unlike

@@ -340,6 +340,44 @@ object TextAnalysis {
         col("oov_cnt").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Vocabulary construction with cumulative coverage — the
+    * tokenizer-design primitive: rank terms by corpus frequency and
+    * report, for each prefix of the top-`vocabSize` vocabulary, the
+    * fraction of total token mass it covers ("how big must the vocab be
+    * for 95% coverage?").
+    *
+    * Shape: ONE token-keyed hash aggregate (map-side combined — the
+    * shuffle carries distinct terms, never raw occurrences), a
+    * TakeOrdered top-`vocabSize` cut (distributed — the unbounded
+    * distinct-term set never passes through a single-partition window),
+    * then the ordered rank/cumsum window over the `vocabSize`-bounded
+    * result only, plus one scalar total broadcast back. Coverage is
+    * exact integer arithmetic (`cum_tf`, `total_tf` BIGINT); the single
+    * terminal division to DOUBLE is IEEE-exact and engine-identical.
+    *
+    * Output: (term, rank, tf, cum_tf, total_tf, coverage), rank 1..N by
+    * (tf DESC, term ASC). */
+  def vocabCoverage(df: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = withTokens(df.select(col(textCol)), textCol)
+      .select(explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total_tf"))
+    val top = tf.orderBy(col("tf").desc, col("term").asc).limit(vocabSize)
+    val w = Window.orderBy(col("tf").desc, col("term").asc)
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_tf",
+        sum(col("tf")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage",
+        col("cum_tf").cast("double") / col("total_tf").cast("double"))
+      .select(col("term"), col("rank"), col("tf"), col("cum_tf"),
+        col("total_tf"), col("coverage"))
+  }
+
   /** Composed admission gate — the preprocessing decision a training
     * pipeline actually runs: quality heuristics + repetition signals +
     * language filter in ONE narrow pass (each component stage is

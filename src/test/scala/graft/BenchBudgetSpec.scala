@@ -150,6 +150,11 @@ class BenchBudgetSpec extends SparkTestBase {
     "t16_bigram_stats" -> 1.2,
     "x18_zscore_norm" -> 1.2,
     "e11_rolling_anomaly" -> 1.2,
+    "d15_boilerplate" -> 1.5,
+    "d16_boilerplate_strip" -> 1.8,
+    "t17_vocab_coverage" -> 1.2,
+    "t18_quantile_gate" -> 1.2,
+    "x20_auc" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Evaluation
+import org.apache.spark.sql.Row
+
+class EvaluationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Double, Boolean)], bucketSize: Long = 1 << 20): Row =
+    Evaluation.rocAuc(rows.toDF("s", "y"), "s", "y", bucketSize).collect()(0)
+
+  test("rocAuc: perfect separation is 1.0, inverted is 0.0") {
+    val sep = Seq((1.0, false), (2.0, false), (3.0, true), (4.0, true))
+    assert(auc(sep).getAs[Double]("auc") == 1.0)
+    val inv = sep.map { case (s, y) => (s, !y) }
+    assert(auc(inv).getAs[Double]("auc") == 0.0)
+  }
+
+  test("rocAuc: tie-corrected hand value (ties earn half credit)") {
+    // neg at 1, pos+neg tied at 2 (avg rank 2.5), pos at 3 (rank 4):
+    // R_pos = 2.5 + 4 = 6.5, AUC = (6.5 - 3) / (2*2) = 0.875
+    val rows = Seq((1.0, false), (2.0, true), (2.0, false), (3.0, true))
+    val r = auc(rows)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("numer2") == 7L) // 2*(R_pos - n_pos(n_pos+1)/2) = 2*3.5
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
+  test("rocAuc: all-ties degenerate distribution scores exactly 0.5") {
+    val r = auc(Seq((5.0, true), (5.0, false), (5.0, true), (5.0, false)))
+    assert(r.getAs[Double]("auc") == 0.5)
+  }
+
+  test("rocAuc: single-class input yields null auc, exact counts") {
+    val r = auc(Seq((1.0, true), (2.0, true)))
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")))
+  }
+
+  test("rocAuc: bucketSize=1 (every distinct score its own bucket) matches the single-bucket result") {
+    // forces the two-level prefix sum through the multi-bucket path —
+    // bucket offsets must compose exactly with within-bucket sums
+    val rows = Seq((1.0, false), (1.0, true), (2.0, false), (3.0, true),
+      (3.0, false), (4.0, true), (5.0, false), (6.0, true))
+    val one = auc(rows, bucketSize = 1L)
+    val big = auc(rows)
+    assert(one == big, s"bucketed $one != unbucketed $big")
+  }
+}

@@ -212,6 +212,17 @@ class SamplingSpec extends SparkTestBase {
       "selection must be partitioning-independent")
   }
 
+  test("quantileGate: per-group median gate admits exactly the upper half, thresholds exact") {
+    val df = (Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L)) ++
+      Seq((4L, "b", 100L), (5L, "b", 200L))).toDF("id", "grp", "len")
+    val got = Sampling.quantileGate(df, "grp", "len", q = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("admit_thresh"), r.getAs[Boolean]("admit"))).toMap
+    assert(got(1L) == (20.0, false) && got(2L) == (20.0, true) && got(3L) == (20.0, true))
+    assert(got(4L) == (150.0, false) && got(5L) == (150.0, true),
+      "interpolated even-count median; the boundary row at the threshold admits")
+  }
+
   test("apportionSample: a group smaller than its share yields all its rows, no reallocation") {
     val df = ((0 until 5).map(i => (i.toLong, "tiny")) ++
       (100 until 200).map(i => (i.toLong, "big"))).toDF("id", "grp")

@@ -410,6 +410,63 @@ class TextDedupSpec extends SparkTestBase {
     graft.CachePool.releaseAll()
   }
 
+  test("vocabCoverage: exact rank, cumulative mass, and coverage fractions") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", vocabSize = 2)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 3L, 3L, 6L, 0.5),
+      ("b", 2, 2L, 5L, 6L, 5.0 / 6.0)))
+  }
+
+  test("vocabCoverage: ties break by term ascending; full vocab reaches coverage 1.0") {
+    val df = Seq((1L, "z y z y")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", vocabSize = 10)
+      .orderBy(col("rank")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("y", "z"), "tf tie → term ASC")
+    assert(got.last.getDouble(5) == 1.0)
+  }
+
+  test("boilerplatePassages: cross-doc repeated passage flags, unique tails pass") {
+    val df = Seq(
+      (1L, "x y u1 u2"),
+      (2L, "x y u3 u4"),
+      (3L, "q r s t")).toDF("doc_id", "text")
+    val got = Dedup.boilerplatePassages(df, "doc_id", "text",
+        passageTokens = 2, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got((1L, 0)) == ("x y", 2L, true), "shared prefix passage flags in both docs")
+    assert(got((2L, 0)) == ("x y", 2L, true))
+    assert(got((1L, 1)) == ("u1 u2", 1L, false))
+    assert(got((3L, 0)) == ("q r", 1L, false))
+    assert(got.size == 6, "non-overlapping passages: 2 per doc")
+  }
+
+  test("boilerplatePassages: trailing short passage is kept and counted") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.boilerplatePassages(df, "doc_id", "text",
+        passageTokens = 2, minDocs = 2)
+      .orderBy(col("passage_idx")).collect()
+    assert(got.map(_.getString(2)).toSeq == Seq("a b", "c"))
+  }
+
+  test("stripBoilerplate: reassembled text drops exactly the flagged passages, in order") {
+    val df = Seq(
+      (1L, "x y u1 u2 x y"),   // boilerplate at passages 0 and 2
+      (2L, "x y p q"),
+      (3L, "x y")).toDF("doc_id", "text") // all boilerplate → empty clean_text
+    val got = Dedup.stripBoilerplate(df, "doc_id", "text",
+        passageTokens = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (3L, 2L, "u1 u2"))
+    assert(got(2L) == (2L, 1L, "p q"))
+    assert(got(3L) == (1L, 1L, ""), "all-boilerplate doc survives with empty text")
+  }
+
   test("redactPii is idempotent: redacting redacted text changes nothing") {
     val df = Seq((1L, "a@b.io at 1.2.3.4")).toDF("doc_id", "text")
     val once = TextAnalysis.redactPii(df, "text")
