@@ -602,10 +602,16 @@ object Dedup {
         explode(col("_pidx")).as("passage_idx"), col("_toks"))
       .select(col(idCol), col("passage_idx"),
         concat_ws(" ", slice(col("_toks"), col("passage_idx") * p + 1, lit(p))).as("passage"))
-    val dfreq = passages
-      .groupBy(col("passage"))
+    // CCNet hashes the paragraph rather than shuffling its text: keying
+    // the aggregate and the join on xxhash64(passage) carries 8-byte
+    // keys (and a text-free dfreq side) through both shuffles instead
+    // of full passage strings — the passage text itself only rides the
+    // passages side, where the output needs it anyway
+    val keyed = passages.withColumn("_pkey", xxhash64(col("passage")))
+    val dfreq = keyed
+      .groupBy(col("_pkey"))
       .agg(count_distinct(col(idCol)).as("df_docs"))
-    passages.join(dfreq, "passage")
+    keyed.join(dfreq, "_pkey")
       .select(col(idCol), col("passage_idx"), col("passage"), col("df_docs"),
         (col("df_docs") >= minDocs).as("boilerplate"))
   }
