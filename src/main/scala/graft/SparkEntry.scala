@@ -462,6 +462,24 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-in-time as-of: each click matched to the same user's
+    * closest purchase in EITHER direction (ties -> the earlier one) —
+    * [[TemporalJoin.asofJoinNearest]], completing the backward (j6) /
+    * forward (j13) pair. One union + one key-partitioned sort serves
+    * both direction frames. */
+  private val j14NearestAsof = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("nearest_purchase_value"))
+      .withColumn("nearest_purchase_tus", col("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    TemporalJoin.asofJoinNearest(clicks, purchases, Seq("user_id"), "tus", "tus")
+      .select(col("event_id"), col("nearest_purchase_tus"), col("nearest_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Join-size estimation from per-key statistics — the planner
     * diagnostic run BEFORE committing to a join: |A ⋈ B| on key k is
     * exactly Σ_k cntA(k)·cntB(k), two small aggregates joined on the
@@ -697,6 +715,14 @@ object SparkEntry {
         "lang", "n_chars", q = 0.25)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         col("admit_thresh"), col("admit"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-LM bigram fluency gate ([[TextAnalysis.bigramFluency]]):
+    * fraction of each doc's bigram positions attested in >= 2 other
+    * docs, plus the rarest transition's df — integer-exact signals,
+    * fully value-oracled. */
+  private val t19BigramFluency = (s: SparkSession, d: String) =>
+    TextAnalysis.bigramFluency(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   /** Distributed ROC-AUC of length predicting lang == 'en' — the
@@ -1633,7 +1659,16 @@ object SparkEntry {
     mergedNd(8, "nd_8").join(mergedNd(5, "nd_5"), "l_returnflag")
       .join(exact, "l_returnflag")
       .select(col("l_returnflag"),
-        (col("nd_8") === col("nd_5")).as("merge_grouping_invariant"),
+        // NOT exact equality: below the sparse->dense promotion
+        // threshold a DataSketches HLL union is an exact coupon list,
+        // so HOW the items were sharded changes WHEN each branch
+        // promotes, and the merged register states (hence estimates)
+        // can differ slightly at small cardinalities. The invariant
+        // that genuinely holds at every scale is agreement within the
+        // sketch's error envelope.
+        (abs(col("nd_8") - col("nd_5"))
+          <= greatest(lit(2.0), col("exact_nd").cast("double") * lit(0.02)))
+          .as("merge_grouping_invariant"),
         (abs(col("nd_8") - col("exact_nd")).cast("double")
           / col("exact_nd").cast("double") <= 0.05).as("nd_within_5pct"))
       .orderBy(col("l_returnflag"))
@@ -1847,6 +1882,7 @@ object SparkEntry {
     "j5_q3_shape" -> j5Q3Shape,
     "j6_asof_join" -> j6AsofJoin,
     "j13_forward_asof" -> j13ForwardAsof,
+    "j14_nearest_asof" -> j14NearestAsof,
     "a22_join_size" -> a22JoinSize,
     "j7_range_join" -> j7RangeJoin,
     "w1_union" -> w1Union,
@@ -1924,6 +1960,7 @@ object SparkEntry {
     "t15_rarity" -> t15Rarity,
     "t17_vocab_coverage" -> t17VocabCoverage,
     "t18_quantile_gate" -> t18QuantileGate,
+    "t19_bigram_fluency" -> t19BigramFluency,
     "x20_auc" -> x20Auc,
     "x15_budget_select" -> x15BudgetSelect,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
@@ -2063,12 +2100,17 @@ object SparkEntry {
          FROM zz ORDER BY event_id""",
     "x18_zscore_norm" ->
       // decimal power sums (order-independent), then the identical
-      // double expression: z = (x - sx/n) / sqrt((n*sxx - sx*sx)/(n*n))
+      // double expression: z = (x - sx/n) / sqrt((n*sxx - sx*sx)/(n*n)).
+      // The decimal->double hop goes through VARCHAR because DuckDB's
+      // direct DECIMAL->DOUBLE cast double-rounds (int128 then /10^s)
+      // and can land 1 ULP off the correctly-rounded value Spark's
+      // BigDecimal.doubleValue produces; strtod on the exact digit
+      // string is correctly rounded in both engines.
       """WITH g AS (
            SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx
            FROM lineitem GROUP BY 1
          )
          SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
@@ -2707,6 +2749,31 @@ object SparkEntry {
            sum(CASE WHEN v.tok IS NULL THEN tf ELSE 0 END)::DOUBLE / sum(tf)::DOUBLE AS oov_rate
          FROM dt JOIN dfreq USING (tok) LEFT JOIN vocab v ON dt.tok = v.tok
          GROUP BY 1 ORDER BY 1""",
+    "t19_bigram_fluency" ->
+      // positional word 2-shingles with the same short-doc whole-text
+      // rule as d10's n=3 chain, bigram df over distinct docs, per-doc
+      // re-aggregation; fluency is one exact-long division to DOUBLE
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1]) END AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         ), bg AS (
+           SELECT doc_id, unnest(s) AS bigram FROM sh
+         ), dfq AS (
+           SELECT bigram, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+           FROM bg GROUP BY 1
+         )
+         SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_attested,
+           min(f.df_docs) AS min_df,
+           sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS fluency
+         FROM bg b JOIN dfq f USING (bigram)
+         GROUP BY 1 ORDER BY 1""",
     "t17_vocab_coverage" ->
       // identical chain: token-keyed tf, top-25 cut by (tf DESC, term
       // ASC), rank + running sum over the cut, scalar total; coverage
@@ -2840,6 +2907,31 @@ object SparkEntry {
          )
          SELECT l.event_id, r.tus AS next_purchase_tus, r.next_purchase_value
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus >= l.tus
+         ORDER BY l.event_id""",
+    "j14_nearest_asof" ->
+      // two DuckDB ASOF passes (backward <=, forward >=) then the same
+      // closest-wins/ties-backward CASE the Spark operator applies
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS pval
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ), l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'click'
+         ), b AS (
+           SELECT l.event_id, r.tus AS btus, r.pval AS bval
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
+         ), f AS (
+           SELECT l.event_id, r.tus AS ftus, r.pval AS fval
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus >= l.tus
+         )
+         SELECT l.event_id,
+           CASE WHEN btus IS NULL THEN ftus WHEN ftus IS NULL THEN btus
+                WHEN l.tus - btus <= ftus - l.tus THEN btus ELSE ftus END
+             AS nearest_purchase_tus,
+           CASE WHEN btus IS NULL THEN fval WHEN ftus IS NULL THEN bval
+                WHEN l.tus - btus <= ftus - l.tus THEN bval ELSE fval END
+             AS nearest_purchase_value
+         FROM l JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY l.event_id""",
     "a22_join_size" ->
       """WITH est AS (
@@ -3016,10 +3108,11 @@ object SparkEntry {
            FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "a16_sketch_union" ->
-      // the oracle is the CLAIM pair (a13 pattern): the register-max
-      // merge is grouping-invariant (8-shard union == 5-shard union),
-      // and the estimate's 5% bound holds — both computed Spark-side
-      // from the real sketches
+      // the oracle is the CLAIM pair (a13 pattern): the sharded unions
+      // agree within the sketch's error envelope (8-shard vs 5-shard —
+      // exact register equality does NOT hold through the sparse->dense
+      // promotion boundary), and the estimate's 5% bound holds — both
+      // computed Spark-side from the real sketches
       """SELECT l_returnflag, TRUE AS merge_grouping_invariant, TRUE AS nd_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a19_heavy_hitters" ->
@@ -3105,12 +3198,18 @@ object SparkEntry {
          ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "a18_exact_moments" ->
       // identical shape: exact DECIMAL power sums -> one double cast ->
-      // a fixed sequence of IEEE ops (see RelationalOps.exactMoments)
+      // a fixed sequence of IEEE ops (see RelationalOps.exactMoments).
+      // Each decimal->double hop goes through VARCHAR: DuckDB's direct
+      // DECIMAL->DOUBLE cast double-rounds and can differ 1 ULP from
+      // the correctly-rounded cast Spark performs; strtod on the exact
+      // digit string matches it bit-for-bit.
       """WITH sums AS (
            SELECT l_returnflag, count(*) AS n,
-             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-             CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
-             CAST(sum(y * y) AS DOUBLE) AS syy
+             CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
            FROM (SELECT l_returnflag,
                    CAST(l_quantity AS DECIMAL(18,0)) AS x,
                    CAST(l_extendedprice AS DECIMAL(18,2)) AS y

@@ -131,6 +131,65 @@ object TemporalJoin {
         valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 
+  /** Nearest as-of join — for every left row, the right row with equal
+    * `keys` whose `rightTime` is CLOSEST to `leftTime` in either
+    * direction (sensor alignment, "closest reading to the event");
+    * equidistant candidates resolve to the earlier (backward) match,
+    * and an exact-time match always wins at distance zero. Completes
+    * the family: [[asofJoin]] (last at-or-before), [[asofJoinForward]]
+    * (first at-or-after), this (closest of the two).
+    *
+    * Times must support subtraction and ordering (epoch micros — the
+    * same numeric-time discipline the other as-of forms use in the
+    * registry). One union + ONE key-partitioned sort evaluates both
+    * window frames (the backward `last` and forward `first` share the
+    * (_t, _side) ordering, so Catalyst plans a single Exchange+Sort);
+    * the right row rides as one struct, so all carried columns come
+    * from the single matched version (never blended across versions). */
+  def asofJoinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val valueCols = right.columns.toSeq.diff(keys :+ rightTime)
+    require(valueCols.nonEmpty, "asofJoinNearest: right side carries no value columns")
+    val collisions = left.columns.toSeq.intersect(valueCols)
+    require(collisions.isEmpty,
+      s"asofJoinNearest: rename right value columns colliding with left: $collisions")
+    val reserved = Seq("_t", "_side", "_tv", "_b", "_f", "_n")
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"asofJoinNearest: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
+    val lv = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val rv = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(keys.map(col) :+ col("_t") :+ col("_side")
+        :+ struct(col("_t").as("_rt"),
+             struct(valueCols.map(col): _*).as("_vv")).as("_tv"): _*)
+    // right sorts before left at equal _t, so the backward frame sees
+    // exact-time matches; the forward frame misses them, but backward
+    // wins any distance-zero comparison, so the result is unaffected
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val chosen = when(col("_b").isNull, col("_f"))
+      .when(col("_f").isNull, col("_b"))
+      .when(col("_t") - col("_b._rt") <= col("_f._rt") - col("_t"), col("_b"))
+      .otherwise(col("_f"))
+    lv.unionByName(rv, allowMissingColumns = true)
+      .select(left.columns.toSeq.map(col) :+ col("_t") :+ col("_side")
+        :+ last(col("_tv"), ignoreNulls = true).over(wb).as("_b")
+        :+ first(col("_tv"), ignoreNulls = true).over(wf).as("_f"): _*)
+      .filter(col("_side") === 1)
+      .withColumn("_n", chosen)
+      .select(left.columns.toSeq.map(col) ++
+        valueCols.map(c => col("_n._vv").getField(c).as(c)): _*)
+  }
+
   /** Skew-resistant as-of join — identical contract and output to
     * [[asofJoin]], for inputs where a single key holds a pathological
     * share of the rows (one user with 10⁸ events). [[asofJoin]]'s

@@ -340,6 +340,47 @@ object TextAnalysis {
         col("oov_cnt").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Corpus-LM bigram fluency — the CCNet/KenLM idea of scoring each
+    * document against a language model built from the corpus itself,
+    * reduced to integer-exact statistics: a document's positional
+    * bigrams (word 2-shingles, [[shinglesFromTokens]] short-doc rule
+    * included) are checked against the corpus-wide bigram document
+    * frequency, and the doc scores the fraction of its bigram positions
+    * attested in ≥ `minDocs` distinct documents. Low fluency flags
+    * word-salad/boilerplate-mangled text whose transitions nothing else
+    * in the corpus makes. Deliberately log-free: `fluency` is ONE
+    * division of two exact longs (engine-identical IEEE), and `min_df`
+    * is the rarest transition — both usable as admission-gate signals.
+    *
+    * Shape: one staged-shingle pass, one bigram-keyed hash aggregate
+    * (keyed by xxhash64(bigram) so the shuffle carries 8-byte keys,
+    * not bigram text — the [[graft.operators.Dedup.boilerplatePassages]]
+    * discipline), one equi-join back, one per-doc aggregate. Nothing
+    * quadratic; every doc emits ≥ 1 shingle, so no 0/0 edge exists.
+    *
+    * Output grain: one row per doc — (idCol, n_bigrams, n_attested,
+    * min_df, fluency). */
+  def bigramFluency(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs > 1, "minDocs must be > 1 (df >= 1 is every bigram)")
+    val bg = withShingles(df.select(col(idCol), col(textCol)), textCol, 2)
+      .select(col(idCol), explode(col("_sh")).as("bigram"))
+      .withColumn("_bkey", xxhash64(col("bigram")))
+    val dfreq = bg.groupBy(col("_bkey"))
+      .agg(count_distinct(col(idCol)).as("df_docs"))
+    bg.join(dfreq, "_bkey")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("df_docs") >= minDocs, 1L).otherwise(0L)).as("n_attested"),
+        min(col("df_docs")).as("min_df"))
+      .withColumn("fluency",
+        col("n_attested").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Vocabulary construction with cumulative coverage — the
     * tokenizer-design primitive: rank terms by corpus frequency and
     * report, for each prefix of the top-`vocabSize` vocabulary, the

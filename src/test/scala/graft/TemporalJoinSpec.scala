@@ -75,6 +75,60 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(mirrored == got, "forward as-of diverges from backward as-of on negated time")
   }
 
+  test("asofJoinNearest: closest either direction, ties go backward, single-sided fallbacks") {
+    val left = Seq(
+      (1L, "a", 10L), // only forward candidates -> 20
+      (2L, "a", 24L), // 20 at distance 4 beats 30 at 6
+      (3L, "a", 25L), // equidistant -> the earlier (backward) match
+      (4L, "a", 26L), // 30 closer
+      (5L, "a", 30L), // exact-time match wins at distance zero
+      (6L, "a", 99L), // only backward candidates -> 30
+      (7L, "c", 10L)  // key with no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, 200.0),
+      ("a", 30L, 300.0)
+    ).toDF("k", "rt", "rv")
+      .withColumn("r_t", col("rt"))
+
+    val got = TemporalJoin.asofJoinNearest(left, right, Seq("k"), "t", "rt")
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(20L), Some(200.0)),
+      (2L, Some(20L), Some(200.0)),
+      (3L, Some(20L), Some(200.0)),
+      (4L, Some(30L), Some(300.0)),
+      (5L, Some(30L), Some(300.0)),
+      (6L, Some(30L), Some(300.0)),
+      (7L, None, None)))
+  }
+
+  test("asofJoinNearest: matched version carries atomically; one Window, no nested loop") {
+    // nearest is the rv=null version — a per-column carry would blend
+    // in 200.0 from the farther version
+    val left = Seq((1L, "a", 29L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 20L, Some(200.0), "far"),
+      ("a", 30L, None, "near")
+    ).toDF("k", "rt", "rv", "tag")
+    val joined = TemporalJoin.asofJoinNearest(left, right, Seq("k"), "t", "rt")
+    val got = joined.collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("rv")), r.getAs[String]("tag")))
+    assert(got.toSeq == Seq((1L, None, "near")))
+    // both direction frames share one (key)-partitioned (_t,_side) sort:
+    // exactly one Window operator, no nested-loop anywhere (string-level
+    // because WindowExec hides inside AQE query stages)
+    val s = joined.queryExecution.executedPlan.toString
+    val finalSection = s.split("== Initial Plan ==")(0)
+    assert("Window \\[".r.findAllIn(finalSection).size == 1,
+      s"backward+forward frames must share one Window operator:\n$finalSection")
+    assert(!s.contains("BroadcastNestedLoop") && !s.contains("Cartesian"),
+      s"nearest as-of must never nest-loop:\n$s")
+  }
+
   test("asofJoin: null values inside the matched version are carried as nulls, never blended") {
     // the matched (latest) version holds rv=null: a per-column carry
     // would back-fill rv=200.0 from the OLDER version and emit a row

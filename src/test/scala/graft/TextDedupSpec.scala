@@ -87,6 +87,26 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(4L) == ((1L, 0L, 4L, 0.0)), s"doc4: ${got(4L)}")
   }
 
+  test("bigramFluency: attested fraction vs corpus bigram df, short/empty docs via whole-text rule") {
+    val df = Seq(
+      (1L, "the cat sat"), // bigrams: "the cat" (df 2), "cat sat" (df 1)
+      (2L, "the cat ran"), // "the cat" (df 2), "cat ran" (df 1)
+      (3L, "zq"),          // short doc -> whole-text shingle "zq" (df 2)
+      (4L, "zq"),
+      (5L, "xx yy"),       // "xx yy" (df 1) -> nothing attested
+      (6L, ""))            // empty -> "" shingle (df 1), no 0/0 edge
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramFluency(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((2L, 1L, 1L, 0.5)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1L, 0.5)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, 2L, 1.0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((1L, 1L, 2L, 1.0)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((1L, 0L, 1L, 0.0)), s"doc5: ${got(5L)}")
+    assert(got(6L) == ((1L, 0L, 1L, 0.0)), s"doc6: ${got(6L)}")
+  }
+
   test("exact dedup keeps min id per distinct content") {
     val df = Seq((3L, "dup"), (1L, "dup"), (2L, "uniq")).toDF("doc_id", "text")
     val got = Dedup.exactDedup(df.select($"text", $"doc_id"), "text", "doc_id")
