@@ -109,6 +109,11 @@ object Bench {
       docs5.count(); embs5.count() // materialize outside the timed region
       val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
       val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
+      // boilerplate growth on the corpus axis: the passage-hash-keyed
+      // agg+join chain (d15/d16) should track corpus size ~linearly —
+      // the shuffle carries 8-byte passage keys, never passage text
+      val (bpT1, _) = time(Dedup.stripBoilerplate(docs1, "doc_id", "text").count())
+      val (bpT5, _) = time(Dedup.stripBoilerplate(docs5, "doc_id", "text").count())
       docs5.unpersist()
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -271,6 +276,7 @@ object Bench {
       }
       s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
+        s""""boilerplate_sec_1x":${r3(bpT1)},"boilerplate_sec_5x":${r3(bpT5)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""embdup_sec_1x":${r3(edT1)},"embdup_sec_5x":${r3(edT5)},""" +
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +

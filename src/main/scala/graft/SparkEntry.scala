@@ -925,6 +925,36 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded-staleness as-of ([[TemporalJoin.asofJoinWithin]]): latest
+    * click at-or-before each purchase, but only within the last hour —
+    * older matches degrade to null exactly like no match. */
+  private val j15AsofWithin = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      .withColumn("click_tus", col("tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    TemporalJoin.asofJoinWithin(purchases, clicks, Seq("user_id"), "tus", "tus",
+        maxStaleness = 3600L * 1000000L)
+      .select(col("event_id"), col("click_tus"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Chi-square contingency audit between source and lang — the
+    * dataset-drift / independence check a curation pipeline runs over
+    * its metadata: FULL source x lang grid (zero cells included —
+    * they carry expected mass), exact integer observed/marginal
+    * counts, expected and per-cell chi-square contribution as a fixed
+    * IEEE expression over those exact integers. Marginals broadcast;
+    * the fact table is scanned once per marginal — never joined
+    * row-for-row. */
+  private val a23ChiSquare = (s: SparkSession, d: String) =>
+    RelationalOps.chiSquareGrid(
+        t(s, d, "documents").select(col("source"), col("lang")), "source", "lang")
+      .orderBy(col("source"), col("lang"))
+
   /** Same clustering as d8 through the O(log²)-round large-star /
     * small-star algorithm — depth-independent, for graphs where
     * min-label propagation's O(diameter) rounds would dominate. Labels
@@ -1489,6 +1519,15 @@ object SparkEntry {
   private val m4Modality = (s: SparkSession, d: String) =>
     Multimodal1.modality(t(s, d, "documents"))
 
+  /** Chunk-grain content-addressable dedup over binary payloads
+    * ([[graft.multimodal.Multimodal.chunkSharing]]) — the CAS/rsync
+    * storage tier under the decode tier: payloads seeded with a shared
+    * 128-byte license header (2 aligned 64-byte chunks) collapse those
+    * blocks corpus-wide; the fingerprint chain is md5-over-hex, so the
+    * oracle replays it value-for-value. */
+  private val m5ChunkDedup = (s: SparkSession, d: String) =>
+    Multimodal1.chunkShares(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -1536,6 +1575,23 @@ object SparkEntry {
         "media", "declared_mime")
         .select(col("doc_id"), col("declared_mime"), col("sniffed_mime"), col("modality_ok"))
         .orderBy(col("doc_id"))
+    }
+
+    /** Chunk-level CAS sharing over seeded payloads: docs with
+      * doc_id%3==0 carry a common 128-byte license header (2 aligned
+      * 64-byte chunks), so the chunk store collapses those blocks
+      * corpus-wide while every other chunk stays payload-unique. */
+    def chunkShares(docs: DataFrame): DataFrame = {
+      val header = "GRAFT-COMMON-LICENSE-BLOCK-0001 " * 4
+      val seeded = docs.select(col("doc_id"), col("text"))
+        .withColumn("_payload_src",
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(header), col("text"))).otherwise(col("text")))
+      Multimodal.chunkSharing(
+        Multimodal.attachFakeMedia(seeded, "_payload_src")
+          .select(col("doc_id"), col("media")),
+        "doc_id", "media", chunkBytes = 64)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }
 
     /** Frame payloads as hex (sha256 is engine-independent). */
@@ -1883,6 +1939,8 @@ object SparkEntry {
     "j6_asof_join" -> j6AsofJoin,
     "j13_forward_asof" -> j13ForwardAsof,
     "j14_nearest_asof" -> j14NearestAsof,
+    "j15_asof_within" -> j15AsofWithin,
+    "a23_chi_square" -> a23ChiSquare,
     "a22_join_size" -> a22JoinSize,
     "j7_range_join" -> j7RangeJoin,
     "w1_union" -> w1Union,
@@ -1951,6 +2009,7 @@ object SparkEntry {
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
     "m4_modality_check" -> m4Modality,
+    "m5_chunk_dedup" -> m5ChunkDedup,
     "x8_scd2" -> x8Scd2,
     "x9_latest_snapshot" -> x9LatestSnapshot,
     "a16_sketch_union" -> a16SketchUnion,
@@ -2511,6 +2570,28 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "m1_multimodal_features" -> m1OracleSql,
+    "m5_chunk_dedup" ->
+      // replay the seeded payloads, hex them, slice fixed 128-hex-char
+      // (64-byte) chunks, md5 each chunk's hex, distinct-payload df per
+      // fingerprint — the whole CAS chain is engine-portable strings
+      """WITH p AS (
+           SELECT doc_id,
+             hex(CAST(CASE WHEN doc_id % 3 = 0
+                  THEN repeat('GRAFT-COMMON-LICENSE-BLOCK-0001 ', 4) || text
+                  ELSE text END AS BLOB)) AS hx
+           FROM documents
+         ), c AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             md5(substring(hx, i*128 + 1, 128)) AS chunk_fp
+           FROM (SELECT doc_id, hx, unnest(range((len(hx) + 127) // 128)) AS i FROM p)
+         ), f AS (
+           SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_payloads
+           FROM c GROUP BY 1
+         )
+         SELECT c.doc_id, c.chunk_idx, c.chunk_fp, f.df_payloads,
+           f.df_payloads >= 2 AS shared
+         FROM c JOIN f USING (chunk_fp)
+         ORDER BY c.doc_id, c.chunk_idx""",
     "m4_modality_check" ->
       // rebuild the same magic-prefixed blobs and sniff the same hex
       // prefixes — full value oracle on the binary path (hex() is the
@@ -2933,6 +3014,45 @@ object SparkEntry {
              AS nearest_purchase_value
          FROM l JOIN b USING (event_id) JOIN f USING (event_id)
          ORDER BY l.event_id""",
+    "j15_asof_within" ->
+      // backward ASOF then the same staleness CASE: matches older than
+      // one hour of epoch micros degrade to null
+      """WITH r AS (
+           SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS click_value
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         ), l AS (
+           SELECT event_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'purchase'
+         ), b AS (
+           SELECT l.event_id, l.tus, r.tus AS rtus, r.click_value AS cv
+           FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
+         )
+         SELECT event_id,
+           CASE WHEN rtus >= tus - 3600000000 THEN rtus END AS click_tus,
+           CASE WHEN rtus >= tus - 3600000000 THEN cv END AS click_value
+         FROM b ORDER BY event_id""",
+    "a23_chi_square" ->
+      // full marginal grid (zero cells carry expected mass), exact
+      // integer counts, identical IEEE expected/chi2 expression shape
+      """WITH rt AS (
+           SELECT source, count(*) AS row_total FROM documents GROUP BY 1
+         ), ct AS (
+           SELECT lang, count(*) AS col_total FROM documents GROUP BY 1
+         ), n AS (SELECT count(*) AS n FROM documents
+         ), cells AS (
+           SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2
+         )
+         SELECT rt.source, ct.lang,
+           CAST(coalesce(cells.obs, 0) AS BIGINT) AS obs,
+           CAST(rt.row_total AS BIGINT) AS row_total,
+           CAST(ct.col_total AS BIGINT) AS col_total,
+           CAST(rt.row_total * ct.col_total AS DOUBLE) / n.n AS expected,
+           (coalesce(cells.obs, 0) - CAST(rt.row_total * ct.col_total AS DOUBLE) / n.n)
+             * (coalesce(cells.obs, 0) - CAST(rt.row_total * ct.col_total AS DOUBLE) / n.n)
+             / (CAST(rt.row_total * ct.col_total AS DOUBLE) / n.n) AS chi2_cell
+         FROM rt CROSS JOIN ct CROSS JOIN n
+         LEFT JOIN cells ON cells.source = rt.source AND cells.lang = ct.lang
+         ORDER BY rt.source, ct.lang""",
     "a22_join_size" ->
       """WITH est AS (
            SELECT CAST(sum(na * nb) AS BIGINT) AS est_rows FROM

@@ -120,6 +120,69 @@ object Multimodal {
           .cast("binary"))
   }
 
+  /** Content-addressable chunk fingerprints — the rsync/restic/CAS
+    * primitive over opaque binary payloads: the payload splits into
+    * fixed `chunkBytes`-byte chunks and each chunk gets a fingerprint,
+    * so identical blocks across payloads (shared headers, watermarks,
+    * repeated intros in video) collapse to one stored chunk. This is
+    * the storage tier media pipelines put UNDER the decode tier:
+    * dedup before decode, at block grain, with no codec involved.
+    *
+    * Engine-portable by construction: the chunk is sliced from the
+    * payload's `hex()` form (2 chars/byte — binary slicing semantics
+    * differ across engines, hex agrees everywhere) and fingerprinted
+    * as md5 of that hex string — the same discipline as
+    * [[sniffMime]]'s hex prefix probe and t5's md5 fingerprint.
+    *
+    * Shape: one narrow pass — hex is computed once per row BEFORE the
+    * chunk-index explode (the staged-subtree discipline from
+    * TextAnalysis: the Generate carries the hex attribute, never
+    * recomputes it per chunk), then a per-chunk substring + md5. Rows
+    * out = ceil(n_bytes/chunkBytes) per payload; empty payloads emit
+    * zero chunks.
+    *
+    * Output grain: one row per (id, chunk_idx) with `chunk_fp`. */
+  def chunkFingerprints(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      chunkBytes: Int = 64): DataFrame = {
+    require(chunkBytes > 0, "chunkBytes must be positive")
+    val hexLen = chunkBytes * 2
+    // exact ceil-div: byte counts are far below 2^53, so the double
+    // division inside floor() is exact
+    val nchunks = floor((octet_length(col(mediaCol)) + lit(chunkBytes - 1))
+      / lit(chunkBytes)).cast("int")
+    df.select(col(idCol), hex(col(mediaCol)).as("_hx"),
+        when(nchunks > 0, sequence(lit(0), nchunks - 1))
+          .otherwise(array().cast("array<int>")).as("_idx"))
+      .select(col(idCol), col("_hx"), explode(col("_idx")).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        md5(col("_hx").substr(col("chunk_idx") * hexLen + 1, lit(hexLen))
+          .cast("binary")).as("chunk_fp"))
+  }
+
+  /** Cross-payload chunk sharing report over [[chunkFingerprints]]:
+    * per-chunk distinct-payload frequency joined back to the chunk
+    * grain (the [[graft.operators.Dedup.boilerplatePassages]] shape on
+    * binary), keyed through the 16-byte fingerprint — the shuffle
+    * never carries payload bytes. `shared` chunks are the CAS savings:
+    * every payload holding one stores a pointer, not the block. */
+  def chunkSharing(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      chunkBytes: Int = 64,
+      minPayloads: Int = 2): DataFrame = {
+    require(minPayloads > 1, "minPayloads must be > 1")
+    val chunks = chunkFingerprints(df, idCol, mediaCol, chunkBytes)
+    val dfreq = chunks.groupBy(col("chunk_fp"))
+      .agg(count_distinct(col(idCol)).as("df_payloads"))
+    chunks.join(dfreq, "chunk_fp")
+      .select(col(idCol), col("chunk_idx"), col("chunk_fp"),
+        col("df_payloads"), (col("df_payloads") >= minPayloads).as("shared"))
+  }
+
   /** Magic-byte registry for [[sniffMime]] — REAL format signatures
     * (this part of the multimodal path needs no codec): JPEG SOI
     * `FF D8 FF`, PNG `89 50 4E 47`, RIFF `52 49 46 46` (WAV/AVI

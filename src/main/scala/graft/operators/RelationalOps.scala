@@ -142,4 +142,36 @@ object RelationalOps {
       (vy / (n * n)).as("var_pop_y"),
       (cv / sqrt(vx * vy)).as("corr_xy")): _*)
   }
+
+  /** Chi-square contingency grid between two categorical columns — the
+    * dataset-drift / independence audit a curation pipeline runs over
+    * its metadata (source vs language, epoch vs label). Emits the FULL
+    * cross grid: combinations the data never produced still appear with
+    * obs = 0, because they carry expected mass and their absence IS the
+    * signal. Observed and marginal counts are exact integers; expected
+    * and the per-cell chi-square contribution are one fixed IEEE
+    * expression over those integers (engine-identical, oracle-exact).
+    *
+    * Shape: three map-side-combined aggregates over the fact scan (the
+    * fact table is never joined row-for-row), marginals broadcast into
+    * a |rows| x |cols| grid, one broadcast left join from the observed
+    * cells. Grid cardinality is the product of the distinct counts —
+    * the caller's contract is that both columns are low-cardinality
+    * metadata, which is what makes the marginals broadcastable. */
+  def chiSquareGrid(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val facts = df.select(col(rowCol), col(colCol))
+    val cells = facts.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("obs"))
+    val rowT = facts.groupBy(col(rowCol)).agg(count(lit(1)).as("row_total"))
+    val colT = facts.groupBy(col(colCol)).agg(count(lit(1)).as("col_total"))
+    val tot = facts.agg(count(lit(1)).as("n"))
+    val obs = coalesce(col("obs"), lit(0L))
+    val expected = (col("row_total") * col("col_total")).cast("double") / col("n")
+    rowT.crossJoin(broadcast(colT)).crossJoin(broadcast(tot))
+      .join(cells, Seq(rowCol, colCol), "left")
+      .select(col(rowCol), col(colCol),
+        obs.as("obs"),
+        col("row_total"), col("col_total"),
+        expected.as("expected"),
+        ((obs - expected) * (obs - expected) / expected).as("chi2_cell"))
+  }
 }

@@ -131,6 +131,56 @@ object TemporalJoin {
         valueCols.map(c => col("_vals").getField(c).as(c)): _*)
   }
 
+  /** Bounded-staleness as-of join — [[asofJoin]] with a freshness
+    * contract: the latest right row at-or-before only counts if it is
+    * no older than `maxStaleness` time units ("latest quote, but never
+    * one older than 5 minutes" — the staleness window every sensor /
+    * feature-store lookup actually ships with). A match older than the
+    * bound yields nulls, exactly like no match at all.
+    *
+    * Same union + one-Exchange window shape as [[asofJoin]]; the right
+    * version rides as one struct carrying its own timestamp, so the
+    * staleness check reads the matched version's time directly and all
+    * carried columns stay atomic. */
+  def asofJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      maxStaleness: Long): DataFrame = {
+    require(maxStaleness > 0, "asofJoinWithin: maxStaleness must be positive")
+    val valueCols = right.columns.toSeq.diff(keys :+ rightTime)
+    require(valueCols.nonEmpty, "asofJoinWithin: right side carries no value columns")
+    val collisions = left.columns.toSeq.intersect(valueCols)
+    require(collisions.isEmpty,
+      s"asofJoinWithin: rename right value columns colliding with left: $collisions")
+    val reserved = Seq("_t", "_side", "_tv", "_m")
+    require((left.columns ++ right.columns).intersect(reserved).isEmpty,
+      s"asofJoinWithin: ${reserved.mkString("/")} are internal column names — rename them in the inputs")
+    val lv = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+    val rv = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .select(keys.map(col) :+ col("_t") :+ col("_side")
+        :+ struct(col("_t").as("_rt"),
+             struct(valueCols.map(col): _*).as("_vv")).as("_tv"): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lv.unionByName(rv, allowMissingColumns = true)
+      .select(left.columns.toSeq.map(col) :+ col("_t") :+ col("_side")
+        :+ last(col("_tv"), ignoreNulls = true).over(w).as("_m"): _*)
+      .filter(col("_side") === 1)
+      // a too-stale match degrades to null — when() without otherwise
+      .withColumn("_m",
+        when(col("_m._rt") >= col("_t") - lit(maxStaleness), col("_m")))
+      .select(left.columns.toSeq.map(col) ++
+        valueCols.map(c => col("_m._vv").getField(c).as(c)): _*)
+  }
+
   /** Nearest as-of join — for every left row, the right row with equal
     * `keys` whose `rightTime` is CLOSEST to `leftTime` in either
     * direction (sensor alignment, "closest reading to the event");

@@ -157,6 +157,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "x20_auc" -> 1.2,
     "j14_nearest_asof" -> 1.0,
     "t19_bigram_fluency" -> 1.5,
+    "m5_chunk_dedup" -> 1.5,
+    "j15_asof_within" -> 1.0,
+    "a23_chi_square" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
@@ -175,6 +178,7 @@ class BenchBudgetSpec extends SparkTestBase {
       "ivf_sec_1x" -> 2.5, "ivf_sec_5x" -> 4.0,
       "embdup_sec_1x" -> 1.0, "embdup_sec_5x" -> 1.5,
       "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0,
+      "boilerplate_sec_1x" -> 2.5, "boilerplate_sec_5x" -> 6.0,
       "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.0,
       "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>

@@ -93,4 +93,31 @@ class MultimodalSpec extends SparkTestBase {
       "a 2-byte JPEG prefix is NOT a JPEG — truncated magic must fall through to octet-stream")
     assert(got(6L) == ("audio/wav", false), "declared jpeg but RIFF bytes — must flag")
   }
+
+  test("chunkFingerprints/chunkSharing: aligned blocks collapse, tails hash alone, empty is chunkless") {
+    import org.apache.spark.sql.functions._
+    val a64 = "A" * 64; val b64 = "B" * 64; val c64 = "C" * 64
+    val docs = Seq(
+      (1L, a64 + b64 + "xyz"), // 3 chunks: A, B, 3-byte tail
+      (2L, a64 + c64),         // 2 chunks: A (shared with 1), C
+      (3L, "zz"),              // 1 partial chunk
+      (4L, ""))                // empty payload -> zero chunks
+      .toDF("id", "txt")
+    val media = Multimodal.attachFakeMedia(docs, "txt").select(col("id"), col("media"))
+    val got = Multimodal.chunkSharing(media, "id", "media", chunkBytes = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.size == 6, s"expected 6 chunk rows, got ${got.keySet}")
+    assert(!got.keySet.exists(_._1 == 4L), "empty payload must emit no chunks")
+    // the aligned A block is ONE stored chunk across both payloads
+    assert(got((1L, 0))._1 == got((2L, 0))._1, "identical aligned blocks must fingerprint equal")
+    assert(got((1L, 0))._3 && got((2L, 0))._3, "the shared block is flagged in both payloads")
+    assert(got((1L, 0))._2 == 2L)
+    // everything else is payload-unique
+    for (k <- got.keySet -- Set((1L, 0), (2L, 0)))
+      assert(got(k)._2 == 1L && !got(k)._3, s"chunk $k must be unshared")
+    // the partial tail hashes its own short hex, not a zero-padded block
+    assert(got((1L, 2))._1 != got((3L, 0))._1)
+  }
 }

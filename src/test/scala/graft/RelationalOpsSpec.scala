@@ -156,4 +156,29 @@ class RelationalOpsSpec extends SparkTestBase {
     // == on doubles: BIT-equality is the whole contract here
     assert(a == b, s"moments drifted across partitionings:\n$a\n$b")
   }
+
+  test("chiSquareGrid: zero cells included with expected mass, exact marginals, hand-math chi2") {
+    // 2 sources x 2 langs, one combination absent: src1 never pairs
+    // with 'fr' — that cell must still appear, carrying expected mass
+    val docs = Seq(
+      ("src0", "en"), ("src0", "en"), ("src0", "fr"),
+      ("src1", "en"))
+      .toDF("source", "lang")
+    val got = graft.operators.RelationalOps.chiSquareGrid(docs, "source", "lang")
+      .orderBy("source", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got.size == 4, s"grid must be the full 2x2: ${got.keySet}")
+    // N=4; row totals src0=3, src1=1; col totals en=3, fr=1
+    assert(got(("src0", "en")) == ((2L, 3L, 3L, 2.25, (2.0 - 2.25) * (2.0 - 2.25) / 2.25)))
+    assert(got(("src0", "fr")) == ((1L, 3L, 1L, 0.75, (1.0 - 0.75) * (1.0 - 0.75) / 0.75)))
+    assert(got(("src1", "en")) == ((1L, 1L, 3L, 0.75, (1.0 - 0.75) * (1.0 - 0.75) / 0.75)))
+    // the absent cell: obs 0, expected 1*1/4, chi2 = 0.25
+    assert(got(("src1", "fr")) == ((0L, 1L, 1L, 0.25, 0.25)))
+    // expected mass sums to each row marginal
+    val expBySrc = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._4).sum).toMap
+    assert(expBySrc("src0") == 3.0 && expBySrc("src1") == 1.0)
+  }
 }

@@ -75,6 +75,43 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(mirrored == got, "forward as-of diverges from backward as-of on negated time")
   }
 
+  test("asofJoinWithin: stale matches degrade to null, fresh and exact-time matches carry") {
+    val left = Seq(
+      (1L, "a", 100L), // latest right is 95, age 5 <= 10 -> match
+      (2L, "a", 200L), // latest right is 95, age 105 > 10 -> null
+      (3L, "a", 95L),  // exact-time match, age 0
+      (4L, "c", 50L)   // no right rows at all
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 90L, 900.0),
+      ("a", 95L, 950.0)
+    ).toDF("k", "rt", "rv")
+      .withColumn("r_t", col("rt"))
+    val got = TemporalJoin.asofJoinWithin(left, right, Seq("k"), "t", "rt",
+        maxStaleness = 10L)
+      .orderBy(col("id"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(got == Seq(
+      (1L, Some(95L), Some(950.0)),
+      (2L, None, None),
+      (3L, Some(95L), Some(950.0)),
+      (4L, None, None)))
+    // a bound wider than the data's whole span must reproduce plain
+    // asofJoin row for row (MaxValue would overflow _t - bound in ANSI)
+    val unbounded = TemporalJoin.asofJoinWithin(left, right, Seq("k"), "t", "rt",
+        maxStaleness = 1000000L)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    val plain = TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("r_t")), Option(r.getAs[Any]("rv"))))
+      .toSeq
+    assert(unbounded == plain, "maxStaleness=MaxValue must degrade to plain asofJoin")
+  }
+
   test("asofJoinNearest: closest either direction, ties go backward, single-sided fallbacks") {
     val left = Seq(
       (1L, "a", 10L), // only forward candidates -> 20
