@@ -1025,6 +1025,27 @@ object SparkEntry {
       col("vec_id") < 5, k = 5)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Maximum-inner-product top-k ([[Similarity.mipsTopK]]): the
+    * recommender scoring — unnormalized dot rewards large-norm items,
+    * ranking differently from s1's cosine on the same corpus. */
+  private val s13MipsTopK = (s: SparkSession, d: String) =>
+    Similarity.mipsTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+
+  /** Contamination overlap score ([[Dedup.contaminationScore]]): the
+    * graded fraction behind d7's binary drop decision — same
+    * corpus/probe split, per-doc shared-shingle fraction. */
+  private val d17ContaminationScore = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    Dedup.contaminationScore(
+        corpus = docs.filter(col("doc_id") >= 50),
+        probes = docs.filter(col("doc_id") < 50),
+        "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
   private val s2LshTopK = (s: SparkSession, d: String) =>
     Similarity.signLshTopK(
       t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1962,6 +1983,7 @@ object SparkEntry {
     "d4_simhash" -> d4Simhash,
     "d6_neardup_pairs" -> d6NearDupPairs,
     "d7_decontaminate" -> d7Decontaminate,
+    "d17_contamination_score" -> d17ContaminationScore,
     "d8_neardup_groups" -> d8NearDupGroups,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
@@ -1971,6 +1993,7 @@ object SparkEntry {
     "d16_boilerplate_strip" -> d16BoilerplateStrip,
     "d12_dedup_cut" -> d12DedupCut,
     "s1_cosine_topk" -> s1CosineTopK,
+    "s13_mips_topk" -> s13MipsTopK,
     "s2_lsh_topk" -> s2LshTopK,
     "s5_lsh_multiprobe" -> s5LshMultiprobe,
     "s7_quantized_topk" -> s7QuantizedTopK,
@@ -2510,6 +2533,43 @@ object SparkEntry {
            FROM embeddings p CROSS JOIN embeddings c
            WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
          ) WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "s13_mips_topk" ->
+      // same brute-force shape as s1 with the unnormalized inner
+      // product — ranks diverge from cosine wherever norms differ
+      """SELECT probe_id, neighbor_id, rank FROM (
+           SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_inner_product(p.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM embeddings p CROSS JOIN embeddings c
+           WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "d17_contamination_score" ->
+      // same n=3 shingle CTE as the near-dup chain (short docs -> whole
+      // text), distinct per side, exact shared/total counts per corpus
+      // doc, one exact-long division to DOUBLE
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         ), cs AS (
+           SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50
+         ), ps AS (
+           SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50
+         ), tot AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM cs GROUP BY 1
+         ), shr AS (
+           SELECT cs.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM cs JOIN ps USING (g) GROUP BY 1
+         )
+         SELECT t.doc_id, t.n_shingles,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+           coalesce(s.n_shared, 0)::DOUBLE / t.n_shingles::DOUBLE AS overlap_frac
+         FROM tot t LEFT JOIN shr s USING (doc_id) ORDER BY t.doc_id""",
     "e1_json_extract" ->
       """SELECT json_extract_string(props, '$.k') AS k, count(*) AS cnt
          FROM events GROUP BY 1 ORDER BY 1""",

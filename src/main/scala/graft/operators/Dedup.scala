@@ -563,6 +563,42 @@ object Dedup {
         (col("cut_end") - col("cut_start") + 1).as("cut_tokens"))
   }
 
+  /** Contamination overlap SCORE — the graded companion to the binary
+    * decontamination flag (d7/d13): for every corpus document, the
+    * fraction of its distinct k-shingles that appear anywhere in the
+    * probe (test/eval) set. A doc can brush an eval set with one shared
+    * phrase (overlap_frac ~ 0) or be a paraphrase (~ 1) — thresholding
+    * that fraction is the actual policy knob pipelines ship, and the
+    * score is the evidence an audit wants next to any drop decision.
+    *
+    * Shape: shingles staged once per side, deduplicated and joined on
+    * xxhash64(shingle) — both shuffles carry 8-byte keys, never shingle
+    * text (the d15/t19 discipline); counts are hash-distinct, exact
+    * w.h.p. at 64 bits. Per-doc totals and shared counts are two hash
+    * aggregates + one left join; every doc yields ≥ 1 shingle (the
+    * short-doc whole-text rule), so no 0/0 edge exists. */
+  def contaminationScore(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val sC = stagedShingles(corpus, idCol, textCol, k)
+      .select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("_h")).distinct()
+    val sP = stagedShingles(probes, idCol, textCol, k)
+      .select(explode(col("_sh")).as("_g"))
+      .select(xxhash64(col("_g")).as("_h")).distinct()
+    val totals = sC.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val shared = sC.join(sP, Seq("_h"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Cross-document boilerplate passages — the CCNet paragraph-dedup
     * idea (Wenzek et al., "CCNet: Extracting high quality monolingual
     * datasets from web crawl data", 2020 — drop paragraphs whose hash

@@ -71,6 +71,37 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** Exact top-k by MAXIMUM INNER PRODUCT — the recommender-retrieval
+    * scoring ([[cosineTopK]]'s unnormalized sibling): user·item dot
+    * product rewards large-norm items, so MIPS and cosine rank
+    * DIFFERENTLY unless the corpus is L2-normalized (then they agree —
+    * the classic reduction). Same bounded-probe broadcast against one
+    * corpus scan; the corpus never shuffles.
+    * Output: (probe_id, neighbor_id, rank), rank 1..k, self excluded,
+    * ties broken by neighbor id. */
+  def mipsTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      maxProbes: Int = 10000): DataFrame = {
+    val probes = requireBoundedProbes(
+      df.filter(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("_pv")),
+      "mipsTopK", maxProbes)
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val scored = broadcast(probes)
+      .join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("ip", VectorOps.dot(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
   /** Full hyperplane matrix as plain doubles — lets an oracle inline the
     * identical constants (the planes are a pure function of (h, dim,
     * seed), so the "engine-specific" signature is reproducible anywhere

@@ -160,6 +160,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "m5_chunk_dedup" -> 1.5,
     "j15_asof_within" -> 1.0,
     "a23_chi_square" -> 1.0,
+    "s13_mips_topk" -> 1.4,
+    "d17_contamination_score" -> 1.6,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -60,6 +60,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(gotN == expect)
   }
 
+  test("mipsTopK ranks by inner product — diverges from cosine exactly where norms differ") {
+    // probe (1,0): item 1 = (3,4) has ip 3 but cosine 0.6; item 2 =
+    // (1,0) has ip 1 but cosine 1.0 — MIPS and cosine must order them
+    // oppositely on the same corpus
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def order(got: org.apache.spark.sql.DataFrame): Seq[Long] =
+      got.filter(col("probe_id") === 0L).orderBy(col("rank"))
+        .collect().map(_.getLong(1)).toSeq
+    val mips = order(Similarity.mipsTopK(df, "vec_id", "embedding", col("vec_id") === 0L, 2))
+    val cos = order(Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") === 0L, 2))
+    assert(mips == Seq(1L, 2L), s"MIPS must rank the large-norm item first: $mips")
+    assert(cos == Seq(2L, 1L), s"cosine must rank the aligned unit item first: $cos")
+    // on an L2-normalized corpus the two retrievals agree (the classic
+    // MIPS->cosine reduction)
+    val normed = df.withColumn("embedding",
+      graft.functions.VectorOps.l2Normalize(col("embedding")))
+    val m2 = order(Similarity.mipsTopK(normed, "vec_id", "embedding", col("vec_id") === 0L, 2))
+    val c2 = order(Similarity.cosineTopK(normed, "vec_id", "embedding", col("vec_id") === 0L, 2))
+    assert(m2 == c2, s"normalized corpus: MIPS $m2 must equal cosine $c2")
+  }
+
   test("signLshTopK achieves reasonable recall vs exact at few hyperplanes") {
     val df = vecs(200, 16).toDF("vec_id", "embedding")
     val exact = Similarity.cosineTopK(df, "vec_id", "embedding", col("vec_id") < 10, 5)

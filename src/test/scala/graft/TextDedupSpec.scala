@@ -87,6 +87,21 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(4L) == ((1L, 0L, 4L, 0.0)), s"doc4: ${got(4L)}")
   }
 
+  test("contaminationScore: per-doc shared-shingle fraction, zero through full overlap") {
+    val probes = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "the cat sat on the mat"),    // every 3-shingle shared -> 1.0
+      (101L, "the cat sat here quietly"),  // 1 of 3 shingles shared
+      (102L, "dogs bark loudly always"))   // nothing shared -> 0.0
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, probes, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(100L) == ((4L, 4L, 1.0)), s"doc100: ${got(100L)}")
+    assert(got(101L) == ((3L, 1L, 1.0 / 3.0)), s"doc101: ${got(101L)}")
+    assert(got(102L) == ((2L, 0L, 0.0)), s"doc102: ${got(102L)}")
+  }
+
   test("bigramFluency: attested fraction vs corpus bigram df, short/empty docs via whole-text rule") {
     val df = Seq(
       (1L, "the cat sat"), // bigrams: "the cat" (df 2), "cat sat" (df 1)
