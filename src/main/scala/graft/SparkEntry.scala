@@ -2535,11 +2535,15 @@ object SparkEntry {
          ) WHERE rank <= 5 ORDER BY probe_id, rank""",
     "s13_mips_topk" ->
       // same brute-force shape as s1 with the unnormalized inner
-      // product — ranks diverge from cosine wherever norms differ
+      // product — ranks diverge from cosine wherever norms differ.
+      // DOUBLE[] casts match the engine's widen-then-accumulate-in-double
+      // DotProduct (the bit-exact-twin convention of s1/d14/s11): float
+      // accumulation could round near-ties to equality and flip ranks.
       """SELECT probe_id, neighbor_id, rank FROM (
            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
              CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
-               ORDER BY list_inner_product(p.embedding, c.embedding) DESC,
+               ORDER BY list_inner_product(CAST(p.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
                         c.vec_id ASC) AS INTEGER) AS rank
            FROM embeddings p CROSS JOIN embeddings c
            WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
@@ -2979,7 +2983,11 @@ object SparkEntry {
     "t14_lexical" ->
       // exploded groupBy twin of the per-row sorted-array folds: token
       // frequencies per doc, hapax = freq-1 tokens, stopword share over
-      // the fixed list; ratios are small-int divisions (bit-equal)
+      // the fixed list; ratios are small-int divisions (bit-equal).
+      // LEFT JOIN back from documents with coalesced zeros mirrors the
+      // operator, which emits a row for EVERY doc (zero-token docs get
+      // all-zero counts and 0.0 ratios via the greatest() guards) — the
+      // tok <> '' filter alone would drop such docs from the oracle.
       """WITH toks AS (
            SELECT doc_id,
              regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS tk
@@ -2996,11 +3004,14 @@ object SparkEntry {
                  THEN c ELSE 0 END) AS stp
            FROM freq GROUP BY 1
          )
-         SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
-           CAST(stp AS BIGINT) AS stopword_cnt, CAST(hap AS BIGINT) AS hapax_cnt,
-           stp::DOUBLE / n::DOUBLE AS stopword_ratio,
-           hap::DOUBLE / nd::DOUBLE AS hapax_ratio
-         FROM agg ORDER BY doc_id""",
+         SELECT d.doc_id,
+           COALESCE(CAST(a.n AS BIGINT), 0) AS n_tokens,
+           COALESCE(CAST(a.stp AS BIGINT), 0) AS stopword_cnt,
+           COALESCE(CAST(a.hap AS BIGINT), 0) AS hapax_cnt,
+           COALESCE(a.stp::DOUBLE / a.n::DOUBLE, 0.0) AS stopword_ratio,
+           COALESCE(a.hap::DOUBLE / a.nd::DOUBLE, 0.0) AS hapax_ratio
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "x1_hash_split" -> {
       val t1 = graft.operators.Sampling.hexThreshold(0.8)
       val t2 = graft.operators.Sampling.hexThreshold(0.9)

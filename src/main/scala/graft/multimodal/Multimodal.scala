@@ -141,6 +141,15 @@ object Multimodal {
     * out = ceil(n_bytes/chunkBytes) per payload; empty payloads emit
     * zero chunks.
     *
+    * Size bound: the hex form materializes 2× the payload per row AND
+    * is capped by the JVM string limit, so a single payload is bounded
+    * at ~1 GB — fine for media blobs, not for unbounded streams. The
+    * substring offset is computed in LONG and cast back to int under
+    * ANSI, so an offset past 2^31 (chunk_idx ≳ 16.7M at the default
+    * 64-byte chunks) fails LOUDLY instead of silently wrapping to a
+    * wrong chunk. Payloads past that bound belong on a byte-range
+    * pre-split (one row per ~256 MB range) before this operator.
+    *
     * Output grain: one row per (id, chunk_idx) with `chunk_fp`. */
   def chunkFingerprints(
       df: DataFrame,
@@ -158,7 +167,9 @@ object Multimodal {
           .otherwise(array().cast("array<int>")).as("_idx"))
       .select(col(idCol), col("_hx"), explode(col("_idx")).as("chunk_idx"))
       .select(col(idCol), col("chunk_idx"),
-        md5(col("_hx").substr(col("chunk_idx") * hexLen + 1, lit(hexLen))
+        md5(col("_hx")
+          .substr((col("chunk_idx").cast("long") * hexLen + 1).cast("int"),
+            lit(hexLen))
           .cast("binary")).as("chunk_fp"))
   }
 
