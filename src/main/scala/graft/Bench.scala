@@ -5,16 +5,34 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Each query runs twice: an untimed warmup (Janino codegen compile, JIT,
-  * parquet footer/page-cache priming — one-time process costs, not query
-  * costs) and a timed steady-state run. Failures are reported explicitly
-  * in an "errors" array — a broken query must never masquerade as a
-  * near-zero time. */
+  * Timing discipline (round 7 — two fixes at once):
+  *
+  *  - FULL-OUTPUT MATERIALIZATION, never `count()`. A `count()` lets
+  *    Catalyst prune every column the count doesn't need — projection-
+  *    shaped queries (per-row text scores, window carries) collapse to
+  *    little more than the scan, and an as-of join's `filter(_side===1)`
+  *    even pushes through the union and deletes the right branch
+  *    entirely. `queryExecution.toRdd.count()` executes the physical
+  *    plan with every output column computed (what a real consumer
+  *    pays) without collecting rows to the driver.
+  *  - MIN OF TWO RUNS, cache-dropped between. The first run additionally
+  *    absorbs Janino codegen/JIT/parquet-footer priming (one-time
+  *    process costs); CachePool frames are released between runs so the
+  *    second run re-does its own persists rather than riding the
+  *    first's. The min is the steady-state number — single-shot timing
+  *    drifted ~27% between same-code runs in round 6.
+  *
+  * Failures are reported explicitly in an "errors" array — a broken
+  * query must never masquerade as a near-zero time. */
 object Bench {
 
   /** ms precision — full doubles double the JSON line's length for
     * digits below measurement noise (the artifact tail is size-capped). */
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Execute with EVERY output column materialized — see class doc. */
+  private[graft] def fullCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,26 +53,25 @@ object Bench {
 
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors ::= name; false
-        }
       System.gc() // isolate timed runs from the previous query's garbage
-      val t0 = System.nanoTime()
-      val timedOk = ok && (
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed timed run: ${e.getMessage}")
-          errors ::= name; false
-        })
-      val sec = if (timedOk) (System.nanoTime() - t0) / 1e9 else -1.0
-      // pipeline boundary: release frames the query's operators persisted
-      // (the timed run still reuses its own warmup's cache) — without
-      // this, 71 queries' staged frames accumulate and the later scale
-      // probes time cache pressure instead of the operators (round 4)
-      CachePool.releaseAll()
+      // run 1 doubles as warmup (codegen/JIT/footers land here); run 2
+      // is steady-state; min-of-2 with CachePool dropped between runs —
+      // releasing also keeps 138 queries' staged frames from
+      // accumulating into cache pressure on later queries (round 4)
+      def run(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          fullCount(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+        } finally CachePool.releaseAll()
+      val sec = (run(), run()) match {
+        case (Some(a), Some(b)) => math.min(a, b)
+        case _ => if (!errors.contains(name)) errors ::= name; -1.0
+      }
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
@@ -63,7 +80,10 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val streaming = benchStreaming(spark)
     val scale = benchScale(spark, sfDir)
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
+    // the timing field names the discipline so the round-over-round
+    // series break at r7 (count() → full materialization) has its cause
+    // recorded in the artifact itself
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
@@ -111,9 +131,11 @@ object Bench {
       val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
       // boilerplate growth on the corpus axis: the passage-hash-keyed
       // agg+join chain (d15/d16) should track corpus size ~linearly —
-      // the shuffle carries 8-byte passage keys, never passage text
-      val (bpT1, _) = time(Dedup.stripBoilerplate(docs1, "doc_id", "text").count())
-      val (bpT5, _) = time(Dedup.stripBoilerplate(docs5, "doc_id", "text").count())
+      // the shuffle carries 8-byte passage keys, never passage text.
+      // fullCount: a count() would prune the reassembly fold (the
+      // expensive per-doc stage) right out of the timed plan
+      val (bpT1, _) = time(fullCount(Dedup.stripBoilerplate(docs1, "doc_id", "text")))
+      val (bpT5, _) = time(fullCount(Dedup.stripBoilerplate(docs5, "doc_id", "text")))
       docs5.unpersist()
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -178,11 +200,13 @@ object Bench {
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
         (purchases, clicks)
       }
+      // fullCount: under count(), the as-of's filter(_side===1) pushes
+      // through the union and deletes the right branch + window from
+      // the plan — rounds ≤6 timed little more than a left-side scan
       def asofCount(ev: org.apache.spark.sql.DataFrame): Long = {
         val (purchases, clicks) = asofSides(ev)
-        graft.operators.TemporalJoin
-          .asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus")
-          .count()
+        fullCount(graft.operators.TemporalJoin
+          .asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus"))
       }
       val (asofT1, _) = time(asofCount(ev1))
       val (asofT5, _) = time(asofCount(ev5))
@@ -198,12 +222,41 @@ object Bench {
       val (asofHotT, _) = time(asofCount(evHot))
       val (asofHotSplitT, _) = time {
         val (purchases, clicks) = asofSides(evHot)
-        graft.operators.TemporalJoin
+        fullCount(graft.operators.TemporalJoin
           .asofJoinSkew(purchases, clicks, Seq("user_id"), "tus", "tus",
-            bucketWidth = 3600L * 1000000L) // 1 h of epoch micros per range
-          .count()
+            bucketWidth = 3600L * 1000000L)) // 1 h of epoch micros per range
       }
       evHot.unpersist()
+      // hot-key DEPTH at the scale the mitigation exists for: the sf0.1
+      // hot key holds only ~50k rows — trivial for one task's sort, so
+      // the probe above can only ever show the split's fixed overhead.
+      // This one plants 3M right + 750k left rows on ONE key (synthetic
+      // spark.range fixture — depth is the variable, corpus content is
+      // irrelevant), where the plain window's single-task sort
+      // serializes ~3.75M rows and the ranged split fans them across
+      // ~128 tasks. Measured local[32] crossover sits near 1M rows/key
+      // (see TemporalJoin.asofJoinSkew scaladoc + pickBucketWidth).
+      val (asofDeepT, asofDeepSplitT) = {
+        val n = sys.env.getOrElse("SPARK_GRAFT_ASOF_DEEP_ROWS", "3000000").toLong
+        val clicksD = spark.range(n).select(
+          lit(-1L).as("user_id"), (col("id") * 4L).as("tus"),
+          (col("id") % 1000L).cast("double").as("last_click_value")).persist()
+        val purchD = spark.range(n / 4).select(
+          col("id").as("event_id"), lit(-1L).as("user_id"),
+          (col("id") * 16L + 1L).as("tus")).persist()
+        clicksD.count(); purchD.count()
+        val width = graft.operators.TemporalJoin
+          .pickBucketWidth(n + n / 4, 0L, n * 4L).getOrElse(n * 4L / 128)
+        def plainRun() = fullCount(graft.operators.TemporalJoin
+          .asofJoin(purchD, clicksD, Seq("user_id"), "tus", "tus"))
+        def splitRun() = fullCount(graft.operators.TemporalJoin
+          .asofJoinSkew(purchD, clicksD, Seq("user_id"), "tus", "tus", width))
+        plainRun(); splitRun() // codegen warmup
+        val (tp, _) = time(plainRun())
+        val (ts, _) = time(splitRun())
+        clicksD.unpersist(); purchD.unpersist()
+        (tp, ts)
+      }
       // banded (OR-amplification) vs multi-probe at comparable search
       // effort: 5 independent 4-bit tables vs 5 probed buckets of one
       def bandedRecallAndCands(bands: Int): (Double, Long) = {
@@ -281,6 +334,7 @@ object Bench {
         s""""embdup_sec_1x":${r3(edT1)},"embdup_sec_5x":${r3(edT5)},""" +
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
         s""""asof_hot_sec_plain":${r3(asofHotT)},"asof_hot_sec_split":${r3(asofHotSplitT)},""" +
+        s""""asof_deep_sec_plain":${r3(asofDeepT)},"asof_deep_sec_split":${r3(asofDeepSplitT)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +

@@ -261,7 +261,21 @@ object TemporalJoin {
     *
     * Choose `bucketWidth` so a hot key's densest range fits one task
     * comfortably (e.g. a day of a key that logs 10⁶ events/day);
-    * uniform keys pay only the small summary join. */
+    * uniform keys pay only the small summary join.
+    *
+    * WHEN to use this instead of [[asofJoin]] — the measured crossover
+    * (local[32], synthetic single-hot-key fixture, full-output
+    * materialization; BENCH `asof_deep_sec_plain`/`asof_deep_sec_split`):
+    * the split's fixed overhead (one extra hash aggregate + range-list
+    * window + bucket join, ~0.5–1 s at any size) loses below ~10⁶ rows
+    * on the hottest key, and wins above — at 1.6M rows/key the plain
+    * window's single-task sort already costs ~2× the split, at 3.2M
+    * ~2.3×, and the gap widens linearly with depth while the split stays
+    * flat until its per-range depth approaches the crossover again.
+    * Rule of thumb: switch when `max rows on one key ≳ 10⁶`, with
+    * `bucketWidth ≈ hot key's time span / ceil(hotRows / 250k)` so each
+    * range holds ~250k rows. [[asofJoinAdaptive]] measures and applies
+    * exactly this rule. */
   def asofJoinSkew(
       left: DataFrame,
       right: DataFrame,
@@ -316,6 +330,67 @@ object TemporalJoin {
     within.join(carryIn, keys :+ "_rng")
       .select(left.columns.toSeq.map(col) ++
         valueCols.map(c => coalesce(col("_vals"), col("_carry")).getField(c).as(c)): _*)
+  }
+
+  /** [[asofJoinSkew]]'s bucket-width rule as a pure function, unit-
+    * testable without a session: given the hottest key's row count and
+    * time span, returns the width that puts ~`rowsPerTask` rows in each
+    * range — or None when the key is shallow enough (below
+    * `switchDepth`) that [[asofJoin]]'s single sort wins anyway.
+    * Defaults encode the measured local[32] crossover (~10⁶ rows/key;
+    * see [[asofJoinSkew]]) with ranges of ~250k rows so a hot key fans
+    * out to ≥4 tasks at the switch point. */
+  def pickBucketWidth(
+      hotRows: Long,
+      tMin: Long,
+      tMax: Long,
+      switchDepth: Long = 1000000L,
+      rowsPerTask: Long = 250000L): Option[Long] = {
+    require(switchDepth > 0 && rowsPerTask > 0,
+      "pickBucketWidth: thresholds must be positive")
+    if (hotRows < switchDepth || tMax <= tMin) None
+    else {
+      val ranges = (hotRows + rowsPerTask - 1) / rowsPerTask
+      Some(math.max(1L, (tMax - tMin + 1) / ranges))
+    }
+  }
+
+  /** Skew-adaptive as-of join — [[asofJoin]]'s contract with the
+    * plain-vs-split decision made from the data: one aggregate pass
+    * over both sides' keys finds the hottest key's row count and time
+    * span, [[pickBucketWidth]] applies the measured crossover rule, and
+    * the join runs as plain [[asofJoin]] (shallow keys) or
+    * [[asofJoinSkew]] at the chosen width (deep keys). The extra cost
+    * is one count-shaped hash aggregate + a single-row collect —
+    * O(distinct keys) shuffle payload, nothing per-row — which is the
+    * right trade exactly when you cannot bound key depth a priori (the
+    * 100 TB default). Time columns must be integral (epoch micros, day
+    * numbers), as in [[asofJoinSkew]]. */
+  def asofJoinAdaptive(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      switchDepth: Long = 1000000L,
+      rowsPerTask: Long = 250000L): DataFrame = {
+    val lk = left.select(keys.map(col) :+ col(leftTime).cast("long").as("_t"): _*)
+    val rk = right.select(keys.map(col) :+ col(rightTime).cast("long").as("_t"): _*)
+    // hottest key by UNION depth — the window sorts both sides together,
+    // so the depth that serializes is the combined one
+    val hot = lk.unionByName(rk)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_n"), min(col("_t")).as("_lo"), max(col("_t")).as("_hi"))
+      .sort(col("_n").desc)
+      .limit(1).collect()
+    val width = hot.headOption.flatMap { r =>
+      pickBucketWidth(r.getAs[Long]("_n"), r.getAs[Long]("_lo"),
+        r.getAs[Long]("_hi"), switchDepth, rowsPerTask)
+    }
+    width match {
+      case Some(w) => asofJoinSkew(left, right, keys, leftTime, rightTime, w)
+      case None    => asofJoin(left, right, keys, leftTime, rightTime)
+    }
   }
 
   /** Bucketed interval-containment join: rows of `points` matched to

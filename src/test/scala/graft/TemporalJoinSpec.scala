@@ -250,6 +250,47 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(plan.contains("_rng"), "the window must partition on the split range key")
   }
 
+  test("pickBucketWidth: shallow keys decline, deep keys get ~rowsPerTask-sized ranges") {
+    // below the switch depth the plain sort wins — no width
+    assert(TemporalJoin.pickBucketWidth(999999L, 0L, 100000000L).isEmpty)
+    // zero/inverted span cannot be ranged
+    assert(TemporalJoin.pickBucketWidth(5000000L, 100L, 100L).isEmpty)
+    // 3M rows at 250k/task -> 12 ranges over span 1.2e7 -> width 1e6
+    assert(TemporalJoin.pickBucketWidth(3000000L, 0L, 11999999L)
+      .contains(1000000L))
+    // width never collapses below 1 even for absurd depth on a tiny span
+    assert(TemporalJoin.pickBucketWidth(100000000L, 0L, 9L, switchDepth = 10L)
+      .contains(1L))
+    // custom thresholds are honored
+    assert(TemporalJoin.pickBucketWidth(100L, 0L, 99L,
+      switchDepth = 50L, rowsPerTask = 25L).contains(25L))
+  }
+
+  test("asofJoinAdaptive matches asofJoin on both shallow and deep-hot-key inputs") {
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 300).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(5)}"
+      (i.toLong, k, rnd.nextInt(1000).toLong)
+    }.toDF("id", "k", "t")
+    val right = (0 until 250).map { i =>
+      val k = if (i % 2 == 0) "hot" else s"k${rnd.nextInt(7)}"
+      (k, rnd.nextInt(1100).toLong, rnd.nextDouble())
+    }.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "rt", "rv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), Option(r.getAs[Any]("rv")))).toSet
+    val plain = rows(TemporalJoin.asofJoin(left, right, Seq("k"), "t", "rt"))
+    // shallow regime: hottest key ~150+125 rows, far below any real
+    // switch depth — adaptive must pick the plain path and agree
+    assert(rows(TemporalJoin.asofJoinAdaptive(
+      left, right, Seq("k"), "t", "rt")) == plain)
+    // deep regime: force the switch with a tiny threshold so the split
+    // path runs on the same fixture — output must be identical
+    assert(rows(TemporalJoin.asofJoinAdaptive(
+      left, right, Seq("k"), "t", "rt",
+      switchDepth = 50L, rowsPerTask = 40L)) == plain)
+  }
+
   test("rangeJoinBucketed: half-open containment, boundary points, multi-bucket intervals") {
     val points = Seq((1L, 0L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 95L), (6L, 34L))
       .toDF("pid", "p")
