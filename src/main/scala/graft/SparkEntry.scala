@@ -140,6 +140,89 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Approx equi-depth histogram — a20's 100 TB form: the 7 interior
+    * bucket boundaries come from ONE percentile_approx pass (no global
+    * total order, no distributed row index, no per-group sort), and
+    * rows bucket map-side against the broadcast boundary array. Sketch
+    * VALUES are engine-local, so the oracled row (a13/a15 pattern) is
+    * the sketch CONTRACT, engine-checkable: each boundary's realized
+    * rank fraction within eps of i/k (two-sided, lt/le — the a15
+    * bracket), each bucket's share within 2·eps of 1/k.
+    * Precondition (documented, holds for prices): no single value
+    * carries ≥ 1/k of the mass — an atom that wide makes equi-depth
+    * bucketing itself ill-defined, not just the sketch. */
+  private val a24ApproxEquidepth = (s: SparkSession, d: String) => {
+    val eps = 0.005 // accuracy=1000 guarantees 0.001; 5x machine headroom
+    val k = 8
+    val base = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+    val bounds = base.agg(percentile_approx(
+      col("v"), typedLit((1 until k).map(_.toDouble / k)), lit(1000)).as("bs"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (size(filter(col("bs"), b => b < col("v"))) + 1).cast("int"))
+    val perBucket = bucketed
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("nb"),
+        // rows sitting exactly ON this bucket's upper boundary — needed
+        // for the strict-< side of the rank bracket
+        sum(when(col("bucket") < k &&
+          col("v") === element_at(col("bs"), col("bucket")), 1L)
+          .otherwise(0L)).as("eq_upper"))
+    import org.apache.spark.sql.expressions.Window
+    val w8 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perBucket
+      .withColumn("_n", sum(col("nb")).over(wAll))
+      .withColumn("_cum_le", sum(col("nb")).over(w8).cast("double") / col("_n"))
+      .withColumn("_lt", col("_cum_le") - col("eq_upper").cast("double") / col("_n"))
+      .select(col("bucket"),
+        (abs(col("nb").cast("double") / col("_n") - lit(1.0 / k)) <= lit(2 * eps))
+          .as("share_ok"),
+        (col("bucket") === k ||
+          (col("_lt") <= col("bucket") / lit(k.toDouble) + lit(eps) &&
+           col("_cum_le") >= col("bucket") / lit(k.toDouble) - lit(eps)))
+          .as("upper_rank_ok"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Approx IQR outlier fences — a21's 100 TB form: quartiles per
+    * group from percentile_approx (one pass, sketch merge — no exact
+    * percentile sort per group), Tukey fences derived from them.
+    * Oracled claims per group: both quartiles' realized-rank brackets
+    * (the a15 two-sided form) plus the arithmetic fence ordering
+    * lo ≤ q1 ≤ q3 ≤ hi; n_total rides along exact (SQL-replayable). */
+  private val a25ApproxIqr = (s: SparkSession, d: String) => {
+    val eps = 0.005
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val ap = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.25), lit(1000)).as("q1a"),
+        percentile_approx(col("value"), lit(0.75), lit(1000)).as("q3a"))
+      .select(col("event_type"), col("q1a"), col("q3a"),
+        (col("q1a") - (col("q3a") - col("q1a")) * 1.5).as("lo"),
+        (col("q3a") + (col("q3a") - col("q1a")) * 1.5).as("hi"))
+    def rankFrac(cmp: Column): Column =
+      sum(when(cmp, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    ev.join(broadcast(ap), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        rankFrac(col("value") < col("q1a")).as("lt_q1"),
+        rankFrac(col("value") <= col("q1a")).as("le_q1"),
+        rankFrac(col("value") < col("q3a")).as("lt_q3"),
+        rankFrac(col("value") <= col("q3a")).as("le_q3"),
+        first(col("q1a")).as("q1a"), first(col("q3a")).as("q3a"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("event_type"), col("n_total"),
+        (col("lt_q1") <= lit(0.25 + eps) && col("le_q1") >= lit(0.25 - eps))
+          .as("q1_rank_ok"),
+        (col("lt_q3") <= lit(0.75 + eps) && col("le_q3") >= lit(0.75 - eps))
+          .as("q3_rank_ok"),
+        (col("lo") <= col("q1a") && col("q1a") <= col("q3a") &&
+          col("q3a") <= col("hi")).as("fences_ordered"))
+      .orderBy(col("event_type"))
+  }
+
   private val a11Rollup = (s: SparkSession, d: String) =>
     t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -1151,6 +1234,21 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Residual IVF-PQ (Jégou 2011 §III-C) at exhaustive probe depth.
+    * Unlike s12, exhaustive probing does NOT make the coarse quantizer
+    * irrelevant — the codes quantize `vec − centroid(list)` — so every
+    * stage is built SQL-reproducible: md5-sampled centroids
+    * (ivfCentroidsMd5), argmax-cosine assignment (ties to the smaller
+    * centroid id), exact double residuals, md5-sampled residual
+    * codebooks, strict-left-fold L2 argmin encode, and ranking by
+    * cosine against centroid + reconstructed residual. The oracle
+    * replays the ENTIRE index build. */
+  private val s14IvfPqResidual = (s: SparkSession, d: String) =>
+    Similarity.ivfTopKPqResidual(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
   private val s10RandomProjection = (s: SparkSession, d: String) =>
     t(s, d, "embeddings")
       .filter(col("vec_id") < 50)
@@ -1945,6 +2043,8 @@ object SparkEntry {
     "e10_interpolate" -> e10Interpolate,
     "w10_funnel" -> w10Funnel,
     "a21_iqr_outliers" -> a21IqrOutliers,
+    "a24_approx_equidepth" -> a24ApproxEquidepth,
+    "a25_approx_iqr" -> a25ApproxIqr,
     "x16_weighted_sample" -> x16WeightedSample,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
@@ -2002,6 +2102,7 @@ object SparkEntry {
     "s10_random_projection" -> s10RandomProjection,
     "s11_pq_topk" -> s11PqTopK,
     "s12_ivf_pq" -> s12IvfPq,
+    "s14_ivf_pq_residual" -> s14IvfPqResidual,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -2822,6 +2923,19 @@ object SparkEntry {
       // boolean from the real sketch-vs-exact comparison
       """SELECT l_returnflag, TRUE AS nd_within_5pct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a24_approx_equidepth" ->
+      // a13/a15 pattern: the sketch contract as engine-checkable
+      // booleans — per bucket, share within 2·eps of 1/k and the upper
+      // boundary's realized-rank bracket; 8 rows, all claims TRUE
+      """SELECT CAST(r AS INTEGER) AS bucket, TRUE AS share_ok,
+           TRUE AS upper_rank_ok
+         FROM range(1, 9) t(r) ORDER BY bucket""",
+    "a25_approx_iqr" ->
+      // exact n_total rides along (SQL-replayable); the quartile rank
+      // brackets and the fence ordering are the sketch-contract claims
+      """SELECT event_type, count(*) AS n_total, TRUE AS q1_rank_ok,
+           TRUE AS q3_rank_ok, TRUE AS fences_ordered
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "a15_approx_percentiles" ->
       // the claim: the sketch value's realized rank brackets the target
       // quantile within eps (computed Spark-side from the real sketch)
@@ -3033,6 +3147,7 @@ object SparkEntry {
     "s10_random_projection" -> s10OracleSql,
     "s11_pq_topk" -> s11OracleSql,
     "s12_ivf_pq" -> s11OracleSql,
+    "s14_ivf_pq_residual" -> s14OracleSql,
     "j6_asof_join" ->
       // epoch_us on both sides: the parquet nanos are not micro-aligned,
       // so raw-timestamp comparisons and (user, ts) grouping would
@@ -3618,6 +3733,75 @@ object SparkEntry {
                       r.vec_id ASC) AS INTEGER) AS rank
          FROM embeddings p CROSS JOIN recon r
          WHERE p.vec_id < 5 AND r.vec_id <> p.vec_id
+       ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  /** DuckDB twin of [[graft.operators.Similarity.ivfTopKPqResidual]]
+    * with sampled centroids AND codebooks — the full residual index
+    * build replayed: (1) the 16 md5-sampled centroid rows ('ivfr:'
+    * salt, identical hex order to ivfCentroidsMd5); (2) each corpus
+    * vector assigned to its argmax-cosine centroid, ties to the smaller
+    * centroid id; (3) residual = exact double element subtraction;
+    * (4) residual codebooks = 16 md5-sampled residual rows ('pqr:'
+    * salt); (5) per-subspace argmin-L2 codes with the strict left fold
+    * (list_reduce seeding from the first element ≡ Spark's fold from
+    * 0.0); (6) ranking by cosine against centroid + flattened
+    * reconstructed residual. */
+  private def s14OracleSql: String =
+    """WITH cents AS (
+         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('ivfr:' || vec_id::VARCHAR), 1, 8), vec_id) AS rn
+           FROM embeddings
+         ) WHERE rn <= 16
+       ), assigned AS (
+         SELECT vec_id, cid, cv FROM (
+           SELECT e.vec_id, c.cid, c.cv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                        c.cid ASC) AS rn
+           FROM embeddings e CROSS JOIN cents c
+         ) WHERE rn = 1
+       ), res AS (
+         SELECT a.vec_id, a.cid, a.cv,
+           list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) - a.cv[i]) AS r
+         FROM assigned a JOIN embeddings e USING (vec_id)
+       ), samp AS (
+         SELECT r, j FROM (
+           SELECT r,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('pqr:' || vec_id::VARCHAR), 1, 8), vec_id) - 1 AS j
+           FROM res
+         ) WHERE j < 16
+       ), cw AS (
+         SELECT t.s, samp.j,
+           list_transform(range(1, 17), i -> r[CAST(t.s * 16 + i AS INTEGER)]) AS cw
+         FROM samp, (SELECT unnest(range(0, 4)) AS s) t
+       ), codes AS (
+         SELECT vec_id, s, j AS code FROM (
+           SELECT r.vec_id, c.s, c.j,
+             ROW_NUMBER() OVER (PARTITION BY r.vec_id, c.s
+               ORDER BY list_reduce(list_transform(range(1, 17),
+                 i -> (r.r[CAST(c.s * 16 + i AS INTEGER)] - c.cw[i])
+                    * (r.r[CAST(c.s * 16 + i AS INTEGER)] - c.cw[i])),
+                 (a, b) -> a + b) ASC, c.j ASC) AS rn
+           FROM res r CROSS JOIN cw c
+         ) WHERE rn = 1
+       ), recon AS (
+         SELECT codes.vec_id, flatten(list(cw.cw ORDER BY codes.s)) AS rr
+         FROM codes JOIN cw ON cw.s = codes.s AND cw.j = codes.code
+         GROUP BY codes.vec_id
+       ), reconst AS (
+         SELECT recon.vec_id,
+           list_transform(range(1, 65), i -> res.cv[i] + recon.rr[i]) AS v
+         FROM recon JOIN res USING (vec_id)
+       )
+       SELECT probe_id, neighbor_id, rank FROM (
+         SELECT p.vec_id AS probe_id, f.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), f.v) DESC,
+                      f.vec_id ASC) AS INTEGER) AS rank
+         FROM embeddings p CROSS JOIN reconst f
+         WHERE p.vec_id < 5 AND f.vec_id <> p.vec_id
        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
 
   /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard

@@ -356,6 +356,23 @@ object Similarity {
       .limit(nlist)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** [[ivfCentroids]]'s SQL-reproducible twin: the `nlist` corpus
+    * vectors ordered by the md5 sampling hex (identical string order in
+    * any engine — the [[Sampling.uniformHex]] discipline the PQ codebook
+    * sample already uses) instead of xxhash64. Use when downstream
+    * artifacts must be replayed outside Spark — the residual-PQ tier's
+    * codes depend on the assignment, so its oracle has to rebuild the
+    * very same centroid set. */
+  def ivfCentroidsMd5(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      salt: String = "ivfr"): DataFrame =
+    df.orderBy(Sampling.uniformHex(col(idCol), salt), col(idCol))
+      .limit(nlist)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
   /** Lloyd refinement of IVF centroids: `iters` rounds of
     * assign-to-nearest + per-list mean. Each round is one narrow assign
     * pass (ivfAssign is shuffle-free) plus ONE small aggregation: the
@@ -540,7 +557,8 @@ object Similarity {
       .collect()
     require(rows.length == ksub,
       s"pqSampledCodebooks: corpus has only ${rows.length} rows, need ksub=$ksub")
-    val full = rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // float corpus vectors and double residual vectors both land here
+    val full = rows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     Array.tabulate(m, ksub)((s, j) => full(j).slice(s * dsub, (s + 1) * dsub))
   }
 
@@ -647,7 +665,22 @@ object Similarity {
     * 100 TB: the index payload is m × log₂(ksub) bits per vector (128×
     * smaller than fp32 at m=4, ksub=16) — encode is a narrow map, and
     * scan IO over codes replaces scan IO over embeddings. This tier
-    * composes with IVF the same way int8 does (codes inside lists). */
+    * composes with IVF the same way int8 does (codes inside lists).
+    *
+    * OPERATING-POINT WARNING: raw PQ over UNCLUSTERED vectors is near-
+    * useless — on the uniform-random bench fixture recall@5 is ~0.04
+    * (0.08 with re-rank), because codewords sampled from structureless
+    * data carry almost no signal (Jégou et al. 2011 observe the same:
+    * PQ exploits cluster structure). Real embedding corpora are
+    * clustered and measure 1.0 on the clustered probe with a re-rank
+    * sized to the cluster. On clustered data [[ivfTopKPqResidual]]
+    * substantially lowers quantization distortion at identical index
+    * bytes (bench `pq_clustered_res_recon_cos` 0.97 vs
+    * `pq_clustered_recon_cos` 0.78); on genuinely uniform data NO PQ
+    * variant helps — recon-cos sits near 0.4 either way, because that
+    * data is incompressible from m·log₂(ksub) bits. If uniform-ish
+    * data is a possibility, budget for the fp32 shortlist re-rank
+    * (`rerank`) or the int8 tier ([[ivfTopKQuantized]]) instead. */
   def pqTopK(
       df: DataFrame,
       idCol: String,
@@ -741,6 +774,118 @@ object Similarity {
       .filter(col("probe_id") =!= col("neighbor_id"))
       .withColumn("cos_q", VectorOps.cosineSim(
         col("_pv"), pqReconstruct(col("_codes"), cb)))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_q").desc, col("neighbor_id").asc)
+    if (rerank <= 0)
+      scored
+        .withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    else {
+      val shortlist = scored
+        .withColumn("rank_q", row_number().over(wq))
+        .filter(col("rank_q") <= rerank)
+        .select(col("probe_id"), col("_pv"), col("neighbor_id"))
+      val full = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      val wr = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      shortlist
+        .join(full, Seq("neighbor_id"))
+        .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }
+  }
+
+  /** Residual IVF-PQ top-k — IVF-PQ with the PQ stage quantizing the
+    * RESIDUAL `vec − centroid(list)` instead of the raw vector (Jégou,
+    * Douze & Schmid, TPAMI 2011, §III-C — the encoding FAISS's IVFPQ
+    * uses by default). The coarse quantizer removes the between-list
+    * component of every vector, so the codewords spend their
+    * m·log₂(ksub) bits on the within-list spread.
+    *
+    * MEASURED operating points (bench + ResidualRecallProbe, identical
+    * index bytes to [[ivfTopKPq]]: list id + m codes either way):
+    *  - CLUSTERED data (the realistic case, and §III-C's home turf):
+    *    distortion drops hard — mean cosine(v, v̂) 0.78 → 0.97 on the
+    *    bench clustered fixture at nlist = N/16 (synthetic probe:
+    *    0.82 → 0.90/0.96/0.98 at nlist = N/16, N/8, N/4, monotone).
+    *  - UNIFORM data: residual coding only helps once the coarse
+    *    quantizer is fine enough — at nlist=16 on a 500-vector corpus
+    *    recon-cos is ~equal to raw (0.39 vs 0.41) and ADC recall moves
+    *    0.04 → 0.08; at nlist = N/8 distortion improves to 0.47. There
+    *    is no free lunch here: uniform high-dim vectors are
+    *    incompressible from m·log₂(ksub) bits, whatever the encoding —
+    *    pair this tier with the fp32 `rerank` shortlist exactly as you
+    *    would raw PQ.
+    *  - DEGENERATE nlist caveat: as nlist → corpus size every vector
+    *    becomes its own centroid, residuals → 0 and "recall" → 1.0 —
+    *    but the index is then just the fp32 corpus under another name.
+    *    Keep nlist ≪ N (the FAISS ~√N practice) and read recon-cos
+    *    gains near nlist ≈ N as this artifact, not as quality.
+    *
+    * Everything is engine-reproducible when `refineIters == 0`
+    * (oracled as `s14`): centroids are the md5-sampled rows
+    * ([[ivfCentroidsMd5]] — xxhash64 isn't portable SQL, and unlike the
+    * s12 anchor, exhaustive probing can NOT make assignment irrelevant
+    * here because the CODES depend on it), assignment is argmax cosine
+    * with ties to the smaller centroid id, residuals are exact double
+    * subtractions, codebooks are md5-sampled residual rows, encode is
+    * the strict left-fold L2 argmin, and candidates rank by cosine
+    * against `centroid + reconstructed residual`. `rerank > 0` adds the
+    * standard fp32 shortlist refinement (s8 pattern).
+    *
+    * 100 TB: identical plan shape to [[ivfTopKPq]] — centroid job once,
+    * narrow encode, probes join only their `nprobe` lists; the residual
+    * subtraction and the `centroid + r̂` reconstruction ride the rows as
+    * HOF zips over the broadcast centroid map literal (no join added). */
+  def ivfTopKPqResidual(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      refineIters: Int = 0,
+      rerank: Int = 0,
+      maxProbes: Int = 10000,
+      centroidSalt: String = "ivfr"): DataFrame = {
+    val cents = collectCentroids(
+      ivfCentroidsMd5(df, idCol, vecCol, nlist, centroidSalt))
+    // centroid lookup by list id as ONE map literal (the typedlit
+    // discipline of centroidScores — O(1) plan nodes in nlist)
+    val centMap = typedLit(cents.map { case (id, v) =>
+      id -> v.map(_.toDouble)
+    }.toMap)
+    val assigned = ivfAssignCollected(df, cents, idCol, vecCol)
+      .withColumn("_res", zip_with(
+        col(vecCol), element_at(centMap, col("list_id")),
+        (v, c) => v.cast("double") - c))
+    val sampled = pqSampledCodebooks(
+      assigned, idCol, "_res", dim, m, ksub, salt = "pqr")
+    val cb =
+      if (refineIters > 0) pqRefineCodebooks(assigned, "_res", dim, sampled, refineIters)
+      else sampled
+    // index rows: (neighbor_id, list_id, codes) — fp32 never rides it
+    val lists = pqEncode(assigned, "_res", dim, cb)
+      .select(col(idCol).as("neighbor_id"), col("list_id"), col("_codes"))
+    val probeLists = ivfProbeLists(
+      requireBoundedProbes(df.filter(probeFilter), "ivfTopKPqResidual", maxProbes),
+      cents, idCol, vecCol, nprobe)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"), col("list_id"))
+    val scored = broadcast(probeLists)
+      .join(lists, Seq("list_id"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos_q", VectorOps.cosineSim(
+        col("_pv"), zip_with(
+          element_at(centMap, col("list_id")),
+          pqReconstruct(col("_codes"), cb),
+          (c, r) => c + r)))
     val wq = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_q").desc, col("neighbor_id").asc)
     if (rerank <= 0)
