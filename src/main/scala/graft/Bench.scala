@@ -79,11 +79,13 @@ object Bench {
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val streaming = benchStreaming(spark)
+    val streamingWindowed = benchStreamingWindowed(spark, sfDir)
+    val streamingDedup = benchStreamingDedup(spark, sfDir)
     val scale = benchScale(spark, sfDir)
     // the timing field names the discipline so the round-over-round
     // series break at r7 (count() → full materialization) has its cause
     // recorded in the artifact itself
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"scale":$scale,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
@@ -137,6 +139,24 @@ object Bench {
       val (bpT1, _) = time(fullCount(Dedup.stripBoilerplate(docs1, "doc_id", "text")))
       val (bpT5, _) = time(fullCount(Dedup.stripBoilerplate(docs5, "doc_id", "text")))
       docs5.unpersist()
+      // third corpus-axis point: one 1x→5x step cannot tell linear from
+      // n·log n from quadratic — 1x/5x/25x can. The fitted log-log slope
+      // is the growth exponent the 100 TB claim actually rests on
+      // (healthy bucketing ⇒ ~1.0; quadratic candidate blow-up ⇒ ~2.0).
+      val docs25 = ScaleFixture.scaleDocuments(docs1, 25).persist()
+      docs25.count()
+      val (ndT25, cand25) = time(Dedup.lshCandidatePairs(docs25, "doc_id", "text").count())
+      val (bpT25, _) = time(fullCount(Dedup.stripBoilerplate(docs25, "doc_id", "text")))
+      docs25.unpersist()
+      // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
+      def fitExp(t1: Double, t5: Double, t25: Double): Double = {
+        val xs = Seq(0.0, math.log(5.0), math.log(25.0))
+        val ys = Seq(t1, t5, t25).map(t => math.log(math.max(t, 1e-3)))
+        val xm = xs.sum / 3; val ym = ys.sum / 3
+        val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+        math.rint(slope * 1000) / 1000
+      }
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       var iv1 = Set.empty[(Long, Long)]
@@ -294,6 +314,43 @@ object Bench {
           .select(col("probe_id"), col("neighbor_id")))
         (got & exact).size.toDouble / exact.size
       }
+      // residual IVF-PQ (Jégou §III-C) on the SAME raw uniform fixture
+      // at IDENTICAL index bytes (m=4, ksub=16 codes + a list id).
+      // recall@5 over 25 pairs is a coarse 0.04-per-pair metric, so the
+      // round-over-round signal is the DISTORTION pair below
+      // (pq_recon_cos vs pq_res_recon_cos) — continuous, corpus-wide
+      def pqResRecall(rerank: Int): Double = {
+        val got = pairs(Similarity.ivfTopKPqResidual(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, 5,
+          dim = 64, nlist = 16, nprobe = 16, m = 4, ksub = 16, rerank = rerank)
+          .select(col("probe_id"), col("neighbor_id")))
+        (got & exact).size.toDouble / exact.size
+      }
+      // mean cosine(v, v̂) at equal code bytes: raw-PQ reconstruction vs
+      // residual (centroid + r̂) reconstruction — the §III-C claim as a
+      // corpus-wide continuous number (small-sample-noise-free)
+      def reconCosPair(frame: org.apache.spark.sql.DataFrame, nlist: Int): (Double, Double) = {
+        import org.apache.spark.sql.functions.{avg, element_at, typedLit, zip_with}
+        val rawCb = Similarity.pqSampledCodebooks(frame, "vec_id", "embedding", 64, 4, 16)
+        val raw = Similarity.pqEncode(frame, "embedding", 64, rawCb)
+          .select(avg(graft.functions.VectorOps.cosineSim(col("embedding"),
+            Similarity.pqReconstruct(col("_codes"), rawCb))))
+          .collect()(0).getDouble(0)
+        val cents = Similarity.collectCentroids(
+          Similarity.ivfCentroidsMd5(frame, "vec_id", "embedding", nlist))
+        val centMap = typedLit(cents.map { case (id, v) => id -> v.map(_.toDouble) }.toMap)
+        val assigned = Similarity.ivfAssignCollected(frame, cents, "vec_id", "embedding")
+          .withColumn("_res", zip_with(col("embedding"), element_at(centMap, col("list_id")),
+            (v, c) => v.cast("double") - c))
+        val resCb = Similarity.pqSampledCodebooks(assigned, "vec_id", "_res", 64, 4, 16, salt = "pqr")
+        val res = Similarity.pqEncode(assigned, "_res", 64, resCb)
+          .select(avg(graft.functions.VectorOps.cosineSim(col("embedding"),
+            zip_with(element_at(centMap, col("list_id")),
+              Similarity.pqReconstruct(col("_codes"), resCb), (c, r) => c + r))))
+          .collect()(0).getDouble(0)
+        (raw, res)
+      }
+      val (pqReconRaw, pqReconRes) = reconCosPair(embs1, 16)
       // clustered corpus derived deterministically from the fixture:
       // row i blends 85% of center (vec_id mod 16) with 15% of itself,
       // giving 16 tight clusters — the shape real embedding corpora
@@ -310,6 +367,10 @@ object Bench {
           .persist()
       }
       val nClustered = clustered.count()
+      // the clustered fixture is where residual coding earns its keep:
+      // distortion at equal bytes, raw vs residual at nlist = N/16
+      val (pqClusReconRaw, pqClusReconRes) =
+        reconCosPair(clustered, math.max(16, (nClustered / 16).toInt))
       val pqClusteredRecall = {
         val cExact = pairs(Similarity.cosineTopK(
           clustered, "vec_id", "embedding", col("vec_id") < 5, 5))
@@ -327,9 +388,14 @@ object Bench {
         clustered.unpersist()
         r
       }
-      s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,""" +
+      s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,"neardup_cand_25x":$cand25,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
+        s""""neardup_sec_25x":${r3(ndT25)},""" +
+        s""""neardup_growth_exp":${fitExp(ndT1, ndT5, ndT25)},""" +
+        s""""neardup_cand_growth_exp":${fitExp(cand1.toDouble, cand5.toDouble, cand25.toDouble)},""" +
         s""""boilerplate_sec_1x":${r3(bpT1)},"boilerplate_sec_5x":${r3(bpT5)},""" +
+        s""""boilerplate_sec_25x":${r3(bpT25)},""" +
+        s""""boilerplate_growth_exp":${fitExp(bpT1, bpT5, bpT25)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""embdup_sec_1x":${r3(edT1)},"embdup_sec_5x":${r3(edT5)},""" +
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
@@ -345,11 +411,84 @@ object Bench {
         s""""ivfq_rerank_recall_at5_nprobe4":${quantRecall(4, 15)},""" +
         s""""pq_recall_at5":${pqRecall(0)},""" +
         s""""pq_rerank_recall_at5":${pqRecall(15)},""" +
+        s""""pq_res_recall_at5":${pqResRecall(0)},""" +
+        s""""pq_res_rerank_recall_at5":${pqResRecall(15)},""" +
+        s""""pq_recon_cos":${r3(pqReconRaw)},"pq_res_recon_cos":${r3(pqReconRes)},""" +
+        s""""pq_clustered_recon_cos":${r3(pqClusReconRaw)},""" +
+        s""""pq_clustered_res_recon_cos":${r3(pqClusReconRes)},""" +
         s""""pq_clustered_recall_at5":$pqClusteredRecall}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale failed: ${e.getMessage}")
         """{"neardup_cand_1x":-1,"neardup_cand_5x":-1}"""
+    }
+  }
+
+  /** Stateful-streaming throughput, axis 1: watermarked event-time
+    * windowed aggregation over the events fixture drained with
+    * AvailableNow. The KPI number ([[benchStreaming]]) exercises only
+    * the stateless fan-out + sink; this one runs the state store
+    * (window state keyed by (window, event_type), watermark advance,
+    * append finalization) — the path a regression in state-store
+    * config or watermark plumbing would hit first. */
+  private[graft] def benchStreamingWindowed(
+      spark: SparkSession,
+      sfDir: String): String = {
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-swin-bench").toString
+      // streaming file sources need a directory — stage the fixture file
+      new java.io.File(s"$base/in").mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$base/in/events.parquet"))
+      val rows = spark.read.parquet(s"$base/in/events.parquet").count()
+      val t0 = System.nanoTime()
+      graft.streaming.EventStream.runWindowedToParquet(
+        spark, s"$base/in", "10 minutes", "1 hour", s"$base/out", s"$base/cp")
+      val sec = (System.nanoTime() - t0) / 1e9
+      s"""{"rows":$rows,"seconds":${r3(sec)},"rows_per_sec":${r3(rows / sec)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming windowed failed: ${e.getMessage}")
+        """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0}"""
+    }
+  }
+
+  /** Stateful-streaming throughput, axis 2: [[graft.streaming
+    * .StreamingLshDedup]] draining the documents fixture in 8 file-
+    * batches (maxFilesPerTrigger=1), so later batches pay the real
+    * cost — the bucket join against the ACCUMULATED index. rows/s here
+    * regresses if the index join shape degrades (e.g. the bucket join
+    * stops being equi-keyed) — invisible to the KPI number. */
+  private[graft] def benchStreamingDedup(
+      spark: SparkSession,
+      sfDir: String,
+      nSegments: Int = 8): String = {
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-bench").toString
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      val rows = docs.count()
+      // nSegments files in doc-id range order → nSegments micro-batches
+      import org.apache.spark.sql.functions.{col, floor, lit}
+      docs.withColumn("_seg",
+          floor(col("doc_id") * nSegments / (rows + 1)).cast("int"))
+        .repartition(1)
+        .write.partitionBy("_seg").parquet(s"$base/in")
+      val dedup = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in/_seg=*")
+      val t0 = System.nanoTime()
+      dedup.start(spark, stream, s"$base/cp").awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},"rows_per_sec":${r3(rows / sec)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming dedup failed: ${e.getMessage}")
+        """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0}"""
     }
   }
 

@@ -160,7 +160,10 @@ class BenchBudgetSpec extends SparkTestBase {
     "m5_chunk_dedup" -> 1.5,
     "j15_asof_within" -> 1.0,
     "a23_chi_square" -> 1.0,
+    "a24_approx_equidepth" -> 1.3,
+    "a25_approx_iqr" -> 1.2,
     "s13_mips_topk" -> 1.4,
+    "s14_ivf_pq_residual" -> 2.4,
     "d17_contamination_score" -> 1.6,
   )
 
@@ -180,7 +183,9 @@ class BenchBudgetSpec extends SparkTestBase {
       "ivf_sec_1x" -> 2.5, "ivf_sec_5x" -> 4.0,
       "embdup_sec_1x" -> 1.0, "embdup_sec_5x" -> 1.5,
       "neardup_sec_1x" -> 3.0, "neardup_sec_5x" -> 6.0,
+      "neardup_sec_25x" -> 12.0,
       "boilerplate_sec_1x" -> 2.5, "boilerplate_sec_5x" -> 6.0,
+      "boilerplate_sec_25x" -> 12.0,
       "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.5,
       "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0,
       // depth probe is fixture-independent (spark.range synthetic): the
@@ -193,6 +198,14 @@ class BenchBudgetSpec extends SparkTestBase {
       if (v > budget) Some(f"$name: $v%.2f s > budget $budget%.1f s") else None
     }
     assert(over.isEmpty, s"scale-probe budget regressions:\n${over.mkString("\n")}")
+    // growth exponents over the 1x/5x/25x corpus axis: near-linear or
+    // the bucketing claim is broken (at sf0.001 fixed overheads deflate
+    // the slope — the bound still catches anything superlinear)
+    for (name <- Seq("neardup_growth_exp", "boilerplate_growth_exp",
+        "neardup_cand_growth_exp")) {
+      val e = metric(name)
+      assert(e < 1.3, f"$name = $e%.2f — superlinear growth on the corpus axis")
+    }
   }
 
   test("streaming KPI throughput stays above a committed floor") {
@@ -208,6 +221,28 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(rps > 0, s"streaming bench failed to run: $json")
     assert(rps >= 1500.0,
       f"streaming throughput $rps%.0f rows/s below committed floor 1500 rows/s")
+  }
+
+  test("stateful streaming throughput stays above committed floors") {
+    // round-6 verdict: the KPI number was the ONLY streaming throughput
+    // gate — state-store regressions (windowed agg, dedup-vs-index)
+    // were invisible. Floors = ~1/3 of steady-state local[4] at
+    // sf0.001; per-batch fixed overheads dominate at this size, so the
+    // floors are deliberately coarse — an order-of-magnitude state
+    // regression still trips.
+    def rps(json: String): Double = {
+      val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
+      assert(m.nonEmpty, s"rows_per_sec missing: $json")
+      m.get.group(1).toDouble
+    }
+    Bench.benchStreamingWindowed(spark, dir) // warmup: codegen + state store classes
+    val w = rps(Bench.benchStreamingWindowed(spark, dir))
+    assert(w > 0, "windowed streaming bench failed to run")
+    assert(w >= 100.0, f"windowed streaming throughput $w%.0f rows/s below floor 100")
+    Bench.benchStreamingDedup(spark, dir, nSegments = 4) // warmup
+    val d = rps(Bench.benchStreamingDedup(spark, dir, nSegments = 4))
+    assert(d > 0, "streaming dedup bench failed to run")
+    assert(d >= 5.0, f"streaming dedup throughput $d%.1f rows/s below floor 5")
   }
 
   test("every registry query has a committed time budget") {

@@ -98,6 +98,40 @@ class RelationalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("approx equi-depth boundaries sit between the exact rank-slack values (a24/a25)") {
+    val dir = "/root/testdata/sf0.001"
+    // the registry queries emit the sketch-contract booleans the oracle
+    // hash-compares; every row must satisfy all of them
+    val a24 = SparkEntry.queries("a24_approx_equidepth")(spark, dir).collect()
+    assert(a24.map(_.getInt(0)).toSeq == (1 to 8),
+      "all 8 equi-depth buckets must be present")
+    assert(a24.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      s"a24 sketch contract violated: ${a24.mkString(", ")}")
+    val a25 = SparkEntry.queries("a25_approx_iqr")(spark, dir).collect()
+    assert(a25.nonEmpty && a25.forall(r =>
+        r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+      s"a25 sketch contract violated: ${a25.mkString(", ")}")
+    // independent check against the EXACT order statistics: boundary i
+    // must lie between the exact values at ranks (i/8 ∓ eps)·n
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx, typedLit}
+    val vs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    val bs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .agg(percentile_approx(col("l_extendedprice").cast("double"),
+        typedLit((1 until 8).map(_.toDouble / 8)), lit(1000)).as("bs"))
+      .collect()(0).getSeq[Double](0)
+    val eps = 0.005
+    bs.zipWithIndex.foreach { case (b, i) =>
+      val target = (i + 1).toDouble / 8
+      val loIdx = math.max(0, math.floor((target - eps) * n).toInt - 1)
+      val hiIdx = math.min(n - 1, math.ceil((target + eps) * n).toInt)
+      assert(vs(loIdx) <= b && b <= vs(hiIdx),
+        f"boundary ${i + 1} = $b%.2f outside exact rank slack [${vs(loIdx)}%.2f, ${vs(hiIdx)}%.2f]")
+    }
+  }
+
   test("percentile_approx rank error is bounded per group (a15)") {
     val dir = "/root/testdata/sf0.001"
     // the registry query emits the two-sided rank-bracket BOOLEANS the

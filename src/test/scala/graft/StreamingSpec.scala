@@ -210,6 +210,60 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
+  test("streaming curation == batch x14 composition + first-N quota on the same fixture") {
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    import graft.streaming.StreamingCuration
+    val base = tmpDir("scur")
+    val quota = 2L
+    val cur = new StreamingCuration(s"$base/state", s"$base/out", quota = quota)
+    // admitted prose; dup groups are cliques against their earliest
+    // member (the parity precondition the scaladoc states)
+    val docA = "the quick brown fox jumps over the lazy dog again and again today"
+    val docB = "a completely different story about cooking pasta tonight with sauce and basil"
+    val docC = "distributed query engines shuffle data across the cluster with hash partitioning"
+    val docD = "fresh content about sailing boats across the windy northern sea in july"
+    val docE = "another clean document describing vector search indexes and the quantization tiers"
+    val docF = "yet more text on streaming watermarks and the state store eviction policies"
+    val junk = "aaa aaa aaa aaa aaa aaa" // distinct_ratio 1/6 -> admission-rejected
+    val b0 = Seq((1L, "s1", docA), (2L, "s1", docB), (3L, "s2", docC), (4L, "s2", junk))
+      .toDF("doc_id", "source", "text")
+    val b1 = Seq((10L, "s1", docA.replace("today", "tonight")), // cross-batch dup of 1
+      (11L, "s1", docD), // fresh but s1 is at quota after 1, 2
+      (12L, "s2", docE)).toDF("doc_id", "source", "text")
+    val b2 = Seq((20L, "s2", docC.replace("hash", "range")), // cross-batch dup of 3
+      (21L, "s2", docF)).toDF("doc_id", "source", "text") // quota-cut
+    cur.processBatch(spark, b0, 0L)
+    cur.processBatch(spark, b1, 1L)
+    cur.processBatch(spark, b1, 1L) // restart replay: must be a no-op
+    cur.processBatch(spark, b2, 2L)
+    val streamed = spark.read.parquet(s"$base/out/data")
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch twin: the x14 stages over the WHOLE fixture + per-source
+    // first-N-by-id quota (the arrival order the stream saw)
+    val all = b0.unionByName(b1).unionByName(b2)
+    val admitted = TextAnalysis.admissionGate(all).filter(col("admit"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val pairs = Dedup.nearDupPairs(admitted, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val canon = Dedup.keepCanonical(admitted, "doc_id",
+      Dedup.nearDupComponents(admitted, "doc_id", pairs))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val batchKept = canon.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batchKept, s"streaming $streamed != batch twin $batchKept")
+    // every absence is attributable: 4 admission, 10/20 near-dup, 11/21 quota
+    assert(streamed == Set((1L, "s1"), (2L, "s1"), (3L, "s2"), (12L, "s2")),
+      s"unexpected curation survivors: $streamed")
+    // replay left no duplicate admissions behind
+    val rows = spark.read.parquet(s"$base/out/data").count()
+    assert(rows == streamed.size.toLong, s"replay duplicated output rows: $rows")
+  }
+
   test("streaming decontamination flags eval leaks per batch, exactly-once") {
     import spark.implicits._
     import graft.streaming.StreamingDecontaminate
