@@ -527,6 +527,26 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** j6's shape through [[TemporalJoin.asofJoinAdaptive]] with the
+    * switch thresholds forced low (switchDepth=2, rowsPerTask=50) so
+    * the RANGED-SPLIT path runs at fixture scale: TemporalJoinSpec pins
+    * plain-vs-split agreement; this pins the split path against the
+    * independent DuckDB ASOF oracle end-to-end, including the
+    * per-(key, range) carry join. */
+  private val j16AsofAdaptive = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .agg(max_by(col("value"), col("event_id")).as("last_click_value"))
+      .withColumn("last_click_tus", col("tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    TemporalJoin.asofJoinAdaptive(purchases, clicks, Seq("user_id"), "tus", "tus",
+        switchDepth = 2L, rowsPerTask = 50L)
+      .select(col("event_id"), col("last_click_tus"), col("last_click_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of join (j6's time-mirror): every click picks up the
     * EARLIEST purchase (value + time) of the same user at-or-after it —
     * the "time-to-conversion" lookup. Same epoch-micros discipline and
@@ -2058,6 +2078,7 @@ object SparkEntry {
     "j4_salted_join" -> j4SaltedJoin,
     "j5_q3_shape" -> j5Q3Shape,
     "j6_asof_join" -> j6AsofJoin,
+    "j16_asof_adaptive" -> j16AsofAdaptive,
     "j13_forward_asof" -> j13ForwardAsof,
     "j14_nearest_asof" -> j14NearestAsof,
     "j15_asof_within" -> j15AsofWithin,
@@ -3148,20 +3169,10 @@ object SparkEntry {
     "s11_pq_topk" -> s11OracleSql,
     "s12_ivf_pq" -> s11OracleSql,
     "s14_ivf_pq_residual" -> s14OracleSql,
-    "j6_asof_join" ->
-      // epoch_us on both sides: the parquet nanos are not micro-aligned,
-      // so raw-timestamp comparisons and (user, ts) grouping would
-      // diverge between a nanos engine and a micros engine
-      """WITH r AS (
-           SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS last_click_value
-           FROM events WHERE event_type = 'click' GROUP BY 1, 2
-         ), l AS (
-           SELECT event_id, user_id, epoch_us(ts) AS tus
-           FROM events WHERE event_type = 'purchase'
-         )
-         SELECT l.event_id, r.tus AS last_click_tus, r.last_click_value
-         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
-         ORDER BY l.event_id""",
+    "j6_asof_join" -> j6AsofOracleSql,
+    // identical semantics by contract — the adaptive wrapper only picks
+    // the execution shape; j16 runs the SPLIT shape at fixture scale
+    "j16_asof_adaptive" -> j6AsofOracleSql,
     "j13_forward_asof" ->
       // DuckDB ASOF with >= is the native forward form; same epoch_us
       // discipline as j6
@@ -3803,6 +3814,23 @@ object SparkEntry {
          FROM embeddings p CROSS JOIN reconst f
          WHERE p.vec_id < 5 AND f.vec_id <> p.vec_id
        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  /** j6's DuckDB ASOF twin — shared verbatim by j16 (the adaptive
+    * wrapper must be output-identical whichever execution shape it
+    * picks). epoch_us on both sides: the parquet nanos are not
+    * micro-aligned, so raw-timestamp comparisons and (user, ts)
+    * grouping would diverge between a nanos engine and a micros one. */
+  private def j6AsofOracleSql: String =
+    """WITH r AS (
+         SELECT user_id, epoch_us(ts) AS tus, arg_max(value, event_id) AS last_click_value
+         FROM events WHERE event_type = 'click' GROUP BY 1, 2
+       ), l AS (
+         SELECT event_id, user_id, epoch_us(ts) AS tus
+         FROM events WHERE event_type = 'purchase'
+       )
+       SELECT l.event_id, r.tus AS last_click_tus, r.last_click_value
+       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.tus <= l.tus
+       ORDER BY l.event_id"""
 
   /** 3-shingle CTE (TextAnalysis semantics) shared by the Jaccard
     * oracles. NOTE: raw (non-interpolated) string — regex backslashes

@@ -159,6 +159,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t19_bigram_fluency" -> 1.5,
     "m5_chunk_dedup" -> 1.5,
     "j15_asof_within" -> 1.0,
+    "j16_asof_adaptive" -> 1.5,
     "a23_chi_square" -> 1.0,
     "a24_approx_equidepth" -> 1.3,
     "a25_approx_iqr" -> 1.2,

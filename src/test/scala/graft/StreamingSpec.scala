@@ -264,6 +264,57 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == streamed.size.toLong, s"replay duplicated output rows: $rows")
   }
 
+  test("streaming curation file stream: checkpoint restart resumes without re-admitting") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    val base = tmpDir("scur-fs")
+    new java.io.File(s"$base/in").mkdirs()
+    def stage(name: String, rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = tmpDir(s"scur-stage-$name")
+      rows.toDF("doc_id", "source", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+    }
+    val docA = "the quick brown fox jumps over the lazy dog again and again today"
+    val docB = "a completely different story about cooking pasta tonight with sauce and basil"
+    val docC = "distributed query engines shuffle data across the cluster with hash partitioning"
+    val docE = "another clean document describing vector search indexes and the quantization tiers"
+    val docF = "yet more text on streaming watermarks and the state store eviction policies"
+    stage("seg0", Seq((1L, "s1", docA), (2L, "s1", docB), (3L, "s2", docC),
+      (4L, "s2", "aaa aaa aaa aaa aaa aaa")))
+    stage("seg1", Seq((10L, "s1", docA.replace("today", "tonight")),
+      (11L, "s1", docF), (12L, "s2", docE)))
+    val cur = new StreamingCuration(s"$base/state", s"$base/out", quota = 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def drain(): Unit = cur.start(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in"),
+      s"$base/cp").awaitTermination()
+    drain()
+    val first = spark.read.parquet(s"$base/out/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first == Set((1L, "s1"), (2L, "s1"), (3L, "s2"), (12L, "s2")),
+      s"unexpected pre-restart survivors: $first")
+    // a new segment lands; restart from the SAME checkpoint — only the
+    // new file may process, and the quota/index state must carry over
+    stage("seg2", Seq((20L, "s2", docC.replace("hash", "range")), // dup of 3
+      (21L, "s2", "entirely novel prose about the alpine meadows and the summer hiking trails")))
+    drain()
+    val after = spark.read.parquet(s"$base/out/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 20 is a cross-restart near-dup (index survived), 21 is fresh but
+    // s2 already holds 2 admissions (quota state survived)
+    assert(after == first, s"restart changed the admitted set: $after")
+    assert(spark.read.parquet(s"$base/out/data").count() == 4,
+      "restart duplicated output rows")
+  }
+
   test("streaming decontamination flags eval leaks per batch, exactly-once") {
     import spark.implicits._
     import graft.streaming.StreamingDecontaminate
