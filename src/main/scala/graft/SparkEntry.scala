@@ -1380,13 +1380,19 @@ object SparkEntry {
   /** Linear interpolation over e9's grid gaps — the other standard gap
     * policy (forward fill carries, interpolation blends): each gap cell
     * takes v_p + (v_n − v_p)·(bk − bk_p)/(bk_n − bk_p) from its
-    * neighboring observations. Neighbor carry is last/first(ignoreNulls)
-    * over the SAME (user, bk) window partitioning — one Exchange, two
-    * Window ops. Gap cells sit strictly between observations (the spine
-    * is observation-bounded), so denominators are never zero; observed
-    * cells pass mx through untouched, dodging the 0/0 NaN. The
-    * interpolation expression shape is identical on both sides, so the
-    * IEEE result is bit-equal. */
+    * neighboring observations. Neighbor carry is last(ignoreNulls)
+    * over the same (user, bk) hash partitioning — one Exchange, two
+    * Window ops (asc + desc sort). The forward neighbor deliberately
+    * uses a DESCENDING running frame, not `first` over
+    * currentRow→unboundedFollowing: Spark's
+    * UnboundedFollowingWindowFunctionFrame re-aggregates the whole
+    * remaining partition for every row (O(n²) per partition — 27.6 s
+    * vs 1.3 s on this query at sf0.1), while the running frame is
+    * incremental. Gap cells sit strictly between observations (the
+    * spine is observation-bounded), so denominators are never zero;
+    * observed cells pass mx through untouched, dodging the 0/0 NaN.
+    * The interpolation expression shape is identical on both sides, so
+    * the IEEE result is bit-equal. */
   private val e10Interpolate = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val width = 3600000000L
@@ -1398,16 +1404,17 @@ object SparkEntry {
     val spine = obs.groupBy(col("user_id"))
       .agg(min(col("bk")).as("_mn"), max(col("bk")).as("_mx"))
       .select(col("user_id"), explode(sequence(col("_mn"), col("_mx"))).as("bk"))
-    val part = Window.partitionBy(col("user_id")).orderBy(col("bk"))
-    val back = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = Window.partitionBy(col("user_id")).orderBy(col("bk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdRev = Window.partitionBy(col("user_id")).orderBy(col("bk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cells = spine.join(obs, Seq("user_id", "bk"), "left")
     val obsBk = when(col("mx").isNotNull, col("bk"))
     cells
       .withColumn("_pbk", last(obsBk, ignoreNulls = true).over(back))
       .withColumn("_pv", last(col("mx"), ignoreNulls = true).over(back))
-      .withColumn("_nbk", first(obsBk, ignoreNulls = true).over(fwd))
-      .withColumn("_nv", first(col("mx"), ignoreNulls = true).over(fwd))
+      .withColumn("_nbk", last(obsBk, ignoreNulls = true).over(fwdRev))
+      .withColumn("_nv", last(col("mx"), ignoreNulls = true).over(fwdRev))
       .select(col("user_id"), col("bk"), col("mx").isNull.as("gap"),
         when(col("mx").isNull,
           col("_pv") + (col("_nv") - col("_pv")) * (col("bk") - col("_pbk"))

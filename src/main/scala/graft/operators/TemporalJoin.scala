@@ -91,10 +91,17 @@ object TemporalJoin {
     * left(leftTime)` and equal `keys` (the "next quote" / "next
     * calibration reading" lookup). Right rows at exactly the left
     * timestamp DO match. Same carried-struct contract, same single
-    * Exchange + sort cost; the only changes are the frame direction
-    * (current row → unbounded following, `first(ignoreNulls)`) and the
-    * tie order (left before right at equal `_t`, so an exact match sits
-    * inside the left row's forward frame).
+    * Exchange; the forward carry sorts DESCENDING on `(_t, _side)` and
+    * reuses the incremental running frame (unbounded preceding →
+    * current row, `last(ignoreNulls)`). A literal forward frame
+    * (current row → unbounded following) would hit Spark's
+    * UnboundedFollowingWindowFunctionFrame, which re-aggregates the
+    * whole remaining partition for every row — O(n²) in key depth,
+    * exactly the hot-key failure mode the deep probe measures; the
+    * descending running frame gives the same answer at sort cost. At
+    * equal `_t` the right row sorts before the left row in descending
+    * `_side` order, so an exact-time match sits inside the left row's
+    * frame.
     *
     * Identity with the backward form: forward-as-of on `t` ≡
     * [[asofJoin]] on negated time — pinned by TemporalJoinSpec. */
@@ -121,11 +128,11 @@ object TemporalJoin {
       .select(keys.map(col) :+ col("_t") :+ col("_side")
         :+ struct(valueCols.map(col): _*).as("_vals"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t").asc, col("_side").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lv.unionByName(rv, allowMissingColumns = true)
       .select(left.columns.toSeq.map(col) :+ col("_side")
-        :+ first(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
+        :+ last(col("_vals"), ignoreNulls = true).over(w).as("_vals"): _*)
       .filter(col("_side") === 0)
       .select(left.columns.toSeq.map(col) ++
         valueCols.map(c => col("_vals").getField(c).as(c)): _*)
@@ -191,11 +198,14 @@ object TemporalJoin {
     *
     * Times must support subtraction and ordering (epoch micros — the
     * same numeric-time discipline the other as-of forms use in the
-    * registry). One union + ONE key-partitioned sort evaluates both
-    * window frames (the backward `last` and forward `first` share the
-    * (_t, _side) ordering, so Catalyst plans a single Exchange+Sort);
-    * the right row rides as one struct, so all carried columns come
-    * from the single matched version (never blended across versions). */
+    * registry). One union + ONE key-partitioned Exchange evaluates both
+    * window frames; the backward carry sorts ascending and the forward
+    * carry DESCENDING (two in-partition sorts, no second shuffle) so
+    * both run as incremental running frames — a literal forward frame
+    * would re-aggregate the remaining partition per row, O(n²) in key
+    * depth. The right row rides as one struct, so all carried columns
+    * come from the single matched version (never blended across
+    * versions). */
   def asofJoinNearest(
       left: DataFrame,
       right: DataFrame,
@@ -221,11 +231,18 @@ object TemporalJoin {
              struct(valueCols.map(col): _*).as("_vv")).as("_tv"): _*)
     // right sorts before left at equal _t, so the backward frame sees
     // exact-time matches; the forward frame misses them, but backward
-    // wins any distance-zero comparison, so the result is unaffected
+    // wins any distance-zero comparison, so the result is unaffected.
+    // The forward carry runs over the DESCENDING order with an
+    // incremental running frame — a literal currentRow→unboundedFollowing
+    // frame re-aggregates the remaining partition per row (O(n²) in key
+    // depth); in the descending order left (_side=1) sorts before right
+    // (_side=0) at equal _t, preserving the exclude-exact-match tie rule.
     val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_t").asc, col("_side").asc)
+    val ordRev = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").desc, col("_side").desc)
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wf = ordRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val chosen = when(col("_b").isNull, col("_f"))
       .when(col("_f").isNull, col("_b"))
       .when(col("_t") - col("_b._rt") <= col("_f._rt") - col("_t"), col("_b"))
@@ -233,7 +250,7 @@ object TemporalJoin {
     lv.unionByName(rv, allowMissingColumns = true)
       .select(left.columns.toSeq.map(col) :+ col("_t") :+ col("_side")
         :+ last(col("_tv"), ignoreNulls = true).over(wb).as("_b")
-        :+ first(col("_tv"), ignoreNulls = true).over(wf).as("_f"): _*)
+        :+ last(col("_tv"), ignoreNulls = true).over(wf).as("_f"): _*)
       .filter(col("_side") === 1)
       .withColumn("_n", chosen)
       .select(left.columns.toSeq.map(col) ++

@@ -129,15 +129,28 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly one user_id hash exchange, found $userExchanges:\n$p")
   }
 
-  test("EVERY registry query: no CartesianProduct, no nondeterministic expressions") {
-    // A cartesian product in any query is an instant scale-killer; a
-    // nondeterministic expression (rand etc.) breaks retry/replay
-    // semantics AND the oracle contract. Sweep the whole registry.
+  test("EVERY registry query: no CartesianProduct, no unbounded-following frame, no nondeterministic expressions") {
+    // A cartesian product in any query is an instant scale-killer; an
+    // unboundedfollowing$ window frame re-aggregates the remaining
+    // partition for EVERY row (Spark's
+    // UnboundedFollowingWindowFunctionFrame — O(n²) in partition depth;
+    // cost e10 27.6 s vs 1.3 s at sf0.1 before it was rewritten as a
+    // descending running frame); a nondeterministic expression (rand
+    // etc.) breaks retry/replay semantics AND the oracle contract.
+    // Sweep the whole registry.
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, dir)
       val p = plan(df)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
+      // whole-partition frames (unboundedpreceding → unboundedfollowing)
+      // are fine: evaluated once per partition. Only a MOVING lower
+      // bound combined with unboundedfollowing re-aggregates per row.
+      val movingLower = p
+        .replace("unboundedpreceding$(), unboundedfollowing$()", "")
+        .contains("unboundedfollowing")
+      assert(!movingLower,
+        s"$name plans an O(n²) unbounded-following window frame:\n$p")
       val nondet = df.queryExecution.analyzed.collect {
         case plan0 => plan0.expressions.filter(e => !e.deterministic)
       }.flatten

@@ -143,7 +143,7 @@ class TemporalJoinSpec extends SparkTestBase {
       (7L, None, None)))
   }
 
-  test("asofJoinNearest: matched version carries atomically; one Window, no nested loop") {
+  test("asofJoinNearest: matched version carries atomically; one Exchange, running frames only") {
     // nearest is the rv=null version — a per-column carry would blend
     // in 200.0 from the farther version
     val left = Seq((1L, "a", 29L)).toDF("id", "k", "t")
@@ -155,13 +155,18 @@ class TemporalJoinSpec extends SparkTestBase {
     val got = joined.collect()
       .map(r => (r.getLong(0), Option(r.getAs[Any]("rv")), r.getAs[String]("tag")))
     assert(got.toSeq == Seq((1L, None, "near")))
-    // both direction frames share one (key)-partitioned (_t,_side) sort:
-    // exactly one Window operator, no nested-loop anywhere (string-level
-    // because WindowExec hides inside AQE query stages)
+    // two Window ops (asc backward carry, desc forward carry) over ONE
+    // key Exchange — and no unboundedfollowing$ frame anywhere: that
+    // frame re-aggregates the remaining partition per row (O(n²) in key
+    // depth). String-level because WindowExec hides inside AQE stages.
     val s = joined.queryExecution.executedPlan.toString
     val finalSection = s.split("== Initial Plan ==")(0)
-    assert("Window \\[".r.findAllIn(finalSection).size == 1,
-      s"backward+forward frames must share one Window operator:\n$finalSection")
+    assert("Window \\[".r.findAllIn(finalSection).size == 2,
+      s"backward+forward carries must plan as two running-frame Windows:\n$finalSection")
+    assert("Exchange hashpartitioning".r.findAllIn(finalSection).size == 1,
+      s"both carries must reuse one key Exchange:\n$finalSection")
+    assert(!finalSection.contains("unboundedfollowing"),
+      s"no O(n²) unbounded-following frame allowed:\n$finalSection")
     assert(!s.contains("BroadcastNestedLoop") && !s.contains("Cartesian"),
       s"nearest as-of must never nest-loop:\n$s")
   }
