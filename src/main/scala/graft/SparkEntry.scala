@@ -841,6 +841,27 @@ object SparkEntry {
       .select(col("doc_id"), col("admit"), col("reject_reason"))
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weights ([[Importance]] — Xie et al. 2023):
+    * target distribution = src0's documents, raw = the whole corpus;
+    * per-doc score = exact integer sum of quantized per-bucket
+    * log-likelihood ratios. Oracle replays tokenization, bigrams, md5
+    * bucketing, add-1 smoothing and the ⌊2^16·ln⌋ quantization. */
+  private val x21DsirScore = (s: SparkSession, d: String) =>
+    Importance.scoreAgainstTarget(t(s, d, "documents"), "doc_id", "text",
+        targetFilter = col("source") === "src0")
+      .orderBy(col("doc_id"))
+
+  /** DSIR top-k selection: the 150 raw docs most like the src0 target
+    * distribution ([[Importance.selectTopK]] — TakeOrdered, never a
+    * global sort). */
+  private val x22DsirSelect = (s: SparkSession, d: String) =>
+    Importance.selectTopK(
+        Importance.scoreAgainstTarget(t(s, d, "documents"), "doc_id", "text",
+          targetFilter = col("source") === "src0"),
+        "doc_id", k = 150)
+      .select(col("doc_id"), col("n_feats"), col("score_q"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic 3-way split over the documents corpus. */
   private val x1HashSplit = (s: SparkSession, d: String) =>
     Sampling.assignSplit(t(s, d, "documents"), "doc_id",
@@ -2073,6 +2094,8 @@ object SparkEntry {
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
     "x16_weighted_sample" -> x16WeightedSample,
+    "x21_dsir_score" -> x21DsirScore,
+    "x22_dsir_select" -> x22DsirSelect,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
@@ -2439,6 +2462,87 @@ object SparkEntry {
            SELECT * FROM best ORDER BY pri LIMIT 200
          )
          SELECT doc_id, w, pri FROM top ORDER BY doc_id""",
+    "x21_dsir_score" ->
+      // full DSIR replay: same tokenization as the d-series (trim →
+      // lower → strip-punct → split, empties filtered), unigram+bigram
+      // features, 2-hex-char md5 buckets (B=256), add-1 smoothing, and
+      // the exact quantization ⌊65536·ln((tc+1)/(rc+1)·(Nr+B)/(Nt+B))⌋
+      // — four correctly-rounded double ops + one ln per BUCKET; the
+      // per-doc sums are exact longs (order-independent). The engine's
+      // spec asserts every bucket sits ≥1e-6 from a floor boundary, so
+      // both engines' ln agree on every floor.
+      """WITH f AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+                         t -> t <> '') AS toks
+           FROM documents
+         ), feat AS (
+           SELECT doc_id, source,
+             unnest(toks || list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS feat
+           FROM f
+         ), occ AS (
+           SELECT doc_id, source, substr(md5('dsir:' || feat), 1, 2) AS bucket FROM feat
+         ), rc AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM occ GROUP BY 1
+         ), tc AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM occ
+           WHERE source = 'src0' GROUP BY 1
+         ), j AS (
+           SELECT rc.bucket, COALESCE(tc.tc, 0) AS tc, rc.rc
+           FROM rc LEFT JOIN tc USING (bucket)
+         ), tot AS (
+           SELECT CAST(sum(tc) AS BIGINT) AS nt, CAST(sum(rc) AS BIGINT) AS nr FROM j
+         ), ratio AS (
+           SELECT bucket,
+             CAST(floor(65536.0 * ln(
+               (CAST(tc + 1 AS DOUBLE) / CAST(rc + 1 AS DOUBLE))
+                 * (CAST(nr + 256 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)))) AS BIGINT) AS ratio_q
+           FROM j, tot
+         )
+         SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(ratio_q) AS BIGINT) AS score_q
+         FROM occ JOIN ratio USING (bucket)
+         GROUP BY 1 ORDER BY occ.doc_id""",
+    "x22_dsir_select" ->
+      // same replay + the top-150 cut by (score_q DESC, doc_id ASC)
+      """WITH f AS (
+           SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+                         t -> t <> '') AS toks
+           FROM documents
+         ), feat AS (
+           SELECT doc_id, source,
+             unnest(toks || list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS feat
+           FROM f
+         ), occ AS (
+           SELECT doc_id, source, substr(md5('dsir:' || feat), 1, 2) AS bucket FROM feat
+         ), rc AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS rc FROM occ GROUP BY 1
+         ), tc AS (
+           SELECT bucket, CAST(count(*) AS BIGINT) AS tc FROM occ
+           WHERE source = 'src0' GROUP BY 1
+         ), j AS (
+           SELECT rc.bucket, COALESCE(tc.tc, 0) AS tc, rc.rc
+           FROM rc LEFT JOIN tc USING (bucket)
+         ), tot AS (
+           SELECT CAST(sum(tc) AS BIGINT) AS nt, CAST(sum(rc) AS BIGINT) AS nr FROM j
+         ), ratio AS (
+           SELECT bucket,
+             CAST(floor(65536.0 * ln(
+               (CAST(tc + 1 AS DOUBLE) / CAST(rc + 1 AS DOUBLE))
+                 * (CAST(nr + 256 AS DOUBLE) / CAST(nt + 256 AS DOUBLE)))) AS BIGINT) AS ratio_q
+           FROM j, tot
+         ), scored AS (
+           SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(ratio_q) AS BIGINT) AS score_q
+           FROM occ JOIN ratio USING (bucket)
+           GROUP BY 1
+         ), top AS (
+           SELECT * FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT 150
+         )
+         SELECT doc_id, n_feats, score_q FROM top ORDER BY doc_id""",
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order

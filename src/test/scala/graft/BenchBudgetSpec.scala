@@ -144,6 +144,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a20_equidepth_hist" -> 1.2,
     "a21_iqr_outliers" -> 1.0,
     "x16_weighted_sample" -> 1.0,
+    "x21_dsir_score" -> 3.0,
+    "x22_dsir_select" -> 3.0,
     "j13_forward_asof" -> 1.0,
     "a22_join_size" -> 1.0,
     "x17_leak_safe_split" -> 3.5,
