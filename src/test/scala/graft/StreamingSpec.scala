@@ -410,6 +410,70 @@ class StreamingSpec extends SparkTestBase {
       "reference index cache must be released on query termination")
   }
 
+  test("streaming importance scoring: batch parity, admit threshold, exactly-once") {
+    import spark.implicits._
+    import graft.operators.Importance
+    import graft.streaming.StreamingImportance
+    val base = tmpDir("simp")
+    val target = Seq(
+      (900L, "alpha beta alpha beta gamma"),
+      (901L, "alpha gamma beta alpha")
+    ).toDF("doc_id", "text")
+    val raw = target.unionByName(Seq(
+      (902L, "delta epsilon delta epsilon zeta"),
+      (903L, "zeta epsilon delta zeta")
+    ).toDF("doc_id", "text"))
+    val ratios = Importance.logRatioTable(target, raw, "text")
+    val scorer = new StreamingImportance(s"$base/scored", minScoreQ = 0L)
+
+    val batch1 = Seq(
+      (10L, "alpha beta alpha gamma"),   // target-like -> admitted
+      (11L, "delta epsilon zeta delta")  // off-target -> rejected
+    ).toDF("doc_id", "text")
+    scorer.processBatch(spark, ratios, batch1, 0L)
+    scorer.processBatch(spark, ratios, batch1, 0L) // replay: no-op
+
+    val got = spark.read.parquet(s"$base/scored/data")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    // streaming scores must equal the batch operator's integers exactly
+    val expected = Importance.importanceScores(batch1, "doc_id", "text", ratios)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(2) >= 0L)).toSet
+    assert(got == expected, s"streaming/batch divergence: $got vs $expected")
+    assert(got.find(_._1 == 10L).exists(_._3), "target-like doc must be admitted")
+    assert(got.find(_._1 == 11L).exists(!_._3), "off-target doc must be rejected")
+  }
+
+  test("streaming importance end-to-end: file stream scored against a static ratio table") {
+    import spark.implicits._
+    import graft.streaming.StreamingImportance
+    val base = tmpDir("simp-e2e")
+    val target = Seq((900L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val raw = target.unionByName(
+      Seq((902L, "delta epsilon delta epsilon")).toDF("doc_id", "text"))
+    // two arrival files -> two micro-batches (maxFilesPerTrigger = 1)
+    Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    Seq((11L, "delta epsilon zeta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val scorer = new StreamingImportance(s"$base/scored", minScoreQ = 0L)
+    spark.catalog.clearCache() // isolate the release assertion below
+    scorer.start(spark, target, raw, "text", stream, s"$base/cp").awaitTermination()
+    val got = spark.read.parquet(s"$base/scored/data")
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(got == Map(10L -> true, 11L -> false), s"got $got")
+    // lifecycle: the persisted ratio table is released on termination
+    val deadline = System.nanoTime() + 15_000_000_000L
+    while (!org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark)
+           && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(org.apache.spark.sql.GraftSqlBridge.cacheManagerIsEmpty(spark),
+      "ratio table cache must be released on query termination")
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
