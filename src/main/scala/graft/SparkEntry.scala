@@ -796,6 +796,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-balanced sampling — the corpus-organization primitive
+    * behind SemDeDup-style curation (public: Abbas et al. 2023;
+    * cluster-then-cap also appears in LLaMA-style data recipes): k-means
+    * lists over the embedding space ([[Similarity.ivfCentroidsMd5]] —
+    * the SQL-replayable sample, assignment is the same shuffle-free
+    * inlined-centroid argmax the IVF tier uses) capped at a per-cluster
+    * quota by deterministic hash order ([[Sampling.groupQuota]]) — "at
+    * most N docs per semantic neighborhood", preventing any dense
+    * region from dominating the training mix. One narrow assign pass +
+    * one quota shuffle on the list id; the corpus never self-joins. */
+  private val x23ClusterBalance = (s: SparkSession, d: String) => {
+    val emb = t(s, d, "embeddings")
+    val cents = Similarity.ivfCentroidsMd5(emb, "vec_id", "embedding",
+      nlist = 8, salt = "cbal")
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("list_id"))
+    Sampling.groupQuota(assigned, "list_id", "vec_id", quota = 40)
+      .orderBy(col("vec_id"))
+  }
+
   /** Rarity metrics vs the corpus' own top-20 vocabulary (the fixture
     * has 31 distinct tokens, so the cut exercises the OOV path). */
   private val t15Rarity = (s: SparkSession, d: String) =>
@@ -2096,6 +2116,7 @@ object SparkEntry {
     "x16_weighted_sample" -> x16WeightedSample,
     "x21_dsir_score" -> x21DsirScore,
     "x22_dsir_select" -> x22DsirSelect,
+    "x23_cluster_balance" -> x23ClusterBalance,
     "a20_equidepth_hist" -> a20Equidepth,
     "w8_ranking_suite" -> w8RankingSuite,
     "t9_edit_distance" -> t9EditDistance,
@@ -2543,6 +2564,35 @@ object SparkEntry {
            SELECT * FROM scored ORDER BY score_q DESC, doc_id ASC LIMIT 150
          )
          SELECT doc_id, n_feats, score_q FROM top ORDER BY doc_id""",
+    "x23_cluster_balance" ->
+      // full replay: md5-sampled centroids ('cbal:' salt, the s14
+      // pattern), argmax-cosine assignment with ties to the smaller
+      // centroid id (DOUBLE[] casts = the engine's accumulate-in-double
+      // CosineSim), then the groupQuota cut by ('quota:' salt) hash
+      // order with vec_id tiebreak
+      """WITH cents AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM (
+             SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY substr(md5('cbal:' || vec_id::VARCHAR), 1, 8), vec_id) AS rn
+             FROM embeddings
+           ) WHERE rn <= 8
+         ), assigned AS (
+           SELECT vec_id, cid AS list_id FROM (
+             SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                          c.cid ASC) AS rn
+             FROM embeddings e CROSS JOIN cents c
+           ) WHERE rn = 1
+         ), kept AS (
+           SELECT vec_id, list_id FROM (
+             SELECT vec_id, list_id,
+               ROW_NUMBER() OVER (PARTITION BY list_id
+                 ORDER BY substr(md5('quota:' || vec_id::VARCHAR), 1, 8), vec_id) AS qrk
+             FROM assigned
+           ) WHERE qrk <= 40
+         )
+         SELECT vec_id, list_id FROM kept ORDER BY vec_id""",
     "e7_sessionize" ->
       // the same gaps-and-islands construction in window SQL: both
       // engines agree on lag/sum/row_number over the pinned order

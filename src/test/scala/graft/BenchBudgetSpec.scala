@@ -146,6 +146,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x16_weighted_sample" -> 1.0,
     "x21_dsir_score" -> 3.0,
     "x22_dsir_select" -> 3.0,
+    "x23_cluster_balance" -> 1.5,
     "j13_forward_asof" -> 1.0,
     "a22_join_size" -> 1.0,
     "x17_leak_safe_split" -> 3.5,

@@ -233,4 +233,24 @@ class SamplingSpec extends SparkTestBase {
     assert(counts("tiny") == 5L, "undersized group keeps everything it has")
     assert(counts("big") == 20L, "other groups keep their own share (documented: no reallocation)")
   }
+
+  test("cluster-balanced sampling: per-cluster cap holds, kept set is a deterministic subset") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.ivfCentroidsMd5(emb, "vec_id", "embedding",
+      nlist = 4, salt = "cbal")
+    val assigned = Similarity.ivfAssign(emb, cents, "vec_id", "embedding")
+      .select(col("vec_id"), col("list_id"))
+    val kept = Sampling.groupQuota(assigned, "list_id", "vec_id", quota = 10)
+    val perList = kept.groupBy("list_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perList.values.forall(_ <= 10), s"quota violated: $perList")
+    // kept rows carry their true assignment (subset, not a re-derive)
+    val joined = kept.join(assigned.withColumnRenamed("list_id", "l2"), "vec_id")
+    assert(joined.filter(col("list_id") =!= col("l2")).isEmpty)
+    val again = Sampling.groupQuota(assigned, "list_id", "vec_id", quota = 10)
+      .collect().map(r => r.getLong(0)).sorted.toSeq
+    assert(again == kept.collect().map(r => r.getLong(0)).sorted.toSeq,
+      "selection must be deterministic across evaluations")
+  }
 }
