@@ -156,12 +156,17 @@ object Importance {
 
   /** Composed scoring of a corpus against a target sample drawn FROM
     * it — the common pipeline shape (raw = the corpus being selected
-    * from, target = a filter of it). The corpus occurrence frame is
-    * staged ONCE ([[graft.CachePool]]-registered persist — the caller
-    * releases at the pipeline boundary) and feeds BOTH the raw bucket
-    * counts and the per-doc scoring, halving the corpus tokenization
-    * passes vs composing [[logRatioTable]] + [[importanceScores]]
-    * by hand. */
+    * from, target = a filter of it). The corpus is tokenized ONCE and
+    * immediately pre-aggregated to one row per (document, bucket) with
+    * an occurrence count `n` — at hexChars=2 that is ≤ 256 rows per
+    * document regardless of document length, so the staged frame
+    * ([[graft.CachePool]]-registered persist — the caller releases at
+    * the pipeline boundary) caches O(docs·B) rows, not O(token
+    * occurrences), and all three consumers (target counts, raw counts,
+    * per-doc scoring) scan the small frame. Scores are unchanged by
+    * the pre-aggregation — Σ_occurrences ratio_q ≡ Σ_(doc,bucket)
+    * n·ratio_q exactly (integer arithmetic; n·ratio_q overflows long
+    * only past ~2^42 occurrences of one bucket in one document). */
   def scoreAgainstTarget(
       docs: DataFrame,
       idCol: String,
@@ -171,13 +176,17 @@ object Importance {
       salt: String = "dsir",
       quantization: Int = DefaultQuantization): DataFrame = {
     val b = math.pow(16, hexChars).toLong
+    // _imp_tgt is constant per document, so grouping by it alongside
+    // (id, bucket) adds no rows — it just rides along for the tc filter.
     val occ = graft.CachePool.register(
       featureBuckets(docs.select(col(idCol), docs(textCol),
           targetFilter.as("_imp_tgt")), textCol, hexChars, salt)
+        .groupBy(col(idCol), col("_imp_tgt"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
         .persist())
     val tc = occ.filter(col("_imp_tgt"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
-    val rc = occ.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("tc"))
+    val rc = occ.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
     val joined = rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
     val totals = joined.agg(sum(col("tc")).as("nt"), sum(col("rc")).as("nr"))
@@ -189,6 +198,6 @@ object Importance {
           .as("ratio_q"))
     occ.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_q")).as("score_q"))
+      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("ratio_q")).as("score_q"))
   }
 }
