@@ -55,6 +55,61 @@ object ScaleFixture {
         .withColumn("event_id", col("event_id") + lit(r * idStride))
     }.reduce(_.unionByName(_))
 
+  /** Deterministic mixture-of-Gaussians embedding corpus — the ANN
+    * evaluation fixture the tiny (≤2k-row) driver fixtures can't be:
+    * `n` vectors of dimension `dim` in `clusters` isotropic Gaussian
+    * clusters, the shape real embedding corpora have and the shape
+    * IVF lists / PQ codewords are designed for (standard synthetic
+    * construction — e.g. the clustered setting of Jégou et al. 2011
+    * §V; nothing here derives from any non-public source).
+    *
+    * Determinism, twice over:
+    *  - cluster CENTERS are unit-norm Gaussian draws from a seeded
+    *    `java.util.Random` (its LCG + nextGaussian are pinned by the
+    *    Java spec, so the corpus is bit-stable across JVMs); driver
+    *    cost is clusters × dim doubles — broadcast as ONE map literal.
+    *  - per-coordinate NOISE is Box-Muller over two xxhash64-derived
+    *    uniforms keyed by (vec_id, coordinate) — a pure column
+    *    expression, so the corpus is independent of partitioning and
+    *    identical on every executor layout (`rand(seed)` is not).
+    *
+    * `spread` is the EXPECTED NOISE NORM (per-coordinate sd =
+    * spread/√dim): centers are unit vectors, so spread=0.5 gives
+    * within-cluster cosines ≈ 0.9 while random 64-d centers sit near
+    * cos ≈ 0 ± 1/√dim — tight, well-separated clusters. Cluster id is
+    * `vec_id mod clusters` (balanced lists by construction). */
+  def mixtureOfGaussians(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      dim: Int,
+      clusters: Int,
+      spread: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(n > 0 && dim > 0 && clusters > 0 && clusters <= n,
+      s"need 0 < clusters=$clusters <= n=$n and dim=$dim > 0")
+    val rnd = new java.util.Random(seed)
+    val centers: Seq[(Long, Seq[Double])] = (0 until clusters).map { c =>
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      c.toLong -> v.map(_ / norm).toSeq
+    }
+    val centMap = typedLit(centers.toMap)
+    val sd = spread / math.sqrt(dim.toDouble)
+    // uniform in (0,1): low 30 bits of the hash, offset half a step —
+    // never exactly 0, so log() below is total
+    def unif(tag: String, i: org.apache.spark.sql.Column) =
+      (pmod(xxhash64(lit(tag), lit(seed), col("vec_id"), i), lit(1L << 30))
+        .cast("double") + lit(0.5)) / lit((1L << 30).toDouble)
+    val noise = transform(sequence(lit(0), lit(dim - 1)), i =>
+      sqrt(lit(-2.0) * log(unif("mog-u1", i))) *
+        cos(lit(2.0 * math.Pi) * unif("mog-u2", i)) * lit(sd))
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("_cid", pmod(col("vec_id"), lit(clusters.toLong)))
+      .select(col("vec_id"),
+        zip_with(element_at(centMap, col("_cid")), noise,
+          (c, nz) => (c + nz).cast("float")).as("embedding"))
+  }
+
   /** `replicas` copies of (vec_id, embedding); replica r circularly
     * rotates coordinates by 7·r and flips the sign of every other
     * element. A coordinate permutation (+ sign pattern) preserves norms
