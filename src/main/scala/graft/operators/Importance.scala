@@ -58,24 +58,24 @@ object Importance {
 
   /** Stage the feature array: normalized whitespace tokens (empties
     * filtered) ++ word bigrams joined by one space. Single-token and
-    * empty documents contribute no bigrams (slice length 0 → empty
-    * zip, no special case); an empty document has NO features and
-    * therefore no score row (explode drops it — the DuckDB unnest
-    * twin drops it identically).
+    * empty documents contribute no bigrams (the `size ≥ 2` guard —
+    * [[graft.functions.NGramShingles]] would collapse a short array to
+    * one whole-array shingle, which is the SHINGLE convention, not the
+    * bigram one); an empty document has NO features and therefore no
+    * score row (explode drops it — the DuckDB unnest twin drops it
+    * identically).
     *
-    * Bigrams are zip_with-ed SHIFTED SLICES, never
-    * `transform(indices, i -> element_at(f, i))` — the
-    * [[TextAnalysis.shinglesFromTokensHof]] rule: lambda bodies here
-    * bind only lambda variables, so when CollapseProject inlines the
-    * staged array back into this expression (it does — the column is
-    * consumed once, under an explode), tokenization is evaluated O(1)
-    * times per ROW; the element_at form re-runs the full
-    * regex+split+filter chain per ELEMENT. */
+    * Bigrams ride the native single-pass [[TextAnalysis
+    * .shinglesFromTokens]] expression, not zip_with-ed shifted slices:
+    * the declarative slice form re-evaluated the tokenize+filter chain
+    * once per REFERENCE (4 refs) and built two intermediate slice
+    * copies per row — measured 4.9 s vs 0.6 s per corpus pass at
+    * sf0.1, a 7× stage cost for identical output (bit-for-bit: both
+    * join windows of 2 with one space). */
   private def withFeatures(df: DataFrame, textCol: String, out: String): DataFrame = {
     val f = filter(TextAnalysis.tokens(col(textCol)), t => t =!= "")
-    val outLen = greatest(size(f) - lit(1), lit(0))
-    val bigrams = zip_with(slice(f, lit(1), outLen), slice(f, lit(2), outLen),
-      (a, b) => concat_ws(" ", a, b))
+    val bigrams = when(size(f) >= 2, TextAnalysis.shinglesFromTokens(f, 2))
+      .otherwise(array().cast("array<string>"))
     df.withColumn(out, concat(f, bigrams))
   }
 
@@ -156,17 +156,23 @@ object Importance {
 
   /** Composed scoring of a corpus against a target sample drawn FROM
     * it — the common pipeline shape (raw = the corpus being selected
-    * from, target = a filter of it). The corpus is tokenized ONCE and
-    * immediately pre-aggregated to one row per (document, bucket) with
-    * an occurrence count `n` — at hexChars=2 that is ≤ 256 rows per
-    * document regardless of document length, so the staged frame
-    * ([[graft.CachePool]]-registered persist — the caller releases at
-    * the pipeline boundary) caches O(docs·B) rows, not O(token
-    * occurrences), and all three consumers (target counts, raw counts,
-    * per-doc scoring) scan the small frame. Scores are unchanged by
-    * the pre-aggregation — Σ_occurrences ratio_q ≡ Σ_(doc,bucket)
-    * n·ratio_q exactly (integer arithmetic; n·ratio_q overflows long
-    * only past ~2^42 occurrences of one bucket in one document). */
+    * from, target = a filter of it). The corpus occurrence frame is
+    * staged ONCE ([[graft.CachePool]]-registered persist — the caller
+    * releases at the pipeline boundary) and feeds BOTH the raw bucket
+    * counts and the per-doc scoring, halving the corpus tokenization
+    * passes vs composing [[logRatioTable]] + [[importanceScores]] by
+    * hand.
+    *
+    * Measured NON-optimization, kept as a warning: pre-aggregating the
+    * staged frame to (doc, bucket, n) before scoring — score-neutral
+    * by integer arithmetic — LOST ~2× end-to-end at sf0.1 (3.4 s →
+    * 9.0 s). At hexChars = 2 a typical document touches most of the
+    * 256 buckets, so the "compression" was 536k → 320k rows (1.7×)
+    * while adding a full (doc, hex-string-bucket)-keyed hash-aggregate
+    * exchange ahead of the cache. The occurrence frame stays
+    * unaggregated; the one shuffle that exists is the final doc-keyed
+    * scoring aggregate, whose map-side partials already compress to
+    * one row per (doc, partition). */
   def scoreAgainstTarget(
       docs: DataFrame,
       idCol: String,
@@ -176,19 +182,17 @@ object Importance {
       salt: String = "dsir",
       quantization: Int = DefaultQuantization): DataFrame = {
     val b = math.pow(16, hexChars).toLong
-    // _imp_tgt is constant per document, so grouping by it alongside
-    // (id, bucket) adds no rows — it just rides along for the tc filter.
     val occ = graft.CachePool.register(
       featureBuckets(docs.select(col(idCol), docs(textCol),
           targetFilter.as("_imp_tgt")), textCol, hexChars, salt)
-        .groupBy(col(idCol), col("_imp_tgt"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
         .persist())
     val tc = occ.filter(col("_imp_tgt"))
-      .groupBy(col("bucket")).agg(sum(col("n")).as("tc"))
-    val rc = occ.groupBy(col("bucket")).agg(sum(col("n")).as("rc"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val rc = occ.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
     val joined = rc.join(tc, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("tc"), lit(0L)).as("tc"), col("rc"))
+    // scalar totals ride a broadcast nested-loop against the ≤B-row
+    // table (the a24/chi-square idiom — never a global window)
     val totals = joined.agg(sum(col("tc")).as("nt"), sum(col("rc")).as("nr"))
     val ratios = joined.crossJoin(broadcast(totals))
       .select(col("bucket"),
@@ -198,6 +202,6 @@ object Importance {
           .as("ratio_q"))
     occ.join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(sum(col("n")).as("n_feats"), sum(col("n") * col("ratio_q")).as("score_q"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_q")).as("score_q"))
   }
 }
