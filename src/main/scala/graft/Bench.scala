@@ -39,6 +39,17 @@ object Bench {
     // skip the streaming/scale/ann sections (the iterate-on-one-query
     // loop; the driver always runs the full no-arg form)
     val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
+    // a typo'd name would silently filter to an empty map and print
+    // total=0 — which reads like a real timing (round-8 advice)
+    only.foreach { sel =>
+      val unknown = sel -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[bench] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+            s"— valid names are SparkEntry.queries keys")
+        sys.exit(2)
+      }
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -175,6 +186,12 @@ object Bench {
       val nlist = 64
       val exact = pairSet(Similarity.cosineTopK(mog, "vec_id", "embedding", probes, 5)
         .select(col("probe_id"), col("neighbor_id")))
+      // an empty exact set (e.g. SPARK_GRAFT_MOG_N overridden below the
+      // probe range) would make every recall 0/0 = NaN — a bare NaN
+      // token is invalid JSON and the try/catch never sees it (round-8
+      // advice); fail loudly into the error branch instead
+      require(exact.nonEmpty,
+        s"ann quality: exact top-k returned no pairs (mog_n=$n too small?)")
       def recall(got: Set[(Long, Long)]): Double =
         math.rint((got & exact).size.toDouble / exact.size * 10000) / 10000
       def ivfRecall(nprobe: Int): Double =
@@ -183,11 +200,16 @@ object Bench {
           maxProbes = 25)
           .select(col("probe_id"), col("neighbor_id"))))
       val ivfCurve = Seq(1, 2, 4, 8).map(p => p -> ivfRecall(p))
-      // s12 vs s14 at identical index bytes and identical probe depth:
-      // the residual encoding is the ONLY difference
+      // s12 vs s14 at identical index bytes, identical probe depth AND
+      // the identical md5-sampled centroid set (centroidSaltMd5 matches
+      // the residual tier's default "ivfr" salt — without it the two
+      // tiers sampled different centroids via xxhash64 vs md5 and
+      // probed different lists; round-8 advice): the residual encoding
+      // is the ONLY difference
       val pqRecall = recall(pairSet(Similarity.ivfTopKPq(
         mog, "vec_id", "embedding", probes, 5,
-        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, maxProbes = 25)
+        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, maxProbes = 25,
+        centroidSaltMd5 = Some("ivfr"))
         .select(col("probe_id"), col("neighbor_id"))))
       val pqResRecall = recall(pairSet(Similarity.ivfTopKPqResidual(
         mog, "vec_id", "embedding", probes, 5,

@@ -96,7 +96,12 @@ object ScaleFixture {
     val centMap = typedLit(centers.toMap)
     val sd = spread / math.sqrt(dim.toDouble)
     // uniform in (0,1): low 30 bits of the hash, offset half a step —
-    // never exactly 0, so log() below is total
+    // never exactly 0, so log() below is total. The hash keys on
+    // (tag, seed, vec_id, i) only — NOT dim/clusters/spread — so two
+    // corpora differing only in those parameters draw CORRELATED noise
+    // fields (round-8 advice). Fine for this bench fixture (one
+    // parameterization per run); fold dim/spread into the tag before
+    // using it for paired A/B corpora that must be independent.
     def unif(tag: String, i: org.apache.spark.sql.Column) =
       (pmod(xxhash64(lit(tag), lit(seed), col("vec_id"), i), lit(1L << 30))
         .cast("double") + lit(0.5)) / lit((1L << 30).toDouble)
