@@ -742,7 +742,16 @@ object Similarity {
     * sampled codebooks — EXACTLY [[pqTopK]]'s oracled form; the s11 SQL
     * twin verifies the composed machinery (codes in lists, probe-list
     * join, reconstruction scoring) end to end. `rerank > 0` adds the
-    * standard fp32 shortlist refinement (s8 pattern). */
+    * standard fp32 shortlist refinement (s8 pattern).
+    *
+    * `centroidSaltMd5 = Some(salt)` swaps the coarse-centroid sample
+    * from xxhash64 ([[ivfCentroids]] — the s12 oracled default) to the
+    * md5 sampler [[ivfCentroidsMd5]] with that salt. Exists so an A/B
+    * against [[ivfTopKPqResidual]] (md5-sampled by construction — its
+    * CODES depend on assignment) can run both tiers on the IDENTICAL
+    * centroid set, leaving the residual encoding as the only variable;
+    * round-8 advice flagged the bench comparison as confounded without
+    * it. */
   def ivfTopKPq(
       df: DataFrame,
       idCol: String,
@@ -756,8 +765,12 @@ object Similarity {
       ksub: Int = 16,
       refineIters: Int = 0,
       rerank: Int = 0,
-      maxProbes: Int = 10000): DataFrame = {
-    val cents = collectCentroids(ivfCentroids(df, idCol, vecCol, nlist))
+      maxProbes: Int = 10000,
+      centroidSaltMd5: Option[String] = None): DataFrame = {
+    val cents = collectCentroids(centroidSaltMd5 match {
+      case Some(salt) => ivfCentroidsMd5(df, idCol, vecCol, nlist, salt)
+      case None => ivfCentroids(df, idCol, vecCol, nlist)
+    })
     val sampled = pqSampledCodebooks(df, idCol, vecCol, dim, m, ksub)
     val cb =
       if (refineIters > 0) pqRefineCodebooks(df, vecCol, dim, sampled, refineIters)
@@ -907,6 +920,97 @@ object Similarity {
         .withColumn("rank", row_number().over(wr))
         .filter(col("rank") <= k)
         .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+    }
+  }
+
+  /** Clusteredness diagnostic for the PQ tiers: mean cosine(v,
+    * nearest-sampled-centroid) over a bounded md5-uniform sample of the
+    * corpus. The PQ scaladoc warnings ("residual coding wins on
+    * clustered data, no PQ variant helps on uniform data") previously
+    * lived only in prose — this is the same signal as a NUMBER a
+    * caller (or [[ivfTopKPqAuto]]) can branch on.
+    *
+    * Separation, measured on the bench fixtures (SimilaritySpec
+    * asserts both sides): uniform-random 64-d embeddings ≈ 0.25–0.4
+    * (the best of nlist random directions in 64-d is far from any
+    * point); mixture-of-Gaussians at spread 0.5 ≈ 0.75–0.85 (a sampled
+    * centroid is a cluster-mate: cos ≈ 1/(1+spread²)). The
+    * [[ivfTopKPqAuto]] default threshold 0.6 sits between the bands.
+    *
+    * Cost: one centroid sample (nlist rows) + one TakeOrdered sample
+    * of `sampleN` rows + one bounded aggregate — O(corpus scan), no
+    * shuffle wider than the sample. Deterministic (md5 sampling both
+    * times), so the steer is reproducible run-to-run. */
+  def meanAssignmentCosine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      sampleN: Int = 2048,
+      centroidSalt: String = "ivfr"): Double = {
+    require(sampleN > 0, s"sampleN must be positive, got $sampleN")
+    val cents = collectCentroids(
+      ivfCentroidsMd5(df, idCol, vecCol, nlist, centroidSalt))
+    df.orderBy(Sampling.uniformHex(col(idCol), s"$centroidSalt-diag"), col(idCol))
+      .limit(sampleN)
+      .select(array_max(centroidScores(cents, vecCol)).getField("cos").as("_c"))
+      .agg(avg(col("_c")))
+      .collect()(0).getDouble(0)
+  }
+
+  private val autoLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")
+
+  /** Self-steering IVF-PQ: measure [[meanAssignmentCosine]] on a
+    * bounded sample, then run [[ivfTopKPqResidual]] when the corpus is
+    * clustered (diagnostic ≥ `residualThreshold`) and [[ivfTopKPq]]
+    * when it is not — the enforcement of the PQ tiers' documented
+    * operating points (residual coding lifts clustered recon-cosine
+    * 0.78 → 0.97 at equal bytes and does NOTHING on uniform data,
+    * where the right spend is an fp32 `rerank` shortlist or the int8
+    * tier instead). Both branches use the SAME md5-sampled centroid
+    * set (`centroidSalt`), so the steer changes the ENCODING only,
+    * never the probed lists. The choice and the diagnostic value are
+    * logged; on the uniform branch with rerank == 0 the log warns that
+    * ADC ranks will be near-noise. */
+  def ivfTopKPqAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      probeFilter: Column,
+      k: Int,
+      dim: Int,
+      nlist: Int,
+      nprobe: Int,
+      m: Int = 4,
+      ksub: Int = 16,
+      rerank: Int = 0,
+      residualThreshold: Double = 0.6,
+      diagnosticSampleN: Int = 2048,
+      maxProbes: Int = 10000,
+      centroidSalt: String = "ivfr"): DataFrame = {
+    val diag = meanAssignmentCosine(
+      df, idCol, vecCol, nlist, diagnosticSampleN, centroidSalt)
+    if (diag >= residualThreshold) {
+      autoLog.info(
+        f"ivfTopKPqAuto: mean assignment cosine $diag%.3f >= $residualThreshold%.2f " +
+          "(clustered) - using residual IVF-PQ encoding")
+      ivfTopKPqResidual(df, idCol, vecCol, probeFilter, k, dim, nlist, nprobe,
+        m, ksub, refineIters = 0, rerank = rerank, maxProbes = maxProbes,
+        centroidSalt = centroidSalt)
+    } else {
+      if (rerank <= 0)
+        autoLog.warn(
+          f"ivfTopKPqAuto: mean assignment cosine $diag%.3f < $residualThreshold%.2f " +
+            "(uniform-ish corpus) with rerank=0 - ADC ranks over such data are " +
+            "near-noise whatever the encoding; budget an fp32 rerank shortlist " +
+            "or use ivfTopKQuantized")
+      else
+        autoLog.info(
+          f"ivfTopKPqAuto: mean assignment cosine $diag%.3f < $residualThreshold%.2f " +
+            s"(uniform-ish) - using raw-PQ encoding with rerank=$rerank")
+      ivfTopKPq(df, idCol, vecCol, probeFilter, k, dim, nlist, nprobe,
+        m, ksub, refineIters = 0, rerank = rerank, maxProbes = maxProbes,
+        centroidSaltMd5 = Some(centroidSalt))
     }
   }
 

@@ -576,6 +576,45 @@ class SimilaritySpec extends SparkTestBase {
       f"residual recon cos $res%.4f should clear raw $raw%.4f by a real margin")
   }
 
+  test("clusteredness diagnostic separates uniform from clustered; auto steers the PQ encoding") {
+    // the round-7 verdict's item: the "residual wins on clustered,
+    // nothing wins on uniform" scaladoc warnings become a measured
+    // branch — meanAssignmentCosine must land in disjoint bands on the
+    // two fixture shapes, and ivfTopKPqAuto must reproduce the tier it
+    // claims to choose (same md5 centroid set both ways, so the steer
+    // changes only the encoding)
+    val uniform = vecs(300, 64).toDF("vec_id", "embedding")
+    val rnd = new scala.util.Random(42)
+    val cs = Seq.fill(16)(Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    val clustered = (0 until 300).map { i =>
+      val c = cs(i % 16)
+      (i.toLong, c.map(x => x * 0.85f + (rnd.nextFloat() * 2 - 1) * 0.15f))
+    }.toDF("vec_id", "embedding")
+    val uDiag = Similarity.meanAssignmentCosine(uniform, "vec_id", "embedding", nlist = 16)
+    val cDiag = Similarity.meanAssignmentCosine(clustered, "vec_id", "embedding", nlist = 16)
+    assert(uDiag < 0.6, f"uniform diagnostic $uDiag%.3f should sit below the 0.6 threshold")
+    assert(cDiag >= 0.6, f"clustered diagnostic $cDiag%.3f should clear the 0.6 threshold")
+    assert(cDiag > uDiag + 0.2,
+      f"bands should be well separated: clustered $cDiag%.3f vs uniform $uDiag%.3f")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // clustered corpus -> the residual tier, bit-for-bit
+    val autoClustered = ids(Similarity.ivfTopKPqAuto(clustered, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16))
+    val directResidual = ids(Similarity.ivfTopKPqResidual(clustered, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16))
+    assert(autoClustered == directResidual,
+      "auto on a clustered corpus must equal the residual tier exactly")
+    // uniform corpus -> raw PQ on the same md5 centroids, bit-for-bit
+    val autoUniform = ids(Similarity.ivfTopKPqAuto(uniform, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16, rerank = 40))
+    val directRaw = ids(Similarity.ivfTopKPq(uniform, "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16, rerank = 40,
+      centroidSaltMd5 = Some("ivfr")))
+    assert(autoUniform == directRaw,
+      "auto on a uniform corpus must equal the raw-PQ tier (md5 centroids) exactly")
+  }
+
   test("pqRefineCodebooks: shape preserved, refinement reduces mean reconstruction error") {
     val df = vecs(200, 16).toDF("vec_id", "embedding")
     val cb0 = Similarity.pqSampledCodebooks(df, "vec_id", "embedding", dim = 16, m = 4, ksub = 8)
