@@ -230,10 +230,13 @@ class BenchBudgetSpec extends SparkTestBase {
   test("stateful streaming throughput stays above committed floors") {
     // round-6 verdict: the KPI number was the ONLY streaming throughput
     // gate — state-store regressions (windowed agg, dedup-vs-index)
-    // were invisible. Floors = ~1/3 of steady-state local[4] at
-    // sf0.001; per-batch fixed overheads dominate at this size, so the
-    // floors are deliberately coarse — an order-of-magnitude state
-    // regression still trips.
+    // were invisible. The original floors (100 / 5 rows/s) sat 8×/30×
+    // under measurement — only order-of-magnitude breaks tripped
+    // (round-7 verdict item 4). Re-baselined to ~½ the 3-run median on
+    // this session config (local[4], sf0.001, post-warmup): windowed
+    // 805/846/897 → floor 400; dedup-vs-index 152/154/161 → floor 75.
+    // A ~2× state-store or index-join regression now trips while ~30%
+    // machine noise does not.
     def rps(json: String): Double = {
       val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
       assert(m.nonEmpty, s"rows_per_sec missing: $json")
@@ -242,11 +245,11 @@ class BenchBudgetSpec extends SparkTestBase {
     Bench.benchStreamingWindowed(spark, dir) // warmup: codegen + state store classes
     val w = rps(Bench.benchStreamingWindowed(spark, dir))
     assert(w > 0, "windowed streaming bench failed to run")
-    assert(w >= 100.0, f"windowed streaming throughput $w%.0f rows/s below floor 100")
+    assert(w >= 400.0, f"windowed streaming throughput $w%.0f rows/s below floor 400")
     Bench.benchStreamingDedup(spark, dir, nSegments = 4) // warmup
     val d = rps(Bench.benchStreamingDedup(spark, dir, nSegments = 4))
     assert(d > 0, "streaming dedup bench failed to run")
-    assert(d >= 5.0, f"streaming dedup throughput $d%.1f rows/s below floor 5")
+    assert(d >= 75.0, f"streaming dedup throughput $d%.1f rows/s below floor 75")
   }
 
   test("every registry query has a committed time budget") {
