@@ -29,6 +29,7 @@ object Verify {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -36,10 +37,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed ::= name
       }
       // pipeline boundary: staged frames the query persisted are dead now
       CachePool.releaseAll()
     }
+    // errored queries write no output dir — record them where the
+    // compare tool (and a human tailing the artifacts) must see them;
+    // stderr alone scrolls away (round 9: a fixture regen broke 14
+    // events queries and the local compare still read ALL GREEN)
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"),
+      failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -28,21 +28,33 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS,
-    * isAdjustedToUTC=false), which the vectorized reader rejects unless
-    * `spark.sql.legacy.parquet.nanosAsLong` is set — then `ts` arrives as
-    * a raw nanosecond Long which we truncate to microseconds (same
-    * truncation DuckDB applies when reading NANOS into its us-resolution
-    * TIMESTAMP, so oracle comparisons line up). */
+  /** `events.parquet`'s `ts` column has shipped in TWO fixture
+    * generations, both handled here so every consumer sees ONE shape —
+    * session-zoned `TimestampType` at microsecond resolution:
+    *
+    *  - TIMESTAMP(NANOS, isAdjustedToUTC=false) (rounds ≤ 8): the
+    *    vectorized reader rejects NANOS unless
+    *    `spark.sql.legacy.parquet.nanosAsLong` is set — then `ts`
+    *    arrives as a raw nanosecond Long, truncated here to micros
+    *    with integer `div` (double division loses precision at ~1.7e18
+    *    > 2^53; same truncation DuckDB applies reading NANOS into its
+    *    µs TIMESTAMP).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) (round 9 regen):
+    *    Spark reads it as `TimestampNTZType`; `unix_micros`/window
+    *    RANGE frames/ASOF arithmetic all require the zoned type, so
+    *    cast under the UTC session timezone — the wall-clock micros
+    *    are reinterpreted as UTC instants, numerically identical to
+    *    what DuckDB's naive `epoch_us(ts)` computes, so oracle
+    *    comparisons line up unchanged. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
-        // integer `div`, not `/`: double division loses precision at
-        // nanosecond epoch magnitudes (~1.7e18 > 2^53)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // engine version that reads NANOS natively
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw // engine generation that reads as zoned natively
     }
   }
 

@@ -20,23 +20,39 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as stored (ts = TIMESTAMP(NANOS) read as raw
-    * nanosecond longs under `nanosAsLong`; streaming file sources need
-    * the schema up front). */
-  val rawSchema: StructType = new StructType()
+  /** The events schema with `ts` of the given type (streaming file
+    * sources need the schema up front; the stored ts type varies by
+    * fixture generation — see [[source]]). */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = new StructType()
     .add("event_id", LongType)
-    .add("ts", LongType)
+    .add("ts", tsType)
     .add("user_id", LongType)
     .add("event_type", StringType)
     .add("value", DoubleType)
     .add("props", StringType)
 
   /** Streaming source over an events parquet glob, ts decoded to a
-    * proper timestamp (integer div — see Tables.events). */
+    * session-zoned microsecond timestamp whatever the stored form.
+    * A streaming source needs its schema up front, and the fixture has
+    * shipped ts as TIMESTAMP(NANOS) (read as raw nanosecond longs
+    * under `nanosAsLong`, integer-div truncated — see Tables.events)
+    * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as NTZ,
+    * cast under the UTC session zone). ONE bounded batch footer read
+    * of the same glob picks the branch — a driver-side metadata probe,
+    * not a data scan. */
   def source(spark: SparkSession, glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(glob)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.read.parquet(glob).schema("ts").dataType match {
+      case LongType =>
+        spark.readStream.schema(rawSchema(LongType)).parquet(glob)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.readStream.schema(rawSchema(org.apache.spark.sql.types.TimestampNTZType))
+          .parquet(glob)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case t =>
+        spark.readStream.schema(rawSchema(t)).parquet(glob)
+    }
   }
 
   /** Watermarked tumbling-window counts per event type. Append mode:

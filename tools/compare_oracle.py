@@ -18,6 +18,19 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fail = 0
+# A query that ERRORED in Verify writes no output directory at all —
+# without this check a broken query silently vanishes from the report
+# (round 9: a fixture regen broke 14 events queries and this script
+# still printed ALL GREEN over the 131 that survived).
+produced = {q for q in os.listdir(outdir) if os.path.isdir(f"{outdir}/{q}")}
+for q in sorted(set(oracle) - produced):
+    fail += 1
+    print(f"{q:28s} MISSING: no Verify output (query errored?)")
+errs_path = f"{outdir}/_verify_errors.json"
+if os.path.exists(errs_path):
+    for q in sorted(set(json.load(open(errs_path))) - (set(oracle) - produced)):
+        fail += 1
+        print(f"{q:28s} ERRORED in Verify (see its stderr)")
 for q in sorted(os.listdir(outdir)):
     qdir = f"{outdir}/{q}"
     if not os.path.isdir(qdir):
