@@ -1310,6 +1310,24 @@ object SparkEntry {
       col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Self-steering PQ ([[Similarity.ivfTopKPqAuto]]): the clusteredness
+    * diagnostic (mean assignment cosine over the md5 sample) picks the
+    * encoding at runtime. The fixture embeddings are uniform-random —
+    * diagnostic ≈ 0.22–0.25, far below the 0.6 threshold — so the
+    * steer must take the raw-PQ branch on the identical md5 centroid
+    * set; at nprobe == nlist the candidate set is total and the branch
+    * output reduces to exhaustive sampled-codebook ADC (the s11
+    * anchor). The oracle replays BOTH the decision (sample → argmax
+    * cosine → avg ≥ 0.6, margin ≥ 0.35 so avg-order ulp drift cannot
+    * flip it) and the chosen branch's ranks — a steer that flipped
+    * tiers OR a branch that drifted from s11's machinery both
+    * hash-mismatch. */
+  private val s15PqAuto = (s: SparkSession, d: String) =>
+    Similarity.ivfTopKPqAuto(
+      t(s, d, "embeddings"), "vec_id", "embedding",
+      col("vec_id") < 5, k = 5, dim = 64, nlist = 16, nprobe = 16)
+      .orderBy(col("probe_id"), col("rank"))
+
   private val s10RandomProjection = (s: SparkSession, d: String) =>
     t(s, d, "embeddings")
       .filter(col("vec_id") < 50)
@@ -2175,6 +2193,7 @@ object SparkEntry {
     "s11_pq_topk" -> s11PqTopK,
     "s12_ivf_pq" -> s12IvfPq,
     "s14_ivf_pq_residual" -> s14IvfPqResidual,
+    "s15_pq_auto" -> s15PqAuto,
     "s3_ivf_topk" -> s3IvfTopK,
     "s4_normalize" -> s4Normalize,
     "e1_json_extract" -> e1Json,
@@ -3330,6 +3349,7 @@ object SparkEntry {
     "s11_pq_topk" -> s11OracleSql,
     "s12_ivf_pq" -> s11OracleSql,
     "s14_ivf_pq_residual" -> s14OracleSql,
+    "s15_pq_auto" -> s15OracleSql,
     "j6_asof_join" -> j6AsofOracleSql,
     // identical semantics by contract — the adaptive wrapper only picks
     // the execution shape; j16 runs the SPLIT shape at fixture scale
@@ -3906,6 +3926,69 @@ object SparkEntry {
          FROM embeddings p CROSS JOIN recon r
          WHERE p.vec_id < 5 AND r.vec_id <> p.vec_id
        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  /** DuckDB twin of [[graft.operators.Similarity.ivfTopKPqAuto]] on
+    * the uniform fixture: replays the DECISION — the 16 'ivfr:'
+    * md5-sampled centroids, the 'ivfr-diag:' md5-ordered sample
+    * (limit 2048 ⊇ every fixture corpus), per-vector best assignment
+    * cosine, and avg ≥ 0.6 (measured ≈ 0.22–0.25: the margin makes the
+    * boolean immune to avg summation-order ulp drift) — and the chosen
+    * raw-PQ branch, which at nprobe == nlist is exhaustive
+    * sampled-codebook ADC, i.e. the s11 replay with `chose_residual`
+    * riding along. */
+  private def s15OracleSql: String =
+    """WITH samp AS (
+         SELECT embedding, j FROM (
+           SELECT embedding,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('pq:' || vec_id::VARCHAR), 1, 8), vec_id) - 1 AS j
+           FROM embeddings
+         ) WHERE j < 16
+       ), cw AS (
+         SELECT t.s, samp.j,
+           list_transform(range(1, 17),
+             i -> CAST(embedding[CAST(t.s * 16 + i AS INTEGER)] AS DOUBLE)) AS cw
+         FROM samp, (SELECT unnest(range(0, 4)) AS s) t
+       ), codes AS (
+         SELECT vec_id, s, j AS code FROM (
+           SELECT e.vec_id, c.s, c.j,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.s
+               ORDER BY list_reduce(list_transform(range(1, 17),
+                 i -> (CAST(e.embedding[CAST(c.s * 16 + i AS INTEGER)] AS DOUBLE) - c.cw[i])
+                    * (CAST(e.embedding[CAST(c.s * 16 + i AS INTEGER)] AS DOUBLE) - c.cw[i])),
+                 (a, b) -> a + b) ASC, c.j ASC) AS rn
+           FROM embeddings e CROSS JOIN cw c
+         ) WHERE rn = 1
+       ), recon AS (
+         SELECT codes.vec_id, flatten(list(cw.cw ORDER BY codes.s)) AS v
+         FROM codes JOIN cw ON cw.s = codes.s AND cw.j = codes.code
+         GROUP BY codes.vec_id
+       ), cents AS (
+         SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('ivfr:' || vec_id::VARCHAR), 1, 8), vec_id) AS rn
+           FROM embeddings
+         ) WHERE rn <= 16
+       ), dsamp AS (
+         SELECT vec_id, embedding FROM (
+           SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY substr(md5('ivfr-diag:' || vec_id::VARCHAR), 1, 8), vec_id) AS rn
+           FROM embeddings
+         ) WHERE rn <= 2048
+       ), diag AS (
+         SELECT avg(best) >= 0.6 AS chose_residual FROM (
+           SELECT d.vec_id,
+             max(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]), c.cv)) AS best
+           FROM dsamp d CROSS JOIN cents c GROUP BY 1
+         )
+       )
+       SELECT probe_id, neighbor_id, rank, chose_residual FROM (
+         SELECT p.vec_id AS probe_id, r.vec_id AS neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]), r.v) DESC,
+                      r.vec_id ASC) AS INTEGER) AS rank
+         FROM embeddings p CROSS JOIN recon r
+         WHERE p.vec_id < 5 AND r.vec_id <> p.vec_id
+       ), diag WHERE rank <= 5 ORDER BY probe_id, rank"""
 
   /** DuckDB twin of [[graft.operators.Similarity.ivfTopKPqResidual]]
     * with sampled centroids AND codebooks — the full residual index

@@ -969,9 +969,13 @@ object Similarity {
     * where the right spend is an fp32 `rerank` shortlist or the int8
     * tier instead). Both branches use the SAME md5-sampled centroid
     * set (`centroidSalt`), so the steer changes the ENCODING only,
-    * never the probed lists. The choice and the diagnostic value are
-    * logged; on the uniform branch with rerank == 0 the log warns that
-    * ADC ranks will be near-noise. */
+    * never the probed lists. The chosen branch rides the output as a
+    * `chose_residual` boolean (robust to cross-engine float noise —
+    * the fixture diagnostics sit ≥ 0.15 from the threshold either
+    * side, far beyond avg-accumulation ulp drift — so the steer is
+    * oracle-checkable, `s15`); the diagnostic VALUE is logged, and on
+    * the uniform branch with rerank == 0 the log warns that ADC ranks
+    * will be near-noise. */
   def ivfTopKPqAuto(
       df: DataFrame,
       idCol: String,
@@ -990,7 +994,7 @@ object Similarity {
       centroidSalt: String = "ivfr"): DataFrame = {
     val diag = meanAssignmentCosine(
       df, idCol, vecCol, nlist, diagnosticSampleN, centroidSalt)
-    if (diag >= residualThreshold) {
+    val chosen = if (diag >= residualThreshold) {
       autoLog.info(
         f"ivfTopKPqAuto: mean assignment cosine $diag%.3f >= $residualThreshold%.2f " +
           "(clustered) - using residual IVF-PQ encoding")
@@ -1012,6 +1016,7 @@ object Similarity {
         m, ksub, refineIters = 0, rerank = rerank, maxProbes = maxProbes,
         centroidSaltMd5 = Some(centroidSalt))
     }
+    chosen.withColumn("chose_residual", lit(diag >= residualThreshold))
   }
 
   /** Quantized IVF top-k — the compressed-index retrieval tier: int8

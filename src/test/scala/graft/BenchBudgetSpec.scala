@@ -168,6 +168,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a25_approx_iqr" -> 1.2,
     "s13_mips_topk" -> 1.4,
     "s14_ivf_pq_residual" -> 2.4,
+    "s15_pq_auto" -> 2.8,
     "d17_contamination_score" -> 1.6,
   )
 
