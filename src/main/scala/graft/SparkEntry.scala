@@ -848,6 +848,17 @@ object SparkEntry {
     TextAnalysis.bigramFluency(t(s, d, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Encoding-health gate ([[TextAnalysis.encodingSignals]] — the
+    * C4-family mojibake filter): control-char and U+FFFD counts per
+    * document plus the zero-tolerance boolean. Counts are exact longs;
+    * the oracle replays the identical hex-escape character classes
+    * (shared verbatim by Java regex and RE2). */
+  private val t20EncodingGate = (s: SparkSession, d: String) =>
+    TextAnalysis.encodingSignals(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_chars"), col("ctrl_count"),
+        col("repl_count"), col("encoding_ok"))
+      .orderBy(col("doc_id"))
+
   /** Distributed ROC-AUC of length predicting lang == 'en' — the
     * rank-sum form with exact integer numerator (one row out). */
   private val x20Auc = (s: SparkSession, d: String) =>
@@ -2235,6 +2246,7 @@ object SparkEntry {
     "t17_vocab_coverage" -> t17VocabCoverage,
     "t18_quantile_gate" -> t18QuantileGate,
     "t19_bigram_fluency" -> t19BigramFluency,
+    "t20_encoding_gate" -> t20EncodingGate,
     "x20_auc" -> x20Auc,
     "x15_budget_select" -> x15BudgetSelect,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
@@ -3234,6 +3246,20 @@ object SparkEntry {
            sum(CASE WHEN f.df_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS fluency
          FROM bg b JOIN dfq f USING (bigram)
          GROUP BY 1 ORDER BY 1""",
+    "t20_encoding_gate" ->
+      // identical hex-escape character classes in RE2; counts as
+      // length deltas, exactly the engine's formulation
+      """SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text,
+             '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT) AS ctrl_count,
+           CAST(length(text) - length(regexp_replace(text,
+             '\x{FFFD}', '', 'g')) AS BIGINT) AS repl_count,
+           (length(text) - length(regexp_replace(text,
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) = 0)
+             AND (length(text) - length(regexp_replace(text,
+              '\x{FFFD}', '', 'g')) = 0) AS encoding_ok
+         FROM documents ORDER BY doc_id""",
     "t17_vocab_coverage" ->
       // identical chain: token-keyed tf, top-25 cut by (tf DESC, term
       // ASC), rank + running sum over the cut, scalar total; coverage

@@ -183,6 +183,30 @@ object TextAnalysis {
           (punct.cast("double") / greatest(nChars, lit(1))) < 0.3)
   }
 
+  /** Encoding-health signals (the C4/Gopher-family mojibake filters —
+    * Raffel et al. 2020 drop pages with the replacement character;
+    * control bytes are the classic wrong-charset symptom): per document,
+    * the count of C0/C1-ish control characters (tab/newline/CR excluded
+    * — legitimate document structure) and of U+FFFD replacement
+    * characters (the decoder's "this byte sequence was not valid"
+    * marker), plus the pass/fail gate `encoding_ok` = zero of each.
+    * One narrow regexp pass per signal; the character classes use only
+    * hex escapes shared verbatim by Java regex and RE2, so the DuckDB
+    * twin replays the counts exactly (the redactPii portability rule).
+    * Counts, not booleans, ride the output: a downstream gate can
+    * re-threshold (e.g. tolerate one stray control char in a 1 MB doc)
+    * without re-scanning. */
+  def encodingSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    val ctrl = n - length(regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+    val repl = n - length(regexp_replace(t, "\\x{FFFD}", ""))
+    df.withColumn("n_chars", n.cast("long"))
+      .withColumn("ctrl_count", ctrl.cast("long"))
+      .withColumn("repl_count", repl.cast("long"))
+      .withColumn("encoding_ok", ctrl === 0 && repl === 0)
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (public common-word lists). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -160,6 +160,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x20_auc" -> 1.2,
     "j14_nearest_asof" -> 1.0,
     "t19_bigram_fluency" -> 1.5,
+    "t20_encoding_gate" -> 1.0,
     "m5_chunk_dedup" -> 1.5,
     "j15_asof_within" -> 1.0,
     "j16_asof_adaptive" -> 1.5,

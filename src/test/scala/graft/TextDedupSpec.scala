@@ -511,4 +511,28 @@ class TextDedupSpec extends SparkTestBase {
     assert(twice.getString(0) == "<EMAIL> at <IP>")
     assert(!twice.getBoolean(1) && !twice.getBoolean(2))
   }
+
+  test("encodingSignals: control chars and U+FFFD counted exactly, structure chars exempt") {
+    val df = Seq(
+      (1L, "clean prose with nothing wrong"),
+      (2L, "tab\tand\nnewline\rare fine"),          // \t \n \r exempt
+      (3L, "null\u0000byte and bell\u0007here"),     // 2 control chars
+      (4L, "mojibake \ufffd twice \ufffd end"),      // 2 replacement chars
+      (5L, "del\u007fchar and esc\u001bhere")        // DEL + ESC
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.encodingSignals(df)
+      .select("doc_id", "ctrl_count", "repl_count", "encoding_ok")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got(1L) == ((0L, 0L, true)))
+    assert(got(2L) == ((0L, 0L, true)), "tab/newline/CR are document structure, not mojibake")
+    assert(got(3L) == ((2L, 0L, false)))
+    assert(got(4L) == ((0L, 2L, false)))
+    assert(got(5L) == ((2L, 0L, false)), "DEL (0x7F) and ESC (0x1B) are control noise")
+    // counts survive re-thresholding: a tolerant gate can be rebuilt
+    // from the emitted longs without another text scan
+    val tolerant = TextAnalysis.encodingSignals(df)
+      .filter(col("ctrl_count") + col("repl_count") <= 2)
+    assert(tolerant.count() == 5)
+  }
 }
