@@ -322,7 +322,6 @@ object Bench {
       // expensive per-doc stage) right out of the timed plan
       val (bpT1, _) = time(fullCount(Dedup.stripBoilerplate(docs1, "doc_id", "text")))
       val (bpT5, _) = time(fullCount(Dedup.stripBoilerplate(docs5, "doc_id", "text")))
-      docs5.unpersist()
       // third corpus-axis point: one 1x→5x step cannot tell linear from
       // n·log n from quadratic — 1x/5x/25x can. The fitted log-log slope
       // is the growth exponent the 100 TB claim actually rests on
@@ -331,6 +330,23 @@ object Bench {
       docs25.count()
       val (ndT25, cand25) = time(Dedup.lshCandidatePairs(docs25, "doc_id", "text").count())
       val (bpT25, _) = time(fullCount(Dedup.stripBoilerplate(docs25, "doc_id", "text")))
+      // DSIR importance-scoring growth on the corpus axis (x21's shape,
+      // the registry's hottest family): tokenize+md5 narrow pass →
+      // ≤256-row bucket aggregate (map-side combined) → broadcast ratio
+      // join → doc-keyed aggregate — every stage linear in the corpus,
+      // so the fitted exponent should sit ≈1. Target = every 17th doc
+      // (deterministic pmod — scaleDocuments replicas keep ~1/17 of
+      // each). CachePool released inside each timed run: the staged
+      // occurrence frame is part of the op's real cost at every scale.
+      def dsirCount(docs: org.apache.spark.sql.DataFrame): Long =
+        try fullCount(graft.operators.Importance.scoreAgainstTarget(
+          docs, "doc_id", "text", pmod(col("doc_id"), lit(17L)) === 0L))
+        finally CachePool.releaseAll()
+      dsirCount(docs1) // untimed warmup: codegen for tokenize+bucket+score
+      val (dsT1, _) = time(dsirCount(docs1))
+      val (dsT5, _) = time(dsirCount(docs5))
+      val (dsT25, _) = time(dsirCount(docs25))
+      docs5.unpersist()
       docs25.unpersist()
       // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
       def fitExp(t1: Double, t5: Double, t25: Double): Double = {
@@ -576,6 +592,9 @@ object Bench {
         s""""boilerplate_sec_1x":${r3(bpT1)},"boilerplate_sec_5x":${r3(bpT5)},""" +
         s""""boilerplate_sec_25x":${r3(bpT25)},""" +
         s""""boilerplate_growth_exp":${fitExp(bpT1, bpT5, bpT25)},""" +
+        s""""dsir_sec_1x":${r3(dsT1)},"dsir_sec_5x":${r3(dsT5)},""" +
+        s""""dsir_sec_25x":${r3(dsT25)},""" +
+        s""""dsir_growth_exp":${fitExp(dsT1, dsT5, dsT25)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""ivf_sec_25x":${r3(ivT25)},""" +
         s""""ivf_growth_exp":${fitExp(ivT1, ivT5, ivT25)},""" +
