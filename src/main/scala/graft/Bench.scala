@@ -215,12 +215,31 @@ object Bench {
         mog, "vec_id", "embedding", probes, 5,
         dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, maxProbes = 25)
         .select(col("probe_id"), col("neighbor_id"))))
+      // ADC-ONLY recall on 625-mate clusters is structurally floor-
+      // bound whatever the encoding (cluster-mates collapse to near-one
+      // reconstruction: top-5 of 625 by ADC ≈ noise; measured m=8
+      // doubles the bits and moves 0.016→0.04 only). The PRODUCTION
+      // operating point is ADC shortlist + exact re-rank, and THERE the
+      // encodings separate readably: the re-rank can only recover
+      // neighbors the shortlist caught, so recall@5-after-rerank
+      // measures shortlist quality — the thing the encoding controls.
+      val pqRrRecall = recall(pairSet(Similarity.ivfTopKPq(
+        mog, "vec_id", "embedding", probes, 5,
+        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, rerank = 64,
+        maxProbes = 25, centroidSaltMd5 = Some("ivfr"))
+        .select(col("probe_id"), col("neighbor_id"))))
+      val pqResRrRecall = recall(pairSet(Similarity.ivfTopKPqResidual(
+        mog, "vec_id", "embedding", probes, 5,
+        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, rerank = 64,
+        maxProbes = 25)
+        .select(col("probe_id"), col("neighbor_id"))))
       val (reconRaw, reconRes) = reconCosPair(mog, nlist)
       mog.unpersist()
       s"""{"mog_n":$n,"mog_nlist":$nlist,""" +
         ivfCurve.map { case (p, r) => s""""mog_ivf_recall_at5_nprobe$p":$r""" }
           .mkString("", ",", ",") +
         s""""mog_pq_recall_at5":$pqRecall,"mog_pqres_recall_at5":$pqResRecall,""" +
+        s""""mog_pq_rr64_recall_at5":$pqRrRecall,"mog_pqres_rr64_recall_at5":$pqResRrRecall,""" +
         s""""mog_pq_recon_cos":${r3(reconRaw)},"mog_pqres_recon_cos":${r3(reconRes)}}"""
     } catch {
       case e: Throwable =>
