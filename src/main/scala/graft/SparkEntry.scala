@@ -1062,6 +1062,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Priority-aware canonical dedup ([[Dedup.keepCanonicalBy]]): per
+    * near-dup component keep the `(source, doc_id)`-minimal doc — the
+    * "prefer the trusted source's copy" curation policy d8's min-id
+    * cut cannot express. Same LSH parameters as d8, so the d6
+    * recall-1.0 precondition carries over and the oracle's exact
+    * all-pairs closure sees the identical components. */
+  private val d18PriorityDedup = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    Dedup.keepCanonicalBy(docs, "doc_id", comps, col("source"))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Leakage-safe split — the group-aware form of x1's hash split: the
     * split key is the near-dup COMPONENT label, not the doc id, so two
     * near-duplicate documents can never straddle train/val/test (the
@@ -2186,6 +2202,7 @@ object SparkEntry {
     "d7_decontaminate" -> d7Decontaminate,
     "d17_contamination_score" -> d17ContaminationScore,
     "d8_neardup_groups" -> d8NearDupGroups,
+    "d18_priority_dedup" -> d18PriorityDedup,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
     "d10_repeated_ngrams" -> d10RepeatedNgrams,
@@ -3050,6 +3067,7 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, (a4 | (b4 << 1)) AS zval
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
+    "d18_priority_dedup" -> d18OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,
     "d12_dedup_cut" -> d12OracleSql,
@@ -4171,6 +4189,36 @@ object SparkEntry {
         LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
           ON d.doc_id = m.s
         ORDER BY d.doc_id"""
+
+  /** d18: d8's recursive-closure labeling + the (source, doc_id)
+    * lexicographic pick per component — the oracle replays the
+    * priority-canonical cut end-to-end over exact all-pairs Jaccard
+    * (valid under the same d6 LSH recall-1.0 precondition as d8). */
+  private def d18OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lbl AS (
+          SELECT d.doc_id, d.source,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS label
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s),
+        best AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+              ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY source ASC, doc_id ASC) AS rn
+            FROM lbl) WHERE rn = 1)
+        SELECT l.doc_id, l.source FROM lbl l JOIN best USING (doc_id)
+        ORDER BY l.doc_id"""
 
   /** d11: d10's positional-shingle pipeline + lag-based gap-and-island
     * consolidation — flagged spans cover [pos, pos+2]; islands break

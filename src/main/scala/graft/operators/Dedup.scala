@@ -488,6 +488,35 @@ object Dedup {
       components.filter(col("id") === col("label")).select(col("id").as(idCol)),
       idCol)
 
+  /** Priority-aware canonical cut: per near-dup component keep the doc
+    * that minimizes `(priority, id)` lexicographically — the curation
+    * policy "when the same page was crawled from several sources, keep
+    * the most trusted source's copy", which min-id [[keepCanonical]]
+    * cannot express (the min id may belong to the junk mirror). The
+    * priority column can be any orderable type (source-name string,
+    * numeric trust rank); the id tiebreak keeps the choice
+    * deterministic inside equal-priority groups.
+    *
+    * Shape: one equi-join to label the corpus, ONE component-keyed
+    * aggregate whose shuffle carries (label, priority, id) triples
+    * (map-side combined to one candidate per label per partition),
+    * and one id equi-join back — no window over the corpus, no
+    * per-component materialization. Components per
+    * [[nearDupComponents]] / [[nearDupComponentsLogStar]]. */
+  def keepCanonicalBy(
+      docs: DataFrame,
+      idCol: String,
+      components: DataFrame,
+      priority: Column): DataFrame = {
+    val labeled = docs.join(
+      components.select(col("id").as(idCol), col("label")), Seq(idCol))
+    val best = labeled
+      .groupBy(col("label"))
+      .agg(min(struct(priority.as("p"), col(idCol).as("i"))).as("_b"))
+      .select(col("_b.i").as(idCol))
+    docs.join(best, Seq(idCol))
+  }
+
   /** Cross-document repeated n-gram spans — the exact-substring overlap
     * signal (the primitive behind suffix-array dedup, Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2021,

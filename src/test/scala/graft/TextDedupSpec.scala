@@ -512,6 +512,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(!twice.getBoolean(1) && !twice.getBoolean(2))
   }
 
+  test("keepCanonicalBy: trusted source wins its component, min-id breaks priority ties") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, "srcB", base),                          // mirror copy, LOWER id
+      (2L, "srcA", base.replace("today", "tonight")), // trusted near-dup
+      (3L, "srcB", base.replace("today", "now")),  // third component member
+      (10L, "srcC", "a completely different story about cooking pasta tonight with sauce"),
+      (11L, "srcA", "distributed query engines shuffle data across the cluster nightly")
+    ).toDF("doc_id", "source", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val kept = Dedup.keepCanonicalBy(docs, "doc_id", comps, col("source"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // min-id canonical would keep 1 (the srcB mirror); priority keeps
+    // the srcA copy despite its higher id; singletons keep themselves
+    assert(kept == Set(2L, 10L, 11L), s"got $kept")
+    val plain = Dedup.keepCanonical(docs, "doc_id", comps)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(1L, 10L, 11L), s"min-id cut changed: $plain")
+    // equal priorities fall back to min id — deterministic
+    val flat = Dedup.keepCanonicalBy(docs, "doc_id", comps, lit(0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flat == plain, s"constant priority must reduce to min-id: $flat")
+  }
+
   test("encodingSignals: control chars and U+FFFD counted exactly, structure chars exempt") {
     val df = Seq(
       (1L, "clean prose with nothing wrong"),
