@@ -1760,6 +1760,15 @@ object SparkEntry {
   private val m5ChunkDedup = (s: SparkSession, d: String) =>
     Multimodal1.chunkShares(t(s, d, "documents"))
 
+  /** Perceptual average-hash over the decoded grid
+    * ([[graft.multimodal.Multimodal.perceptualHash]]) + its four
+    * 16-bit bands — the image-near-dup index rows. Fully value-oracled:
+    * the FakeDecoder features are exact dyadic rationals, so the
+    * mean-threshold bit is the integer predicate k·64 ≥ Σk on both
+    * engines and the 64-bit pack replays bit-for-bit. */
+  private val m6PerceptualHash = (s: SparkSession, d: String) =>
+    Multimodal1.phashes(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -1826,6 +1835,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }
 
+    /** Per-doc perceptual hash + band columns (m6). */
+    def phashes(docs: DataFrame): DataFrame =
+      Multimodal.perceptualHash(
+        Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
+        "media", dim = 64)
+        .select(col("doc_id"), col("phash"),
+          Multimodal.phashBand(col("phash"), 0).as("band0"),
+          Multimodal.phashBand(col("phash"), 1).as("band1"),
+          Multimodal.phashBand(col("phash"), 2).as("band2"),
+          Multimodal.phashBand(col("phash"), 3).as("band3"))
+        .orderBy(col("doc_id"))
+
     /** Frame payloads as hex (sha256 is engine-independent). */
     def frames(docs: DataFrame): DataFrame =
       Multimodal.frameSampleStub(
@@ -1841,7 +1862,10 @@ object SparkEntry {
     * SQL. 64-bit wrap-around arithmetic is emulated mod 2^64 in HUGEINT
     * (128-bit) — wrap multiply via 32-bit limbs — and the feature is the
     * top 24 bits / 2^24, an exact float32 on both engines. */
-  private def m1OracleSql: String = {
+  /** The FakeDecoder-replay CTE chain for `dim` features, ending at
+    * `s3(doc_id, n_bytes, pos, z3)` — shared by m1 (features) and m6
+    * (perceptual hash). */
+  private def fakeDecodeCtes(dim: Int): String = {
     val M = "18446744073709551616::HUGEINT" // 2^64
     val c1 = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
     val c2 = BigInt(java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L))
@@ -1849,7 +1873,7 @@ object SparkEntry {
     val hexParse = (1 to 16).map { j =>
       s"(strpos('0123456789abcdef', substr(hx,$j,1))-1)::HUGEINT * ${BigInt(16).pow(16 - j)}::HUGEINT"
     }.mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
           SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS hx
           FROM documents
         ), seeded AS (
@@ -1857,7 +1881,7 @@ object SparkEntry {
         ), ex AS (
           SELECT doc_id, n_bytes, CAST(p AS INTEGER) AS pos,
             ((h + (p::HUGEINT * $c1::HUGEINT)) % $M) AS z0
-          FROM seeded, unnest(range(0,8)) AS t(p)
+          FROM seeded, unnest(range(0,$dim)) AS t(p)
         ), s1 AS (
           SELECT doc_id, n_bytes, pos,
             xor(z0::UBIGINT, (z0 // 536870912)::UBIGINT)::HUGEINT AS z1 FROM ex
@@ -1869,11 +1893,41 @@ object SparkEntry {
         ), s3 AS (
           SELECT doc_id, n_bytes, pos,
             xor(z2::UBIGINT, (z2 // 4294967296)::UBIGINT)::HUGEINT AS z3 FROM s2
-        )
+        )"""
+  }
+
+  private def m1OracleSql: String =
+    s"""WITH ${fakeDecodeCtes(8)}
         SELECT doc_id, n_bytes, pos,
           ((z3 // 1099511627776)::REAL / 16777216)::REAL AS feature
         FROM s3 ORDER BY doc_id, pos"""
-  }
+
+  /** m6: the aHash replay — top-24-bit feature numerators k, the EXACT
+    * integer threshold (k·64 ≥ Σk ⇔ feature ≥ mean: every feature is
+    * k/2^24 so the double mean is exact and the predicates coincide),
+    * 64-bit pack in HUGEINT, signed BIGINT conversion, and the four
+    * 16-bit bands from the unsigned form (≡ the engine's
+    * logical-shift+mask). */
+  private def m6OracleSql: String =
+    s"""WITH ${fakeDecodeCtes(64)},
+        feat AS (
+          SELECT doc_id, pos, (z3 // 1099511627776) AS k FROM s3
+        ), agg AS (
+          SELECT doc_id, sum(k) AS sk FROM feat GROUP BY 1
+        ), ph AS (
+          SELECT f.doc_id,
+            sum(CASE WHEN f.k * 64 >= a.sk
+                THEN (1::UBIGINT << f.pos)::HUGEINT ELSE 0::HUGEINT END) AS u
+          FROM feat f JOIN agg a USING (doc_id) GROUP BY 1
+        )
+        SELECT doc_id,
+          (CASE WHEN u >= 9223372036854775808::HUGEINT
+            THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS phash,
+          (u % 65536)::BIGINT AS band0,
+          ((u // 65536) % 65536)::BIGINT AS band1,
+          ((u // 4294967296) % 65536)::BIGINT AS band2,
+          ((u // 281474976710656) % 65536)::BIGINT AS band3
+        FROM ph ORDER BY doc_id"""
 
   // ====================================================================
   // Change capture, sketch merge, PII redaction (pipeline metadata ops)
@@ -2253,6 +2307,7 @@ object SparkEntry {
     "m3_resize_meta" -> m3Resize,
     "m4_modality_check" -> m4Modality,
     "m5_chunk_dedup" -> m5ChunkDedup,
+    "m6_phash" -> m6PerceptualHash,
     "x8_scd2" -> x8Scd2,
     "x9_latest_snapshot" -> x9LatestSnapshot,
     "a16_sketch_union" -> a16SketchUnion,
@@ -2964,6 +3019,7 @@ object SparkEntry {
          count(*) AS cnt,
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "m6_phash" -> m6OracleSql,
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

@@ -120,6 +120,84 @@ object Multimodal {
           .cast("binary"))
   }
 
+  /** Perceptual average-hash (aHash) over the decoded feature grid —
+    * the image-near-dup primitive (the classic 8×8-luma mean-threshold
+    * hash; pHash's DCT refinement swaps the grid, not the plumbing):
+    * bit i of `phash` = feature(i) ≥ mean(features). Adds `phash`
+    * (64-bit long). With the real codec behind [[decodeFeatures]] the
+    * features are the downscaled luma grid; under [[FakeDecoder]] the
+    * machinery is identical and fully SQL-replayable — every feature
+    * is an exact 24-bit dyadic rational, so the sum of `dim` of them
+    * is EXACT in double (numerators total < 2^53) and the threshold
+    * compare `f_i ≥ mean` equals the integer predicate
+    * `k_i·dim ≥ Σk` on any engine: no summation-order hazard, the
+    * oracle replays the hash bit-for-bit.
+    *
+    * Narrow map after the decode stage — no shuffle; the mean is
+    * staged as a column so the per-bit lambda reads a materialized
+    * scalar. */
+  def perceptualHash(df: DataFrame, mediaCol: String, dim: Int = 64): DataFrame = {
+    require(dim >= 1 && dim <= 64, s"phash needs 1..64 bits, got $dim")
+    val f = col("features")
+    decodeFeatures(df, mediaCol, dim)
+      .withColumn("_fmean",
+        aggregate(f, lit(0.0), (a, x) => a + x.cast("double")) / lit(dim.toDouble))
+      .withColumn("phash", aggregate(
+        zip_with(f, sequence(lit(0), lit(dim - 1)), (x, i) =>
+          when(x.cast("double") >= col("_fmean"),
+            call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
+      .drop("features", "_fmean")
+  }
+
+  /** 16-bit band `b` of a phash — logical shift + mask, so band 3 is
+    * sign-extension-free. Shared by the candidate join and the oracle
+    * (which derives the same value as (u div 2^16b) mod 2^16 from the
+    * unsigned form). */
+  def phashBand(hash: Column, b: Int): Column =
+    call_function("shiftrightunsigned", hash, lit(16 * b)).bitwiseAND(lit(0xFFFFL))
+
+  /** Banded candidate pairs over perceptual hashes: both sides explode
+    * to (band, value) and equi-join — compared-pair volume is per-band
+    * bucket co-occupancy, never n² (the [[graft.operators.Dedup]]
+    * banding shape on the media axis). PIGEONHOLE GUARANTEE: hashes
+    * within Hamming distance ≤ bands−1 differ in fewer bits than there
+    * are bands, so at least one band is untouched and the pair ALWAYS
+    * collides — recall 1.0 up to that radius, by construction (the
+    * spec pins it). Beyond it, collision requires the differing bits
+    * to dodge some band. */
+  def phashCandidatePairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String = "phash",
+      bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 4, s"16-bit bands over 64 bits: 1..4, got $bands")
+    def sideBands(side: DataFrame, id: String, h: String) = side
+      .select(col(idCol).as(id), col(hashCol).as(h),
+        posexplode(array((0 until bands).map(b => phashBand(col(hashCol), b)): _*))
+          .as(Seq("_band", "_bv")))
+    sideBands(hashed, "id_a", "_ha")
+      .join(sideBands(hashed, "id_b", "_hb"), Seq("_band", "_bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_ha"), col("_hb"))
+      .distinct()
+  }
+
+  /** Perceptual near-dup pairs: banded candidates verified by exact
+    * Hamming distance ≤ `maxHamming` (bit_count of xor — codegen'd).
+    * Output (id_a, id_b, hamming), exact within the pigeonhole radius. */
+  def phashNearDupPairs(
+      hashed: DataFrame,
+      idCol: String,
+      maxHamming: Int = 3,
+      hashCol: String = "phash",
+      bands: Int = 4): DataFrame =
+    phashCandidatePairs(hashed, idCol, hashCol, bands)
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+
   /** Content-addressable chunk fingerprints — the rsync/restic/CAS
     * primitive over opaque binary payloads: the payload splits into
     * fixed `chunkBytes`-byte chunks and each chunk gets a fingerprint,

@@ -163,6 +163,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t19_bigram_fluency" -> 1.5,
     "t20_encoding_gate" -> 1.0,
     "m5_chunk_dedup" -> 1.5,
+    "m6_phash" -> 1.3,
     "j15_asof_within" -> 1.0,
     "j16_asof_adaptive" -> 1.5,
     "a23_chi_square" -> 1.0,

@@ -120,4 +120,59 @@ class MultimodalSpec extends SparkTestBase {
     // the partial tail hashes its own short hex, not a zero-padded block
     assert(got((1L, 2))._1 != got((3L, 0))._1)
   }
+
+  test("perceptualHash: deterministic, equal payloads collide, bands recompose the hash") {
+    val docs = Seq(
+      (1L, "identical media payload content"),
+      (2L, "identical media payload content"),   // byte-equal twin of 1
+      (3L, "a different payload entirely")
+    ).toDF("doc_id", "text")
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.attachFakeMedia(docs, "text"), "media", dim = 64)
+    val ph = hashed.select("doc_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ph(1L) == ph(2L), "equal payloads must hash equal")
+    assert(ph(1L) != ph(3L), "distinct payloads should differ (64-bit hash)")
+    // bands recompose the hash exactly (logical shift, no sign leak)
+    val bands = hashed.select(
+        (col("doc_id") +: (0 until 4).map(b => Multimodal.phashBand(col("phash"), b))): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    for ((id, bs) <- bands) {
+      assert(bs.forall(v => v >= 0 && v <= 0xFFFFL))
+      val recomposed = bs.zipWithIndex.map { case (v, b) => v << (16 * b) }
+        .reduce(_ | _)
+      assert(recomposed == ph(id), s"bands must recompose phash for $id")
+    }
+    // near-dup pairs: the byte-equal twin at hamming 0, nothing else
+    val pairs = Multimodal.phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)), s"got $pairs")
+  }
+
+  test("phash banding pigeonhole: hamming <= bands-1 always collides; 4 spread bits can dodge") {
+    import spark.implicits._
+    val base = 0x0123456789ABCDEFL
+    val hashed = Seq(
+      (1L, base),
+      // 3 bits flipped, all in DIFFERENT bands (bits 0, 17, 34): one
+      // band (48..63) untouched -> MUST collide (pigeonhole over 4 bands)
+      (2L, base ^ (1L | (1L << 17) | (1L << 34))),
+      // 4 bits flipped, one per band (bits 0, 17, 34, 51): every band
+      // touched -> banding may legitimately miss it
+      (3L, base ^ (1L | (1L << 17) | (1L << 34) | (1L << 51)))
+    ).toDF("doc_id", "phash")
+    val cands = Multimodal.phashCandidatePairs(hashed, "doc_id")
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)),
+      "hamming-3 pair with an untouched band must always be a candidate")
+    assert(!cands.contains((1L, 3L)),
+      "all-bands-touched pair collides in no band: the documented miss case")
+    // exact verify keeps the radius honest: (1,2) at hamming 3, and
+    // (2,3) — one bit apart (bit 51 alone) — at hamming 1; (1,3) is
+    // the banding miss above
+    val nd = Multimodal.phashNearDupPairs(hashed, "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(nd == Set((1L, 2L, 3), (2L, 3L, 1)), s"got $nd")
+  }
 }
