@@ -1509,6 +1509,33 @@ object SparkEntry {
       .orderBy(col("user_id"), col("bk"))
   }
 
+  /** Cohort retention — the product-analytics companion to w10's
+    * funnel: users cohort by their FIRST active week (epoch-micros
+    * integer week buckets — no calendar ambiguity), and cell (cohort,
+    * k) counts the cohort's users active in week cohort+k. Shape: one
+    * user-keyed aggregate for the cohort, one distinct over (user,
+    * week) — both partial-aggregated map-side — a user-keyed join
+    * (co-partitioned with the aggregate: AQE reuses the exchange), and
+    * one (cohort, k)-keyed count. Counts are exact longs; the fraction
+    * is one exact-int division to double, so the compare is exact. */
+  private val w11Retention = (s: SparkSession, d: String) => {
+    val week = 604800000000L // micros per 7 days
+    val e = Tables.events(s, d)
+      .select(col("user_id"), expr(s"unix_micros(ts) div ${week}L").as("wk"))
+      .distinct()
+    val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohorts.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_n"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_wk"))
+      .select(col("cohort_wk"), col("k").cast("long").as("k"),
+        col("n_active"), col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_wk"), col("k"))
+  }
+
   /** Funnel analysis — the product-analytics sequential-milestone op:
     * per user, first `view`, first `click` AFTER that view, first
     * `purchase` after that click. The sequential dependency is resolved
@@ -2209,6 +2236,7 @@ object SparkEntry {
     "e9_resample" -> e9Resample,
     "e10_interpolate" -> e10Interpolate,
     "w10_funnel" -> w10Funnel,
+    "w11_retention" -> w11Retention,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -2531,6 +2559,25 @@ object SparkEntry {
              THEN pv + (nv - pv) * (bk - pbk) / (nbk - pbk)
              ELSE mx END AS v_interp
          FROM n ORDER BY user_id, bk""",
+    "w11_retention" ->
+      // identical integer week buckets (epoch micros floor-div), exact
+      // long counts, one exact-int division to double
+      """WITH e AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+         ), cohorts AS (
+           SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1
+         ), sizes AS (
+           SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_n FROM cohorts GROUP BY 1
+         ), cells AS (
+           SELECT c.cohort_wk, e.wk - c.cohort_wk AS k,
+             CAST(count(*) AS BIGINT) AS n_active
+           FROM e JOIN cohorts c USING (user_id)
+           GROUP BY 1, 2
+         )
+         SELECT cells.cohort_wk, CAST(k AS BIGINT) AS k, n_active, s.cohort_n,
+           n_active::DOUBLE / s.cohort_n::DOUBLE AS retention
+         FROM cells JOIN sizes s USING (cohort_wk)
+         ORDER BY cohort_wk, k""",
     "w10_funnel" ->
       // the same three chained min-windows; integer micros end to end
       """WITH e AS (

@@ -142,6 +142,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e9_resample" -> 1.5,
     "e10_interpolate" -> 1.5,
     "w10_funnel" -> 1.0,
+    "w11_retention" -> 1.0,
     "a20_equidepth_hist" -> 1.2,
     "a21_iqr_outliers" -> 1.0,
     "x16_weighted_sample" -> 1.0,
