@@ -34,6 +34,37 @@ object Bench {
   private[graft] def fullCount(df: org.apache.spark.sql.DataFrame): Long =
     df.queryExecution.toRdd.count()
 
+  /** Noise-calibration sentinels (round-10): five cheap, plan-stable
+    * queries spanning the main physical shapes (scan+filter, hash agg,
+    * window, sort-merge join, per-row text pass). Timed min-of-2 FIRST
+    * in the run (cold-ish JVM) and again LAST (after the scale/ann
+    * sections have heated heap and code cache); the post/pre ratio is
+    * the run's own within-process drift, and the pre total compared
+    * round-over-round is machine drift. The r9 verdict's +8% common-
+    * query drift had no way to be attributed ("min-of-2 bounds
+    * per-query noise, not run-to-run drift") — these keys make that
+    * call decidable without changing the headline timing discipline. */
+  private[graft] val sentinelNames: Seq[String] = Seq(
+    "a1_group_count_segment", "p1_range_slice", "w6_lag",
+    "j2_sortmerge_fact", "t3_token_count")
+
+  /** Time the sentinel set under the registry discipline (min-of-2,
+    * cache-dropped); returns a JSON object of per-query seconds. */
+  private def timeSentinels(spark: SparkSession, sfDir: String): (Double, String) = {
+    val res = sentinelNames.map { n =>
+      val fn = SparkEntry.queries(n)
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        try fullCount(fn(spark, sfDir)) finally CachePool.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> math.min(one(), one())
+    }
+    val total = res.map(_._2).sum
+    (total, res.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", s""","total":${r3(total)}}"""))
+  }
+
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query names — time ONLY those and
     // skip the streaming/scale/ann sections (the iterate-on-one-query
@@ -66,6 +97,9 @@ object Bench {
     GraftSession.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
 
+    // sentinels first: their pre-total is the "how fast is this machine
+    // today" anchor, taken before anything else can heat the JVM
+    val sentinelPre = if (only.isEmpty) Some(timeSentinels(spark, sfDir)) else None
     var errors = List.empty[String]
     val selected = only match {
       case Some(sel) => SparkEntry.queries.filter(kv => sel(kv._1))
@@ -110,10 +144,18 @@ object Bench {
     val streamingDedupGrowth = benchStreamingDedupGrowth(spark, sfDir)
     val scale = benchScale(spark, sfDir)
     val ann = benchAnnQuality(spark)
+    // sentinels again at the very end: post/pre = within-run drift
+    val sentinelPost = timeSentinels(spark, sfDir)
+    val noise = sentinelPre match {
+      case Some((preT, preJson)) =>
+        val drift = if (preT > 0) math.rint(sentinelPost._1 / preT * 1000) / 1000 else -1.0
+        s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},"noise":{"sentinel_drift":$drift},"""
+      case None => ""
+    }
     // the timing field names the discipline so the round-over-round
     // series break at r7 (count() → full materialization) has its cause
     // recorded in the artifact itself
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
@@ -681,32 +723,48 @@ object Bench {
     * batches (maxFilesPerTrigger=1), so later batches pay the real
     * cost — the bucket join against the ACCUMULATED index. rows/s here
     * regresses if the index join shape degrades (e.g. the bucket join
-    * stops being equi-keyed) — invisible to the KPI number. */
+    * stops being equi-keyed) — invisible to the KPI number.
+    *
+    * MIN OF TWO full drains, fresh state dirs each (round-10). The
+    * r8→r9 "regression" (805 → 568 rows/s) bisected to single-shot
+    * timing, not code: neither round touched this path, and on one
+    * build the single-shot number spans 422–754 rows/s depending on
+    * whether streaming-pipeline codegen and JVM JIT land inside the
+    * timed drain. The registry queries have had min-of-2 since r7 for
+    * exactly this; the streaming sections were the only single-shot
+    * numbers left. `seconds` is the min (steady state); `sec_first`
+    * keeps the cold number visible so the warmup cost stays on
+    * record. */
   private[graft] def benchStreamingDedup(
       spark: SparkSession,
       sfDir: String,
       nSegments: Int = 8): String = {
     try {
-      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-bench").toString
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
       val rows = docs.count()
-      // nSegments files in doc-id range order → nSegments micro-batches
-      import org.apache.spark.sql.functions.{col, floor, lit}
-      docs.withColumn("_seg",
-          floor(col("doc_id") * nSegments / (rows + 1)).cast("int"))
-        .repartition(1)
-        .write.partitionBy("_seg").parquet(s"$base/in")
-      val dedup = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
-      val stream = spark.readStream
-        .schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$base/in/_seg=*")
-      val t0 = System.nanoTime()
-      dedup.start(spark, stream, s"$base/cp").awaitTermination()
-      val sec = (System.nanoTime() - t0) / 1e9
-      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},"rows_per_sec":${r3(rows / sec)}}"""
+      def drain(): Double = {
+        val base = java.nio.file.Files.createTempDirectory("graft-sdedup-bench").toString
+        // nSegments files in doc-id range order → nSegments micro-batches
+        import org.apache.spark.sql.functions.{col, floor, lit}
+        docs.withColumn("_seg",
+            floor(col("doc_id") * nSegments / (rows + 1)).cast("int"))
+          .repartition(1)
+          .write.partitionBy("_seg").parquet(s"$base/in")
+        val dedup = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
+        val stream = spark.readStream
+          .schema(docs.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/in/_seg=*")
+        val t0 = System.nanoTime()
+        dedup.start(spark, stream, s"$base/cp").awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = drain()
+      val sec = math.min(first, drain())
+      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},""" +
+        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming dedup failed: ${e.getMessage}")

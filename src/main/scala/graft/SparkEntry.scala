@@ -1796,6 +1796,11 @@ object SparkEntry {
   private val m6PerceptualHash = (s: SparkSession, d: String) =>
     Multimodal1.phashes(t(s, d, "documents"))
 
+  /** Banded phash candidate join + exact-Hamming verify over corpus
+    * hashes plus planted XOR-twins — see [[Multimodal1.phashPairs]]. */
+  private val m7PhashPairs = (s: SparkSession, d: String) =>
+    Multimodal1.phashPairs(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -1873,6 +1878,33 @@ object SparkEntry {
           Multimodal.phashBand(col("phash"), 2).as("band2"),
           Multimodal.phashBand(col("phash"), 3).as("band3"))
         .orderBy(col("doc_id"))
+
+    /** m7 — the media-dedup JOIN operators, end-to-end: corpus hashes
+      * ∪ planted twins (id + 10^6; phash ⊕ a k-bit mask, k = doc_id%7
+      * at the pairwise-distinct positions (doc_id·7 + 13j) % 64 — so
+      * hamming(original, twin) = k EXACTLY, spanning both sides of the
+      * 4-band pigeonhole radius 3), then [[graft.multimodal.Multimodal
+      * .phashNearDupPairs]]: banded candidate equi-join + exact-Hamming
+      * verify. m6 oracles the hash; this oracles the pair pipeline the
+      * r9 verdict called spec-only. */
+    def phashPairs(docs: DataFrame): DataFrame = {
+      val hashed = Multimodal.perceptualHash(
+        Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
+        "media", dim = 64)
+        .select(col("doc_id"), col("phash"))
+      val k = pmod(col("doc_id"), lit(7L))
+      val mask = (0 until 6).map { j =>
+        when(lit(j) < k,
+          call_function("shiftleft", lit(1L),
+            pmod(col("doc_id") * 7 + lit(j * 13), lit(64)).cast("int")))
+          .otherwise(lit(0L))
+      }.reduce(_.bitwiseXOR(_))
+      val twins = hashed.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("phash").bitwiseXOR(mask).as("phash"))
+      Multimodal.phashNearDupPairs(hashed.unionAll(twins), "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }
 
     /** Frame payloads as hex (sha256 is engine-independent). */
     def frames(docs: DataFrame): DataFrame =
@@ -1955,6 +1987,51 @@ object SparkEntry {
           ((u // 4294967296) % 65536)::BIGINT AS band2,
           ((u // 281474976710656) % 65536)::BIGINT AS band3
         FROM ph ORDER BY doc_id"""
+
+  /** m7: m6's hash replay, then the twin planting (xor with the same
+    * deterministic k-bit mask — positions are pairwise distinct so the
+    * UBIGINT sum of single-bit values ≡ the engine's xor-fold), the
+    * band explode + equi-join + id_a < id_b + distinct candidate set,
+    * and bit_count(xor) ≤ 3 verify — the whole media-dedup pair
+    * pipeline value-for-value. */
+  private def m7OracleSql: String = {
+    val maskSql = (0 until 6).map { j =>
+      s"""CASE WHEN (doc_id % 7) > $j
+            THEN (1::UBIGINT << (((doc_id*7) + ${13 * j}) % 64)::INTEGER)
+            ELSE 0::UBIGINT END"""
+    }.mkString(" + ")
+    s"""WITH ${fakeDecodeCtes(64)},
+        feat AS (
+          SELECT doc_id, pos, (z3 // 1099511627776) AS k FROM s3
+        ), agg AS (
+          SELECT doc_id, sum(k) AS sk FROM feat GROUP BY 1
+        ), ph AS (
+          SELECT f.doc_id,
+            sum(CASE WHEN f.k * 64 >= a.sk
+                THEN (1::UBIGINT << f.pos)::HUGEINT ELSE 0::HUGEINT END) AS u
+          FROM feat f JOIN agg a USING (doc_id) GROUP BY 1
+        ), hs AS (
+          SELECT doc_id, u::UBIGINT AS u FROM ph
+        ), twins AS (
+          SELECT doc_id + 1000000 AS doc_id, xor(u, ($maskSql)) AS u
+          FROM hs WHERE doc_id % 5 = 0
+        ), allh AS (
+          SELECT doc_id, u FROM hs UNION ALL SELECT doc_id, u FROM twins
+        ), bnd AS (
+          SELECT a.doc_id, a.u, t.b,
+            ((a.u::HUGEINT // t.d::HUGEINT) % 65536)::BIGINT AS bv
+          FROM allh a CROSS JOIN (VALUES (0, 1), (1, 65536),
+            (2, 4294967296), (3, 281474976710656)) t(b, d)
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+            x.u AS ua, y.u AS ub
+          FROM bnd x JOIN bnd y
+            ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(ua, ub))::INTEGER AS hamming
+        FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+        ORDER BY id_a, id_b"""
+  }
 
   // ====================================================================
   // Change capture, sketch merge, PII redaction (pipeline metadata ops)
@@ -2336,6 +2413,7 @@ object SparkEntry {
     "m4_modality_check" -> m4Modality,
     "m5_chunk_dedup" -> m5ChunkDedup,
     "m6_phash" -> m6PerceptualHash,
+    "m7_phash_pairs" -> m7PhashPairs,
     "x8_scd2" -> x8Scd2,
     "x9_latest_snapshot" -> x9LatestSnapshot,
     "a16_sketch_union" -> a16SketchUnion,
@@ -3067,6 +3145,7 @@ object SparkEntry {
          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
     "m6_phash" -> m6OracleSql,
+    "m7_phash_pairs" -> m7OracleSql,
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

@@ -166,11 +166,16 @@ object Multimodal {
     * collides — recall 1.0 up to that radius, by construction (the
     * spec pins it). Beyond it, collision requires the differing bits
     * to dodge some band. */
-  def phashCandidatePairs(
+  /** Internal variant carrying both hashes for the verify stage.
+    * PRECONDITION (both variants): ids are unique — the distinct() on
+    * (id_a, id_b, _ha, _hb) collapses multi-band collisions of the
+    * SAME pair; a duplicated id with two different hashes would emit
+    * ambiguous pairs under one name. */
+  private def phashCandidatePairsWithHashes(
       hashed: DataFrame,
       idCol: String,
-      hashCol: String = "phash",
-      bands: Int = 4): DataFrame = {
+      hashCol: String,
+      bands: Int): DataFrame = {
     require(bands >= 1 && bands <= 4, s"16-bit bands over 64 bits: 1..4, got $bands")
     def sideBands(side: DataFrame, id: String, h: String) = side
       .select(col(idCol).as(id), col(hashCol).as(h),
@@ -183,16 +188,28 @@ object Multimodal {
       .distinct()
   }
 
+  /** Candidate pairs only — (id_a, id_b), the promised public shape
+    * (round-9 advice: the internal _ha/_hb columns stay internal).
+    * Ids must be unique (see [[phashCandidatePairsWithHashes]]). */
+  def phashCandidatePairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String = "phash",
+      bands: Int = 4): DataFrame =
+    phashCandidatePairsWithHashes(hashed, idCol, hashCol, bands)
+      .select(col("id_a"), col("id_b"))
+
   /** Perceptual near-dup pairs: banded candidates verified by exact
     * Hamming distance ≤ `maxHamming` (bit_count of xor — codegen'd).
-    * Output (id_a, id_b, hamming), exact within the pigeonhole radius. */
+    * Output (id_a, id_b, hamming), exact within the pigeonhole radius.
+    * Ids must be unique (see [[phashCandidatePairsWithHashes]]). */
   def phashNearDupPairs(
       hashed: DataFrame,
       idCol: String,
       maxHamming: Int = 3,
       hashCol: String = "phash",
       bands: Int = 4): DataFrame =
-    phashCandidatePairs(hashed, idCol, hashCol, bands)
+    phashCandidatePairsWithHashes(hashed, idCol, hashCol, bands)
       .withColumn("hamming",
         bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast("int"))
       .filter(col("hamming") <= maxHamming)

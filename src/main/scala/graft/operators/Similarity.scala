@@ -951,11 +951,19 @@ object Similarity {
     require(sampleN > 0, s"sampleN must be positive, got $sampleN")
     val cents = collectCentroids(
       ivfCentroidsMd5(df, idCol, vecCol, nlist, centroidSalt))
-    df.orderBy(Sampling.uniformHex(col(idCol), s"$centroidSalt-diag"), col(idCol))
+    val row = df
+      .orderBy(Sampling.uniformHex(col(idCol), s"$centroidSalt-diag"), col(idCol))
       .limit(sampleN)
       .select(array_max(centroidScores(cents, vecCol)).getField("cos").as("_c"))
       .agg(avg(col("_c")))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // avg over zero rows is null — surface "your corpus is empty (or
+    // fully filtered)" instead of an opaque NPE from inside the steer
+    // (round-9 advice; mirrors the bench's exact.nonEmpty require)
+    require(!row.isNullAt(0),
+      s"meanAssignmentCosine: input has no rows (empty or fully filtered " +
+        s"corpus) — cannot steer the PQ tier")
+    row.getDouble(0)
   }
 
   private val autoLog = org.slf4j.LoggerFactory.getLogger("graft.operators.Similarity")

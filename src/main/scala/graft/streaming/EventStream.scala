@@ -39,10 +39,26 @@ object EventStream {
     * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as NTZ,
     * cast under the UTC session zone). ONE bounded batch footer read
     * of the same glob picks the branch — a driver-side metadata probe,
-    * not a data scan. */
+    * not a data scan.
+    *
+    * If the glob matches no files yet — a legitimate streaming startup
+    * state the pre-probe static-schema form supported — the footer
+    * probe cannot infer anything; fall back to the legacy LongType
+    * (nanos-as-long) schema rather than failing stream construction
+    * (round-9 advice). A mismatched late-arriving fixture generation
+    * under that fallback fails loudly at first batch, same as the old
+    * static form. */
   def source(spark: SparkSession, glob: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(glob).schema("ts").dataType match {
+    val probed =
+      try spark.read.parquet(glob).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null && (e.getMessage.contains("infer schema")
+              || e.getMessage.contains("Path does not exist")) =>
+          LongType
+      }
+    probed match {
       case LongType =>
         spark.readStream.schema(rawSchema(LongType)).parquet(glob)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

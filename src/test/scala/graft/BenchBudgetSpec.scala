@@ -165,6 +165,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t20_encoding_gate" -> 1.0,
     "m5_chunk_dedup" -> 1.5,
     "m6_phash" -> 1.3,
+    "m7_phash_pairs" -> 1.8,
     "j15_asof_within" -> 1.0,
     "j16_asof_adaptive" -> 1.5,
     "a23_chi_square" -> 1.0,
@@ -239,11 +240,17 @@ class BenchBudgetSpec extends SparkTestBase {
     // gate — state-store regressions (windowed agg, dedup-vs-index)
     // were invisible. The original floors (100 / 5 rows/s) sat 8×/30×
     // under measurement — only order-of-magnitude breaks tripped
-    // (round-7 verdict item 4). Re-baselined to ~½ the 3-run median on
+    // (round-7 verdict item 4). Floors sit at ~½ the measured median on
     // this session config (local[4], sf0.001, post-warmup): windowed
-    // 805/846/897 → floor 400; dedup-vs-index 152/154/161 → floor 75.
-    // A ~2× state-store or index-join regression now trips while ~30%
-    // machine noise does not.
+    // 805/846/897 → floor 400; dedup-vs-index (min-of-2 drains since
+    // round 10 — the single-shot form spanned 2× on identical code,
+    // which is the whole story of the r9 "regression") re-measured
+    // 147/163/172 → floor 80. A ~2× state-store or index-join
+    // regression now trips while ~30% machine noise does not.
+    // SPARK_GRAFT_FLOOR_SCALE (default 1.0) rescales both floors for
+    // slower hosts: the gate should track a product regression, not
+    // host speed (round-9 advice).
+    val floorScale = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1.0").toDouble
     def rps(json: String): Double = {
       val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
       assert(m.nonEmpty, s"rows_per_sec missing: $json")
@@ -252,11 +259,13 @@ class BenchBudgetSpec extends SparkTestBase {
     Bench.benchStreamingWindowed(spark, dir) // warmup: codegen + state store classes
     val w = rps(Bench.benchStreamingWindowed(spark, dir))
     assert(w > 0, "windowed streaming bench failed to run")
-    assert(w >= 400.0, f"windowed streaming throughput $w%.0f rows/s below floor 400")
+    assert(w >= 400.0 * floorScale,
+      f"windowed streaming throughput $w%.0f rows/s below floor ${400.0 * floorScale}%.0f")
     Bench.benchStreamingDedup(spark, dir, nSegments = 4) // warmup
     val d = rps(Bench.benchStreamingDedup(spark, dir, nSegments = 4))
     assert(d > 0, "streaming dedup bench failed to run")
-    assert(d >= 75.0, f"streaming dedup throughput $d%.1f rows/s below floor 75")
+    assert(d >= 80.0 * floorScale,
+      f"streaming dedup throughput $d%.1f rows/s below floor ${80.0 * floorScale}%.1f")
   }
 
   test("every registry query has a committed time budget") {

@@ -21,6 +21,24 @@ class EventStreamSpec extends SparkTestBase {
     d
   }
 
+  test("source() on an empty glob starts a stream instead of failing schema inference") {
+    // legitimate streaming startup state: the input directory exists
+    // but no segment has arrived yet (round-9 advice — the footer
+    // probe used to throw 'unable to infer schema' here)
+    val empty = tmpDir("events-empty-src")
+    val src = EventStream.source(spark, empty)
+    assert(src.isStreaming, "empty-glob source must still be a streaming frame")
+    // fallback branch = legacy nanos-as-long decode → session-zoned ts
+    assert(src.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and it drains as a (zero-batch) stream without error
+    val q = src.writeStream.format("noop")
+      .option("checkpointLocation", tmpDir("events-empty-cp"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   test("watermarked tumbling windows: append emits exactly the finalized windows") {
     val out = tmpDir("evw-out"); val cp = tmpDir("evw-cp")
     EventStream.runWindowedToParquet(spark, glob, "10 minutes", "1 hour", out, cp)
