@@ -248,40 +248,46 @@ object Bench {
       // tiers sampled different centroids via xxhash64 vs md5 and
       // probed different lists; round-8 advice): the residual encoding
       // is the ONLY difference
-      val pqRecall = recall(pairSet(Similarity.ivfTopKPq(
-        mog, "vec_id", "embedding", probes, 5,
-        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, maxProbes = 25,
-        centroidSaltMd5 = Some("ivfr"))
-        .select(col("probe_id"), col("neighbor_id"))))
-      val pqResRecall = recall(pairSet(Similarity.ivfTopKPqResidual(
-        mog, "vec_id", "embedding", probes, 5,
-        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, maxProbes = 25)
-        .select(col("probe_id"), col("neighbor_id"))))
+      def pqRecallAt(m: Int, rerank: Int): Double =
+        recall(pairSet(Similarity.ivfTopKPq(
+          mog, "vec_id", "embedding", probes, 5,
+          dim = 64, nlist = nlist, nprobe = 8, m = m, ksub = 16, rerank = rerank,
+          maxProbes = 25, centroidSaltMd5 = Some("ivfr"))
+          .select(col("probe_id"), col("neighbor_id"))))
+      def pqResRecallAt(rerank: Int): Double =
+        recall(pairSet(Similarity.ivfTopKPqResidual(
+          mog, "vec_id", "embedding", probes, 5,
+          dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, rerank = rerank,
+          maxProbes = 25)
+          .select(col("probe_id"), col("neighbor_id"))))
       // ADC-ONLY recall on 625-mate clusters is structurally floor-
       // bound whatever the encoding (cluster-mates collapse to near-one
-      // reconstruction: top-5 of 625 by ADC ≈ noise; measured m=8
-      // doubles the bits and moves 0.016→0.04 only). The PRODUCTION
+      // reconstruction: top-5 of 625 by ADC ≈ noise). The PRODUCTION
       // operating point is ADC shortlist + exact re-rank, and THERE the
       // encodings separate readably: the re-rank can only recover
       // neighbors the shortlist caught, so recall@5-after-rerank
       // measures shortlist quality — the thing the encoding controls.
-      val pqRrRecall = recall(pairSet(Similarity.ivfTopKPq(
-        mog, "vec_id", "embedding", probes, 5,
-        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, rerank = 64,
-        maxProbes = 25, centroidSaltMd5 = Some("ivfr"))
-        .select(col("probe_id"), col("neighbor_id"))))
-      val pqResRrRecall = recall(pairSet(Similarity.ivfTopKPqResidual(
-        mog, "vec_id", "embedding", probes, 5,
-        dim = 64, nlist = nlist, nprobe = 8, m = 4, ksub = 16, rerank = 64,
-        maxProbes = 25)
-        .select(col("probe_id"), col("neighbor_id"))))
+      // The rerank ∈ {0, 16, 64, 256} CURVE is the recall-vs-rerank-
+      // bytes tradeoff a 10⁹-vector user tunes (deeper shortlist =
+      // more fp32 fetches per probe); the m=8 ADC point doubles code
+      // bytes instead — the other axis of the same budget (round-9
+      // verdict item 4: both now committed numbers, not comments).
+      val pqRecall = pqRecallAt(4, 0)
+      val pqResRecall = pqResRecallAt(0)
+      val pqCurve = Seq(16, 64, 256).map(rr => rr -> pqRecallAt(4, rr))
+      val pqResCurve = Seq(16, 64, 256).map(rr => rr -> pqResRecallAt(rr))
+      val pqM8Recall = pqRecallAt(8, 0)
       val (reconRaw, reconRes) = reconCosPair(mog, nlist)
       mog.unpersist()
       s"""{"mog_n":$n,"mog_nlist":$nlist,""" +
         ivfCurve.map { case (p, r) => s""""mog_ivf_recall_at5_nprobe$p":$r""" }
           .mkString("", ",", ",") +
         s""""mog_pq_recall_at5":$pqRecall,"mog_pqres_recall_at5":$pqResRecall,""" +
-        s""""mog_pq_rr64_recall_at5":$pqRrRecall,"mog_pqres_rr64_recall_at5":$pqResRrRecall,""" +
+        pqCurve.map { case (rr, r) => s""""mog_pq_rr${rr}_recall_at5":$r""" }
+          .mkString("", ",", ",") +
+        pqResCurve.map { case (rr, r) => s""""mog_pqres_rr${rr}_recall_at5":$r""" }
+          .mkString("", ",", ",") +
+        s""""mog_pq_m8_recall_at5":$pqM8Recall,""" +
         s""""mog_pq_recon_cos":${r3(reconRaw)},"mog_pqres_recon_cos":${r3(reconRes)}}"""
     } catch {
       case e: Throwable =>

@@ -48,6 +48,11 @@ object StreamingDedupProbe {
       }
       println(s"[probe] prelude done (${names.size} queries x2)")
     }
+    if (flags("ann")) {
+      println("[probe] ann: " + graft.Bench.benchAnnQuality(spark))
+      spark.stop()
+      return
+    }
     val nSeg = sys.env.getOrElse("SPARK_GRAFT_PROBE_SEGMENTS", "8").toInt
     (1 to 3).foreach { i =>
       val out = graft.Bench.benchStreamingDedup(spark, sfDir, nSegments = nSeg)

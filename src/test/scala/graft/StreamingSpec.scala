@@ -560,6 +560,75 @@ class StreamingSpec extends SparkTestBase {
       "ratio table cache must be released on query termination")
   }
 
+  test("streaming retention: reverse-time drain converges to batch w11 cell-for-cell") {
+    import graft.streaming.StreamingRetention
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sret")
+    // Stage (user_id, ts) in FOUR files split by week quartile in
+    // REVERSE time order (latest weeks in _seg=0, earliest in _seg=3;
+    // FileStreamSource breaks same-mtime ties by path, so latest weeks
+    // drain FIRST) — every multi-quartile user's cohort MOVES
+    // retroactively mid-stream, so final parity proves the retraction
+    // path, not just the additive one.
+    val ev = sources.Tables.events(spark, dir).select(col("user_id"), col("ts"))
+      .withColumn("_wk", expr("unix_micros(ts) div 604800000000"))
+    val (wkMin, wkMax) = {
+      val r = ev.agg(min("_wk"), max("_wk")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(wkMax - wkMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(wkMax) - col("_wk")) * 4 / (span + 1)).cast("int")))
+      .drop("_wk")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingRetention.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def cells(df: DataFrame): Set[(Long, Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val got = cells(StreamingRetention.retentionTable(spark, store))
+    val want = cells(SparkEntry.queries("w11_retention")(spark, dir))
+    assert(got == want,
+      s"streaming retention diverged from batch w11:\n got=$got\n want=$want")
+    assert(got.nonEmpty, "parity on an empty table proves nothing")
+  }
+
+  test("streaming retention state transitions: growth, and retroactive cohort move retracts exactly") {
+    import graft.streaming.StreamingRetention.{processUser, Delta, UserWeeks}
+    import org.apache.spark.sql.streaming.TestGroupState
+    // first sight: weeks {10, 12} -> cohort 10, size +1, cells k=0,2
+    val s1 = TestGroupState.create[UserWeeks](
+      optionalState = org.apache.spark.api.java.Optional.empty[UserWeeks](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val d1 = processUser(1L, Iterator((1L, 12L), (1L, 10L)), s1).toSet
+    assert(d1 == Set(Delta(true, 10L, 0L, 1L),
+      Delta(false, 10L, 0L, 1L), Delta(false, 10L, 2L, 1L)))
+    assert(s1.get == UserWeeks(10L, Seq(10L, 12L)))
+    // same-cohort growth: week 13 adds ONE cell, no size change
+    val d2 = processUser(1L, Iterator((1L, 13L), (1L, 12L)), s1).toSet
+    assert(d2 == Set(Delta(false, 10L, 3L, 1L)))
+    // retroactive move: week 7 arrives -> old size and ALL old cells
+    // retract, everything re-emits under cohort 7
+    val d3 = processUser(1L, Iterator((1L, 7L)), s1).toSet
+    assert(d3 == Set(
+      Delta(true, 10L, 0L, -1L),
+      Delta(false, 10L, 0L, -1L), Delta(false, 10L, 2L, -1L), Delta(false, 10L, 3L, -1L),
+      Delta(true, 7L, 0L, 1L),
+      Delta(false, 7L, 0L, 1L), Delta(false, 7L, 3L, 1L),
+      Delta(false, 7L, 5L, 1L), Delta(false, 7L, 6L, 1L)))
+    assert(s1.get == UserWeeks(7L, Seq(7L, 10L, 12L, 13L)))
+    // duplicate-only batch: no deltas, state untouched
+    assert(processUser(1L, Iterator((1L, 12L)), s1).isEmpty)
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
