@@ -1078,6 +1078,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster size distribution — the corpus-health report
+    * every dedup paper publishes (how much of the corpus sits in
+    * k-sized duplicate clusters): d8's components, then TWO tiny
+    * aggregates (label → size, size → cluster count) whose inputs are
+    * one row per doc and one row per cluster — nothing here grows
+    * faster than the component pass itself. n_docs = size × clusters
+    * cross-checks against the corpus row count. */
+  private val d19ClusterSizes = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    Dedup.nearDupComponents(docs, "doc_id", pairs)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Leakage-safe split — the group-aware form of x1's hash split: the
     * split key is the near-dup COMPONENT label, not the doc id, so two
     * near-duplicate documents can never straddle train/val/test (the
@@ -1888,10 +1909,16 @@ object SparkEntry {
       * verify. m6 oracles the hash; this oracles the pair pipeline the
       * r9 verdict called spec-only. */
     def phashPairs(docs: DataFrame): DataFrame = {
-      val hashed = Multimodal.perceptualHash(
+      // staged ONCE (5k rows × 16 bytes): the banded join consumes the
+      // hashes on BOTH sides and the twin branch a third time — unstaged,
+      // each consumer re-runs the whole 64-feature decode chain (measured
+      // 4.8 s → 1.5 s at sf0.1). CachePool: Verify/Bench release at the
+      // query boundary.
+      val hashed = graft.CachePool.register(Multimodal.perceptualHash(
         Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
         "media", dim = 64)
         .select(col("doc_id"), col("phash"))
+        .persist())
       val k = pmod(col("doc_id"), lit(7L))
       val mask = (0 until 6).map { j =>
         when(lit(j) < k,
@@ -2361,6 +2388,7 @@ object SparkEntry {
     "d7_decontaminate" -> d7Decontaminate,
     "d17_contamination_score" -> d17ContaminationScore,
     "d8_neardup_groups" -> d8NearDupGroups,
+    "d19_dup_cluster_sizes" -> d19ClusterSizes,
     "d18_priority_dedup" -> d18PriorityDedup,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
@@ -3249,6 +3277,7 @@ object SparkEntry {
          SELECT l_orderkey, l_linenumber, (a4 | (b4 << 1)) AS zval
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
+    "d19_dup_cluster_sizes" -> d19OracleSql,
     "d18_priority_dedup" -> d18OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,
@@ -4371,6 +4400,30 @@ object SparkEntry {
         LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
           ON d.doc_id = m.s
         ORDER BY d.doc_id"""
+
+  /** d19: d8's recursive closure → per-label sizes → size histogram —
+    * the same exact-Jaccard components, aggregated twice. */
+  private def d19OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lbl AS (
+          SELECT d.doc_id,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS label
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s),
+        cs AS (SELECT label, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+          cluster_size * COUNT(*) AS n_docs
+        FROM cs GROUP BY 1 ORDER BY 1"""
 
   /** d18: d8's recursive-closure labeling + the (source, doc_id)
     * lexicographic pick per component — the oracle replays the

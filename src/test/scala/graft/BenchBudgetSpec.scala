@@ -55,6 +55,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d6_neardup_pairs" -> 2.4,
     "d8_neardup_groups" -> 6.0,
     "d18_priority_dedup" -> 6.5,
+    "d19_dup_cluster_sizes" -> 6.5,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

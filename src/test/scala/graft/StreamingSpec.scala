@@ -210,6 +210,45 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
+  test("streaming LSH dedup index is bucket-partitioned and the per-batch read prunes to the batch's partitions") {
+    import spark.implicits._
+    val base = tmpDir("sdedup-prune")
+    val dedup = new graft.streaming.StreamingLshDedup(
+      s"$base/index", s"$base/matches", indexParts = 16)
+    val corpus = (0L until 200L)
+      .map(i => (i, s"alpha bravo charlie token$i delta echo word${i * 7} foxtrot golf hotel"))
+      .toDF("doc_id", "text")
+    dedup.processBatch(spark, corpus, 0L)
+    // physical layout: the index directory is partitioned by _bp
+    val partDirs = new java.io.File(s"$base/index/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_bp="))
+    assert(partDirs.length > 1, s"expected multiple _bp partitions, got ${partDirs.toSeq}")
+    // one-doc probe: its 8 band buckets hash into ≤ 8 of the 16
+    // partitions — the pruned read must cut at the scan (PartitionFilters),
+    // not as a post-scan filter
+    val probe = Seq((100000L, "zulu yankee xray unique probe document november")).toDF("doc_id", "text")
+    val nb = dedup.bucketed(probe).persist()
+    try {
+      val touched = nb.select("_bp").distinct().count()
+      assert(touched < partDirs.length,
+        s"probe touches $touched partitions of ${partDirs.length} — pruning would be vacuous")
+      val pruned = dedup.prunedIndex(spark, nb)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("_bp"),
+        s"index read must prune on the _bp partition column; plan:\n$plan")
+      // semantic parity: rows joining on (band, bucket) always share _bp,
+      // so the pruned candidate set == the full-scan candidate set
+      val full = spark.read.parquet(s"$base/index/data")
+      def cands(idx: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = nb.as("n")
+        .join(idx.as("o"),
+          col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+            col("n.doc_id") =!= col("o.doc_id"))
+        .select(col("n.doc_id"), col("o.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(cands(pruned) == cands(full), "pruning must not change the candidate set")
+    } finally { nb.unpersist(); () }
+  }
+
   test("streaming curation == batch x14 composition + first-N quota on the same fixture") {
     import spark.implicits._
     import graft.operators.{Dedup, TextAnalysis}
