@@ -866,6 +866,19 @@ object SparkEntry {
       t(s, d, "documents").select(col("n_chars"), (col("lang") === "en").as("is_en")),
       "n_chars", "is_en")
 
+  /** Calibration bins ([[Evaluation.calibrationBins]]) of a
+    * deterministic integer pseudo-probability (scale 1000) against the
+    * lang == 'en' label — x20's companion: ranking quality there,
+    * score honesty here. Integer sums, one terminal IEEE division per
+    * derived column — exact on both engines. */
+  private val x24Calibration = (s: SparkSession, d: String) =>
+    Evaluation.calibrationBins(
+      t(s, d, "documents").select(
+        pmod(col("n_chars") * 37 + col("doc_id"), lit(1000L)).as("sp"),
+        (col("lang") === "en").as("y")),
+      "sp", "y", bins = 10, scale = 1000L)
+      .orderBy(col("bin"))
+
   /** Composed admission gate: the full preprocessing decision. */
   private val t11Admission = (s: SparkSession, d: String) =>
     TextAnalysis.admissionGate(t(s, d, "documents"))
@@ -2454,6 +2467,7 @@ object SparkEntry {
     "t19_bigram_fluency" -> t19BigramFluency,
     "t20_encoding_gate" -> t20EncodingGate,
     "x20_auc" -> x20Auc,
+    "x24_calibration" -> x24Calibration,
     "x15_budget_select" -> x15BudgetSelect,
     "d13_bloom_prefilter" -> d13BloomPrefilter,
     "d14_embed_screen" -> d14EmbedScreen,
@@ -3524,6 +3538,23 @@ object SparkEntry {
          SELECT d.doc_id, d.lang, d.n_chars, th.admit_thresh,
            CAST(d.n_chars AS DOUBLE) >= th.admit_thresh AS admit
          FROM documents d JOIN th USING (lang) ORDER BY d.doc_id""",
+    "x24_calibration" ->
+      // exact integer (count, positives, score-sum) per decile bin;
+      // mean_pred / obs_rate are ONE terminal IEEE division of exact
+      // integers on both engines (operand values identical by
+      // construction, so the doubles are bit-identical)
+      """WITH s AS (
+           SELECT ((n_chars*37 + doc_id) % 1000) AS sp,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents
+         )
+         SELECT LEAST((sp*10)//1000, 9)::BIGINT AS bin,
+           COUNT(*)::BIGINT AS n,
+           SUM(y)::BIGINT AS n_pos,
+           SUM(sp)::BIGINT AS sum_s,
+           SUM(sp)::BIGINT::DOUBLE / (1000.0 * COUNT(*)::BIGINT::DOUBLE) AS mean_pred,
+           SUM(y)::BIGINT::DOUBLE / COUNT(*)::BIGINT::DOUBLE AS obs_rate
+         FROM s GROUP BY 1 ORDER BY 1""",
     "x20_auc" ->
       // same tie-corrected rank sum in exact integers; DuckDB's single
       // ordered window replays the two-level distributed prefix sum

@@ -74,4 +74,41 @@ object Evaluation {
           (col("_two_rpos") - col("n_pos") * (col("n_pos") + lit(1L))).cast("double") /
             (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** Calibration (reliability-diagram) bins — AUC's companion metric:
+    * AUC says the classifier RANKS well; calibration says its scores
+    * MEAN what they claim (a quality filter admitting "p ≥ 0.9" docs
+    * needs bin 9's observed rate to actually be ~0.9). Scores arrive
+    * as INTEGERS in [0, scale] (quantize upstream — same contract as
+    * [[rocAuc]]'s cardinality note, and the reason every aggregate
+    * here is exact): bin b = min(score·bins div scale, bins−1), one
+    * map-side-combined hash aggregate of `bins` output rows carrying
+    * exact BIGINT (count, positives, score-sum), then per-bin
+    * `mean_pred` and `obs_rate` as ONE terminal IEEE division each of
+    * exact integers — bit-identical on any engine. Empty bins emit no
+    * row (no 0/0).
+    *
+    * Scale shape: ONE aggregate over the corpus, `bins` rows out —
+    * nothing downstream of the map-side combine depends on corpus
+    * size. */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      scale: Long = 1000L): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val bin = least(
+      expr(s"(`$scoreCol` * ${bins}L) div ${scale}L"), lit(bins - 1L))
+    df.groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol)).as("sum_s"))
+      .select(col("bin"), col("n"), col("n_pos"), col("sum_s"),
+        (col("sum_s").cast("double") /
+          (lit(scale.toDouble) * col("n").cast("double"))).as("mean_pred"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"))
+  }
 }

@@ -161,6 +161,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t17_vocab_coverage" -> 1.2,
     "t18_quantile_gate" -> 1.2,
     "x20_auc" -> 1.2,
+    "x24_calibration" -> 1.0,
     "j14_nearest_asof" -> 1.0,
     "t19_bigram_fluency" -> 1.5,
     "t20_encoding_gate" -> 1.0,
