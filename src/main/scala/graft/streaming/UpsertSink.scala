@@ -72,6 +72,39 @@ class ParquetKpiStore(root: String) extends Serializable {
           .select(keys.map(col) ++ valueCols.map(c => col(s"sum($c)").cast(
             updates.schema(c).dataType).as(c)): _*)
     }
+    writeVersion(spark, table, merged, batchId)
+  }
+
+  /** Keyed LAST-WRITE-WINS merge: an updated key's row REPLACES the
+    * stored row; untouched keys carry forward. The additive [[merge]]
+    * is for decomposable aggregates (counts, sums); this one is for
+    * per-key DERIVED STATE that revises under late data — a streaming
+    * funnel's (t1, t2, t3) triple is recomputed, not incremented, when
+    * an earlier first-view arrives. Same idempotence contract: replay
+    * of an applied batch is a no-op, so updates must be deterministic
+    * per batch (they are: foreachBatch hands the same rows on replay).
+    * Anti-join + union — one shuffle over a store bounded by distinct
+    * keys, never by stream volume. */
+  def mergeReplace(
+      spark: SparkSession,
+      table: String,
+      keys: Seq[String],
+      updates: DataFrame,
+      batchId: Long): Unit = synchronized {
+    if (batchId <= appliedBatch(spark, table)) return // idempotent replay
+    val merged = read(spark, table) match {
+      case None => updates
+      case Some(cur) =>
+        cur.join(updates.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(updates)
+    }
+    writeVersion(spark, table, merged, batchId)
+  }
+
+  /** Shared version-write tail: new version dir, atomic pointer swap,
+    * GC of superseded versions. */
+  private def writeVersion(
+      spark: SparkSession, table: String, merged: DataFrame, batchId: Long): Unit = {
     val vdir = s"${tableDir(table)}/v_$batchId"
     merged.write.mode(SaveMode.Overwrite).parquet(vdir)
     writePointerAtomic(spark, table, s"$batchId:$batchId")

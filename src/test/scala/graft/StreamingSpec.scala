@@ -668,6 +668,92 @@ class StreamingSpec extends SparkTestBase {
     assert(processUser(1L, Iterator((1L, 12L)), s1).isEmpty)
   }
 
+  test("ParquetKpiStore mergeReplace: updated keys replace, untouched keys carry, replay is a no-op") {
+    import spark.implicits._
+    val st = tmpDir("repl-store")
+    val store = new ParquetKpiStore(st)
+    store.mergeReplace(spark, "t", Seq("k"),
+      Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+    store.mergeReplace(spark, "t", Seq("k"),
+      Seq(("a", 10L), ("c", 3L)).toDF("k", "v"), 1L)
+    store.mergeReplace(spark, "t", Seq("k"),
+      Seq(("a", 99L)).toDF("k", "v"), 1L) // replay of applied batch: no-op
+    val got = store.read(spark, "t").get.orderBy("k").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 10L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("streaming funnel: reverse-time drain converges to batch w10 row-for-row") {
+    import graft.streaming.StreamingFunnel
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sfun")
+    // four files in REVERSE time order (purchases and clicks arrive
+    // before the views that legitimize them; late-arriving earlier
+    // views then REVISE t1 → t2 → t3 cascades constantly)
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingFunnel.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def rows(df: DataFrame): Set[(Long, Any, Any, Any, Int)] =
+      df.collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3),
+        r.getInt(4))).toSet
+    val got = rows(StreamingFunnel.funnelTable(spark, store))
+    val want = rows(SparkEntry.queries("w10_funnel")(spark, dir))
+    assert(got.nonEmpty, "parity on an empty funnel proves nothing")
+    assert(got == want,
+      s"streaming funnel diverged from batch w10: extra=${got -- want} missing=${want -- got}")
+    // the fixture must actually exercise revision: some user reaches a
+    // milestone only because a LATER batch delivered an earlier view
+    assert(want.exists(_._5 >= 2), "fixture has no multi-stage users")
+  }
+
+  test("streaming funnel state transitions: late earlier view revises the whole cascade") {
+    import graft.streaming.StreamingFunnel.{processUser, FunnelRow, FunnelState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st = TestGroupState.create[FunnelState](
+      optionalState = org.apache.spark.api.java.Optional.empty[FunnelState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val s = st
+    // batch 1: click@50, purchase@60, view@100 — the view is too LATE to
+    // legitimize them: stage 1 (t1=100, no click after it)
+    val d1 = processUser(7L, Iterator((7L, "click", 50L), (7L, "purchase", 60L),
+      (7L, "view", 100L)), s).toSeq
+    assert(d1 == Seq(FunnelRow(7L, Some(100L), None, None, 1)))
+    // batch 2: an EARLIER view@10 arrives — t1 revises to 10, the old
+    // click@50 becomes eligible (t2=50), purchase@60 follows (t3=60):
+    // the full cascade from one late event
+    val d2 = processUser(7L, Iterator((7L, "view", 10L)), s).toSeq
+    assert(d2 == Seq(FunnelRow(7L, Some(10L), Some(50L), Some(60L), 3)))
+    // batch 3: an ineligible click@5 (before t1) — derivation unchanged,
+    // NOTHING emits, but state keeps the click for future revisions
+    assert(processUser(7L, Iterator((7L, "click", 5L)), s).isEmpty)
+    assert(s.get.clicks.contains(5L))
+    // batch 4: view@1 — t1=1 makes click@5 the new t2; purchase@60 still t3
+    val d4 = processUser(7L, Iterator((7L, "view", 1L)), s).toSeq
+    assert(d4 == Seq(FunnelRow(7L, Some(1L), Some(5L), Some(60L), 3)))
+    // strict > at every hop: click exactly AT t1 does not count
+    val s2 = st
+    val e1 = processUser(8L, Iterator((8L, "view", 10L), (8L, "click", 10L)), s2).toSeq
+    assert(e1 == Seq(FunnelRow(8L, Some(10L), None, None, 1)))
+  }
+
   test("upsert SQL quotes identifiers (reference K8 bug fixed)") {
     val sql = graft.streaming.JdbcUpsertSink.upsertSql(
       "flight distance impact", Seq("flight distance"), Seq("mean satisfaction"))
