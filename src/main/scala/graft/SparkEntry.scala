@@ -1112,6 +1112,23 @@ object SparkEntry {
       .orderBy(col("cluster_size"))
   }
 
+  /** SemDeDup semantic prune ([[Dedup.semDedup]] — Abbas et al. 2023):
+    * cluster the embedding space (the x23 md5-sampled centroid set,
+    * 'sdd' salt), then inside each cluster drop every row that has a
+    * cosine-0.4 duplicate LESS central than itself — the paper keeps
+    * the edge examples. Completes the repo's SemDeDup story: x23 is
+    * the paper's cluster-balanced SAMPLING arm, d20 is its
+    * deduplication arm. Pairs are compared only within a cluster
+    * (equi-join on list_id); keep/drop is fully replayed by the
+    * oracle including both double-precision comparisons. */
+  private val d20SemDedup = (s: SparkSession, d: String) => {
+    val emb = t(s, d, "embeddings")
+    val cents = Similarity.ivfCentroidsMd5(emb, "vec_id", "embedding",
+      nlist = 8, salt = "sdd")
+    Dedup.semDedup(emb, cents, "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
   /** Leakage-safe split — the group-aware form of x1's hash split: the
     * split key is the near-dup COMPONENT label, not the doc id, so two
     * near-duplicate documents can never straddle train/val/test (the
@@ -1594,6 +1611,61 @@ object SparkEntry {
           .when(col("t1us").isNotNull, 1).otherwise(0)
           .cast("int").as("steps_reached"))
       .orderBy(col("user_id"))
+  }
+
+  /** Event-transition matrix — the Markov view of user behavior (what
+    * follows what, and with what probability): consecutive event-type
+    * pairs per user via ONE `lead` over the (user, time, id) order —
+    * one Exchange on user_id, the same partitioning e7/w9/w10 reuse —
+    * then a tiny (from, to) count aggregate. `prob` normalizes within
+    * the from-state over the AGGREGATED frame (|event_type|² rows, a
+    * window over nothing), one terminal IEEE division of exact
+    * integers. */
+  private val w12Transitions = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(ord))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val norm = Window.partitionBy(col("from_type"))
+    counts
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") / sum(col("cnt")).over(norm)).as("prob"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Key-skew profile ([[RelationalOps.keyDistribution]]) of the
+    * events fact's user_id — the shuffle key every events query
+    * partitions on. THE pre-flight check for the j4 salted join and
+    * the AQE skew knobs: exact per-key count quantiles, the max, and
+    * skew_ratio = max/fair-share in one summary row. */
+  private val a26KeySkew = (s: SparkSession, d: String) =>
+    RelationalOps.keyDistribution(
+      Tables.events(s, d).select(col("user_id")), "user_id")
+
+  /** Corpus snapshot diff ([[ChangeCapture.snapshotDiff]]) between two
+    * deterministic views of the documents table: the "old" snapshot
+    * misses doc_id ≡ 3 (mod 7), the "new" one misses ≡ 5 (mod 7) and
+    * rewrites every doc_id ≡ 0 (mod 4) — so all four statuses appear
+    * and the added/removed/changed/unchanged partition is fully
+    * decidable by the oracle. The join shuffles (id, md5) only; the
+    * re-process set a downstream incremental pipeline would read is
+    * exactly the added ∪ changed rows. */
+  private val x25SnapshotDiff = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    ChangeCapture.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .orderBy(col("doc_id"))
   }
 
   /** Per-group IQR outlier fences — the classic distribution screen a
@@ -2354,6 +2426,9 @@ object SparkEntry {
     "e10_interpolate" -> e10Interpolate,
     "w10_funnel" -> w10Funnel,
     "w11_retention" -> w11Retention,
+    "w12_transitions" -> w12Transitions,
+    "a26_key_skew" -> a26KeySkew,
+    "x25_snapshot_diff" -> x25SnapshotDiff,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -2402,6 +2477,7 @@ object SparkEntry {
     "d17_contamination_score" -> d17ContaminationScore,
     "d8_neardup_groups" -> d8NearDupGroups,
     "d19_dup_cluster_sizes" -> d19ClusterSizes,
+    "d20_semdedup" -> d20SemDedup,
     "d18_priority_dedup" -> d18PriorityDedup,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
@@ -2718,6 +2794,54 @@ object SparkEntry {
                      WHEN min(t1) IS NOT NULL THEN 1
                      ELSE 0 END AS INTEGER) AS steps_reached
          FROM c GROUP BY 1 ORDER BY 1""",
+    "w12_transitions" ->
+      // one LEAD over the same (user, time, id) order, tiny (from, to)
+      // aggregate, prob = exact-integer division done once in IEEE
+      """WITH e AS (
+           SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+         ), p AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS to_type
+           FROM e
+         ), c AS (
+           SELECT from_type, to_type, count(*) AS cnt FROM p
+           WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+         )
+         SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY from_type) AS prob
+         FROM c ORDER BY from_type, to_type""",
+    "a26_key_skew" ->
+      // per-key counts then one summary row: exact integers, the a10
+      // quantile_cont agreement, two terminal IEEE divisions
+      """WITH c AS (
+           SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+         )
+         SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+           count(*) AS n_keys,
+           max(cnt) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.9) AS p90_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
+           CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
+         FROM c""",
+    "x25_snapshot_diff" ->
+      // replay both snapshot derivations, fingerprint with the same
+      // md5-over-utf8, classify through the identical CASE ladder
+      """WITH o AS (
+           SELECT doc_id, md5(text) AS ho FROM documents WHERE doc_id % 7 <> 3
+         ), n AS (
+           SELECT doc_id,
+             md5(CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END) AS hn
+           FROM documents WHERE doc_id % 7 <> 5
+         )
+         SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN ho <> hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
     "a21_iqr_outliers" ->
       // exact interpolated quartiles (the a10 agreement), Tukey fences
       // with the identical IEEE expression shape, flag + count
@@ -3292,6 +3416,37 @@ object SparkEntry {
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
     "d19_dup_cluster_sizes" -> d19OracleSql,
+    "d20_semdedup" ->
+      // full replay of the SemDeDup decision: md5-sampled centroids
+      // ('sdd:' salt), scored argmax assignment (the x23 pattern, plus
+      // the winning cosine), within-cluster pair test at 0.4, and the
+      // keep-least-central rule — both double comparisons evaluate the
+      // identical IEEE expressions on both engines
+      """WITH cents AS (
+           SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM (
+             SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (ORDER BY substr(md5('sdd:' || vec_id::VARCHAR), 1, 8), vec_id) AS rn
+             FROM embeddings
+           ) WHERE rn <= 8
+         ), scored AS (
+           SELECT vec_id, list_id, lcos, v FROM (
+             SELECT e.vec_id, c.cid AS list_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS lcos,
+               CAST(e.embedding AS DOUBLE[]) AS v,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                          c.cid ASC) AS rn
+             FROM embeddings e CROSS JOIN cents c
+           ) WHERE rn = 1
+         ), dropped AS (
+           SELECT DISTINCT a.vec_id FROM scored a JOIN scored b
+             ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+           WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+             AND (b.lcos < a.lcos OR (b.lcos = a.lcos AND b.vec_id < a.vec_id))
+         )
+         SELECT s.vec_id, s.list_id, d.vec_id IS NULL AS keep
+         FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+         ORDER BY s.vec_id""",
     "d18_priority_dedup" -> d18OracleSql,
     "d9_neardup_groups_logstar" -> d8OracleSql,
     "d11_span_cuts" -> d11OracleSql,

@@ -796,4 +796,58 @@ object Dedup {
       .agg(max(struct(col("cos"), (-col("eval_id")).as("neg_id"))).as("_best"))
       .select(col("train_id"), (-col("_best.neg_id")).as("eval_id"))
   }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * deduplication by clustering the embedding space and comparing
+    * pairs ONLY within a cluster. The published procedure — k-means the
+    * corpus, then inside each cluster drop all but one member of every
+    * cosine-≥-threshold duplicate relation, keeping the member LEAST
+    * similar to the cluster centroid (edge examples carry the
+    * information; the central ones are the redundant mass).
+    *
+    * Keep-rule, pairwise-deterministic form: a row is dropped iff some
+    * OTHER row in its cluster has pairwise cosine ≥ `threshold` and is
+    * strictly less central (smaller centroid-cosine; ties broken to the
+    * smaller id). Both engines evaluate the identical double-precision
+    * comparisons, so the rule is exactly replayable.
+    *
+    * Plan shape: one shuffle-free scored assignment pass
+    * ([[Similarity.ivfAssignScored]] — inlined centroids, narrow map),
+    * then a self-equi-join ON THE LIST ID — never a corpus cross
+    * product. Per-cluster cost is quadratic in cluster size, which is
+    * the algorithm's own contract: at 100 TB you scale `nlist`
+    * proportionally to the corpus (the paper uses 50k clusters for
+    * LAION-440M) so expected cluster size — and with it the per-cluster
+    * pair count — stays constant, making total work linear in corpus
+    * size and the join key (`list_id`) perfectly hash-partitionable
+    * across executors. The dropped-id set aggregates through a
+    * map-side-combined distinct, small by the near-dup-rate assumption.
+    *
+    * Output: (idCol, list_id, keep) — admission is the caller's cut,
+    * mirroring the d12/d16 "gate decides, caller drops" discipline. */
+  def semDedup(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val scored = Similarity.ivfAssignScored(df, centroids, idCol, vecCol)
+    val a = scored.select(col(idCol).as("id_a"), col("list_id"),
+      col(vecCol).as("_va"), col("list_cos").as("_ca"))
+    val b = scored.select(col(idCol).as("id_b"), col("list_id"),
+      col(vecCol).as("_vb"), col("list_cos").as("_cb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(VectorOps.cosineSim(col("_va"), col("_vb")) >= threshold)
+      .filter(col("_cb") < col("_ca") ||
+        (col("_cb") === col("_ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as(idCol))
+      .distinct()
+      .withColumn("_dropped", lit(true))
+    scored.select(col(idCol), col("list_id"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("list_id"),
+        coalesce(!col("_dropped"), lit(true)).as("keep"))
+  }
 }

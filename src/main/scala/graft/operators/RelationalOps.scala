@@ -174,4 +174,34 @@ object RelationalOps {
         expected.as("expected"),
         ((obs - expected) * (obs - expected) / expected).as("chi2_cell"))
   }
+
+  /** Key-skew profile for a prospective shuffle key — the diagnostic a
+    * planner (or a human) runs BEFORE choosing between a plain
+    * hash-partitioned join/agg and the salted path
+    * ([[SkewJoin.saltedEquiJoin]]) or AQE skew handling: per-key counts
+    * summarized to one row of exact integers (row/key totals, max, and
+    * interpolated count quantiles — the a10 discipline) plus two
+    * terminal IEEE divisions (`mean_cnt`, and `skew_ratio` = max/mean,
+    * the number that says "your biggest key is N× a fair share").
+    * skew_ratio ≳ the executor count means the hot key serializes the
+    * stage and salting pays.
+    *
+    * Two map-side-combined aggregations (keys, then ONE summary row);
+    * the fact table is scanned once and only (key, count) ever
+    * shuffles. */
+  def keyDistribution(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
+        percentile(col("cnt"), lit(0.9)).as("p90_cnt"),
+        percentile(col("cnt"), lit(0.99)).as("p99_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        (col("n_rows").cast("double") / col("n_keys")).as("mean_cnt"),
+        (col("max_cnt").cast("double") * col("n_keys") / col("n_rows")).as("skew_ratio"))
+  }
 }

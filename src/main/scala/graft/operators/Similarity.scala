@@ -442,6 +442,25 @@ object Similarity {
     df.select(col(idCol), col(vecCol),
       (-array_max(centroidScores(cents, vecCol)).getField("neg_id")).as("list_id"))
 
+  /** [[ivfAssignCollected]] that also surfaces the winning cosine as
+    * `list_cos` — the "how central is this row in its semantic
+    * neighborhood" signal SemDeDup's keep-rule ranks on
+    * ([[graft.operators.Dedup.semDedup]]). Same narrow shuffle-free
+    * map; the struct max already carries the cosine, so this costs
+    * nothing extra. */
+  def ivfAssignScored(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = collectCentroids(centroids)
+    df.select(col(idCol), col(vecCol),
+        array_max(centroidScores(cents, vecCol)).as("_best"))
+      .select(col(idCol), col(vecCol),
+        (-col("_best").getField("neg_id")).as("list_id"),
+        col("_best").getField("cos").as("list_cos"))
+  }
+
   /** Per-row top-`nprobe` nearest lists, EXPLODED: (idCol, vecCol,
     * list_id), nprobe rows per input row. A narrow map over the inlined
     * centroid matrix — no join, no window, no Exchange — shared by

@@ -56,6 +56,10 @@ class BenchBudgetSpec extends SparkTestBase {
     "d8_neardup_groups" -> 6.0,
     "d18_priority_dedup" -> 6.5,
     "d19_dup_cluster_sizes" -> 6.5,
+    "d20_semdedup" -> 3.0,
+    "w12_transitions" -> 1.5,
+    "a26_key_skew" -> 1.2,
+    "x25_snapshot_diff" -> 1.5,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

@@ -93,4 +93,22 @@ class ChangeCaptureSpec extends SparkTestBase {
     assert(componentRows(retracted) == componentRows(cBase),
       "negate + merge must subtract the delta exactly")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged; null payloads compare null-safely") {
+    val oldSnap = Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (5L, Option.empty[String]), (6L, Option.empty[String]))
+      .toDF("id", "payload")
+    val newSnap = Seq(
+      (1L, Option("a")), (2L, Option("B")), (4L, Option("d")),
+      (5L, Option("now set")), (6L, Option.empty[String]))
+      .toDF("id", "payload")
+    val got = ChangeCapture.snapshotDiff(oldSnap, newSnap, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed",   // null → value is a CHANGE, not an add or a crash
+      6L -> "unchanged"  // null → null is no change
+    ), s"got $got")
+  }
 }

@@ -215,4 +215,19 @@ class RelationalOpsSpec extends SparkTestBase {
     val expBySrc = got.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._4).sum).toMap
     assert(expBySrc("src0") == 3.0 && expBySrc("src1") == 1.0)
   }
+
+  test("keyDistribution: hand-computed skew profile (counts 4,2,1,1)") {
+    val df = (Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")).toDF("k")
+    val r = RelationalOps.keyDistribution(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("max_cnt") == 4L)
+    // sorted counts [1,1,2,4]: p50 at idx 1.5 → 1.5; p90 at idx 2.7 →
+    // 2 + 0.7·(4−2) = 3.4; p99 at idx 2.97 → 3.94 (a10 interpolation)
+    assert(r.getAs[Double]("p50_cnt") == 1.5)
+    assert(math.abs(r.getAs[Double]("p90_cnt") - 3.4) < 1e-12)
+    assert(math.abs(r.getAs[Double]("p99_cnt") - 3.94) < 1e-12)
+    assert(r.getAs[Double]("mean_cnt") == 2.0)
+    assert(r.getAs[Double]("skew_ratio") == 2.0, "max 4 over fair share 2")
+  }
 }

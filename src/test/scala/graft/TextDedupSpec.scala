@@ -560,4 +560,30 @@ class TextDedupSpec extends SparkTestBase {
       .filter(col("ctrl_count") + col("repl_count") <= 2)
     assert(tolerant.count() == 5)
   }
+
+  test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
+    val cents = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("centroid_id", "centroid_vec")
+    val emb = Seq(
+      (10L, Seq(1f, 0f, 0f, 0f)),     // cluster 0, most central; dup of 11
+      (11L, Seq(0.9f, 0.1f, 0f, 0f)), // cluster 0, less central — the paper keeps THIS one
+      (12L, Seq(0.6f, 0.2f, 0.2f, 0f)), // cluster 0, below threshold vs everyone
+      (20L, Seq(0f, 1f, 0f, 0f)),     // cluster 1
+      (30L, Seq(0f, 1f, 0f, 0f)),     // identical to 20: centroid-cos ties, smaller id (20) wins
+      (40L, Seq(0.72f, 0.69f, 0f, 0f)), // cluster 0 ...
+      (41L, Seq(0.69f, 0.72f, 0f, 0f))  // ... cluster 1: cos(40,41)≈0.999 but never compared
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, cents, "vec_id", "embedding", threshold = 0.95)
+    assert(out.count() == 7, "every input row gets a verdict")
+    val keep = out.filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(keep == Set(11L, 12L, 20L, 40L, 41L),
+      s"drop the central dup (10) and the larger-id twin (30): got $keep")
+    // the near-identical straddling pair lands in different clusters —
+    // SemDeDup's published blindness, pinned so a refactor that starts
+    // comparing across clusters (quadratic!) fails loudly
+    val lists = out.select(col("vec_id"), col("list_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(lists(40L) == 0L && lists(41L) == 1L)
+  }
 }
