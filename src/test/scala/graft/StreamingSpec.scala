@@ -760,4 +760,106 @@ class StreamingSpec extends SparkTestBase {
     assert(sql.contains("`flight distance impact`"))
     assert(sql.contains("`mean satisfaction`=VALUES(`mean satisfaction`)"))
   }
+
+  test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
+    import graft.streaming.StreamingTransitions
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("strans")
+    // Stage events in FOUR files by time quartile in REVERSE order
+    // (latest quartile drains first): every user's sequence is
+    // assembled middle-out, so most pairs are first emitted WRONG and
+    // must be exactly retracted — parity proves the diff path
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingTransitions.start(spark, stream, store, s"$base/cp")
+      .awaitTermination()
+
+    def rows(df: DataFrame): Set[(String, String, Long, Double)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = rows(StreamingTransitions.transitionTable(spark, store))
+    val want = rows(SparkEntry.queries("w12_transitions")(spark, dir))
+    assert(got == want,
+      s"streaming transitions diverged from batch w12:\n got=$got\n want=$want")
+    assert(got.nonEmpty, "parity on an empty table proves nothing")
+    assert(StreamingTransitions.droppedLate(spark, store) == 0L,
+      "unbounded lateness must never drop")
+  }
+
+  test("streaming transitions state: out-of-order revision, frozen-prefix drop, compaction keeps counts") {
+    import graft.streaming.StreamingTransitions.{processUser, Ev, TDelta, UserBuf}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st = TestGroupState.create[UserBuf](
+      optionalState = org.apache.spark.api.java.Optional.empty[UserBuf](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val p = processUser(150L) _ // lateness horizon: 150 micros
+
+    val s1 = st
+    // batch 1: (100 view), (300 purchase) -> one pair
+    val d1 = p(1L, Iterator((1L, Ev(100L, 1L, "view")), (1L, Ev(300L, 3L, "purchase"))), s1).toSet
+    assert(d1 == Set(TDelta("view", "purchase", 1L, false)))
+    // compaction: horizon = 300 - 150 = 150 -> (100 view) froze into
+    // the boundary; the pair it anchors stays revisable on the right
+    assert(s1.get == UserBuf(Some(Ev(100L, 1L, "view")),
+      Seq(Ev(300L, 3L, "purchase"))))
+
+    // batch 2: (200 click) lands BETWEEN boundary and tail:
+    // view->purchase retracts, view->click + click->purchase emit
+    val d2 = p(1L, Iterator((1L, Ev(200L, 2L, "click"))), s1).toSet
+    assert(d2 == Set(
+      TDelta("view", "purchase", -1L, false),
+      TDelta("view", "click", 1L, false),
+      TDelta("click", "purchase", 1L, false)))
+    assert(s1.get.bound == Some(Ev(100L, 1L, "view")),
+      "horizon 300-150 freezes nothing in [200, 300]; boundary holds")
+
+    // batch 3: (50 stray) sorts before the boundary -> frozen region,
+    // dropped AND counted; state untouched
+    val d3 = p(1L, Iterator((1L, Ev(50L, 9L, "stray"))), s1).toSet
+    assert(d3 == Set(TDelta("", "", 1L, true)))
+    assert(s1.get.bound == Some(Ev(100L, 1L, "view")))
+
+    // batch 4: (250 view) revises the mid-sequence pair exactly
+    val d4 = p(1L, Iterator((1L, Ev(250L, 4L, "view"))), s1).toSet
+    assert(d4 == Set(
+      TDelta("click", "purchase", -1L, false),
+      TDelta("click", "view", 1L, false),
+      TDelta("view", "purchase", 1L, false)))
+
+    // batch 5: (500 view) advances the horizon to 350 -> [200, 250,
+    // 300] freeze, the LAST frozen event becomes the boundary, and the
+    // only emission is the genuinely-new pair; counts never re-emit
+    val d5 = p(1L, Iterator((1L, Ev(500L, 5L, "view"))), s1).toSet
+    assert(d5 == Set(TDelta("purchase", "view", 1L, false)))
+    assert(s1.get == UserBuf(Some(Ev(300L, 3L, "purchase")),
+      Seq(Ev(500L, 5L, "view"))),
+      s"compaction must freeze the pre-350 prefix: ${s1.get}")
+
+    // a now-frozen event redelivered: dropped, not double-counted
+    val d6 = p(1L, Iterator((1L, Ev(250L, 4L, "view"))), s1).toSet
+    assert(d6 == Set(TDelta("", "", 1L, true)))
+
+    // replayed duplicate of a live event: no deltas, no state change
+    val before = s1.get
+    assert(p(1L, Iterator((1L, Ev(500L, 5L, "view"))), s1).isEmpty)
+    assert(s1.get == before)
+  }
 }
