@@ -1693,6 +1693,33 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Per-group MAD (median-absolute-deviation) outlier gate — the
+    * robust sibling of a21's IQR fences and x18/e11's z-scores: MAD
+    * ignores the tails entirely, so a 50%-contaminated value column
+    * still yields sane fences where mean/stddev (and even IQR, past
+    * 25% contamination) break down. Two sequential exact-median passes
+    * (MAD is inherently two-pass: the second median is OF deviations
+    * from the first) + one flagging pass; the per-group medians are
+    * |event_type|-small and broadcast, so the fact table is never
+    * row-joined against anything big. A 100 TB deployment swaps
+    * `percentile` for `percentile_approx` exactly as a10 → a15. */
+  private val a27MadOutliers = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    val fences = med.join(mad, Seq("event_type"))
+    ev.join(broadcast(fences), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n_total"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-EVENT sessionization (vs e3's per-session aggregate): the
     * feature-engineering surface — every event gets its user-scoped
     * session index and in-session position via the gaps-and-islands
@@ -1718,6 +1745,38 @@ object SparkEntry {
         (col("_seq") - max(when(col("_new") === 1, col("_seq"))).over(run) + 1).cast("int"))
       .select(col("event_id"), col("session_seq"), col("event_seq"))
       .orderBy(col("event_id"))
+  }
+
+  /** Session-path mining — the "what do users actually DO" query on
+    * top of e7's gaps-and-islands sessionization: each (user, session)
+    * collapses to its ordered event-type path string, then the top-20
+    * most common paths corpus-wide. Per-session assembly is a grouped
+    * `array_sort(collect_list(struct(...)))` — bounded by session
+    * length (the 30-min gap rule bounds it), NOT corpus size — and the
+    * final cut is TakeOrderedAndProject over |distinct paths|, never a
+    * global sort. One user_id Exchange (shared shape with e7) + one
+    * path-keyed agg. */
+  private val w13SessionPaths = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newSession = when(
+      col("tus") - lag(col("tus"), 1).over(ord) > 1800000000L, 1)
+      .otherwise(when(lag(col("tus"), 1).over(ord).isNull, 1).otherwise(0))
+    val paths = ev.withColumn("_new", newSession)
+      .withColumn("session_seq", sum(col("_new")).over(run))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("tus"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")),
+        ">").as("path"))
+    RelationalOps.topK(
+      paths.groupBy(col("path")).agg(count(lit(1)).as("cnt")),
+      20, Seq(col("cnt").desc, col("path").asc))
   }
 
   /** Cross-corpus embedding decontamination: eval vectors (vec_id < 20)
@@ -2427,7 +2486,9 @@ object SparkEntry {
     "w10_funnel" -> w10Funnel,
     "w11_retention" -> w11Retention,
     "w12_transitions" -> w12Transitions,
+    "w13_session_paths" -> w13SessionPaths,
     "a26_key_skew" -> a26KeySkew,
+    "a27_mad_outliers" -> a27MadOutliers,
     "x25_snapshot_diff" -> x25SnapshotDiff,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
@@ -2810,6 +2871,44 @@ object SparkEntry {
          SELECT from_type, to_type, cnt,
            CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY from_type) AS prob
          FROM c ORDER BY from_type, to_type""",
+    "w13_session_paths" ->
+      // the e7 session construction, then string_agg over the SAME
+      // (tus, event_id) order Spark's array_sort(struct(...)) pins;
+      // top-20 by (cnt DESC, path ASC) — total order, no ties possible
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events
+         ), flagged AS (
+           SELECT *, CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                  THEN 1
+                WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM e
+         ), sessions AS (
+           SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM flagged
+         ), paths AS (
+           SELECT user_id, session_seq,
+             string_agg(event_type, '>' ORDER BY tus, event_id) AS path
+           FROM sessions GROUP BY user_id, session_seq
+         )
+         SELECT path, count(*) AS cnt FROM paths
+         GROUP BY path ORDER BY cnt DESC, path ASC LIMIT 20""",
+    "a27_mad_outliers" ->
+      // two sequential quantile_cont passes (the a10 agreement), then
+      // the identical |x - med| > mad*3 IEEE flag expression
+      """WITH med AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type
+         ), mad AS (
+           SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+           FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+         )
+         SELECT e.event_type, max(m.med) AS med, max(d.mad) AS mad,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > d.mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "a26_key_skew" ->
       // per-key counts then one summary row: exact integers, the a10
       // quantile_cont agreement, two terminal IEEE divisions

@@ -58,6 +58,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "d19_dup_cluster_sizes" -> 6.5,
     "d20_semdedup" -> 3.0,
     "w12_transitions" -> 1.5,
+    "w13_session_paths" -> 2.0,
+    "a27_mad_outliers" -> 1.5,
     "a26_key_skew" -> 1.2,
     "x25_snapshot_diff" -> 1.5,
     "d9_neardup_groups_logstar" -> 7.0,
