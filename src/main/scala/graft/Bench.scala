@@ -142,6 +142,7 @@ object Bench {
     val streamingWindowed = benchStreamingWindowed(spark, sfDir)
     val streamingDedup = benchStreamingDedup(spark, sfDir)
     val streamingDedupGrowth = benchStreamingDedupGrowth(spark, sfDir)
+    val streamingTransitions = benchStreamingTransitions(spark, sfDir)
     val scale = benchScale(spark, sfDir)
     val ann = benchAnnQuality(spark)
     // sentinels again at the very end: post/pre = within-run drift
@@ -155,7 +156,7 @@ object Bench {
     // the timing field names the discipline so the round-over-round
     // series break at r7 (count() → full materialization) has its cause
     // recorded in the artifact itself
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
@@ -785,6 +786,64 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] streaming dedup failed: ${e.getMessage}")
         """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0}"""
+    }
+  }
+
+  /** Stateful-streaming throughput, axis 3:
+    * [[graft.streaming.StreamingTransitions]] draining the events
+    * fixture in 8 time-range segments in FORWARD order with a 1-hour
+    * lateness horizon — the production configuration: compaction
+    * freezes each user's prefix every batch, so state is bounded by
+    * the horizon, and zero events drop (cross-batch disorder under a
+    * time-partitioned drain is zero; within-batch disorder is sorted
+    * in the group function and can never drop). Exercises the
+    * per-user reorder buffer + multiset-diff emission + two store
+    * merges per batch. MIN OF TWO full drains (the streaming timing
+    * discipline); `drops` is asserted into the artifact so a lateness
+    * misconfiguration can never masquerade as a fast drain. */
+  private[graft] def benchStreamingTransitions(
+      spark: SparkSession,
+      sfDir: String,
+      nSegments: Int = 8): String = {
+    try {
+      import org.apache.spark.sql.functions.{col, least, lit, unix_micros}
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val rows = ev.count()
+      val bounds = ev.agg(
+        org.apache.spark.sql.functions.min(unix_micros(col("ts"))),
+        org.apache.spark.sql.functions.max(unix_micros(col("ts")))).head()
+      val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(tMax - tMin, 1L)
+      def drain(): (Double, Long) = {
+        val base = java.nio.file.Files.createTempDirectory("graft-strans-bench").toString
+        ev.withColumn("_seg",
+            least(lit(nSegments - 1),
+              ((unix_micros(col("ts")) - tMin) * nSegments / (span + 1)).cast("int")))
+          .repartition(1)
+          .write.partitionBy("_seg").parquet(s"$base/in")
+        val store = new graft.streaming.ParquetKpiStore(s"$base/store")
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$base/in/_seg=0").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/in/_seg=*")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingTransitions.start(
+          spark, stream, store, s"$base/cp",
+          latenessMicros = 3600000000L).awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, graft.streaming.StreamingTransitions.droppedLate(spark, store))
+      }
+      val (first, drops1) = drain()
+      val (second, drops2) = drain()
+      val sec = math.min(first, second)
+      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},""" +
+        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)},""" +
+        s""""drops":${math.max(drops1, drops2)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming transitions failed: ${e.getMessage}")
+        """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0,"drops":-1}"""
     }
   }
 

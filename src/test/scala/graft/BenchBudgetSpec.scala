@@ -274,6 +274,18 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(d > 0, "streaming dedup bench failed to run")
     assert(d >= 80.0 * floorScale,
       f"streaming dedup throughput $d%.1f rows/s below floor ${80.0 * floorScale}%.1f")
+    // transitions (round-10): sf0.001 drains are 8 batches × 125 rows,
+    // so fixed per-batch cost dominates — measured ~170 rows/s at
+    // local[8], floor at ~⅓ for the local[4] test config
+    Bench.benchStreamingTransitions(spark, dir, nSegments = 4) // warmup
+    val tr = rps(Bench.benchStreamingTransitions(spark, dir, nSegments = 4))
+    assert(tr > 0, "streaming transitions bench failed to run")
+    assert(tr >= 60.0 * floorScale,
+      f"streaming transitions throughput $tr%.1f rows/s below floor ${60.0 * floorScale}%.1f")
+    val drops = """"drops":(-?[0-9]+)""".r.findFirstMatchIn(
+      Bench.benchStreamingTransitions(spark, dir, nSegments = 4)).map(_.group(1).toLong)
+    assert(drops.contains(0L),
+      s"forward-order time-partitioned drain must never drop: $drops")
   }
 
   test("every registry query has a committed time budget") {
