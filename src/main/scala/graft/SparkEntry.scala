@@ -1649,6 +1649,23 @@ object SparkEntry {
     RelationalOps.keyDistribution(
       Tables.events(s, d).select(col("user_id")), "user_id")
 
+  /** Filter-agreement audit ([[Evaluation.cohenKappa]]): chance-
+    * corrected agreement between a length gate (n_chars ≥ 300) and
+    * English-ness — the "is my quality filter a language filter in
+    * disguise?" bias check the data-curation literature keeps finding
+    * positive. κ near 0 here (the fixture's lengths are language-
+    * independent by construction) is the desired exoneration; a
+    * production pipeline runs this between every new gate and its
+    * protected attributes. Degenerate inputs (either gate constant)
+    * have no chance-corrected agreement — kappa is NaN 0/0 there, so
+    * gates are chosen to vary. */
+  private val x26Kappa = (s: SparkSession, d: String) =>
+    Evaluation.cohenKappa(
+      t(s, d, "documents").select(
+        (col("n_chars") >= 300).as("len_ok"),
+        (col("lang") === "en").as("is_en")),
+      "len_ok", "is_en")
+
   /** Corpus snapshot diff ([[ChangeCapture.snapshotDiff]]) between two
     * deterministic views of the documents table: the "old" snapshot
     * misses doc_id ≡ 3 (mod 7), the "new" one misses ≡ 5 (mod 7) and
@@ -1966,6 +1983,15 @@ object SparkEntry {
   private val m7PhashPairs = (s: SparkSession, d: String) =>
     Multimodal1.phashPairs(t(s, d, "documents"))
 
+  /** Composed media-curation pipeline — x14's multimodal sibling
+    * ([[Multimodal1.mediaCurate]]): modality gate → CAS chunk stats →
+    * per-modality quota, oracled END-TO-END. The gate's rejections
+    * flow through every later stage (quarantined rows are never
+    * chunked, never quota-ranked), which is what a composed oracle
+    * proves and three independent queries cannot. */
+  private val x27MediaCurate = (s: SparkSession, d: String) =>
+    Multimodal1.mediaCurate(t(s, d, "documents"))
+
   /** Indirect so `graft.multimodal` stays an isolated package. */
   private object Multimodal1 {
     import graft.multimodal.Multimodal
@@ -2085,6 +2111,65 @@ object SparkEntry {
         .select(col("doc_id"), col("frame_idx"),
           col("frame_payload").cast("string").as("frame_hex"))
         .orderBy(col("doc_id"), col("frame_idx"))
+
+    /** x27 — composed media curation over payloads carrying BOTH the m4
+      * seeding (magic prefixes, lying declarations on doc_id%7) and the
+      * m5 seeding (shared 128-byte license header on doc_id%3):
+      *
+      *  1. modality gate ([[Multimodal.validateModality]]) — declared/
+      *     sniffed mismatches quarantined before anything downstream
+      *     touches them (feeding a lying payload to the declared codec
+      *     is the classic media-pipeline crash);
+      *  2. CAS chunk stats ([[Multimodal.chunkSharing]], 64-byte
+      *     blocks) per ADMITTED payload — n_chunks / n_shared is the
+      *     storage-planning report, computed only for rows that will
+      *     exist downstream;
+      *  3. per-sniffed-modality admission quota (60, 'mq' hash order —
+      *     [[graft.operators.Sampling.groupQuota]]): no modality
+      *     dominates the curated mix.
+      *
+      * The admitted frame feeds three consumers (chunk stats, quota,
+      * final report) — staged once via CachePool, the x14 discipline.
+      * Per-stage shuffles: one on the 16-byte chunk fingerprint, one
+      * |modality|-partitioned window, one doc_id join — nothing ever
+      * carries payload bytes except the chunking scan itself. */
+    def mediaCurate(docs0: DataFrame): DataFrame = {
+      val docs = docs0.select(col("doc_id"), col("text"))
+      val header = "GRAFT-COMMON-LICENSE-BLOCK-0001 " * 4
+      val mimes = Multimodal.magicBytes.map(_._1) :+ "application/octet-stream"
+      val magicFor = Multimodal.magicBytes.map { case (_, m) => m } :+ Array.empty[Byte]
+      val idx = pmod(col("doc_id"), lit(4)).cast("int")
+      val declIdx = when(pmod(col("doc_id"), lit(7)) === 0,
+        pmod(col("doc_id") + 1, lit(4)).cast("int")).otherwise(idx)
+      def pick(i: Column, vals: Seq[Column]): Column =
+        vals.zipWithIndex.foldRight(vals.last) { case ((v, j), els) =>
+          when(i === j, v).otherwise(els)
+        }
+      val payloadText = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(header), col("text"))).otherwise(col("text"))
+      val media = concat(pick(idx, magicFor.map(lit(_))), encode(payloadText, "UTF-8"))
+      val seeded = docs.withColumn("media", media)
+        .withColumn("declared_mime", pick(declIdx, mimes.map(lit(_))))
+      val admitted = graft.CachePool.register(
+        Multimodal.validateModality(seeded, "media", "declared_mime")
+          .filter(col("modality_ok"))
+          .select(col("doc_id"), col("media"), col("sniffed_mime"))
+          .persist())
+      val chunkStats = Multimodal.chunkSharing(admitted, "doc_id", "media", chunkBytes = 64)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("shared"), 1L).otherwise(0L)).as("n_shared"))
+      val kept = graft.operators.Sampling.groupQuota(
+        admitted.select(col("doc_id"), col("sniffed_mime")),
+        "sniffed_mime", "doc_id", quota = 60, salt = "mq")
+        .select(col("doc_id"), lit(true).as("kept"))
+      admitted.select(col("doc_id"), col("sniffed_mime"))
+        .join(chunkStats, Seq("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("sniffed_mime"), col("n_chunks"),
+          col("n_shared"), coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy(col("doc_id"))
+    }
   }
 
   /** DuckDB twin of [[graft.multimodal.Multimodal.FakeDecoder]]: the
@@ -2490,6 +2575,8 @@ object SparkEntry {
     "a26_key_skew" -> a26KeySkew,
     "a27_mad_outliers" -> a27MadOutliers,
     "x25_snapshot_diff" -> x25SnapshotDiff,
+    "x26_kappa" -> x26Kappa,
+    "x27_media_curate" -> x27MediaCurate,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -2924,6 +3011,82 @@ object SparkEntry {
            CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
            CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
          FROM c""",
+    "x27_media_curate" ->
+      // the COMPOSED replay: m4's blob build + lying declarations, the
+      // m5 license-header seeding folded into the payload text, the
+      // sniff-and-admit gate, the CAS chunk chain computed only over
+      // admitted rows, and the 'mq:' md5 quota — every stage's drops
+      // flow through the next, value-for-value
+      """WITH m AS (
+           SELECT doc_id,
+             (CASE doc_id % 4
+                WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+                WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
+                WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+                ELSE ''::BLOB END ||
+              encode(CASE WHEN doc_id % 3 = 0
+                 THEN repeat('GRAFT-COMMON-LICENSE-BLOCK-0001 ', 4) || text
+                 ELSE text END)) AS media,
+             CASE (CASE WHEN doc_id % 7 = 0 THEN (doc_id + 1) % 4 ELSE doc_id % 4 END)
+               WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'audio/wav' ELSE 'application/octet-stream' END AS declared_mime
+           FROM documents
+         ), s AS (
+           SELECT doc_id, media, declared_mime,
+             CASE WHEN substr(hex(media), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                  WHEN substr(hex(media), 1, 8) = '89504E47' THEN 'image/png'
+                  WHEN substr(hex(media), 1, 8) = '52494646' THEN 'audio/wav'
+                  ELSE 'application/octet-stream' END AS sniffed_mime
+           FROM m
+         ), adm AS (
+           SELECT doc_id, hex(media) AS hx, sniffed_mime FROM s
+           WHERE declared_mime = sniffed_mime
+         ), c AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             md5(substring(hx, i*128 + 1, 128)) AS chunk_fp
+           FROM (SELECT doc_id, hx, unnest(range((len(hx) + 127) // 128)) AS i FROM adm)
+         ), f AS (
+           SELECT chunk_fp, count(DISTINCT doc_id) AS dfp FROM c GROUP BY 1
+         ), stats AS (
+           SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN f.dfp >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+           FROM c JOIN f USING (chunk_fp) GROUP BY c.doc_id
+         ), kept AS (
+           SELECT doc_id FROM (
+             SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sniffed_mime
+               ORDER BY substr(md5('mq:' || doc_id::VARCHAR), 1, 8), doc_id) AS qrk
+             FROM adm) WHERE qrk <= 60
+         )
+         SELECT a.doc_id, a.sniffed_mime, st.n_chunks, st.n_shared,
+           k.doc_id IS NOT NULL AS kept
+         FROM adm a JOIN stats st ON a.doc_id = st.doc_id
+         LEFT JOIN kept k ON a.doc_id = k.doc_id
+         ORDER BY a.doc_id""",
+    "x26_kappa" ->
+      // 2x2 exact-integer contingency, then po/pe/kappa as the
+      // IDENTICAL IEEE expression DAG over those integers (log-free,
+      // so exact cross-engine — the reason kappa, not PSI/KL, is the
+      // committed agreement number)
+      """WITH g AS (
+           SELECT n_chars >= 300 AS a, lang = 'en' AS b FROM documents
+         ), c AS (
+           SELECT count(*) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+           FROM g
+         ), p AS (
+           SELECT n, n11, n10, n01, n00,
+             (n11 + n00) / CAST(n AS DOUBLE) AS po,
+             ((n11 + n10) / CAST(n AS DOUBLE)) * ((n11 + n01) / CAST(n AS DOUBLE))
+               + (1.0 - (n11 + n10) / CAST(n AS DOUBLE))
+                 * (1.0 - (n11 + n01) / CAST(n AS DOUBLE)) AS pe
+           FROM c
+         )
+         SELECT n, n11, n10, n01, n00, po, pe,
+           (po - pe) / (1.0 - pe) AS kappa
+         FROM p""",
     "x25_snapshot_diff" ->
       // replay both snapshot derivations, fingerprint with the same
       // md5-over-utf8, classify through the identical CASE ladder

@@ -111,4 +111,35 @@ object Evaluation {
           (lit(scale.toDouble) * col("n").cast("double"))).as("mean_pred"),
         (col("n_pos").cast("double") / col("n").cast("double")).as("obs_rate"))
   }
+
+  /** Cohen's kappa between two binary gates — the filter-redundancy
+    * audit (AUC ranks one gate, calibration checks its honesty, kappa
+    * asks whether two gates are SAYING THE SAME THING): chance-corrected
+    * agreement from the 2×2 contingency counts. κ ≈ 1 means the second
+    * filter is redundant compute at 100 TB; κ ≈ 0 means it screens an
+    * independent failure mode and earns its scan.
+    *
+    * ONE map-side-combined aggregate over the fact scan → a single row
+    * of exact BIGINT cell counts; po/pe/kappa are a fixed IEEE
+    * expression DAG over those integers (log-free — kappa needs no
+    * transcendental, unlike PSI/KL drift scores, which is why it is
+    * the drift/agreement number this engine commits to exactly). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    val agg = df.agg(
+      count(lit(1)).as("n"),
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")) / n
+    val pa = (col("n11") + col("n10")) / n
+    val pb = (col("n11") + col("n01")) / n
+    val pe = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      po.as("po"), pe.as("pe"),
+      ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

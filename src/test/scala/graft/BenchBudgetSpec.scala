@@ -62,6 +62,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a27_mad_outliers" -> 1.5,
     "a26_key_skew" -> 1.2,
     "x25_snapshot_diff" -> 1.5,
+    "x26_kappa" -> 1.2,
+    "x27_media_curate" -> 3.5,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

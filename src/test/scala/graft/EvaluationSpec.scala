@@ -46,4 +46,25 @@ class EvaluationSpec extends SparkTestBase {
     val big = auc(rows)
     assert(one == big, s"bucketed $one != unbucketed $big")
   }
+
+  test("cohenKappa: hand-computed cells and kappa; perfect and inverse agreement") {
+    import spark.implicits._
+    // a=[T,T,F], b=[T,F,F]: po=2/3, pa=2/3, pb=1/3, pe=4/9, k=0.4
+    val r = Evaluation.cohenKappa(
+      Seq((true, true), (true, false), (false, false)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00")) == ((3L, 1L, 1L, 0L, 1L)))
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
+    // identical gates, both classes present: kappa exactly 1
+    val perfect = Evaluation.cohenKappa(
+      Seq((true, true), (false, false)).toDF("a", "b"), "a", "b")
+      .collect().head.getAs[Double]("kappa")
+    assert(perfect == 1.0)
+    // complementary gates: kappa -1 (systematic disagreement)
+    val inverse = Evaluation.cohenKappa(
+      Seq((true, false), (false, true)).toDF("a", "b"), "a", "b")
+      .collect().head.getAs[Double]("kappa")
+    assert(inverse == -1.0)
+  }
 }
