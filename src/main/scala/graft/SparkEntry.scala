@@ -1649,6 +1649,17 @@ object SparkEntry {
     RelationalOps.keyDistribution(
       Tables.events(s, d).select(col("user_id")), "user_id")
 
+  /** Per-group top-k ([[RelationalOps.topKPerGroup]]): the 3 highest-
+    * value events per event type, ties to the smaller event_id. Rides
+    * WindowGroupLimit (plan-pinned): partial per-group limits below
+    * the Exchange, so the shuffle carries ≤ k rows per (group,
+    * partition) — the per-group analogue of w2's TakeOrdered. */
+  private val w14TopkPerGroup = (s: SparkSession, d: String) =>
+    RelationalOps.topKPerGroup(
+      Tables.events(s, d).select(col("event_type"), col("event_id"), col("value")),
+      "event_type", 3, Seq(col("value").desc, col("event_id").asc))
+      .orderBy(col("event_type"), col("rank"))
+
   /** Filter-agreement audit ([[Evaluation.cohenKappa]]): chance-
     * corrected agreement between a length gate (n_chars ≥ 300) and
     * English-ness — the "is my quality filter a language filter in
@@ -2577,6 +2588,7 @@ object SparkEntry {
     "x25_snapshot_diff" -> x25SnapshotDiff,
     "x26_kappa" -> x26Kappa,
     "x27_media_curate" -> x27MediaCurate,
+    "w14_topk_per_group" -> w14TopkPerGroup,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -3011,6 +3023,16 @@ object SparkEntry {
            CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
            CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
          FROM c""",
+    "w14_topk_per_group" ->
+      // same rank semantics: row_number over (value DESC, event_id ASC)
+      // per type, kept at <= 3 — a total order, so exact
+      """SELECT event_type, event_id, value, rank FROM (
+           SELECT event_type, event_id, value,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+           FROM events
+         ) WHERE rank <= 3
+         ORDER BY event_type, rank""",
     "x27_media_curate" ->
       // the COMPOSED replay: m4's blob build + lying declarations, the
       // m5 license-header seeding folded into the payload text, the

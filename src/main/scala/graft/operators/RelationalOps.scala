@@ -175,6 +175,28 @@ object RelationalOps {
         ((obs - expected) * (obs - expected) / expected).as("chi2_cell"))
   }
 
+  /** Top-k rows PER GROUP — the curation workhorse ("best N docs per
+    * domain", "latest K readings per sensor"): `row_number` over the
+    * group window filtered to ≤ k. The rank<=k filter is recognized by
+    * Spark's WindowGroupLimit rule (plan-pinned in PlanSpec): each
+    * partition keeps a running k-heap per group BELOW the shuffle, so
+    * the Exchange carries at most k rows per (group, input-partition)
+    * instead of the whole fact — the per-group analogue of what
+    * TakeOrderedAndProject does for w2's global top-k. Ties must be
+    * broken inside `order` (append the row key) or the output is
+    * nondeterministic under re-partitioning. */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      k: Int,
+      order: Seq[Column],
+      rankName: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn(rankName, row_number().over(w).cast("int"))
+      .filter(col(rankName) <= k)
+  }
+
   /** Key-skew profile for a prospective shuffle key — the diagnostic a
     * planner (or a human) runs BEFORE choosing between a plain
     * hash-partitioned join/agg and the salted path

@@ -64,6 +64,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x25_snapshot_diff" -> 1.5,
     "x26_kappa" -> 1.2,
     "x27_media_curate" -> 3.5,
+    "w14_topk_per_group" -> 1.2,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

@@ -62,6 +62,15 @@ class PlanSpec extends SparkTestBase {
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
   }
 
+  test("per-group top-k rides WindowGroupLimit below the shuffle (W14)") {
+    val q = SparkEntry.queries("w14_topk_per_group")(spark, dir)
+    val p = plan(q)
+    // the rank<=k filter must be recognized: partial per-group limits
+    // run below the Exchange, so the shuffle carries <= k rows per
+    // (group, partition), not the whole fact
+    assert(p.contains("WindowGroupLimit"), s"rank filter not pushed to WindowGroupLimit:\n$p")
+  }
+
   test("unpivot-mean runs ONE aggregation, not 14 unions (A7)") {
     val q = SparkEntry.queries("a7_unpivot_mean")(spark, dir)
     val p = plan(q)
