@@ -1649,6 +1649,31 @@ object SparkEntry {
     RelationalOps.keyDistribution(
       Tables.events(s, d).select(col("user_id")), "user_id")
 
+  /** Item co-occurrence mining — the market-basket / "users who
+    * engaged with X also engaged with Y" primitive, on the events
+    * fixture's embedded item id (props.$.k): per-user DISTINCT item
+    * sets, then pairs WITHIN a user via a self-equi-join on user_id
+    * (never a corpus cross product — per-user pair count is quadratic
+    * in per-user activity, the bounded-group contract every within-
+    * group pairing here relies on; a 100 TB deployment caps hyper-
+    * active users first, the d3 maxBucketSize discipline), pair-keyed
+    * count = distinct co-engaging users (exact — (user, item) is
+    * distinct by construction), TakeOrdered top-20 with full
+    * tie-break. */
+  private val j17Cooccurrence = (s: SparkSession, d: String) => {
+    val ui = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val pairs = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+    RelationalOps.topK(
+      pairs.groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_users")),
+      20, Seq(col("n_users").desc, col("item_a").asc, col("item_b").asc))
+  }
+
   /** Per-group top-k ([[RelationalOps.topKPerGroup]]): the 3 highest-
     * value events per event type, ties to the smaller event_id. Rides
     * WindowGroupLimit (plan-pinned): partial per-group limits below
@@ -2589,6 +2614,7 @@ object SparkEntry {
     "x26_kappa" -> x26Kappa,
     "x27_media_curate" -> x27MediaCurate,
     "w14_topk_per_group" -> w14TopkPerGroup,
+    "j17_cooccurrence" -> j17Cooccurrence,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -3023,6 +3049,18 @@ object SparkEntry {
            CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
            CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
          FROM c""",
+    "j17_cooccurrence" ->
+      // identical chain: distinct (user, item), within-user pair join,
+      // exact pair counts, top-20 under a full tie-break total order
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         )
+         SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_users
+         FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+         GROUP BY 1, 2
+         ORDER BY n_users DESC, item_a ASC, item_b ASC LIMIT 20""",
     "w14_topk_per_group" ->
       // same rank semantics: row_number over (value DESC, event_id ASC)
       // per type, kept at <= 3 — a total order, so exact
