@@ -1649,6 +1649,57 @@ object SparkEntry {
     RelationalOps.keyDistribution(
       Tables.events(s, d).select(col("user_id")), "user_id")
 
+  /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
+    * routing signal over the documents corpus. The fixture is Latin-
+    * dominant, so the non-Latin counters exercise their zero paths
+    * here and their counting paths in the planted-string spec. */
+  private val t21ScriptMix = (s: SparkSession, d: String) =>
+    TextAnalysis.scriptMix(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+        col("n_cjk"), col("n_arabic"), col("dominant_script"))
+      .orderBy(col("doc_id"))
+
+  /** Incremental recompute from a snapshot diff — the composition that
+    * makes x25 load-bearing: maintain a per-language token aggregate
+    * across corpus versions by RETRACTING the old contributions of
+    * removed ∪ changed rows and ADDING the new contributions of
+    * added ∪ changed rows onto the previous components
+    * ([[ChangeCapture.additiveComponents]] / negate / merge — the CDC
+    * algebra), instead of re-aggregating the corpus. The oracle is the
+    * FROM-SCRATCH aggregate over the new snapshot (the x13 equality
+    * claim): incremental must be bit-equal to rebuild. At 100 TB the
+    * recompute touches |diff| rows, not |corpus| — the difference
+    * between a nightly delta job and a nightly full scan. */
+  private val x28IncrementalRecompute = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val oldSnap = docs.filter(col("doc_id") % 7 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 7 =!= 5)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    def toks(df: DataFrame): DataFrame = df.select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+    val oldT = CachePool.register(toks(oldSnap).persist())
+    val diff = CachePool.register(
+      ChangeCapture.snapshotDiff(oldSnap, newSnap, "doc_id", "text").persist())
+    val baseline = ChangeCapture.additiveComponents(
+      oldT.select(col("lang"), col("toks")), Seq("lang"), "toks")
+    val retract = ChangeCapture.negateComponents(
+      ChangeCapture.additiveComponents(
+        oldT.join(diff.filter(col("status").isin("removed", "changed")), Seq("doc_id"))
+          .select(col("lang"), col("toks")), Seq("lang"), "toks"))
+    val add = ChangeCapture.additiveComponents(
+      toks(newSnap)
+        .join(diff.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+        .select(col("lang"), col("toks")), Seq("lang"), "toks")
+    ChangeCapture.mergeComponents(
+        ChangeCapture.mergeComponents(baseline, retract, Seq("lang")), add, Seq("lang"))
+      .filter(col("n_v") =!= 0)
+      .select(col("lang"), col("sum_v").as("sum_tokens"), col("n_v").as("n_docs"),
+        (col("sum_v").cast("double") / col("n_v")).as("mean_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Item co-occurrence mining — the market-basket / "users who
     * engaged with X also engaged with Y" primitive, on the events
     * fixture's embedded item id (props.$.k): per-user DISTINCT item
@@ -2615,6 +2666,8 @@ object SparkEntry {
     "x27_media_curate" -> x27MediaCurate,
     "w14_topk_per_group" -> w14TopkPerGroup,
     "j17_cooccurrence" -> j17Cooccurrence,
+    "t21_script_mix" -> t21ScriptMix,
+    "x28_incremental_recompute" -> x28IncrementalRecompute,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -3049,6 +3102,46 @@ object SparkEntry {
            CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
            CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
          FROM c""",
+    "t21_script_mix" ->
+      // the t20 length-diff idiom per script class (identical \x{...}
+      // hex ranges under Java regex and RE2, BMP-only so both engines
+      // count codepoints), then the identical priority CASE ladder
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+             CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+             CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+             CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+           FROM documents
+         )
+         SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_arabic,
+           CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                     AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+                WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                     AND n_cyrillic > 0 THEN 'cyrillic'
+                WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
+                WHEN n_arabic > 0 THEN 'arabic'
+                ELSE 'other' END AS dominant_script
+         FROM c ORDER BY doc_id""",
+    "x28_incremental_recompute" ->
+      // the oracle is the FROM-SCRATCH aggregate over the new snapshot
+      // — the x13 equality claim: incrementally-maintained components
+      // must be bit-equal to a full rebuild (sums are exact BIGINTs,
+      // the mean is one terminal IEEE division)
+      """WITH n AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 4 = 0 THEN text || ' [rev2]' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 5
+         ), tok AS (
+           SELECT lang,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS toks
+           FROM n
+         )
+         SELECT lang, CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           count(*) AS n_docs,
+           CAST(CAST(sum(toks) AS BIGINT) AS DOUBLE) / count(*) AS mean_tokens
+         FROM tok GROUP BY lang ORDER BY lang""",
     "j17_cooccurrence" ->
       // identical chain: distinct (user, item), within-user pair join,
       // exact pair counts, top-20 under a full tie-break total order

@@ -489,6 +489,38 @@ object TextAnalysis {
       .withColumn("had_ip", col(out) =!= noEmail)
   }
 
+  /** Unicode-script mix — the pre-langid routing signal (script is
+    * decided per CHARACTER by the standard, where language needs a
+    * model; a CJK page routed to an n-gram Latin langid is pure
+    * noise): per document, counts of Latin / Cyrillic / CJK-unified /
+    * Arabic letters via the t20 length-diff idiom, plus the dominant
+    * script with a FIXED priority tie-break (latin > cyrillic > cjk >
+    * arabic; all-zero → 'other'). Character classes use only \x{...}
+    * hex ranges shared verbatim by Java regex and RE2 (the t20/PII
+    * portability rule), BMP-only so both engines count codepoints
+    * identically. One narrow pass, no shuffle. */
+  def scriptMix(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val latin = cnt("[A-Za-z]")
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val cjk = cnt("[\\x{4E00}-\\x{9FFF}]")
+    val arab = cnt("[\\x{0600}-\\x{06FF}]")
+    df.withColumn("n_latin", latin)
+      .withColumn("n_cyrillic", cyr)
+      .withColumn("n_cjk", cjk)
+      .withColumn("n_arabic", arab)
+      .withColumn("dominant_script",
+        when(col("n_latin") >= col("n_cyrillic") && col("n_latin") >= col("n_cjk") &&
+          col("n_latin") >= col("n_arabic") && col("n_latin") > 0, "latin")
+          .when(col("n_cyrillic") >= col("n_cjk") &&
+            col("n_cyrillic") >= col("n_arabic") && col("n_cyrillic") > 0, "cyrillic")
+          .when(col("n_cjk") >= col("n_arabic") && col("n_cjk") > 0, "cjk")
+          .when(col("n_arabic") > 0, "arabic")
+          .otherwise("other"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

@@ -66,6 +66,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "x27_media_curate" -> 3.5,
     "w14_topk_per_group" -> 1.2,
     "j17_cooccurrence" -> 2.0,
+    "t21_script_mix" -> 1.5,
+    "x28_incremental_recompute" -> 2.0,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

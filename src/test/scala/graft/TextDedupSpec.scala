@@ -561,6 +561,29 @@ class TextDedupSpec extends SparkTestBase {
     assert(tolerant.count() == 5)
   }
 
+  test("scriptMix: planted multi-script strings count exactly; priority tie-break; all-zero is other") {
+    val df = Seq(
+      (1L, "hello world"),                    // pure latin
+      (2L, "Привет ok"), // 6 cyrillic + 2 latin
+      (3L, "中文语料"),       // 4 CJK
+      (4L, "مرحبا"), // 5 arabic
+      (5L, "12345 !!!"),                       // none -> other
+      (6L, "abАБ")                   // 2 latin, 2 cyrillic: tie -> latin priority
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptMix(df)
+      .select(col("doc_id"), col("n_latin"), col("n_cyrillic"), col("n_cjk"),
+        col("n_arabic"), col("dominant_script"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+    assert(got(1L) == ((10L, 0L, 0L, 0L, "latin")))
+    assert(got(2L) == ((2L, 6L, 0L, 0L, "cyrillic")))
+    assert(got(3L) == ((0L, 0L, 4L, 0L, "cjk")))
+    assert(got(4L) == ((0L, 0L, 0L, 5L, "arabic")))
+    assert(got(5L) == ((0L, 0L, 0L, 0L, "other")))
+    assert(got(6L) == ((2L, 2L, 0L, 0L, "latin")), "ties resolve by fixed priority")
+  }
+
   test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
     val cents = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
