@@ -1700,6 +1700,64 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** TPC-H-Q5-shaped 6-table "galaxy" join — the join-ORDER stressor
+    * (j5 is the 3-table Q3 shape): region → nation → supplier prune
+    * one side, customer → orders → lineitem carry the volume, and the
+    * c_nationkey = s_nationkey consistency predicate ties the two
+    * arms. Scale layout: nation/region/supplier broadcast (the only
+    * true dims), customer-orders-lineitem chain on SHUFFLED equi-keys
+    * — customer is NOT broadcast; at 100 TB it is a fact. Revenue
+    * aggregates in DECIMAL(18,4) (order-free, the q0/j5 discipline). */
+  private val j18Q5Shape = (s: SparkSession, d: String) => {
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, d, "nation")
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Exact running distinct count per user over event time — the
+    * "unique items to date" curve, WITHOUT quadratic window state:
+    * distinct-so-far = running sum of a first-occurrence flag, where
+    * the flag is row_number = 1 over (user, item). The explicit
+    * user_id repartition is load-bearing: a HashPartitioning(user_id)
+    * SATISFIES the (user, item) window's clustering requirement
+    * (subset rule), but EnsureRequirements never under-partitions on
+    * its own — left alone it plans Exchange(user, item) THEN
+    * Exchange(user), shuffling the fact twice. Forced, the plan is
+    * ONE Exchange + two sorts (plan-pinned); per-row state is a
+    * counter, never a seen-set. */
+  private val e12RunningDistinct = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .repartition(col("user_id"))
+    val firstW = Window.partitionBy(col("user_id"), col("item"))
+      .orderBy(col("tus"), col("event_id"))
+    val runW = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("_first", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("distinct_so_far", sum(col("_first")).over(runW))
+      .select(col("event_id"), col("user_id"), col("item"), col("distinct_so_far"))
+      .orderBy(col("event_id"))
+  }
+
   /** Item co-occurrence mining — the market-basket / "users who
     * engaged with X also engaged with Y" primitive, on the events
     * fixture's embedded item id (props.$.k): per-user DISTINCT item
@@ -2668,6 +2726,8 @@ object SparkEntry {
     "j17_cooccurrence" -> j17Cooccurrence,
     "t21_script_mix" -> t21ScriptMix,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
+    "j18_q5_shape" -> j18Q5Shape,
+    "e12_running_distinct" -> e12RunningDistinct,
     "a21_iqr_outliers" -> a21IqrOutliers,
     "a24_approx_equidepth" -> a24ApproxEquidepth,
     "a25_approx_iqr" -> a25ApproxIqr,
@@ -3102,6 +3162,37 @@ object SparkEntry {
            CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS mean_cnt,
            CAST(max(cnt) AS DOUBLE) * count(*) / CAST(sum(cnt) AS BIGINT) AS skew_ratio
          FROM c""",
+    "j18_q5_shape" ->
+      // the Q5 shape verbatim: same joins, same consistency predicate,
+      // same DECIMAL(18,4) order-free revenue (the q0/j5 discipline)
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "e12_running_distinct" ->
+      // identical two-window construction: first-occurrence flag over
+      // (user, item), running sum over (user) — exact integers
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), f AS (
+           SELECT *, CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, item
+               ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+           FROM e
+         )
+         SELECT event_id, user_id, item,
+           CAST(sum(is_first) OVER (PARTITION BY user_id ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS distinct_so_far
+         FROM f ORDER BY event_id""",
     "t21_script_mix" ->
       // the t20 length-diff idiom per script class (identical \x{...}
       // hex ranges under Java regex and RE2, BMP-only so both engines

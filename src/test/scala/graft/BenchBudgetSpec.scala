@@ -68,6 +68,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j17_cooccurrence" -> 2.0,
     "t21_script_mix" -> 1.5,
     "x28_incremental_recompute" -> 2.0,
+    "j18_q5_shape" -> 1.5,
+    "e12_running_distinct" -> 1.5,
     "d9_neardup_groups_logstar" -> 7.0,
     "d10_repeated_ngrams" -> 1.3,
     "d11_span_cuts" -> 1.6,

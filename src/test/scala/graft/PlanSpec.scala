@@ -62,6 +62,17 @@ class PlanSpec extends SparkTestBase {
     assert(plan(q).contains("TakeOrderedAndProject"), plan(q))
   }
 
+  test("running distinct: both windows share ONE user_id hash Exchange (E12)") {
+    val q = SparkEntry.queries("e12_running_distinct")(spark, dir)
+    val p = plan(q)
+    // the (user, item) window's clustering requirement is satisfied by
+    // the user_id partitioning (subset clustering) — a second hash
+    // Exchange here means the carefully-shared partitioning broke
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected ONE hash Exchange shared by both windows, got $hashExchanges:\n$p")
+  }
+
   test("per-group top-k rides WindowGroupLimit below the shuffle (W14)") {
     val q = SparkEntry.queries("w14_topk_per_group")(spark, dir)
     val p = plan(q)
