@@ -1770,11 +1770,21 @@ object SparkEntry {
     * distinct by construction), TakeOrdered top-20 with full
     * tie-break. */
   private val j17Cooccurrence = (s: SparkSession, d: String) => {
-    val ui = Tables.events(s, d)
+    // ONE fact scan + ONE fact shuffle for the whole pipeline: the
+    // explicit user_id repartition satisfies (by the subset rule) the
+    // distinct's (user, item) clustering AND both sides of the
+    // self-join — left alone, EnsureRequirements plans
+    // Exchange(user, item) for the distinct plus Exchange(user) per
+    // join side (the e12 lesson). The distinct frame is staged via
+    // CachePool because BOTH join sides consume it — unstaged, each
+    // side re-scans and re-shuffles the fact (plan-pinned).
+    val ui = CachePool.register(Tables.events(s, d)
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .filter(col("item").isNotNull)
+      .repartition(col("user_id"))
       .distinct()
+      .persist())
     val pairs = ui.select(col("user_id"), col("item").as("item_a"))
       .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
       .filter(col("item_a") < col("item_b"))

@@ -73,6 +73,22 @@ class PlanSpec extends SparkTestBase {
       s"expected ONE hash Exchange shared by both windows, got $hashExchanges:\n$p")
   }
 
+  test("co-occurrence: distinct and both join sides share ONE fact shuffle (J17)") {
+    val q = SparkEntry.queries("j17_cooccurrence")(spark, dir)
+    val p = plan(q)
+    // the forced user_id partitioning serves the (user, item) distinct
+    // AND both self-join sides, and the distinct frame is cached — so
+    // the fact-side user_id Exchange must be ONE physical node (the
+    // cached plan prints under both InMemoryTableScans; distinct
+    // plan_ids see through the textual duplication)
+    val factIds = "Exchange hashpartitioning\\(user_id[^\\n]*plan_id=(\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(factIds.size <= 1, s"fact must shuffle once on user_id, got $factIds:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"both join sides must read the staged distinct frame:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("per-group top-k rides WindowGroupLimit below the shuffle (W14)") {
     val q = SparkEntry.queries("w14_topk_per_group")(spark, dir)
     val p = plan(q)
