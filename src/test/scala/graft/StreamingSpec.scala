@@ -761,6 +761,44 @@ class StreamingSpec extends SparkTestBase {
     assert(sql.contains("`mean satisfaction`=VALUES(`mean satisfaction`)"))
   }
 
+  test("streaming distinct: order-free state needs no retractions — reverse drain equals batch count_distinct") {
+    import graft.streaming.StreamingDistinct
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sdist")
+    // the SAME hostile reverse-time staging the transitions test uses —
+    // but the grow-only set state converges regardless, with zero
+    // retraction machinery (the point of the contrast)
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("props"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingDistinct.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    val got = StreamingDistinct.distinctTable(spark, store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = sources.Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id")).agg(count_distinct(col("item")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"streaming distinct diverged: got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "parity on an empty table proves nothing")
+  }
+
   test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
     import graft.streaming.StreamingTransitions
     val dir = "/root/testdata/sf0.001"
