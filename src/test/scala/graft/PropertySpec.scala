@@ -163,4 +163,79 @@ class PropertySpec extends SparkTestBase {
     }
     assert(got.size == leftRows.size, "every left row must appear exactly once")
   }
+
+  test("snapshotDiff matches a reference Scala diff on random keyed payloads") {
+    import graft.operators.ChangeCapture
+    val genKV: Gen[(Long, Option[String])] = for {
+      k <- Gen.choose(0L, 40L) // small key space forces overlap
+      v <- Gen.option(Gen.oneOf("a", "b", "c", "dd"))
+    } yield (k, v)
+    def snap(seed: Long): Map[Long, Option[String]] =
+      sample(Gen.listOfN(60, genKV), seed).toMap // last-wins dedup by key
+    val o = snap(7L); val n = snap(8L)
+    val got = ChangeCapture.snapshotDiff(
+        o.toSeq.toDF("id", "payload"), n.toSeq.toDF("id", "payload"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (o.keySet ++ n.keySet).map { k =>
+      k -> ((o.get(k), n.get(k)) match {
+        case (None, Some(_)) => "added"
+        case (Some(_), None) => "removed"
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case _ => "changed"
+      })
+    }.toMap
+    assert(got == want)
+  }
+
+  test("topKPerGroup: per-group size <= k and contents match sorted reference") {
+    val rows = sample(Gen.listOfN(300, for {
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0, 50)
+      id <- Gen.choose(0L, 100000L)
+    } yield (g, v, id)), 11L).distinctBy(_._3)
+    val got = RelationalOps.topKPerGroup(rows.toDF("g", "v", "id"), "g", 5,
+        Seq(col("v").desc, col("id").asc))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._1).foreach { case (g, members) =>
+      val want = members.sortBy(t => (-t._2, t._3)).take(5)
+        .zipWithIndex.map { case ((_, v, id), i) => (g, v, id, i + 1) }
+      assert(got.filter(_._1 == g).sortBy(_._4).toSeq == want, s"group $g")
+    }
+  }
+
+  test("keyDistribution: totals and max are exact on random key multisets") {
+    val keys = sample(Gen.listOfN(400, Gen.choose(0, 25)), 13L)
+    val r = RelationalOps.keyDistribution(keys.toDF("k"), "k").collect().head
+    val counts = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(r.getAs[Long]("n_rows") == keys.size.toLong)
+    assert(r.getAs[Long]("n_keys") == counts.size.toLong)
+    assert(r.getAs[Long]("max_cnt") == counts.values.max)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0, "max is at least the fair share")
+  }
+
+  test("cohenKappa is symmetric in its gates and bounded in [-1, 1]") {
+    import graft.operators.Evaluation
+    val gates = sample(Gen.listOfN(200, Gen.zip(Gen.oneOf(true, false), Gen.oneOf(true, false))), 17L)
+    val df = gates.toDF("a", "b")
+    val kab = Evaluation.cohenKappa(df, "a", "b").collect().head.getAs[Double]("kappa")
+    val kba = Evaluation.cohenKappa(df, "b", "a").collect().head.getAs[Double]("kappa")
+    assert(kab == kba, s"kappa must be symmetric: $kab vs $kba")
+    assert(kab >= -1.0 && kab <= 1.0, s"kappa out of range: $kab")
+  }
+
+  test("scriptMix: per-class counts never exceed the character count; counts are class-disjoint") {
+    val mixed = texts ++ Seq("Привет мир", "中文 and latin", "مرحبا hey", "αβγ")
+    val got = TextAnalysis.scriptMix(mixed.toDF("text"))
+      .select(length(col("text")).cast("long").as("n"),
+        col("n_latin"), col("n_cyrillic"), col("n_cjk"), col("n_arabic"))
+      .collect()
+    got.foreach { r =>
+      val n = r.getLong(0)
+      val parts = Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(parts.forall(p => p >= 0 && p <= n), s"count out of range: $r")
+      // the four ranges are disjoint code-point sets, so their counts
+      // can never sum past the text length
+      assert(parts.sum <= n, s"disjoint classes overcounted: $r")
+    }
+  }
 }
