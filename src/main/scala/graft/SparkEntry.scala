@@ -1129,6 +1129,16 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Directed containment pairs ([[Dedup.containmentPairs]]): the
+    * asymmetric dedup signal beside d6's Jaccard — "this document's
+    * shingles live inside that one". The fixture's near-copies show
+    * up in BOTH directions; the embedded-snippet asymmetry is pinned
+    * by the planted spec. */
+  private val d21Containment = (s: SparkSession, d: String) =>
+    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      k = 3, threshold = 0.6, maxShingleDf = 64)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Leakage-safe split — the group-aware form of x1's hash split: the
     * split key is the near-dup COMPONENT label, not the doc id, so two
     * near-duplicate documents can never straddle train/val/test (the
@@ -2787,6 +2797,7 @@ object SparkEntry {
     "d8_neardup_groups" -> d8NearDupGroups,
     "d19_dup_cluster_sizes" -> d19ClusterSizes,
     "d20_semdedup" -> d20SemDedup,
+    "d21_containment" -> d21Containment,
     "d18_priority_dedup" -> d18PriorityDedup,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
@@ -3932,6 +3943,33 @@ object SparkEntry {
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
     "d19_dup_cluster_sizes" -> d19OracleSql,
+    "d21_containment" ->
+      // brute-force directed ground truth over the SAME shingle chain
+      // (the d17 CTE): distinct 3-shingles per doc, exact intersection
+      // counts, containment = one exact-long division — the engine's
+      // capped candidate gen must reach every >= 0.6 pair (max shingle
+      // df in this fixture is 7, far under the 64 cap)
+      """WITH sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(range(1, len(toks)-1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s
+           FROM (SELECT doc_id,
+                   regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+') AS toks
+                 FROM documents)
+         ), ds AS (
+           SELECT DISTINCT doc_id, unnest(s) AS g FROM sh
+         ), sz AS (
+           SELECT doc_id, count(*) AS na FROM ds GROUP BY 1
+         ), inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+           FROM ds a JOIN ds b ON a.g = b.g AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2
+         )
+         SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(na AS DOUBLE) AS containment
+         FROM inter JOIN sz ON sz.doc_id = id_a
+         WHERE CAST(i AS DOUBLE) / CAST(na AS DOUBLE) >= 0.6
+         ORDER BY id_a, id_b""",
     "d20_semdedup" ->
       // full replay of the SemDeDup decision: md5-sampled centroids
       // ('sdd:' salt), scored argmax assignment (the x23 pattern, plus

@@ -628,6 +628,56 @@ object Dedup {
         col("n_shared").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Directed containment near-dup pairs — Broder 1997's OTHER
+    * resemblance metric: containment(a in b) = |S(a) ∩ S(b)| / |S(a)|
+    * over distinct k-shingle sets. Catches the small-doc-embedded-in-
+    * big-doc duplication Jaccard structurally cannot: a 50-token quote
+    * living verbatim inside a 5000-token page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0 — exactly the snippet-scraping / quote-farm
+    * shape a resemblance-only dedup ships into the training mix.
+    * Output is DIRECTED: (id_a, id_b, containment) says "id_a's
+    * shingles live inside id_b"; both directions emerge independently.
+    *
+    * Shape: distinct (doc, xxhash64(shingle)) staged once (8-byte
+    * keys on every shuffle, the d15/t19 discipline); candidates from a
+    * shared-shingle inverted index CAPPED at `maxShingleDf` (a
+    * ubiquitous shingle would pair everyone — the d3 maxBucketSize
+    * guard; recall loss only for pairs whose EVERY shared shingle is
+    * ubiquitous), then the exact intersection recount per candidate
+    * from the FULL uncapped sets — so emitted containment values are
+    * exact, the cap affects candidate recall only. */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.6,
+      maxShingleDf: Int = 64): DataFrame = {
+    val sh = stagedShingles(df, idCol, textCol, k)
+      .select(col(idCol), explode(col("_sh")).as("_g"))
+      .select(col(idCol), xxhash64(col("_g")).as("_h"))
+      .distinct()
+    val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))
+    val rare = sh.join(dfreq.filter(col("_df") <= maxShingleDf), Seq("_h"))
+    val cand = rare.select(col("_h"), col(idCol).as("id_a"))
+      .join(rare.select(col("_h"), col(idCol).as("id_b")), Seq("_h"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("_h")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("_h")), Seq("id_b", "_h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("_na"))
+      .withColumnRenamed(idCol, "id_a")
+    inter.join(sizes, Seq("id_a"))
+      .withColumn("containment",
+        col("_inter").cast("double") / col("_na").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Cross-document boilerplate passages — the CCNet paragraph-dedup
     * idea (Wenzek et al., "CCNet: Extracting high quality monolingual
     * datasets from web crawl data", 2020 — drop paragraphs whose hash

@@ -561,6 +561,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(tolerant.count() == 5)
   }
 
+  test("containmentPairs: embedded snippet is directed — contained side fires, containing side does not") {
+    val big = (1 to 40).map(i => s"tok$i").mkString(" ")      // 40 tokens, 38 shingles
+    val snippet = (10 to 17).map(i => s"tok$i").mkString(" ") // verbatim 8-token slice
+    val df = Seq(
+      (1L, big),
+      (2L, snippet),                       // fully contained in 1
+      (3L, "totally unrelated words here entirely different content")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // snippet (6 shingles) -> all inside big: containment 1.0; the
+    // reverse direction is 6/38 and must NOT fire — the asymmetry that
+    // motivates containment over Jaccard (Jaccard here is ~0.16)
+    assert(got.toSeq == Seq((2L, 1L, 1.0)), s"got ${got.toSeq}")
+  }
+
   test("scriptMix: planted multi-script strings count exactly; priority tie-break; all-zero is other") {
     val df = Seq(
       (1L, "hello world"),                    // pure latin
