@@ -1129,6 +1129,31 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Curriculum ordering — the easy-to-hard training schedule
+    * (Bengio et al. 2009) as a data op: difficulty deciles from ONE
+    * exact-percentile pass (9 broadcast bounds; bucket = how many
+    * bounds the doc's length clears — a narrow comparison fold, no
+    * per-row window over the corpus), then a deterministic md5
+    * shuffle WITHIN each decile ('cur' salt — curriculum orders
+    * between buckets, randomizes inside them, the standard recipe).
+    * The (bucket, pos) pair IS the global curriculum order; per-
+    * bucket windows see n/10 rows, never the corpus. */
+  private val x29Curriculum = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val bounds = docs.agg(
+      percentile(col("n_chars"), typedLit((1 to 9).map(_ / 10.0))).as("_b"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_chars"),
+        aggregate(col("_b"), lit(0),
+          (acc, b) => acc + when(col("n_chars") > b, 1).otherwise(0))
+          .cast("int").as("bucket"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(Sampling.uniformHex(col("doc_id"), "cur"), col("doc_id"))
+    bucketed.withColumn("pos", row_number().over(w).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Directed containment pairs ([[Dedup.containmentPairs]]): the
     * asymmetric dedup signal beside d6's Jaccard — "this document's
     * shingles live inside that one". The fixture's near-copies show
@@ -2798,6 +2823,7 @@ object SparkEntry {
     "d19_dup_cluster_sizes" -> d19ClusterSizes,
     "d20_semdedup" -> d20SemDedup,
     "d21_containment" -> d21Containment,
+    "x29_curriculum" -> x29Curriculum,
     "d18_priority_dedup" -> d18PriorityDedup,
     "x17_leak_safe_split" -> x17LeakSafeSplit,
     "d9_neardup_groups_logstar" -> d9NearDupGroupsLogStar,
@@ -3943,6 +3969,28 @@ object SparkEntry {
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
     "d19_dup_cluster_sizes" -> d19OracleSql,
+    "x29_curriculum" ->
+      // decile bounds from quantile_cont (the a10 agreement), bucket =
+      // count of cleared bounds (identical comparisons), md5 'cur:'
+      // shuffle within each bucket with doc_id tiebreak
+      """WITH b AS (
+           SELECT quantile_cont(n_chars, 0.1) AS q1, quantile_cont(n_chars, 0.2) AS q2,
+                  quantile_cont(n_chars, 0.3) AS q3, quantile_cont(n_chars, 0.4) AS q4,
+                  quantile_cont(n_chars, 0.5) AS q5, quantile_cont(n_chars, 0.6) AS q6,
+                  quantile_cont(n_chars, 0.7) AS q7, quantile_cont(n_chars, 0.8) AS q8,
+                  quantile_cont(n_chars, 0.9) AS q9
+           FROM documents
+         ), k AS (
+           SELECT doc_id, n_chars,
+             CAST((n_chars > q1)::INT + (n_chars > q2)::INT + (n_chars > q3)::INT
+                + (n_chars > q4)::INT + (n_chars > q5)::INT + (n_chars > q6)::INT
+                + (n_chars > q7)::INT + (n_chars > q8)::INT + (n_chars > q9)::INT AS INT) AS bucket
+           FROM documents, b
+         )
+         SELECT doc_id, n_chars, bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+             ORDER BY substr(md5('cur:' || doc_id::VARCHAR), 1, 8), doc_id) AS INTEGER) AS pos
+         FROM k ORDER BY doc_id""",
     "d21_containment" ->
       // brute-force directed ground truth over the SAME shingle chain
       // (the d17 CTE): distinct 3-shingles per doc, exact intersection

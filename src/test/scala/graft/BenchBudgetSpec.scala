@@ -58,6 +58,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d19_dup_cluster_sizes" -> 6.5,
     "d20_semdedup" -> 3.0,
     "d21_containment" -> 3.0,
+    "x29_curriculum" -> 1.5,
     "w12_transitions" -> 1.5,
     "w13_session_paths" -> 2.0,
     "a27_mad_outliers" -> 1.5,
