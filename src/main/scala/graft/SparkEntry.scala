@@ -1694,6 +1694,43 @@ object SparkEntry {
         col("n_cjk"), col("n_arabic"), col("dominant_script"))
       .orderBy(col("doc_id"))
 
+  /** BPE pair-merge step ([[TextAnalysis.bpePairCounts]] — Sennrich
+    * 2016): the top-20 adjacent character pairs, weighted by word
+    * frequency, that one byte-pair-encoding training iteration would
+    * consider merging. Corpus touches exactly one aggregate; the pair
+    * stage runs over the vocabulary. Full tie-break (count desc, pair
+    * asc) makes the top-20 a total order. */
+  private val t22BpePairs = (s: SparkSession, d: String) =>
+    TextAnalysis.bpePairCounts(t(s, d, "documents"), "text")
+      .orderBy(col("cnt").desc, col("pair")).limit(20)
+
+  /** PSI drift bins ([[Evaluation.psiDriftBins]]): distribution drift
+    * of `n_chars` between the x25 snapshot generations (ref = old
+    * membership, cur = new membership) over reference-decile bins.
+    * The scalar PSI is the order-free sum of `psi_contrib`; the
+    * committed result is the per-bin diagnostic table (the x24
+    * pattern), exact integers + quantized-ln IEEE expressions. */
+  private val x30PsiDrift = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    Evaluation.psiDriftBins(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 7 =!= 5),
+        "n_chars")
+      .orderBy(col("bin"))
+  }
+
+  /** Temperature-scaled language mix ([[Sampling.temperatureMix]],
+    * τ = 1/2): the fixture's lang distribution is head-heavy (en ≈
+    * 2.2× the tail), so the sqrt weighting visibly flattens the
+    * allocation vs proportional while still ordering groups by size.
+    * Integer-quantized √n weights feed x12's exact largest-remainder
+    * machinery — the whole selection replays in the oracle. */
+  private val x31TemperatureMix = (s: SparkSession, d: String) =>
+    Sampling.temperatureMix(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", budget = 100L)
+      .orderBy(col("doc_id"))
+
   /** Incremental recompute from a snapshot diff — the composition that
     * makes x25 load-bearing: maintain a per-language token aggregate
     * across corpus versions by RETRACTING the old contributions of
@@ -2770,6 +2807,9 @@ object SparkEntry {
     "w14_topk_per_group" -> w14TopkPerGroup,
     "j17_cooccurrence" -> j17Cooccurrence,
     "t21_script_mix" -> t21ScriptMix,
+    "t22_bpe_pairs" -> t22BpePairs,
+    "x30_psi_drift" -> x30PsiDrift,
+    "x31_temperature_mix" -> x31TemperatureMix,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3261,6 +3301,105 @@ object SparkEntry {
                 WHEN n_arabic > 0 THEN 'arabic'
                 ELSE 'other' END AS dominant_script
          FROM c ORDER BY doc_id""",
+    "t22_bpe_pairs" ->
+      // identical chain: d-series tokenization (empties filtered),
+      // word-frequency aggregate, end-of-word marker appended after
+      // normalization, two-char substr windows per vocab word, exact
+      // weighted BIGINT counts, top-20 under a full tie-break
+      """WITH toks AS (
+           SELECT unnest(list_filter(
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             t -> t <> '')) AS w
+           FROM documents
+         ), wf AS (
+           SELECT w || '_' AS w, count(*) AS f FROM toks GROUP BY 1
+         ), pr AS (
+           SELECT unnest(list_transform(range(1, len(w)),
+                    i -> substr(w, CAST(i AS INT), 2))) AS pair, f
+           FROM wf
+         ), pc AS (
+           SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
+         )
+         SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "x31_temperature_mix" ->
+      // weights = floor(Q·sqrt(n)) — sqrt is IEEE-correctly-rounded in
+      // every engine, Q·x is a power-of-two scale, so the longs match
+      // with NO boundary hazard (unlike ln); then x12's integer
+      // largest-remainder replay and the identical md5 'tmix' selection
+      """WITH gc AS (
+           SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1
+         ), g AS (
+           SELECT g, CAST(floor(65536.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM gc
+         ), tot AS (SELECT sum(w) AS tw FROM g),
+         base AS (
+           SELECT g, (100 * w) // tw AS fl, (100 * w) % tw AS rem
+           FROM g, tot
+         ),
+         alloc AS (
+           SELECT g,
+             fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, g ASC)
+               <= 100 - (SELECT sum(fl) FROM base) THEN 1 ELSE 0 END AS n
+           FROM base
+         ),
+         ranked AS (
+           SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY substr(md5('tmix:' || doc_id::VARCHAR), 1, 8), doc_id) AS rn
+           FROM documents
+         )
+         SELECT doc_id, lang FROM ranked JOIN alloc ON alloc.g = ranked.lang
+         WHERE rn <= alloc.n ORDER BY doc_id""",
+    "x30_psi_drift" ->
+      // full replay: ref-decile bounds (quantile_cont — the a10/x29
+      // agreement), cleared-bounds bin fold, full 0..9 spine with
+      // zero-filled counts, add-1 smoothing, ratio_q = floor(Q·ln r)
+      // (one ln per bin — the x21 quantization; margin spec-asserted),
+      // psi_contrib over exact integers and ratio_q only
+      """WITH r AS (
+           SELECT n_chars FROM documents WHERE doc_id % 7 <> 3
+         ), c AS (
+           SELECT n_chars FROM documents WHERE doc_id % 7 <> 5
+         ), b AS (
+           SELECT quantile_cont(n_chars, 0.1) AS q1, quantile_cont(n_chars, 0.2) AS q2,
+                  quantile_cont(n_chars, 0.3) AS q3, quantile_cont(n_chars, 0.4) AS q4,
+                  quantile_cont(n_chars, 0.5) AS q5, quantile_cont(n_chars, 0.6) AS q6,
+                  quantile_cont(n_chars, 0.7) AS q7, quantile_cont(n_chars, 0.8) AS q8,
+                  quantile_cont(n_chars, 0.9) AS q9
+           FROM r
+         ), rb AS (
+           SELECT CAST((n_chars > q1)::INT + (n_chars > q2)::INT + (n_chars > q3)::INT
+                + (n_chars > q4)::INT + (n_chars > q5)::INT + (n_chars > q6)::INT
+                + (n_chars > q7)::INT + (n_chars > q8)::INT + (n_chars > q9)::INT AS INT) AS bin
+           FROM r, b
+         ), cb AS (
+           SELECT CAST((n_chars > q1)::INT + (n_chars > q2)::INT + (n_chars > q3)::INT
+                + (n_chars > q4)::INT + (n_chars > q5)::INT + (n_chars > q6)::INT
+                + (n_chars > q7)::INT + (n_chars > q8)::INT + (n_chars > q9)::INT AS INT) AS bin
+           FROM c, b
+         ), rc AS (
+           SELECT bin, count(*) AS nr FROM rb GROUP BY 1
+         ), cc AS (
+           SELECT bin, count(*) AS nc FROM cb GROUP BY 1
+         ), g AS (
+           SELECT CAST(s.bin AS INT) AS bin,
+             CAST(COALESCE(rc.nr, 0) AS BIGINT) AS n_ref,
+             CAST(COALESCE(cc.nc, 0) AS BIGINT) AS n_cur
+           FROM (SELECT unnest(range(0, 10)) AS bin) s
+           LEFT JOIN rc ON rc.bin = s.bin LEFT JOIN cc ON cc.bin = s.bin
+         ), tot AS (
+           SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM g
+         )
+         SELECT bin, n_ref, n_cur,
+           CAST(floor(65536.0 * ln(
+             (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+             / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)))) AS BIGINT) AS ratio_q,
+           ((CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+             - (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)))
+           * (CAST(CAST(floor(65536.0 * ln(
+               (CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+               / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)))) AS BIGINT) AS DOUBLE)
+              / 65536.0) AS psi_contrib
+         FROM g, tot ORDER BY bin""",
     "x28_incremental_recompute" ->
       // the oracle is the FROM-SCRATCH aggregate over the new snapshot
       // — the x13 equality claim: incrementally-maintained components

@@ -122,8 +122,9 @@ object Evaluation {
     * ONE map-side-combined aggregate over the fact scan → a single row
     * of exact BIGINT cell counts; po/pe/kappa are a fixed IEEE
     * expression DAG over those integers (log-free — kappa needs no
-    * transcendental, unlike PSI/KL drift scores, which is why it is
-    * the drift/agreement number this engine commits to exactly). */
+    * transcendental, unlike PSI/KL drift scores; [[psiDriftBins]]
+    * commits PSI too by paying for its one ln per BIN with the DSIR
+    * quantization discipline). */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     val a = col(aCol)
     val b = col(bCol)
@@ -141,5 +142,73 @@ object Evaluation {
     agg.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       po.as("po"), pe.as("pe"),
       ((po - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
+
+  /** Population Stability Index drift bins — the distribution-drift
+    * monitor a production corpus pipeline runs between snapshots
+    * ("has this month's crawl shifted against last month's?"). PSI =
+    * Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) over bins fixed from the
+    * REFERENCE deciles (the standard recipe: bin edges frozen on ref,
+    * both snapshots counted into them; rule of thumb: < 0.1 stable,
+    * > 0.25 shifted).
+    *
+    * Exactness (the [[Importance]] discipline applied to the one
+    * transcendental): bin bounds are `bins−1` exact interpolated
+    * percentiles of ref (the a10/x29 quantile_cont agreement,
+    * `percentile_approx` swap at 100 TB exactly as a10 → a15); bin
+    * membership is the x29 cleared-bounds comparison fold; per-bin
+    * counts are exact longs over a FULL 0..bins−1 spine (empty bins
+    * carry smoothing mass, the a23 zero-cell rule). The likelihood
+    * ratio gets add-1 smoothing — r = ((n_cur+1)/(N_cur+bins)) /
+    * ((n_ref+1)/(N_ref+bins)), three correctly-rounded divisions —
+    * and ONE ln per bin, immediately quantized to the integer
+    * `ratio_q = ⌊Q·ln r⌋` (Q = 2^16; the floor-boundary margin is
+    * spec-asserted as in ImportanceSpec). `psi_contrib` is then a
+    * fixed IEEE DAG of exact integers and ratio_q — smoothed
+    * (p_cur − p_ref) · ratio_q/Q, where /Q is an exact power-of-two
+    * scale — bit-identical on any engine. Per-bin rows ARE the
+    * committed report (a x24-style diagnostic table); the scalar PSI
+    * is the user's order-free sum of `psi_contrib`.
+    *
+    * Scale shape: one percentile aggregate over ref + one counting
+    * aggregate per snapshot, all map-side combined; everything past
+    * those combines is `bins` rows. The snapshots are never joined
+    * row-to-row. */
+  def psiDriftBins(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      bins: Int = 10,
+      quantization: Int = 65536): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(quantization > 0, s"quantization must be positive, got $quantization")
+    val spark = ref.sparkSession
+    val v = col(valueCol)
+    val bounds = ref.agg(
+      percentile(v, typedLit((1 until bins).map(_.toDouble / bins))).as("_b"))
+    def binCounts(df: DataFrame, out: String): DataFrame =
+      df.select(v).crossJoin(broadcast(bounds))
+        .select(aggregate(col("_b"), lit(0),
+          (acc, b) => acc + when(v > b, 1).otherwise(0)).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val grid = spine
+      .join(binCounts(ref, "_nr"), Seq("bin"), "left")
+      .join(binCounts(cur, "_nc"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("_nr"), lit(0L)).as("n_ref"),
+        coalesce(col("_nc"), lit(0L)).as("n_cur"))
+    val totals = grid.agg(
+      sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
+    val pr = (col("n_ref") + 1L).cast("double") /
+      (col("_tr") + bins.toLong).cast("double")
+    val pc = (col("n_cur") + 1L).cast("double") /
+      (col("_tc") + bins.toLong).cast("double")
+    val ratioQ = floor(lit(quantization.toDouble) * log(pc / pr)).cast("long")
+    grid.crossJoin(broadcast(totals))
+      .withColumn("ratio_q", ratioQ)
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("ratio_q"),
+        ((pc - pr) * (col("ratio_q").cast("double") / lit(quantization.toDouble)))
+          .as("psi_contrib"))
   }
 }

@@ -128,6 +128,51 @@ object Sampling {
       .drop("_ark")
   }
 
+  /** Temperature-scaled source mixing at τ = 1/2 — the multilingual /
+    * multi-source rebalancing recipe (multilingual BERT's exponent-
+    * smoothed sampling; the same idea weights the Pile/ROOTS mixes):
+    * a proportional mix lets the biggest source drown the tail, a
+    * uniform mix starves the head, and w_g ∝ n_g^τ sits between.
+    * τ = 1/2 is THE committed point because sqrt is the one power
+    * IEEE 754 requires correctly rounded — `pow(x, τ)` for any other
+    * τ is libm-dependent and would break the oracle-exactness
+    * contract (the t12 ln argument, applied to pow).
+    *
+    * Weights are quantized to exact integers w_g = ⌊Q·√n_g⌋
+    * (Q = 2^16 — the [[Importance]] discipline; Q·√n is a power-of-
+    * two scale of a correctly-rounded value, so every engine computes
+    * the identical long), then the entire allocation + selection is
+    * [[apportionSample]]'s integer largest-remainder replay — nothing
+    * new to trust downstream of the quantization. A √n of ~2^26
+    * saturates long at Q = 2^16 only past n ≈ 2^52 rows per group —
+    * unreachable.
+    *
+    * Scale shape: one map-side-combined (group, count) aggregate
+    * (bounded by the loud maxGroups guard) + apportionSample's one
+    * group-keyed rank shuffle. */
+  def temperatureMix(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      budget: Long,
+      salt: String = "tmix",
+      quantization: Long = 65536L,
+      maxGroups: Int = 100000): DataFrame = {
+    require(quantization > 0, s"quantization must be positive, got $quantization")
+    val counts = df.groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"))
+      .limit(maxGroups + 1).collect()
+    require(counts.length <= maxGroups,
+      s"temperatureMix: more than $maxGroups groups — the weight table " +
+        "must stay driver-small; bucket the group key first")
+    val weights: Map[String, Long] = counts.map { r =>
+      r.getString(0) ->
+        math.floor(quantization.toDouble * math.sqrt(r.getLong(1).toDouble)).toLong
+    }.toMap
+    apportionSample(df, groupCol, keyCol, weights,
+      defaultWeight = 0L, budget = budget, salt = salt, maxGroups = maxGroups)
+  }
+
   /** Token-budget selection: rank docs by a caller-supplied ORDER
     * (quality/diversity score descending, id tiebreak) and keep the
     * prefix whose cumulative token count stays within `tokenBudget` —

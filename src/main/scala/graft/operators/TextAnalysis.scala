@@ -521,6 +521,38 @@ object TextAnalysis {
           .otherwise("other"))
   }
 
+  /** BPE pair-merge step (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units") — ONE iteration of
+    * byte-pair-encoding tokenizer training as a corpus data op: count
+    * adjacent character pairs across the corpus, weighted by word
+    * frequency; the training loop merges the top pair and repeats.
+    * Completes the tokenizer-design family beside t17 (vocabulary
+    * coverage curve) and t16 (bigram stats).
+    *
+    * Scale shape — the two-tier trick that makes BPE training feasible
+    * on a 100 TB corpus: the corpus-sized pass is ONE token explode into
+    * a map-side-combined (word, freq) aggregate; everything after is
+    * bounded by the VOCABULARY, not the corpus (each distinct word
+    * explodes into len−1 two-char substr windows; the pair aggregate's
+    * key space is ≤ alphabet² — tiny). The classic end-of-word marker
+    * `_` is appended AFTER normalization (which strips literal
+    * underscores), so marker pairs are unambiguous and the final
+    * character of every word participates in exactly one boundary pair.
+    *
+    * Exactness: counts are exact longs; pairs are substr windows —
+    * every engine slices UTF-8 strings of `[a-z0-9_]` identically. */
+  def bpePairCounts(df: DataFrame, textCol: String, marker: String = "_"): DataFrame = {
+    val wf = withTokens(df.select(col(textCol)), textCol)
+      .select(explode(col("_toks")).as("_w0"))
+      .filter(col("_w0") =!= "")
+      .groupBy(col("_w0")).agg(count(lit(1)).as("f"))
+      .select(concat(col("_w0"), lit(marker)).as("w"), col("f"))
+    wf.select(col("f"), explode(
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

@@ -69,6 +69,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "w14_topk_per_group" -> 1.2,
     "j17_cooccurrence" -> 2.0,
     "t21_script_mix" -> 1.5,
+    "t22_bpe_pairs" -> 1.5,
+    "x30_psi_drift" -> 1.5,
+    "x31_temperature_mix" -> 1.5,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Evaluation
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 class EvaluationSpec extends SparkTestBase {
   import spark.implicits._
@@ -66,5 +67,59 @@ class EvaluationSpec extends SparkTestBase {
       Seq((true, false), (false, true)).toDF("a", "b"), "a", "b")
       .collect().head.getAs[Double]("kappa")
     assert(inverse == -1.0)
+  }
+
+  test("psiDriftBins: identical snapshots give exactly zero drift in every bin") {
+    val df = (1 to 200).map(i => i.toLong * 7 % 101).toDF("v")
+    val rows = Evaluation.psiDriftBins(df, df, "v").collect()
+    assert(rows.length == 10, "full spine: one row per bin")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ref") == r.getAs[Long]("n_cur"))
+      // N_ref == N_cur makes the smoothed ratio exactly 1.0; ln -> 0.0,
+      // floor -> 0, contrib 0.0 — not approximately, exactly
+      assert(r.getAs[Long]("ratio_q") == 0L)
+      assert(r.getAs[Double]("psi_contrib") == 0.0)
+    }
+  }
+
+  test("psiDriftBins: per-bin counts partition each snapshot; contribs are non-negative; shift is detected") {
+    // cur shifts mass upward vs ref
+    val ref = (1 to 300).map(_.toLong % 100).toDF("v")
+    val cur = (1 to 300).map(i => (i.toLong % 100) + 40L).toDF("v")
+    val rows = Evaluation.psiDriftBins(ref, cur, "v").collect()
+    assert(rows.map(_.getAs[Long]("n_ref")).sum == 300L)
+    assert(rows.map(_.getAs[Long]("n_cur")).sum == 300L)
+    // quantized-ln contributions keep PSI's sign law: (pc-pr) and
+    // floor(Q ln(pc/pr)) always agree in sign (floor only pushes the
+    // negative side further down), so every bin's contrib is >= 0
+    rows.foreach(r => assert(r.getAs[Double]("psi_contrib") >= 0.0,
+      s"bin ${r.getAs[Int]("bin")} contrib negative"))
+    val psi = rows.map(_.getAs[Double]("psi_contrib")).sum
+    assert(psi > 0.25, s"a 40% shift must read as 'shifted' (PSI > 0.25), got $psi")
+  }
+
+  test("x30 fixture: every bin's Q*ln(r) sits >=1e-6 from an integer (the cross-engine floor guard)") {
+    // the exact frame the oracle replays at sf0.01 and the smoke runs
+    // at sf0.001 — engines agreeing on ln to ~1e-8 relative cannot
+    // disagree on any floor with this margin
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      val rows = Evaluation.psiDriftBins(
+        docs.filter(col("doc_id") % 7 =!= 3),
+        docs.filter(col("doc_id") % 7 =!= 5),
+        "n_chars").collect()
+      val tr = rows.map(_.getAs[Long]("n_ref")).sum
+      val tc = rows.map(_.getAs[Long]("n_cur")).sum
+      rows.foreach { r =>
+        val pc = (r.getAs[Long]("n_cur") + 1L).toDouble / (tc + 10L).toDouble
+        val pr = (r.getAs[Long]("n_ref") + 1L).toDouble / (tr + 10L).toDouble
+        val q = 65536.0 * math.log(pc / pr)
+        val dist = math.abs(q - math.rint(q))
+        assert(dist >= 1e-6,
+          s"$dir bin ${r.getAs[Int]("bin")}: Q*ln(r)=$q sits $dist from an integer")
+        assert(math.floor(q).toLong == r.getAs[Long]("ratio_q"))
+      }
+    }
   }
 }

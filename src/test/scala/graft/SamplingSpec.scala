@@ -212,6 +212,19 @@ class SamplingSpec extends SparkTestBase {
       "selection must be partitioning-independent")
   }
 
+  test("temperatureMix: sqrt weighting flattens the head vs proportional, exact integer allocation") {
+    // 900 vs 100 rows: proportional gives the head 90%; tau=1/2 gives
+    // sqrt(900):sqrt(100) = 30:10 = 75%. Quantized weights are exactly
+    // floor(65536*30)=1966080 and 655360, shares divide without
+    // remainder -> A=30, B=10 of budget 40, no bonus pass involved
+    val df = ((0 until 900).map(i => (i.toLong, "head")) ++
+      (1000 until 1100).map(i => (i.toLong, "tail"))).toDF("id", "grp")
+    val counts = Sampling.temperatureMix(df, "grp", "id", budget = 40L)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("head" -> 30L, "tail" -> 10L), s"got $counts")
+  }
+
   test("quantileGate: per-group median gate admits exactly the upper half, thresholds exact") {
     val df = (Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L)) ++
       Seq((4L, "b", 100L), (5L, "b", 200L))).toDF("id", "grp", "len")

@@ -600,6 +600,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(6L) == ((2L, 2L, 0L, 0L, "latin")), "ties resolve by fixed priority")
   }
 
+  test("bpePairCounts: word-frequency-weighted pair counts, in-word multiplicity, end-of-word marker") {
+    val df = Seq(
+      (1L, "aa ab"),
+      (2L, "ab"),
+      (3L, "aaa")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab with marker: aa_(1), ab_(2), aaa_(1); windows:
+    //   aa_  -> aa, a_        (x1)
+    //   ab_  -> ab, b_        (x2)
+    //   aaa_ -> aa, aa, a_    (x1 — the in-word multiplicity case)
+    assert(got == Map("aa" -> 3L, "a_" -> 2L, "ab" -> 2L, "b_" -> 2L),
+      s"got $got")
+  }
+
   test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
     val cents = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
