@@ -1684,6 +1684,26 @@ object SparkEntry {
     RelationalOps.keyDistribution(
       Tables.events(s, d).select(col("user_id")), "user_id")
 
+  /** Row-form CMS ([[FrequencySketch.cmsCells]]/[[FrequencySketch
+    * .cmsEstimate]]): the counter grid as a replayable keyed table —
+    * unlike a19's engine-local sketch bytes (where only the BOUND is
+    * oracle-checkable), every cell and every estimate here is
+    * oracle-EXACT (md5 hex buckets, the Importance.bucketOf
+    * construction). hexChars = 2 (256 cells/row) against ~100 distinct
+    * items exercises real collisions; est_ok pins never-undercount. */
+  private val a28CmsRowform = (s: SparkSession, d: String) => {
+    val items = Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+    val cells = FrequencySketch.cmsCells(items, "item", depth = 4, hexChars = 2)
+    val top = items.groupBy(col("item")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("item")).limit(20)
+    FrequencySketch.cmsEstimate(cells, top, "item", depth = 4, hexChars = 2)
+      .select(col("item"), col("true_cnt"), col("est"),
+        (col("est") >= col("true_cnt")).as("est_ok"))
+      .orderBy(col("true_cnt").desc, col("item"))
+  }
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2810,6 +2830,7 @@ object SparkEntry {
     "t22_bpe_pairs" -> t22BpePairs,
     "x30_psi_drift" -> x30PsiDrift,
     "x31_temperature_mix" -> x31TemperatureMix,
+    "a28_cms_rowform" -> a28CmsRowform,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3321,6 +3342,33 @@ object SparkEntry {
            SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "a28_cms_rowform" ->
+      // full grid replay: md5 hex-bucket cells per depth row (salt
+      // 'cms{d}:'), exact counts, inner-join point queries (every top
+      // item's cells exist), min over depth rows — cell-for-cell and
+      // estimate-for-estimate exact, not just bound-checked
+      """WITH it AS (
+           SELECT CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), dd AS (
+           SELECT unnest(range(0, 4)) AS d
+         ), cells AS (
+           SELECT d, substr(md5('cms' || d::VARCHAR || ':' || item::VARCHAR), 1, 2) AS cell,
+                  count(*) AS cnt
+           FROM it, dd GROUP BY 1, 2
+         ), top AS (
+           SELECT item, count(*) AS true_cnt FROM it GROUP BY 1
+           ORDER BY true_cnt DESC, item LIMIT 20
+         ), probe AS (
+           SELECT t.item, t.true_cnt, dd.d,
+             substr(md5('cms' || dd.d::VARCHAR || ':' || t.item::VARCHAR), 1, 2) AS cell
+           FROM top t, dd
+         )
+         SELECT p.item, p.true_cnt, CAST(min(c.cnt) AS BIGINT) AS est,
+           CAST(min(c.cnt) AS BIGINT) >= p.true_cnt AS est_ok
+         FROM probe p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+         GROUP BY p.item, p.true_cnt
+         ORDER BY true_cnt DESC, item""",
     "x31_temperature_mix" ->
       // weights = floor(Q·sqrt(n)) — sqrt is IEEE-correctly-rounded in
       // every engine, Q·x is a power-of-two scale, so the longs match

@@ -58,4 +58,63 @@ object FrequencySketch {
         col("_est") >= col("true_cnt") && col("_est") <= col("true_cnt") + lit(slack))
       .drop("_est")
   }
+
+  /** ROW-FORM count-min sketch: the counter grid as a keyed additive
+    * TABLE — one row per touched (depth-row `d`, md5-bucket `cell`)
+    * with its exact count — instead of a19's opaque engine-local
+    * sketch bytes. Two properties the byte form cannot offer:
+    * (1) every cell is replayable on any engine with md5 (the
+    * [[Importance.bucketOf]] hex-bucket construction, salt `"{salt}{d}"`
+    * per depth row), so the whole sketch — not just its error bound —
+    * is oracle-exact; (2) cells are a decomposable (key, count)
+    * aggregate, so the sketch merges through the SAME additive
+    * machinery as any KPI table (counter addition commutes — the
+    * [[graft.streaming.StreamingDistinct]] commutative-state argument;
+    * [[graft.streaming.StreamingFrequency]] folds per-batch cell
+    * deltas into a store with no retraction path). ≤ depth × 16^hex
+    * rows regardless of corpus size.
+    *
+    * Scale shape: one narrow posexplode (depth rows per item
+    * occurrence) into a map-side-combined aggregate; the shuffle
+    * carries ≤ depth × 16^hex rows PER MAPPER, never the item
+    * stream. */
+  def cmsCells(
+      df: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      hexChars: Int = 3,
+      salt: String = "cms"): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(hexChars >= 1 && hexChars <= 4,
+      s"hexChars must be in [1,4] (16..65536 cells/row), got $hexChars")
+    val cells = (0 until depth).map(d =>
+      Importance.bucketOf(col(itemCol), hexChars, s"$salt$d"))
+    df.select(posexplode(array(cells: _*)).as(Seq("d", "cell")))
+      .groupBy(col("d"), col("cell")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query `items` (any frame with `itemCol`; other columns ride
+    * along) against a [[cmsCells]] table built with the SAME
+    * (depth, hexChars, salt): est = min over depth rows of the item's
+    * cell count. NEVER undercounts an item the cells table has seen
+    * (counters only sum); a missing cell means a provably-unseen item
+    * (est 0). The items frame is expected candidate-sized (the a19
+    * shortlist contract) — it explodes by `depth` and equi-joins the
+    * bounded cells table. */
+  def cmsEstimate(
+      cells: DataFrame,
+      items: DataFrame,
+      itemCol: String,
+      depth: Int = 4,
+      hexChars: Int = 3,
+      salt: String = "cms"): DataFrame = {
+    val keep = items.columns.map(col)
+    val probes = (0 until depth).map(d =>
+      Importance.bucketOf(col(itemCol), hexChars, s"$salt$d"))
+    items
+      .select(keep :+ posexplode(array(probes: _*)).as(Seq("d", "cell")): _*)
+      .join(cells, Seq("d", "cell"), "left")
+      .groupBy(keep: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -72,6 +72,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t22_bpe_pairs" -> 1.5,
     "x30_psi_drift" -> 1.5,
     "x31_temperature_mix" -> 1.5,
+    "a28_cms_rowform" -> 1.5,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

@@ -799,6 +799,49 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "parity on an empty table proves nothing")
   }
 
+  test("streaming frequency: additive cell merges converge to the batch sketch cell-for-cell under reverse drain") {
+    import graft.streaming.StreamingFrequency
+    import graft.operators.FrequencySketch
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sfreq")
+    // hostile reverse-time staging (the StreamingDistinct harness):
+    // counter addition commutes, so arrival order cannot matter
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("props"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingFrequency.start(spark, stream, store, s"$base/cp",
+      depth = 4, hexChars = 2).awaitTermination()
+
+    val items = sources.Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+    val want = FrequencySketch.cmsCells(items, "item", depth = 4, hexChars = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = StreamingFrequency.cellsTable(spark, store)
+      .collect().map(r => (r.getAs[Int]("d"), r.getAs[String]("cell")) -> r.getAs[Long]("cnt")).toMap
+    assert(got == want, s"cell grids diverged: got=${got.size} want=${want.size}")
+    assert(got.nonEmpty, "parity on an empty grid proves nothing")
+    // the read path over the accumulated grid keeps the CMS contract
+    val truth = items.groupBy(col("item")).agg(count(lit(1)).as("true_cnt"))
+    val under = StreamingFrequency.estimateTable(spark, store, truth, "item",
+      depth = 4, hexChars = 2).filter(col("est") < col("true_cnt")).count()
+    assert(under == 0, "accumulated counters only sum — never undercount")
+  }
+
   test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
     import graft.streaming.StreamingTransitions
     val dir = "/root/testdata/sf0.001"
