@@ -1704,6 +1704,28 @@ object SparkEntry {
       .orderBy(col("true_cnt").desc, col("item"))
   }
 
+  /** Two-sample KS statistic ([[Evaluation.ksStatistic]]): full-CDF
+    * drift of `n_chars` between the x25 snapshot generations — the
+    * bin-free, transcendental-free companion to x30's PSI on the
+    * identical snapshot pair (a user runs both: PSI for the per-bin
+    * report, KS for the sup-norm test statistic). */
+  private val a29KsTest = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    Evaluation.ksStatistic(
+      docs.filter(col("doc_id") % 7 =!= 3).select(col("n_chars")),
+      docs.filter(col("doc_id") % 7 =!= 5).select(col("n_chars")),
+      "n_chars")
+  }
+
+  /** Flesch–Kincaid readability ([[TextAnalysis.readability]]): the
+    * reading-level gate over the documents corpus — exact integer
+    * word/sentence/syllable heuristics, one IEEE grade expression. */
+  private val t23Readability = (s: SparkSession, d: String) =>
+    TextAnalysis.readability(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_grade"))
+      .orderBy(col("doc_id"))
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2831,6 +2853,8 @@ object SparkEntry {
     "x30_psi_drift" -> x30PsiDrift,
     "x31_temperature_mix" -> x31TemperatureMix,
     "a28_cms_rowform" -> a28CmsRowform,
+    "a29_ks_test" -> a29KsTest,
+    "t23_readability" -> t23Readability,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3342,6 +3366,53 @@ object SparkEntry {
            SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "a29_ks_test" ->
+      // exact replay: distinct-value counts, inclusive cumulative
+      // sums (RANGE == ROWS over a distinct-value frame), integer
+      // cross-difference |cr·tc − cc·tr|, argmax under the total
+      // order (d_num desc, value asc), one terminal IEEE division
+      """WITH r AS (
+           SELECT n_chars AS v FROM documents WHERE doc_id % 7 <> 3
+         ), c AS (
+           SELECT n_chars AS v FROM documents WHERE doc_id % 7 <> 5
+         ), m AS (
+           SELECT v, CAST(sum(nr) AS BIGINT) AS nr, CAST(sum(nc) AS BIGINT) AS nc FROM (
+             SELECT v, 1 AS nr, 0 AS nc FROM r
+             UNION ALL SELECT v, 0 AS nr, 1 AS nc FROM c)
+           GROUP BY 1
+         ), cum AS (
+           SELECT v,
+             CAST(sum(nr) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr,
+             CAST(sum(nc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+           FROM m
+         ), tot AS (
+           SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM m
+         )
+         SELECT tr AS n_ref, tc AS n_cur,
+           abs(cr * tc - cc * tr) AS d_num, v AS at_value,
+           CAST(abs(cr * tc - cc * tr) AS DOUBLE)
+             / (CAST(tr AS DOUBLE) * CAST(tc AS DOUBLE)) AS ks_stat
+         FROM cum, tot
+         ORDER BY d_num DESC, at_value ASC LIMIT 1""",
+    "t23_readability" ->
+      // identical run-counting splits (Java regex and RE2 agree on
+      // these classes), clamped sentences, exponent-suffixed DOUBLE
+      // literals (bare decimals parse as DECIMAL in some engines —
+      // the s10 lesson), identical IEEE grade DAG
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             0.39e0 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             + 11.8e0 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+             - 15.59e0
+           ELSE NULL END AS fk_grade
+         FROM (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1) AS BIGINT) AS n_sentences,
+             CAST(len(regexp_split_to_array(lower(text), '[aeiouy]+')) - 1 AS BIGINT) AS n_syllables
+           FROM documents
+         ) ORDER BY doc_id""",
     "a28_cms_rowform" ->
       // full grid replay: md5 hex-bucket cells per depth row (salt
       // 'cms{d}:'), exact counts, inner-join point queries (every top

@@ -144,6 +144,64 @@ object Evaluation {
       ((po - pe) / (lit(1.0) - pe)).as("kappa"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic — the third leg of the
+    * drift family: a23's chi-square needs categorical cells, x30's PSI
+    * needs binning (and pays one quantized ln per bin); KS compares
+    * the FULL empirical CDFs of a numeric column with no bins and no
+    * transcendental at all — D = max_v |F_ref(v) − F_cur(v)|, the
+    * statistic behind "did this column's distribution move?" tests.
+    *
+    * Exactness: rows collapse to one row per DISTINCT value carrying
+    * exact (n_ref, n_cur) counts; inclusive cumulative counts run
+    * through the SAME two-level distributed prefix sum as [[rocAuc]]
+    * (range-partitioned row index → bucket offsets through one
+    * metadata-scale window → bucket-partitioned running sums — no
+    * stage serializes the distinct-value set into one task). The max
+    * is taken over the exact integer cross-difference
+    * `d_num = |cum_ref·N_cur − cum_cur·N_ref|` (argmax under a total
+    * order: d_num desc, value asc — a TakeOrderedAndProject, never a
+    * global sort), and `ks_stat = d_num / (N_ref·N_cur)` is ONE
+    * terminal IEEE division of exact integers. BIGINT bound:
+    * cum·N < 2^63 holds through ~3×10⁹ rows per snapshot; past that,
+    * lift d_num to decimal (the x20 numer2 contract).
+    *
+    * Output: one row — n_ref, n_cur, d_num, at_value (where the CDFs
+    * diverge most), ks_stat. */
+  def ksStatistic(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val v = col(valueCol)
+    val byVal = ref.select(v.as("_v"), lit(1L).as("_r"), lit(0L).as("_c"))
+      .unionByName(cur.select(v.as("_v"), lit(0L).as("_r"), lit(1L).as("_c")))
+      .groupBy(col("_v")).agg(sum(col("_r")).as("_nr"), sum(col("_c")).as("_nc"))
+    val indexed = RelationalOps.withRowIndex(byVal, "_sp", Seq(col("_v")))
+      .withColumn("_bk", expr(s"_sp div ${bucketSize}L"))
+    val bw = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk"))
+      .agg(sum(col("_nr")).as("_bsr"), sum(col("_nc")).as("_bsc"))
+      .select(col("_bk"),
+        coalesce(sum(col("_bsr")).over(bw), lit(0L)).as("_or"),
+        coalesce(sum(col("_bsc")).over(bw), lit(0L)).as("_oc"))
+    val ww = Window.partitionBy(col("_bk")).orderBy(col("_sp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = indexed
+      .join(broadcast(offsets), "_bk")
+      .withColumn("_cr", col("_or") + sum(col("_nr")).over(ww))
+      .withColumn("_cc", col("_oc") + sum(col("_nc")).over(ww))
+    val totals = byVal.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    cums.crossJoin(broadcast(totals))
+      .select(col("_v"), col("_tr"), col("_tc"),
+        abs(col("_cr") * col("_tc") - col("_cc") * col("_tr")).as("_dn"))
+      .orderBy(col("_dn").desc, col("_v").asc).limit(1)
+      .select(col("_tr").as("n_ref"), col("_tc").as("n_cur"),
+        col("_dn").as("d_num"), col("_v").as("at_value"),
+        (col("_dn").cast("double") /
+          (col("_tr").cast("double") * col("_tc").cast("double"))).as("ks_stat"))
+  }
+
   /** Population Stability Index drift bins — the distribution-drift
     * monitor a production corpus pipeline runs between snapshots
     * ("has this month's crawl shifted against last month's?"). PSI =

@@ -521,6 +521,39 @@ object TextAnalysis {
           .otherwise("other"))
   }
 
+  /** Flesch–Kincaid readability grade (Kincaid et al. 1975) — the
+    * classic text-difficulty signal beside the quality/repetition/
+    * fluency gates (a curation recipe that targets a reading level —
+    * instruction data, children's corpora, plain-language filters —
+    * gates on exactly this). All three inputs are the standard
+    * heuristics as exact integer counts over the RAW text (punctuation
+    * carries the sentence signal, so the normalized form is useless
+    * here): words = whitespace tokens (the x28/t3 convention),
+    * sentences = `[.!?]+` terminator runs clamped to ≥ 1 (an
+    * unterminated document is one sentence), syllables = vowel-group
+    * runs `[aeiouy]+` of the lowercased text (the standard proxy; CJK
+    * text reads 0 and relies on the t21 script gate upstream).
+    * `fk_grade = 0.39·(words/sentences) + 11.8·(syllables/words) −
+    * 15.59` is a fixed IEEE DAG of exact integers (null when a doc has
+    * no words). Counts use the t20 length-diff idiom's split cousin:
+    * `len(split(text, class)) − 1` counts RUNS identically under Java
+    * regex and RE2. One narrow pass, no shuffle. */
+  def readability(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_words",
+        when(length(trim(t)) === 0, lit(0))
+          .otherwise(size(split(trim(t), "\\s+"))).cast("long"))
+      .withColumn("n_sentences",
+        greatest(size(split(t, "[.!?]+")) - 1, lit(1)).cast("long"))
+      .withColumn("n_syllables",
+        (size(split(lower(t), "[aeiouy]+")) - 1).cast("long"))
+      .withColumn("fk_grade",
+        when(col("n_words") > 0,
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+            - lit(15.59)))
+  }
+
   /** BPE pair-merge step (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — ONE iteration of
     * byte-pair-encoding tokenizer training as a corpus data op: count

@@ -73,6 +73,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "x30_psi_drift" -> 1.5,
     "x31_temperature_mix" -> 1.5,
     "a28_cms_rowform" -> 1.5,
+    "a29_ks_test" -> 1.5,
+    "t23_readability" -> 1.2,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

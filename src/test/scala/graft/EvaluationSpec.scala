@@ -98,6 +98,25 @@ class EvaluationSpec extends SparkTestBase {
     assert(psi > 0.25, s"a 40% shift must read as 'shifted' (PSI > 0.25), got $psi")
   }
 
+  test("ksStatistic: hand-computed sup-norm, exact integer numerator, argmax tie-break") {
+    // ref=[1,2,3], cur=[3,4]: cum_ref=(1,2,3,3), cum_cur=(0,0,1,2),
+    // d_num = |cr*2 - cc*3| = (2,4,3,0) -> max 4 at v=2; ks = 4/6
+    val r = Evaluation.ksStatistic(
+      Seq(1L, 2L, 3L).toDF("v"), Seq(3L, 4L).toDF("v"), "v").collect().head
+    assert((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+      r.getAs[Long]("d_num"), r.getAs[Long]("at_value")) == ((3L, 2L, 4L, 2L)))
+    assert(r.getAs[Double]("ks_stat") == 4.0 / 6.0)
+    // identical samples: D exactly 0, argmax ties to the smallest value
+    val z = Evaluation.ksStatistic(
+      Seq(5L, 6L).toDF("v"), Seq(5L, 6L).toDF("v"), "v").collect().head
+    assert(z.getAs[Long]("d_num") == 0L && z.getAs[Long]("at_value") == 5L)
+    assert(z.getAs[Double]("ks_stat") == 0.0)
+    // disjoint supports: D exactly 1 at the reference's upper edge
+    val d = Evaluation.ksStatistic(
+      Seq(1L, 2L).toDF("v"), Seq(10L, 11L).toDF("v"), "v").collect().head
+    assert(d.getAs[Double]("ks_stat") == 1.0 && d.getAs[Long]("at_value") == 2L)
+  }
+
   test("x30 fixture: every bin's Q*ln(r) sits >=1e-6 from an integer (the cross-engine floor guard)") {
     // the exact frame the oracle replays at sf0.01 and the smoke runs
     // at sf0.001 — engines agreeing on ln to ~1e-8 relative cannot

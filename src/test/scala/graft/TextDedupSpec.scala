@@ -616,6 +616,26 @@ class TextDedupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  test("readability: exact word/sentence/syllable counts, clamped sentences, null grade on empty docs") {
+    val df = Seq(
+      (1L, "Hello world. Nice day."),
+      (2L, "no punct here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("fk_grade"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 4 ws-tokens, 2 terminator runs, vowel runs e|o|o|i,e|ay = 6
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((4L, 2L, 6L)))
+    assert(math.abs(r1.getDouble(4) - (0.39 * 2.0 + 11.8 * 1.5 - 15.59)) < 1e-12)
+    // unterminated doc clamps to one sentence
+    assert(got(2L).getLong(2) == 1L)
+    // empty doc: zero words -> null grade, still one clamped sentence
+    assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4))
+  }
+
   test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
     val cents = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
