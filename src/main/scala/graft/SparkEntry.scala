@@ -1726,6 +1726,28 @@ object SparkEntry {
         col("n_syllables"), col("fk_grade"))
       .orderBy(col("doc_id"))
 
+  /** T5 span-corruption mask ([[TextAnalysis.corruptionSpans]]):
+    * deterministic block-grid denoising spans over the documents
+    * corpus — block 3 tokens, rate 0.15, 'spanc' salt; sentinel ids
+    * in block order. */
+  private val x32SpanCorrupt = (s: SparkSession, d: String) =>
+    TextAnalysis.corruptionSpans(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"), col("block_idx"))
+
+  /** Sorted-neighborhood blocking ([[FuzzyJoin
+    * .sortedNeighborhoodPairs]]): window-3 neighbors under a
+    * 24-char normalized-prefix blocking key, verified here with exact
+    * levenshtein over the keys — the fixture's near-copies sort
+    * adjacent and read dist 0-2 while unrelated neighbors read large. */
+  private val j19SortedNeighborhood = (s: SparkSession, d: String) => {
+    val keyed = t(s, d, "documents").select(col("doc_id"),
+      substring(TextAnalysis.normalize(col("text")), 1, 24).as("bkey"))
+    FuzzyJoin.sortedNeighborhoodPairs(keyed, "doc_id", "bkey", window = 3)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("key_a"), col("key_b")).as("edit_dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2855,6 +2877,8 @@ object SparkEntry {
     "a28_cms_rowform" -> a28CmsRowform,
     "a29_ks_test" -> a29KsTest,
     "t23_readability" -> t23Readability,
+    "x32_span_corrupt" -> x32SpanCorrupt,
+    "j19_sorted_neighborhood" -> j19SortedNeighborhood,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3366,6 +3390,47 @@ object SparkEntry {
            SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "x32_span_corrupt" ->
+      // the x7 grid at chunk = stride = 3, i.i.d. block mask by the
+      // identical salted-md5 draw ('spanc:doc:block' < the
+      // hexThreshold(0.15) constant 0x26666666), sentinel = per-doc
+      // rank of the masked block
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n, GREATEST(1, (n + 2) // 3) AS cnt FROM d
+         ), g AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS block_idx,
+             CAST(i * 3 AS INTEGER) AS token_start,
+             CAST(GREATEST(LEAST(3, n - i * 3), 0) AS INTEGER) AS token_len
+           FROM c, unnest(range(0, cnt)) AS t(i)
+         ), m AS (
+           SELECT * FROM g WHERE token_len > 0
+             AND substr(md5('spanc:' || doc_id::VARCHAR || ':' || block_idx::VARCHAR), 1, 8)
+                 < '26666666'
+         )
+         SELECT doc_id, block_idx, token_start, token_len,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY block_idx) - 1 AS INTEGER) AS sentinel_id
+         FROM m ORDER BY doc_id, block_idx""",
+    "j19_sorted_neighborhood" ->
+      // identical blocking key (normalize = strip-punct THEN lower, NO
+      // trim, 24-char prefix), global (key, id) sort order, window-3
+      // successor pairs, exact levenshtein verify — adjacency depends
+      // only on order, so the engines' index bases cancel
+      """WITH k AS (
+           SELECT doc_id,
+             substr(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')), 1, 24) AS bkey
+           FROM documents
+         ), idx AS (
+           SELECT doc_id, bkey, ROW_NUMBER() OVER (ORDER BY bkey, doc_id) AS pos FROM k
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.bkey, b.bkey) AS INTEGER) AS edit_dist
+         FROM idx a JOIN idx b ON b.pos = a.pos + 1 OR b.pos = a.pos + 2
+         ORDER BY id_a, id_b""",
     "a29_ks_test" ->
       // exact replay: distinct-value counts, inclusive cumulative
       // sums (RANGE == ROWS over a distinct-value frame), integer

@@ -554,6 +554,42 @@ object TextAnalysis {
             - lit(15.59)))
   }
 
+  /** T5 span-corruption mask (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective spans as a data op, block-grid variant: the
+    * paper's sampler draws random span starts SEQUENTIALLY per
+    * document (inherently serial, and irreproducible across engines);
+    * here tokens partition into fixed `blockTokens` blocks (the x7
+    * chunk grid with stride = chunk) and each block is masked i.i.d.
+    * at `rate` by the repo's salted-md5 draw — embarrassingly
+    * parallel, exactly replayable, still yielding mean span length
+    * `blockTokens` and ~`rate` masked token mass. `sentinel_id` is
+    * the per-doc index of the masked span in block order (the
+    * `<extra_id_k>` numbering a T5-style pipeline writes out).
+    *
+    * Scale shape: the grid is a narrow explode bounded by
+    * tokens/blockTokens rows per doc; the only shuffle is the per-doc
+    * sentinel window (bounded by blocks per DOC, never the corpus). */
+  def corruptionSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 3,
+      rate: Double = 0.15,
+      salt: String = "spanc"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    import org.apache.spark.sql.expressions.Window
+    val masked = chunkSpans(df, idCol, textCol, blockTokens, blockTokens)
+      .filter(col("token_len") > 0)
+      .filter(Sampling.uniformHex(
+        concat_ws(":", col(idCol), col("chunk_idx")), salt)
+        < lit(Sampling.hexThreshold(rate)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("chunk_idx"))
+    masked
+      .withColumn("sentinel_id", (row_number().over(w) - 1).cast("int"))
+      .select(col(idCol), col("chunk_idx").as("block_idx"),
+        col("token_start"), col("token_len"), col("sentinel_id"))
+  }
+
   /** BPE pair-merge step (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — ONE iteration of
     * byte-pair-encoding tokenizer training as a corpus data op: count

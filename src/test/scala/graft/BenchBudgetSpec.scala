@@ -75,6 +75,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a28_cms_rowform" -> 1.5,
     "a29_ks_test" -> 1.5,
     "t23_readability" -> 1.2,
+    "x32_span_corrupt" -> 1.5,
+    "j19_sorted_neighborhood" -> 1.5,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

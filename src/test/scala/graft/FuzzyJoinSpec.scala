@@ -66,4 +66,36 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("sortedNeighborhoodPairs: exact successor pairs under the (key, id) order; volume is n(w-1) minus the tail") {
+    val df = Seq(
+      (10L, "apple pie"),
+      (11L, "apple pia"),   // sorts before "apple pie"
+      (12L, "apple pip"),
+      (40L, "zebra")
+    ).toDF("id", "k")
+    // order: (11 apple pia) (10 apple pie) (12 apple pip) (40 zebra)
+    val w2 = FuzzyJoin.sortedNeighborhoodPairs(df, "id", "k", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((11L, 10L), (10L, 12L), (12L, 40L)), s"got $w2")
+    val w3 = FuzzyJoin.sortedNeighborhoodPairs(df, "id", "k", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3 == w2 ++ Set((11L, 12L), (10L, 40L)),
+      "window 3 adds exactly the distance-2 neighbors")
+    // keys ride along for the caller's verify measure
+    val keys = FuzzyJoin.sortedNeighborhoodPairs(df, "id", "k", window = 2)
+      .filter(col("id_a") === 11L).collect().head
+    assert(keys.getAs[String]("key_a") == "apple pia" &&
+      keys.getAs[String]("key_b") == "apple pie")
+  }
+
+  test("sortedNeighborhoodPairs: partitioning-independent (the distributed row index is the order contract)") {
+    val df = (0 until 500).map(i => (i.toLong, f"key${(i * 37) % 250}%03d")).toDF("id", "k")
+    def at(parts: Int): Set[(Long, Long)] =
+      FuzzyJoin.sortedNeighborhoodPairs(df.repartition(parts), "id", "k", window = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = at(1)
+    assert(p1 == at(11), "adjacency must not depend on layout")
+    assert(p1.size == 499 + 498, "n-1 + n-2 successor pairs")
+  }
 }

@@ -636,6 +636,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(got(3L).getLong(1) == 0L && got(3L).isNullAt(4))
   }
 
+  test("corruptionSpans: disjoint block grid, i.i.d. mask near the rate, contiguous sentinel ids, layout-independent") {
+    val docs = (0 until 200).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val spans = TextAnalysis.corruptionSpans(docs, "doc_id", "text",
+      blockTokens = 3, rate = 0.15)
+    val rows = spans.collect()
+    // blocks are the x7 grid at stride = chunk: starts are multiples of
+    // 3, lens exactly 3 on these 30-token docs — disjoint by construction
+    assert(rows.forall(r => r.getAs[Int]("token_start") % 3 == 0
+      && r.getAs[Int]("token_len") == 3))
+    // 2000 blocks at rate 0.15: the md5 draw is i.i.d. — accept a wide band
+    val frac = rows.length / 2000.0
+    assert(frac > 0.10 && frac < 0.20, s"masked fraction $frac far from 0.15")
+    // sentinel ids are contiguous 0..k-1 per doc in block order
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("block_idx")).map(_.getAs[Int]("sentinel_id"))
+      assert(sorted.toSeq == sorted.indices.toSeq)
+    }
+    // deterministic across layout
+    val again = TextAnalysis.corruptionSpans(docs.repartition(7), "doc_id", "text",
+      blockTokens = 3, rate = 0.15)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("block_idx"))).toSet
+    assert(again == rows.map(r => (r.getLong(0), r.getAs[Int]("block_idx"))).toSet)
+  }
+
   test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
     val cents = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
