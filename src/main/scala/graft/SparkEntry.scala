@@ -1748,6 +1748,49 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Exponentially-decayed engagement score (half-life recency
+    * weighting — the "recent activity counts more" ranking signal
+    * behind trending/engagement feeds): per user,
+    * Σ_events 2^(30 − age_days), age capped at 30 days (older events
+    * weigh 0). The EXACT form of exponential decay: ages are pure
+    * integer micros arithmetic against the corpus max (no calendar),
+    * per-event weights are BIGINT bit-shifts, per-user sums are exact
+    * longs (order-free), and `decayed_score = score_scaled / 2^30` is
+    * one exact power-of-two scale — the e-series answer to "EWMA
+    * needs order-sensitive float recursion" (it doesn't when the
+    * decay base is 2 and the clock is bucketed). One scalar agg +
+    * one map-side-combined user aggregate; Σ ≤ n_user·2^30 holds
+    * BIGINT through ~4×10⁹ events per user. */
+  private val e13DecayedScore = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+    val mx = ev.agg(max(col("tus")).as("_mx"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("_age", expr("(_mx - tus) div 86400000000L"))
+      .withColumn("_w", when(col("_age") <= 30,
+        expr("shiftleft(1L, cast(30 - _age as int))")).otherwise(lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_w")).as("score_scaled"))
+      .select(col("user_id"), col("n_events"), col("score_scaled"),
+        (col("score_scaled").cast("double") / lit(1073741824.0)).as("decayed_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Daily trending event types ([[RelationalOps.topKPerGroup]]
+    * composed over a calendar-free day bucket): top-3 types per day
+    * by count under a full tie-break — the WindowGroupLimit partial
+    * limits run below the Exchange exactly as w14 pins. */
+  private val w15Trending = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day_idx"),
+        col("event_type"))
+    val counts = ev.groupBy(col("day_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    RelationalOps.topKPerGroup(counts, "day_idx", 3,
+        Seq(col("cnt").desc, col("event_type").asc))
+      .orderBy(col("day_idx"), col("rank"))
+  }
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2879,6 +2922,8 @@ object SparkEntry {
     "t23_readability" -> t23Readability,
     "x32_span_corrupt" -> x32SpanCorrupt,
     "j19_sorted_neighborhood" -> j19SortedNeighborhood,
+    "e13_decayed_score" -> e13DecayedScore,
+    "w15_trending" -> w15Trending,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3390,6 +3435,37 @@ object SparkEntry {
            SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "e13_decayed_score" ->
+      // identical integer chain: micros age against the corpus max,
+      // BIGINT bit-shift weights, exact sums, one exact 2^-30 scale
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus FROM events
+         ), mx AS (
+           SELECT max(tus) AS m FROM e
+         ), w AS (
+           SELECT user_id,
+             CASE WHEN (m - tus) // 86400000000 <= 30
+                  THEN (CAST(1 AS BIGINT) << CAST(30 - (m - tus) // 86400000000 AS INT))
+                  ELSE 0 END AS w
+           FROM e, mx
+         )
+         SELECT user_id, count(*) AS n_events,
+           CAST(sum(w) AS BIGINT) AS score_scaled,
+           CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) / 1073741824.0e0 AS decayed_score
+         FROM w GROUP BY 1 ORDER BY user_id""",
+    "w15_trending" ->
+      // identical day bucket (integer micros div), counts, per-day
+      // rank under the full (cnt desc, type asc) tie-break, top-3
+      """WITH c AS (
+           SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type, count(*) AS cnt
+           FROM events GROUP BY 1, 2
+         )
+         SELECT day_idx, event_type, cnt, rank FROM (
+           SELECT day_idx, event_type, cnt,
+             CAST(ROW_NUMBER() OVER (PARTITION BY day_idx
+               ORDER BY cnt DESC, event_type ASC) AS INTEGER) AS rank
+           FROM c
+         ) WHERE rank <= 3 ORDER BY day_idx, rank""",
     "x32_span_corrupt" ->
       // the x7 grid at chunk = stride = 3, i.i.d. block mask by the
       // identical salted-md5 draw ('spanc:doc:block' < the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -239,15 +239,13 @@ object Evaluation {
       bins: Int = 10,
       quantization: Int = 65536): DataFrame = {
     require(bins >= 2, s"bins must be >= 2, got $bins")
-    require(quantization > 0, s"quantization must be positive, got $quantization")
     val spark = ref.sparkSession
     val v = col(valueCol)
     val bounds = ref.agg(
       percentile(v, typedLit((1 until bins).map(_.toDouble / bins))).as("_b"))
     def binCounts(df: DataFrame, out: String): DataFrame =
       df.select(v).crossJoin(broadcast(bounds))
-        .select(aggregate(col("_b"), lit(0),
-          (acc, b) => acc + when(v > b, 1).otherwise(0)).cast("int").as("bin"))
+        .select(psiBinOf(v, col("_b")).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(out))
     val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
     val grid = spine
@@ -256,6 +254,22 @@ object Evaluation {
       .select(col("bin"),
         coalesce(col("_nr"), lit(0L)).as("n_ref"),
         coalesce(col("_nc"), lit(0L)).as("n_cur"))
+    psiReport(grid, bins, quantization)
+  }
+
+  /** Bin of `v` against a bounds ARRAY column — the x29 cleared-bounds
+    * comparison fold shared by the batch and streaming PSI paths (the
+    * expression shape IS the cross-engine/batch-parity contract). */
+  def psiBinOf(v: Column, boundsArr: Column): Column =
+    aggregate(boundsArr, lit(0),
+      (acc, b) => acc + when(v > b, 1).otherwise(0)).cast("int")
+
+  /** The PSI report DAG over a COMPLETE (bin, n_ref, n_cur) grid —
+    * see [[psiDriftBins]] for the exactness argument. Shared verbatim
+    * by [[graft.streaming.StreamingDrift]] so the streaming read-back
+    * is bit-identical to the batch report by construction. */
+  def psiReport(grid: DataFrame, bins: Int, quantization: Int): DataFrame = {
+    require(quantization > 0, s"quantization must be positive, got $quantization")
     val totals = grid.agg(
       sum(col("n_ref")).as("_tr"), sum(col("n_cur")).as("_tc"))
     val pr = (col("n_ref") + 1L).cast("double") /

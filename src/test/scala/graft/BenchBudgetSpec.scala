@@ -77,6 +77,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "t23_readability" -> 1.2,
     "x32_span_corrupt" -> 1.5,
     "j19_sorted_neighborhood" -> 1.5,
+    "e13_decayed_score" -> 1.2,
+    "w15_trending" -> 1.2,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

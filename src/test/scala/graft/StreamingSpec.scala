@@ -842,6 +842,48 @@ class StreamingSpec extends SparkTestBase {
     assert(under == 0, "accumulated counters only sum — never undercount")
   }
 
+  test("streaming drift: frozen-bound bin merges converge to the batch PSI report bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingDrift
+    import graft.operators.Evaluation
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sdrift")
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    // reference = the frozen even-user snapshot; current = EVERYTHING arriving
+    val ref = sources.Tables.events(spark, dir)
+      .filter(col("user_id") % 2 === 0).select(col("value"))
+    StreamingDrift.start(spark, stream, ref, "value", store, s"$base/cp")
+      .awaitTermination()
+
+    val got = StreamingDrift.psiTable(spark, store).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("ratio_q"), r.getAs[Double]("psi_contrib")))
+    val want = Evaluation.psiDriftBins(ref,
+        sources.Tables.events(spark, dir).select(col("value")), "value")
+      .collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+        r.getAs[Long]("ratio_q"), r.getAs[Double]("psi_contrib")))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"streaming PSI diverged from batch:\n got=${got.toSeq}\nwant=${want.toSeq}")
+    assert(got.map(_._3).sum > 0, "parity with an empty current side proves nothing")
+  }
+
   test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
     import graft.streaming.StreamingTransitions
     val dir = "/root/testdata/sf0.001"
