@@ -1791,6 +1791,37 @@ object SparkEntry {
       .orderBy(col("day_idx"), col("rank"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938; the
+    * fabricated-data / unit-mixup smell test an ingest pipeline runs
+    * over monetary and count columns): observed leading-digit shares
+    * of `o_totalprice` against the log10(1 + 1/d) law. The leading
+    * digit comes from the INTEGER part's string form (integers
+    * stringify identically everywhere; the double itself never
+    * stringifies — the cross-engine float-formatting trap). Expected
+    * values are nine literal doubles computed ONCE and embedded
+    * verbatim in both plans — the one log10 lives at plan-build time,
+    * not in any engine (the hexThreshold trick applied to Benford).
+    * Full 1..9 spine (a23 zero-cell rule); share and excess are fixed
+    * IEEE DAGs of exact integers and those literals. TPC-H-ish
+    * uniform prices are deliberately NOT Benford — the audit's excess
+    * column showing a real deviation is the demo. */
+  private val a31Benford = (s: SparkSession, d: String) => {
+    val digit = substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = t(s, d, "orders").select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val spine = s.range(1, 10).select(col("id").cast("int").as("digit"))
+    val expected = (1 to 9).map(dd => math.log10(1.0 + 1.0 / dd))
+    val expCol = element_at(typedLit(expected), col("digit"))
+    val share = col("cnt").cast("double") / col("_t").cast("double")
+    spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .crossJoin(broadcast(counts.agg(sum(col("cnt")).as("_t"))))
+      .select(col("digit"), col("cnt"), share.as("share"),
+        expCol.as("benford_expected"), (share - expCol).as("excess"))
+      .orderBy(col("digit"))
+  }
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2924,6 +2955,7 @@ object SparkEntry {
     "j19_sorted_neighborhood" -> j19SortedNeighborhood,
     "e13_decayed_score" -> e13DecayedScore,
     "w15_trending" -> w15Trending,
+    "a31_benford" -> a31Benford,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3435,6 +3467,30 @@ object SparkEntry {
            SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM pr GROUP BY 1
          )
          SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT 20""",
+    "a31_benford" -> {
+      // the nine log10(1+1/d) literals are generated HERE, once, and
+      // embedded in both plans via shortest-roundtrip repr + e0 suffix
+      // (bare decimals would parse as DECIMAL — the s10 lesson); no
+      // engine evaluates a log10
+      val cases = (1 to 9).map(dd =>
+        s"WHEN $dd THEN ${java.lang.Double.toString(math.log10(1.0 + 1.0 / dd))}e0")
+        .mkString(" ")
+      s"""WITH c AS (
+           SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                  count(*) AS cnt
+           FROM orders GROUP BY 1
+         ), g AS (
+           SELECT CAST(s.digit AS INT) AS digit, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+           FROM (SELECT unnest(range(1, 10)) AS digit) s LEFT JOIN c ON c.digit = s.digit
+         ), tot AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c
+         )
+         SELECT digit, cnt,
+           CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE) AS share,
+           CASE digit $cases END AS benford_expected,
+           (CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) - (CASE digit $cases END) AS excess
+         FROM g, tot ORDER BY digit"""
+    },
     "e13_decayed_score" ->
       // identical integer chain: micros age against the corpus max,
       // BIGINT bit-shift weights, exact sums, one exact 2^-30 scale

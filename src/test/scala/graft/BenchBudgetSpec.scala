@@ -79,6 +79,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "j19_sorted_neighborhood" -> 1.5,
     "e13_decayed_score" -> 1.2,
     "w15_trending" -> 1.2,
+    "a31_benford" -> 1.2,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

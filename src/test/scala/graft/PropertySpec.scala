@@ -238,4 +238,26 @@ class PropertySpec extends SparkTestBase {
       assert(parts.sum <= n, s"disjoint classes overcounted: $r")
     }
   }
+
+  test("ksStatistic: symmetric in its arguments, bounded in [0,1], zero iff identical multisets") {
+    import graft.operators.Evaluation
+    val gen = Gen.listOfN(60, Gen.chooseNum(0L, 25L))
+    val samples = Seq(
+      (gen.apply(Gen.Parameters.default, Seed(1)).get, gen.apply(Gen.Parameters.default, Seed(2)).get),
+      (gen.apply(Gen.Parameters.default, Seed(3)).get, gen.apply(Gen.Parameters.default, Seed(4)).get),
+      (List(1L, 2L, 3L), List(1L, 2L, 3L)))
+    samples.foreach { case (a, b) =>
+      val ab = Evaluation.ksStatistic(a.toDF("v"), b.toDF("v"), "v").collect().head
+      val ba = Evaluation.ksStatistic(b.toDF("v"), a.toDF("v"), "v").collect().head
+      // |F1 - F2| is symmetric: same sup, same location, mirrored totals
+      assert(ab.getAs[Long]("d_num") == ba.getAs[Long]("d_num"))
+      assert(ab.getAs[Long]("at_value") == ba.getAs[Long]("at_value"))
+      assert(ab.getAs[Double]("ks_stat") == ba.getAs[Double]("ks_stat"))
+      val ks = ab.getAs[Double]("ks_stat")
+      assert(ks >= 0.0 && ks <= 1.0)
+      if (a.sorted == b.sorted) assert(ks == 0.0, "identical multisets must read 0 drift")
+      else assert(ab.getAs[Long]("d_num") > 0L,
+        "different multisets of equal size must separate somewhere")
+    }
+  }
 }
