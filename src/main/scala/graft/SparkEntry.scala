@@ -1822,6 +1822,33 @@ object SparkEntry {
       .orderBy(col("digit"))
   }
 
+  /** Outage/gap detection (the monitoring primitive over any event
+    * stream — "where did this user/sensor go silent for over an
+    * hour?"): consecutive inter-event gaps from ONE lead over the
+    * shared (user, time, id) order (the same single user_id Exchange
+    * the e7/w9/w12 family reuses), integer-micros durations, gaps
+    * above the threshold emitted with exact bounds. */
+  private val e14GapDetect = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    ev.withColumn("_next", lead(col("tus"), 1).over(w))
+      .filter(col("_next").isNotNull &&
+        col("_next") - col("tus") > lit(3600L * 1000000L))
+      .select(col("user_id"), col("tus").as("gap_start_tus"),
+        col("_next").as("gap_end_tus"),
+        (col("_next") - col("tus")).as("gap_micros"))
+      .orderBy(col("user_id"), col("gap_start_tus"), col("gap_end_tus"))
+  }
+
+  /** Deterministic word dropout ([[TextAnalysis.wordDropout]]): the
+    * replayable augmentation pass at rate 0.1, 'wdrop' salt — token
+    * positions index the empty-filtered array. */
+  private val t24WordDropout = (s: SparkSession, d: String) =>
+    TextAnalysis.wordDropout(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Unicode-script mix ([[TextAnalysis.scriptMix]]): the pre-langid
     * routing signal over the documents corpus. The fixture is Latin-
     * dominant, so the non-Latin counters exercise their zero paths
@@ -2956,6 +2983,8 @@ object SparkEntry {
     "e13_decayed_score" -> e13DecayedScore,
     "w15_trending" -> w15Trending,
     "a31_benford" -> a31Benford,
+    "e14_gap_detect" -> e14GapDetect,
+    "t24_word_dropout" -> t24WordDropout,
     "x28_incremental_recompute" -> x28IncrementalRecompute,
     "j18_q5_shape" -> j18Q5Shape,
     "e12_running_distinct" -> e12RunningDistinct,
@@ -3491,6 +3520,41 @@ object SparkEntry {
            (CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) - (CASE digit $cases END) AS excess
          FROM g, tot ORDER BY digit"""
     },
+    "e14_gap_detect" ->
+      // identical LEAD over the shared (user, time, id) order, exact
+      // integer-micros durations, same 1-hour threshold
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_id FROM events
+         ), g AS (
+           SELECT user_id, tus AS gap_start_tus,
+             LEAD(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap_end_tus
+           FROM e
+         )
+         SELECT user_id, gap_start_tus, gap_end_tus,
+           gap_end_tus - gap_start_tus AS gap_micros
+         FROM g
+         WHERE gap_end_tus IS NOT NULL AND gap_end_tus - gap_start_tus > 3600000000
+         ORDER BY user_id, gap_start_tus, gap_end_tus""",
+    "t24_word_dropout" ->
+      // identical tokenization (empties filtered BEFORE indexing), the
+      // 0-based position draw md5('wdrop:doc:i') >= hexThreshold(0.1)
+      // = '19999999', order-preserving single-space reassembly
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+                         t -> t <> '') AS toks
+           FROM documents
+         ), kp AS (
+           SELECT doc_id, toks,
+             list_filter(range(0, len(toks)),
+               i -> substr(md5('wdrop:' || doc_id::VARCHAR || ':' || i::VARCHAR), 1, 8) >= '19999999') AS ki
+           FROM tk
+         )
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(ki) AS BIGINT) AS n_kept,
+           array_to_string(list_transform(ki, i -> toks[CAST(i + 1 AS INT)]), ' ') AS kept_text
+         FROM kp ORDER BY doc_id""",
     "e13_decayed_score" ->
       // identical integer chain: micros age against the corpus max,
       // BIGINT bit-shift weights, exact sums, one exact 2^-30 scale

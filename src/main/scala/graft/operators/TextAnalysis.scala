@@ -590,6 +590,38 @@ object TextAnalysis {
         col("token_start"), col("token_len"), col("sentinel_id"))
   }
 
+  /** Deterministic word dropout (the EDA/word-dropout text
+    * augmentation — robustness training data from stochastic token
+    * deletion — made replayable): token i of document d drops iff
+    * the salted-md5 draw on (d, i) clears `rate` (the hashSample
+    * construction at TOKEN position granularity, the same
+    * determinism x32 applies at span granularity). The entire pass
+    * is narrow — the position-indexed HOF filter evaluates one md5
+    * per token with NO explode and NO shuffle; the surviving tokens
+    * reassemble in order with single spaces.
+    *
+    * Exactness: kept/dropped is a string compare of md5 hex against
+    * the hexThreshold constant; the reassembled string is
+    * order-preserving array_join — engine-identical throughout. */
+  def wordDropout(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double = 0.1,
+      salt: String = "wdrop"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val thr = Sampling.hexThreshold(rate)
+    val keep = (t: Column, i: Column) =>
+      substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"),
+        lit(":"), i.cast("string")).cast("binary")), 1, 8) >= lit(thr)
+    df.withColumn("_toks", filter(tokens(col(textCol)), t => t =!= ""))
+      .withColumn("_kept", filter(col("_toks"), keep))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("_kept")).as("kept_text"))
+  }
+
   /** BPE pair-merge step (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units") — ONE iteration of
     * byte-pair-encoding tokenizer training as a corpus data op: count

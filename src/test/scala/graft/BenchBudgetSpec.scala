@@ -80,6 +80,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "e13_decayed_score" -> 1.2,
     "w15_trending" -> 1.2,
     "a31_benford" -> 1.2,
+    "e14_gap_detect" -> 1.2,
+    "t24_word_dropout" -> 1.5,
     "x28_incremental_recompute" -> 2.0,
     "j18_q5_shape" -> 1.5,
     "e12_running_distinct" -> 1.5,

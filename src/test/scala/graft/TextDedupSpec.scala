@@ -661,6 +661,32 @@ class TextDedupSpec extends SparkTestBase {
     assert(again == rows.map(r => (r.getLong(0), r.getAs[Int]("block_idx"))).toSet)
   }
 
+  test("wordDropout: order-preserving subsequence, rate-0/1 degenerate, near-rate drops, layout-independent") {
+    val docs = (0 until 100).map(i =>
+      (i.toLong, (0 until 40).map(j => s"tok${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.wordDropout(docs, "doc_id", "text", rate = 0.1).collect()
+    out.foreach { r =>
+      val kept = r.getAs[String]("kept_text").split(" ").filter(_.nonEmpty)
+      assert(kept.length == r.getAs[Long]("n_kept"))
+      // kept tokens are an ORDERED subsequence of the original
+      val orig = (0 until 40).map(j => s"tok${r.getLong(0)}_$j")
+      assert(kept.foldLeft(0) { (from, t) =>
+        val at = orig.indexOf(t, from); assert(at >= 0, s"$t out of order"); at + 1
+      } >= 0)
+    }
+    val dropped = 1.0 - out.map(_.getAs[Long]("n_kept")).sum.toDouble / 4000.0
+    assert(dropped > 0.06 && dropped < 0.14, s"drop fraction $dropped far from 0.1")
+    // degenerate rates
+    val all = TextAnalysis.wordDropout(docs, "doc_id", "text", rate = 0.0).collect()
+    assert(all.forall(r => r.getAs[Long]("n_kept") == 40L))
+    val none = TextAnalysis.wordDropout(docs, "doc_id", "text", rate = 1.0).collect()
+    assert(none.forall(r => r.getAs[Long]("n_kept") == 0L && r.getAs[String]("kept_text") == ""))
+    // deterministic across layout
+    val again = TextAnalysis.wordDropout(docs.repartition(7), "doc_id", "text", rate = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap
+    assert(again == out.map(r => r.getLong(0) -> r.getAs[String]("kept_text")).toMap)
+  }
+
   test("semDedup: keeps the least-central duplicate, ties to smaller id, cross-cluster pairs blind (SemDeDup contract)") {
     val cents = Seq(
       (0L, Seq(1f, 0f, 0f, 0f)),
