@@ -2935,6 +2935,113 @@ object SparkEntry {
       "source", "doc_id", Map("src0" -> 2.5, "src1" -> 0.5), defaultWeight = 1.0)
       .orderBy(col("epoch"), col("doc_id"))
 
+  /** Per-language Gini concentration of document length
+    * ([[Evaluation.giniIndex]]): "is this language's token mass a few
+    * giant docs or an even spread?" — exact run-collapsed rank sums,
+    * one terminal IEEE division. */
+  private val a32Gini = (s: SparkSession, d: String) =>
+    Evaluation.giniIndex(
+      t(s, d, "documents").select(col("lang"), col("n_chars")),
+      "lang", "n_chars")
+      .orderBy(col("lang"))
+
+  /** Gopher structural quality rules ([[TextAnalysis.gopherRules]]):
+    * the Rae et al. 2021 word/line-shape filters as exact integer
+    * counts plus the cross-multiplied pass gate. */
+  private val t25Gopher = (s: SparkSession, d: String) =>
+    TextAnalysis.gopherRules(t(s, d, "documents"))
+      .select(col("doc_id"), col("n_words"), col("n_word_chars"),
+        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_hits"),
+        col("gopher_ok"))
+      .orderBy(col("doc_id"))
+
+  /** CCNet line-level dedup stats ([[Dedup.lineDedupStats]]) over a
+    * PLANTED multi-line corpus (the m7 planted-fixture pattern — the
+    * sf documents are single-line unique word-bags, so shared
+    * boilerplate is grafted deterministically): every doc keeps its
+    * unique body line; docs with doc_id % 5 < 2 gain a shared footer,
+    * docs with doc_id % 3 == 0 a shared newsletter line. The operator
+    * then rediscovers exactly those planted lines as corpus-level
+    * duplicates. */
+  private val d22LineDedup = (s: SparkSession, d: String) => {
+    val planted = t(s, d, "documents").select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 5 < 2,
+          lit("\nshared footer contact example dot com")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nsign up for our newsletter")).otherwise(lit("")))
+        .as("text"))
+    Dedup.lineDedupStats(planted, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose lineitem
+    * quantity total exceeds 300, joined to their customer. The
+    * classic "aggregate once, reuse the aggregate" plan: the sum is
+    * computed in ONE map-side-combined groupBy and carried into the
+    * join (the reference Q18 re-joins lineitem and re-groups —
+    * identical output, one extra corpus shuffle). l_quantity is
+    * integer-valued, so the double sum is exact in any order.
+    * TakeOrdered top-100, never a global sort. */
+  private val j20Q18Shape = (s: SparkSession, d: String) => {
+    val big = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 300.0)
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    RelationalOps.topK(
+      t(s, d, "orders").join(big, Seq("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty")),
+      100, Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+  }
+
+  /** Daily OHLC downsample (the telemetry/market candle primitive):
+    * per (event_type, day), open/close = value at the min/max
+    * event_id (arrival order — the fixture's ts is monotone in
+    * event_id, and event_id is unique, so min_by/max_by are total),
+    * high/low = max/min value. ONE map-side-combinable aggregate, no
+    * window, no arithmetic on doubles — every output value is a
+    * fixture value verbatim, so the hash contract needs no decimal
+    * staging at all. */
+  private val e15Ohlc = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day_idx"),
+        col("event_type"), col("event_id"), col("value"))
+      .groupBy(col("day_idx"), col("event_type"))
+      .agg(
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("day_idx"), col("event_type"))
+
+  /** Exact triangle count ([[Graph.triangleCount]]) over the
+    * co-engagement item graph (j17's pairs, thresholded to >= 40
+    * co-engaging users so the graph is sparse and non-trivial at
+    * sf0.01: 1060 edges, 5355 triangles): degree-ordered wedge join,
+    * never a neighborhood cross product. The DuckDB twin counts by
+    * brute 3-way self-join — two independent algorithms, one exact
+    * integer. */
+  private val x33Triangles = (s: SparkSession, d: String) => {
+    val ui = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .repartition(col("user_id"))
+      .distinct()
+    val edges = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 40L)
+    Graph.triangleCount(edges, "item_a", "item_b")
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3120,6 +3227,12 @@ object SparkEntry {
     "e11_rolling_anomaly" -> e11RollingAnomaly,
     "x11_mixture" -> x11Mixture,
     "x12_apportion" -> x12Apportion,
+    "a32_gini" -> a32Gini,
+    "t25_gopher" -> t25Gopher,
+    "d22_line_dedup" -> d22LineDedup,
+    "j20_q18_shape" -> j20Q18Shape,
+    "e15_ohlc" -> e15Ohlc,
+    "x33_triangles" -> x33Triangles,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5331,6 +5444,124 @@ object SparkEntry {
          )
          SELECT doc_id, source FROM ranked JOIN alloc USING (source)
          WHERE rn <= n ORDER BY doc_id""",
+    "a32_gini" ->
+      // identical run-collapse: (lang, value) -> count, ranks over
+      // DISTINCT values, doubled rank-sum closed form in HUGEINT
+      // (exact 128-bit, the decimal(38,0) twin), terminal division of
+      // varchar-hopped exact integers (the a18 strtod rule)
+      """WITH bv AS (
+           SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2
+         ), r AS (
+           SELECT lang, v, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r0
+           FROM bv
+         ), sums AS (
+           SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT) * c) AS tsx,
+             sum(CAST(v AS HUGEINT) * (2 * c * r0 + c * (c - 1))) AS tsix2
+           FROM r GROUP BY 1
+         )
+         SELECT lang, n,
+           CASE WHEN tsx > 0 THEN
+             CAST(CAST(tsix2 - (n + 1) * tsx AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * tsx AS VARCHAR) AS DOUBLE)
+           ELSE NULL END AS gini
+         FROM sums ORDER BY lang""",
+    "t25_gopher" ->
+      // identical token/line splits ('g' flag: DuckDB regexp_replace
+      // is first-match-only by default, Spark replaces all), identical
+      // integer counts, identical cross-multiplied gate
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+             CAST(length(text) - length(regexp_replace(text, '[#\x{2026}]', '', 'g')) AS BIGINT) AS n_symbols,
+             CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+               x -> regexp_matches(x, '^\s*[-*\x{2022}]'))) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(regexp_split_to_array(text, '\n'),
+               x -> regexp_matches(x, '(\.\.\.|\x{2026})\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               x -> list_contains(['the','and','of','to','in','is','that','with','for','was'], lower(x)))) AS BIGINT) AS n_stop_hits
+           FROM documents
+         )
+         SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_word_chars,
+           n_symbols, n_lines, n_bullet_lines, n_ellipsis_lines,
+           n_alpha_words, n_stop_hits,
+           (n_words BETWEEN 50 AND 100000
+             AND n_word_chars >= n_words * 3 AND n_word_chars <= n_words * 10
+             AND n_symbols * 10 < n_words
+             AND n_bullet_lines * 10 < n_lines * 9
+             AND n_ellipsis_lines * 10 < n_lines * 3
+             AND n_alpha_words * 5 >= n_words * 4
+             AND n_stop_hits >= 2) AS gopher_ok
+         FROM base ORDER BY doc_id""",
+    "d22_line_dedup" ->
+      // identical planting (modular footers), identical trimmed-line
+      // md5 key, dup = line held by >= 2 DISTINCT docs, counted per
+      // occurrence
+      """WITH planted AS (
+           SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 5 < 2
+                    THEN chr(10) || 'shared footer contact example dot com' ELSE '' END
+               || CASE WHEN doc_id % 3 = 0
+                    THEN chr(10) || 'sign up for our newsletter' ELSE '' END AS text
+           FROM documents
+         ), dl AS (
+           SELECT doc_id, md5(trim(l)) AS lh
+           FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\n')) AS l
+                 FROM planted)
+           WHERE length(trim(l)) > 0
+         ), shared AS (
+           SELECT lh, 1 AS dup FROM dl GROUP BY lh
+           HAVING count(DISTINCT doc_id) >= 2
+         )
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(coalesce(dup, 0)) AS BIGINT) AS n_dup_lines
+         FROM dl LEFT JOIN shared USING (lh)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "j20_q18_shape" ->
+      // l_quantity is integer-valued: the double sum is exact in any
+      // order, so no decimal staging; top-100 under a total order
+      """WITH big AS (
+           SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS sum_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+         )
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM orders JOIN big USING (o_orderkey)
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "e15_ohlc" ->
+      // arg_min/arg_max over the unique event_id — every output value
+      // is a fixture double verbatim, no float arithmetic anywhere
+      """SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "x33_triangles" ->
+      // brute 3-way self-join enumeration a<b<c — an INDEPENDENT
+      // algorithm from the degree-ordered wedge join it verifies
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), e AS (
+           SELECT a.item AS s, b.item AS d
+           FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 40
+         )
+         SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         FROM e e1
+         JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
+         JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

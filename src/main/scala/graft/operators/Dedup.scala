@@ -900,4 +900,45 @@ object Dedup {
       .select(col(idCol), col("list_id"),
         coalesce(!col("_dropped"), lit(true)).as("keep"))
   }
+
+  /** CCNet-style corpus-level LINE deduplication stats (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data" §3 — dedup at the PARAGRAPH/line level, not the
+    * document level, because boilerplate repeats across otherwise-
+    * distinct pages): per document, how many of its non-empty lines
+    * also appear (trimmed-exact) in at least `minDocs` DISTINCT
+    * documents of the corpus (itself included — the default 2 means
+    * "shared with at least one other doc"). High `n_dup_lines / n_lines` → the doc
+    * is mostly shared navigation/footer mass and gets cut or stripped
+    * (the d15 boilerplate operator is the fuzzy-passage analogue; this
+    * is the exact-line workhorse CCNet actually ships).
+    *
+    * Shape: explode to (doc, trimmed line) [dropping empties], ONE
+    * md5-keyed groupBy counting distinct docs per line (map-side
+    * combined; the line-hash space shards like any equi-key — the
+    * corpus never pairs row-to-row), broadcast-free join back on the
+    * hash, per-doc count. Dup lines are counted PER OCCURRENCE (a doc
+    * repeating a shared footer 3× has 3 dup lines — the mass a strip
+    * pass would remove). Output: doc_id, n_lines, n_dup_lines. */
+  def lineDedupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    val id = col(idCol)
+    val ln = trim(col("_line"))
+    val docLines = docs
+      .select(id, explode(split(col(textCol), "\n")).as("_line"))
+      .filter(length(ln) > 0)
+      .select(id, md5(ln.cast("binary")).as("_lh"))
+    val lineDocs = docLines.groupBy(col("_lh"))
+      .agg(count_distinct(id).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_lh"), lit(1L).as("_dup"))
+    docLines
+      .join(lineDocs, Seq("_lh"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("_dup"), lit(0L))).as("n_dup_lines"))
+  }
 }

@@ -264,6 +264,54 @@ object Evaluation {
     aggregate(boundsArr, lit(0),
       (acc, b) => acc + when(v > b, 1).otherwise(0)).cast("int")
 
+  /** Gini concentration index per group — the inequality statistic a
+    * corpus curator reads to answer "is this language's token mass
+    * concentrated in a few giant documents?" (high Gini → a handful of
+    * docs dominate the training mix; the x11 mixture weights then
+    * over-sample boilerplate). G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over ascending ranks i = 1..n within the group.
+    *
+    * Exactness and scale ride the SAME collapse: rows are first
+    * reduced to (group, value) → count (map-side combined — the only
+    * corpus-width shuffle), and the DOUBLED rank-weighted sum over a
+    * run of `c` equal values x starting at rank r₀ is the closed form
+    * 2·Σᵢ i·x = x·(2·c·r₀ + c·(c−1)) — products only, never a
+    * division, so the window ranks DISTINCT values per group
+    * (cardinality ≪ rows; the KS run-collapse), every term is an
+    * exact DECIMAL(38,0), and `gini` is ONE terminal IEEE division
+    * of exact integer numerator/denominator (the x20/a29 contract).
+    * Values must be non-negative integers (doc lengths, token counts);
+    * groups with Σx = 0 return null.
+    *
+    * Output: group, n (rows), gini. */
+  def giniIndex(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val g = col(groupCol)
+    val v = col(valueCol)
+    val byVal = df.select(g, v.cast("long").as("_v"))
+      .groupBy(g, col("_v")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(g).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = "decimal(38,0)"
+    val ranked = byVal
+      .withColumn("_r0", sum(col("_c")).over(w) - col("_c") + 1L)
+      .select(g,
+        col("_c"),
+        (col("_v").cast(dec) * col("_c").cast(dec)).as("_sx"),
+        (col("_v").cast(dec) *
+          (lit(2).cast(dec) * col("_c").cast(dec) * col("_r0").cast(dec) +
+            col("_c").cast(dec) * (col("_c") - 1L).cast(dec))).as("_six2"))
+    val sums = ranked.groupBy(g).agg(
+      sum(col("_c")).as("_n"),
+      sum(col("_sx")).cast(dec).as("_tsx"),
+      sum(col("_six2")).cast(dec).as("_tsix2"))
+    sums.select(g, col("_n").as("n"),
+      when(col("_tsx") > 0,
+        (col("_tsix2") - (col("_n") + 1L).cast(dec) * col("_tsx"))
+          .cast("double") /
+          (col("_n").cast(dec) * col("_tsx")).cast("double"))
+        .as("gini"))
+  }
+
   /** The PSI report DAG over a COMPLETE (bin, n_ref, n_cur) grid —
     * see [[psiDriftBins]] for the exactness argument. Shared verbatim
     * by [[graft.streaming.StreamingDrift]] so the streaming read-back

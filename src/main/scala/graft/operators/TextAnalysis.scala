@@ -207,6 +207,63 @@ object TextAnalysis {
       .withColumn("encoding_ok", ctrl === 0 && repl === 0)
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", appendix A1.1 — the repetition rules are [[
+    * repetitionSignals]]; these are the structural ones): word-count
+    * bounds, mean-word-length bounds, symbol-to-word ratio (# and …),
+    * bullet-line and ellipsis-line fractions, fraction of words with
+    * an alphabetic character, and a stop-word floor.
+    *
+    * Every signal is an exact INTEGER count over one staged token /
+    * line array (counts, not ratios, ride the output — the
+    * encodingSignals re-threshold rule), and every `gopher_ok`
+    * threshold is a cross-multiplied integer comparison (3 ≤ μ_len ≤
+    * 10 becomes 3·n_words ≤ n_word_chars ≤ 10·n_words) — no division
+    * anywhere, so the DuckDB twin replays bit-free-exact. One narrow
+    * projection, no shuffle, codegen throughout. */
+  def gopherRules(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val staged = df
+      .withColumn("_gr_toks", split(trim(t), "\\s+"))
+      .withColumn("_gr_lines", split(t, "\n"))
+    val toks = col("_gr_toks")
+    val lines = col("_gr_lines")
+    val nWords = when(length(trim(t)) === 0, 0L)
+      .otherwise(size(toks).cast("long"))
+    val nWordChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nSymbols = (length(t) -
+      length(regexp_replace(t, "[#\\x{2026}]", ""))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*\\x{2022}]")))
+      .cast("long")
+    val nEllipsisEnd = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|\\x{2026})\\s*$"))).cast("long")
+    val nAlphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopArr = stopwords("en").map(lit(_))
+    val nStopHits = size(filter(toks,
+      w => lower(w).isin(stopArr: _*))).cast("long")
+    staged
+      .withColumn("n_words", nWords)
+      .withColumn("n_word_chars", nWordChars)
+      .withColumn("n_symbols", nSymbols)
+      .withColumn("n_lines", nLines)
+      .withColumn("n_bullet_lines", nBullet)
+      .withColumn("n_ellipsis_lines", nEllipsisEnd)
+      .withColumn("n_alpha_words", nAlphaWords)
+      .withColumn("n_stop_hits", nStopHits)
+      .withColumn("gopher_ok",
+        col("n_words").between(50L, 100000L) &&
+          col("n_word_chars") >= col("n_words") * 3L &&
+          col("n_word_chars") <= col("n_words") * 10L &&
+          col("n_symbols") * 10L < col("n_words") &&
+          col("n_bullet_lines") * 10L < col("n_lines") * 9L &&
+          col("n_ellipsis_lines") * 10L < col("n_lines") * 3L &&
+          col("n_alpha_words") * 5L >= col("n_words") * 4L &&
+          col("n_stop_hits") >= 2L)
+      .drop("_gr_toks", "_gr_lines")
+  }
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic (public common-word lists). */
   val stopwords: Map[String, Seq[String]] = Map(

@@ -141,4 +141,35 @@ class EvaluationSpec extends SparkTestBase {
       }
     }
   }
+
+  private def gini(rows: Seq[(String, Long)]): Map[String, (Long, Option[Double])] =
+    Evaluation.giniIndex(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("giniIndex: uniform is 0, hand value 0.25 on 1..4, max concentration (n-1)/n") {
+    val rows = Seq("u" -> 5L, "u" -> 5L, "u" -> 5L,
+      "h" -> 1L, "h" -> 2L, "h" -> 3L, "h" -> 4L,
+      "c" -> 0L, "c" -> 0L, "c" -> 0L, "c" -> 10L)
+    val g = gini(rows)
+    assert(g("u") == ((3L, Some(0.0))))
+    // 1..4: (2*(1+4+9+16) - 5*10) / (4*10) = 10/40
+    assert(g("h") == ((4L, Some(0.25))))
+    // all mass on one of 4: (n-1)/n = 0.75
+    assert(g("c") == ((4L, Some(0.75))))
+  }
+
+  test("giniIndex: tied values collapse to one ranked run with identical result") {
+    // [2,2,6]: ranks 1,2,3 -> (2*(2+4+18) - 4*10)/(3*10) = 8/30
+    val g = gini(Seq("t" -> 2L, "t" -> 2L, "t" -> 6L))
+    assert(g("t")._1 == 3L)
+    assert(math.abs(g("t")._2.get - 8.0 / 30.0) < 1e-15)
+  }
+
+  test("giniIndex: zero-sum group yields null, count still exact") {
+    val g = gini(Seq("z" -> 0L, "z" -> 0L))
+    assert(g("z") == ((2L, None)))
+  }
 }

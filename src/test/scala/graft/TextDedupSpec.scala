@@ -662,14 +662,17 @@ class TextDedupSpec extends SparkTestBase {
   }
 
   test("wordDropout: order-preserving subsequence, rate-0/1 degenerate, near-rate drops, layout-independent") {
+    // tokens must SURVIVE normalize (which strips underscores) — the
+    // committed t24 oracle replays normalize-tokenization, so the spec
+    // fixture has to live inside [a-z0-9] to compare verbatim
     val docs = (0 until 100).map(i =>
-      (i.toLong, (0 until 40).map(j => s"tok${i}_$j").mkString(" "))).toDF("doc_id", "text")
+      (i.toLong, (0 until 40).map(j => s"tok${i}x$j").mkString(" "))).toDF("doc_id", "text")
     val out = TextAnalysis.wordDropout(docs, "doc_id", "text", rate = 0.1).collect()
     out.foreach { r =>
       val kept = r.getAs[String]("kept_text").split(" ").filter(_.nonEmpty)
       assert(kept.length == r.getAs[Long]("n_kept"))
       // kept tokens are an ORDERED subsequence of the original
-      val orig = (0 until 40).map(j => s"tok${r.getLong(0)}_$j")
+      val orig = (0 until 40).map(j => s"tok${r.getLong(0)}x$j")
       assert(kept.foldLeft(0) { (from, t) =>
         val at = orig.indexOf(t, from); assert(at >= 0, s"$t out of order"); at + 1
       } >= 0)
@@ -711,5 +714,59 @@ class TextDedupSpec extends SparkTestBase {
     val lists = out.select(col("vec_id"), col("list_id")).as[(Long, Long)]
       .collect().toMap
     assert(lists(40L) == 0L && lists(41L) == 1L)
+  }
+
+  test("lineDedupStats: shared lines counted per occurrence, empties dropped, unique bodies clean") {
+    val docs = Seq(
+      (1L, "unique body one\nSHARED FOOTER\n\n  \nSHARED FOOTER"), // footer twice -> 2 dup lines
+      (2L, "unique body two\nSHARED FOOTER"),
+      (3L, "unique body three"),
+      (4L, "  SHARED FOOTER  ") // trims to the shared line
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((3L, 2L)), s"doc 1: 3 non-empty lines, footer twice: $got")
+    assert(got(2L) == ((2L, 1L)))
+    assert(got(3L) == ((1L, 0L)))
+    assert(got(4L) == ((1L, 1L)))
+  }
+
+  test("lineDedupStats: minDocs raises the sharing bar") {
+    val docs = Seq(
+      (1L, "a\nb"), (2L, "a"), (3L, "a")
+    ).toDF("doc_id", "text")
+    // 'a' is in 3 docs, 'b' in 1 — at minDocs=3 only 'a' is dup
+    val got = Dedup.lineDedupStats(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val at4 = Dedup.lineDedupStats(docs, "doc_id", "text", minDocs = 4)
+      .agg(sum(col("n_dup_lines"))).collect()(0).getLong(0)
+    assert(at4 == 0L)
+  }
+
+  test("gopherRules: integer signals count exactly; gate replays the cross-multiplied thresholds") {
+    // 50 stopwords (140 chars) + 10 'wonderful' (90 chars): 60 words,
+    // 230 word-chars -> mean 3.83 in [3,10]; every other rule green too
+    val pass = ("the and of to in is that with for was " * 5) +
+      ("wonderful " * 10).trim
+    val docs = Seq(
+      (1L, pass),                                   // 60 words, all rules green
+      (2L, "too short to pass"),                    // word-count floor
+      (3L, ("xx " * 60).trim),                      // mean word len 2 < 3, no stopwords
+      (4L, "- bullet\n- bullet\nbody…\nend...")     // bullet/ellipsis counting
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text")
+      .select("doc_id", "n_words", "n_bullet_lines", "n_ellipsis_lines",
+        "n_symbols", "n_stop_hits", "gopher_ok")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("gopher_ok"), "doc 1 passes every rule")
+    assert(got(1L).getAs[Long]("n_words") == 60L)
+    assert(got(1L).getAs[Long]("n_stop_hits") == 50L)
+    assert(!got(2L).getAs[Boolean]("gopher_ok"), "word-count floor")
+    assert(!got(3L).getAs[Boolean]("gopher_ok"), "mean-word-length floor")
+    val d4 = got(4L)
+    assert(d4.getAs[Long]("n_bullet_lines") == 2L)
+    assert(d4.getAs[Long]("n_ellipsis_lines") == 2L, "… and ... both count")
+    assert(d4.getAs[Long]("n_symbols") == 1L, "the … is a symbol; ASCII dots are not")
   }
 }
