@@ -206,6 +206,12 @@ class BenchBudgetSpec extends SparkTestBase {
     "s14_ivf_pq_residual" -> 2.4,
     "s15_pq_auto" -> 2.8,
     "d17_contamination_score" -> 1.6,
+    "a32_gini" -> 1.2,
+    "t25_gopher" -> 1.2,
+    "d22_line_dedup" -> 1.2,
+    "j20_q18_shape" -> 1.2,
+    "e15_ohlc" -> 1.0,
+    "x33_triangles" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
