@@ -3042,6 +3042,42 @@ object SparkEntry {
     Graph.triangleCount(edges, "item_a", "item_b")
   }
 
+  /** Single-pass column profiler ([[RelationalOps.profileColumns]])
+    * over the documents table — the dataset-card summary. Doubles are
+    * deliberately absent (float stringification is engine-specific). */
+  private val x34Profile = (s: SparkSession, d: String) =>
+    RelationalOps.profileColumns(
+      t(s, d, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy(col("column_name"))
+
+  /** Exact EWMA (exponentially-weighted moving average) per user over
+    * arrival order — the order-SENSITIVE float recursion e13's decayed
+    * score deliberately avoided, made bit-exact anyway: α = 1/4 is
+    * dyadic, so acc·0.75 + x·0.25 is a fixed two-multiply-one-add IEEE
+    * step, and BOTH engines fold the identical value sequence (sorted
+    * struct array here, `list(... ORDER BY)` + `list_reduce` in the
+    * twin, init = first element in both). Per-user sequences are
+    * collected arrays — the j17 bounded-group contract (a 100 TB
+    * deployment caps hyperactive keys first); the corpus-wide work is
+    * ONE groupBy shuffle. */
+  private val e16Ewma = (s: SparkSession, d: String) => {
+    val seq = sort_array(collect_list(struct(col("event_id"), col("value"))))
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(seq.as("_seq"))
+      .select(col("user_id"),
+        size(col("_seq")).cast("long").as("n_events"),
+        aggregate(
+          // length = full size is safely clamped; Int.MaxValue would
+          // overflow slice's start+length arithmetic into an empty array
+          slice(col("_seq"), lit(2), size(col("_seq"))),
+          element_at(col("_seq"), 1).getField("value"),
+          (acc, e) => acc * lit(0.75) + e.getField("value") * lit(0.25))
+          .as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3233,6 +3269,8 @@ object SparkEntry {
     "j20_q18_shape" -> j20Q18Shape,
     "e15_ohlc" -> e15Ohlc,
     "x33_triangles" -> x33Triangles,
+    "x34_profile" -> x34Profile,
+    "e16_ewma" -> e16Ewma,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5562,6 +5600,43 @@ object SparkEntry {
          FROM e e1
          JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
          JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d""",
+    "x34_profile" ->
+      // per-column UNION ALL replay; only engine-stable stringifications
+      // (integers, strings) are profiled
+      """WITH p AS (
+           SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+             count(*) - count(doc_id) AS n_nulls,
+             count(DISTINCT doc_id) AS n_distinct,
+             CAST(min(doc_id) AS VARCHAR) AS min_value,
+             CAST(max(doc_id) AS VARCHAR) AS max_value
+           FROM documents
+           UNION ALL
+           SELECT 'lang', count(*), count(*) - count(lang),
+             count(DISTINCT lang), min(lang), max(lang) FROM documents
+           UNION ALL
+           SELECT 'source', count(*), count(*) - count(source),
+             count(DISTINCT source), min(source), max(source) FROM documents
+           UNION ALL
+           SELECT 'n_chars', count(*), count(*) - count(n_chars),
+             count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+             CAST(max(n_chars) AS VARCHAR) FROM documents
+         )
+         SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           min_value, max_value
+         FROM p ORDER BY column_name""",
+    "e16_ewma" ->
+      // identical fold: list(value ORDER BY event_id), init = first
+      // element, acc*0.75 + x*0.25 per step (dyadic literals, exponent
+      // suffix per the s10 lesson) — bit-identical IEEE sequence
+      """WITH s AS (
+           SELECT user_id, list(value ORDER BY event_id) AS seq
+           FROM events GROUP BY 1
+         )
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+           list_reduce(seq, (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
+         FROM s ORDER BY user_id""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

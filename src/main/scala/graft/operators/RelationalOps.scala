@@ -226,4 +226,41 @@ object RelationalOps {
         (col("n_rows").cast("double") / col("n_keys")).as("mean_cnt"),
         (col("max_cnt").cast("double") * col("n_keys") / col("n_rows")).as("skew_ratio"))
   }
+
+  /** Single-pass column profiler — the ingest-time data-quality summary
+    * (the Deequ/dbt-style "dataset card" a 100 TB pipeline publishes
+    * before anyone trains on the drop): per column, row count, null
+    * count, exact distinct count, and min/max (stringified so
+    * heterogeneous columns share one long-form schema).
+    *
+    * Shape: ONE aggregate over the corpus producing a single row of
+    * 4·|cols| cells, then a driver-free explode of that one row into
+    * long form — the corpus is scanned once and never widened. The
+    * multi-column `count_distinct` does plan an Expand (×|cols| rows
+    * into the aggregate, the standard exact-distinct cost); at 100 TB
+    * swap it for `approx_count_distinct` exactly as a10 → a15 trades
+    * the percentile — the output contract is unchanged.
+    *
+    * Min/max stringification note: only profile columns whose string
+    * form is engine-stable (integers, strings; NOT doubles — float
+    * formatting differs across engines, the a31 trap). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"_cnt_$c"),
+        count_distinct(col(c)).as(s"_nd_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    row.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column_name"),
+          col("_total").as("n_rows"),
+          (col("_total") - col(s"_cnt_$c")).as("n_nulls"),
+          col(s"_nd_$c").as("n_distinct"),
+          col(s"_min_$c").as("min_value"),
+          col(s"_max_$c").as("max_value"))
+      }: _*)).as("_p"))
+      .select(col("_p.*"))
+  }
 }

@@ -212,6 +212,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j20_q18_shape" -> 1.2,
     "e15_ohlc" -> 1.0,
     "x33_triangles" -> 1.5,
+    "x34_profile" -> 1.2,
+    "e16_ewma" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

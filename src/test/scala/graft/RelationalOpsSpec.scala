@@ -230,4 +230,25 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("mean_cnt") == 2.0)
     assert(r.getAs[Double]("skew_ratio") == 2.0, "max 4 over fair share 2")
   }
+
+  test("profileColumns: exact nulls/distinct/min/max per column in one long-form pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 20),
+      (3L, Some("b"), 10),
+      (4L, Some("a"), 30)
+    ).toDF("id", "tag", "v")
+    val got = RelationalOps.profileColumns(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("id", "tag", "v"))
+    val tag = got("tag")
+    assert(tag.getAs[Long]("n_rows") == 4L)
+    assert(tag.getAs[Long]("n_nulls") == 1L)
+    assert(tag.getAs[Long]("n_distinct") == 2L, "null is not a distinct value")
+    assert(tag.getAs[String]("min_value") == "a" && tag.getAs[String]("max_value") == "b")
+    val v = got("v")
+    assert(v.getAs[Long]("n_nulls") == 0L && v.getAs[Long]("n_distinct") == 3L)
+    assert(v.getAs[String]("min_value") == "10" && v.getAs[String]("max_value") == "30")
+  }
 }
