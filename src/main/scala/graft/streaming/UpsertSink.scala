@@ -101,6 +101,30 @@ class ParquetKpiStore(root: String) extends Serializable {
     writeVersion(spark, table, merged, batchId)
   }
 
+  /** Keyed ALGEBRAIC merge — the generalization the additive [[merge]]
+    * and last-write-wins [[mergeReplace]] are special cases of: the
+    * caller's `combine` re-aggregates the UNION of stored state and
+    * the new batch's partial rows into the next state. Correctness
+    * contract (the [[graft.streaming.StreamingOhlc]] argument): the
+    * per-key state must be a COMMUTATIVE SEMIGROUP value under
+    * `combine` (min/max/min_by-as-struct-min/sum all qualify), so any
+    * arrival order converges to the batch aggregate — no retractions,
+    * no watermark compaction. `combine` must emit exactly the state
+    * schema (it is also applied implicitly by the next merge). Same
+    * idempotence watermark as every merge: replayed batches no-op. */
+  def mergeWith(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      batchId: Long)(combine: DataFrame => DataFrame): Unit = synchronized {
+    if (batchId <= appliedBatch(spark, table)) return // idempotent replay
+    val merged = read(spark, table) match {
+      case None => updates
+      case Some(cur) => combine(cur.unionByName(updates))
+    }
+    writeVersion(spark, table, merged, batchId)
+  }
+
   /** Shared version-write tail: new version dir, atomic pointer swap,
     * GC of superseded versions. */
   private def writeVersion(

@@ -884,6 +884,48 @@ class StreamingSpec extends SparkTestBase {
     assert(got.map(_._3).sum > 0, "parity with an empty current side proves nothing")
   }
 
+  test("streaming OHLC: algebraic struct-min/max merges converge to batch e15 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingOhlc
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sohlc")
+    // four time-quartile files draining NEWEST-first: every candle's
+    // open (and most closes) are first recorded WRONG and must be
+    // displaced by later batches winning the (eid, value) struct
+    // min/max — parity proves the algebraic merge, not arrival luck
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val empty = StreamingOhlc.candleTable(spark, store)
+    assert(empty.columns.toSeq ==
+      Seq("day_idx", "event_type", "open", "high", "low", "close", "n_events")
+      && empty.count() == 0, "pre-first-batch poll is an empty panel, not an error")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingOhlc.start(spark, stream, store, s"$base/cp")
+      .awaitTermination()
+
+    def rows(df: DataFrame): Seq[(Long, String, Double, Double, Double, Double, Long)] =
+      df.collect().map(r => (r.getAs[Long]("day_idx"), r.getAs[String]("event_type"),
+        r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_events"))).toSeq
+    val got = rows(StreamingOhlc.candleTable(spark, store))
+    val want = rows(SparkEntry.queries("e15_ohlc")(spark, dir))
+    assert(got == want, s"streaming candles diverged from batch e15:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.map(_._7).sum > 100, "parity over a trivial panel proves nothing")
+  }
+
   test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
     import graft.streaming.StreamingTransitions
     val dir = "/root/testdata/sf0.001"
