@@ -3078,6 +3078,67 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Cramér's V effect size over the a23 contingency grid — the
+    * scalar "HOW associated are source and lang" companion to a23's
+    * per-cell report (χ² alone grows with n; V normalizes to [0,1] so
+    * thresholds transfer across corpus sizes). The χ² sum is made
+    * order-free by the e16 trick: the grid is bounded metadata (the
+    * chiSquareGrid broadcast contract), so its cells collect into ONE
+    * sorted array and fold in (source, lang) order — a fixed IEEE
+    * summation sequence on both engines — and V adds one
+    * correctly-rounded sqrt (IEEE-exact in every libm, unlike ln). */
+  private val a33CramersV = (s: SparkSession, d: String) => {
+    val grid = RelationalOps.chiSquareGrid(
+      t(s, d, "documents").select(col("source"), col("lang")), "source", "lang")
+    grid
+      .agg(
+        sort_array(collect_list(
+          struct(col("source"), col("lang"), col("chi2_cell")))).as("_cells"),
+        sum(col("obs")).as("n"), // every fact lands in exactly one cell
+        count_distinct(col("source")).as("n_row_cats"),
+        count_distinct(col("lang")).as("n_col_cats"))
+      .select(
+        col("n"), col("n_row_cats"), col("n_col_cats"),
+        ((col("n_row_cats") - 1L) * (col("n_col_cats") - 1L)).as("dof"),
+        aggregate(
+          slice(col("_cells"), lit(2), size(col("_cells"))),
+          element_at(col("_cells"), 1).getField("chi2_cell"),
+          (acc, e) => acc + e.getField("chi2_cell")).as("chi2"))
+      .withColumn("cramers_v",
+        sqrt(col("chi2") /
+          (col("n").cast("double") *
+            (least(col("n_row_cats"), col("n_col_cats")) - 1L).cast("double"))))
+  }
+
+  /** Top-decile Pareto share of corpus mass per source (the Lorenz
+    * point behind "10% of the docs hold X% of the chars" — a32's Gini
+    * collapses the whole curve to one number, this reads the point a
+    * capacity planner actually quotes): exact integer char sums, top
+    * decile cut at ceil(n/10) under a total (n_chars desc, doc_id)
+    * order, ONE terminal IEEE division. Group totals ride a tiny
+    * broadcast (the a27 fence pattern) — no unbounded-following
+    * window frames anywhere. */
+  private val w16Pareto = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+    val totals = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val top = base.withColumn("_rn", row_number().over(w))
+      .join(broadcast(totals.select(col("source"), col("n_docs"))), Seq("source"))
+      .filter(col("_rn") <= expr("(n_docs + 9) div 10"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("top_decile_chars"))
+    totals.join(broadcast(top), Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("(n_docs + 9) div 10").as("top_decile_docs"),
+        col("top_decile_chars"),
+        (col("top_decile_chars").cast("double") / col("total_chars").cast("double"))
+          .as("top_decile_share"))
+      .orderBy(col("source"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3271,6 +3332,8 @@ object SparkEntry {
     "x33_triangles" -> x33Triangles,
     "x34_profile" -> x34Profile,
     "e16_ewma" -> e16Ewma,
+    "a33_cramers_v" -> a33CramersV,
+    "w16_pareto" -> w16Pareto,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5637,6 +5700,63 @@ object SparkEntry {
          SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
            list_reduce(seq, (acc, x) -> acc * 0.75e0 + x * 0.25e0) AS ewma
          FROM s ORDER BY user_id""",
+    "a33_cramers_v" ->
+      // a23's grid verbatim, cells folded in (source, lang) order via
+      // list_reduce (the e16 fixed-sequence summation), one
+      // correctly-rounded sqrt at the end
+      """WITH rt AS (
+           SELECT source, count(*) AS row_total FROM documents GROUP BY 1
+         ), ct AS (
+           SELECT lang, count(*) AS col_total FROM documents GROUP BY 1
+         ), nn AS (SELECT count(*) AS n FROM documents
+         ), cells AS (
+           SELECT source, lang, count(*) AS obs FROM documents GROUP BY 1, 2
+         ), grid AS (
+           SELECT rt.source, ct.lang,
+             coalesce(cells.obs, 0) AS obs,
+             (coalesce(cells.obs, 0) - CAST(rt.row_total * ct.col_total AS DOUBLE) / nn.n)
+               * (coalesce(cells.obs, 0) - CAST(rt.row_total * ct.col_total AS DOUBLE) / nn.n)
+               / (CAST(rt.row_total * ct.col_total AS DOUBLE) / nn.n) AS chi2_cell
+           FROM rt CROSS JOIN ct CROSS JOIN nn
+           LEFT JOIN cells ON cells.source = rt.source AND cells.lang = ct.lang
+         ), folded AS (
+           SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_row_cats,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_col_cats,
+             list_reduce(list(chi2_cell ORDER BY source, lang),
+               (acc, x) -> acc + x) AS chi2
+           FROM grid
+         )
+         SELECT n, n_row_cats, n_col_cats,
+           (n_row_cats - 1) * (n_col_cats - 1) AS dof, chi2,
+           sqrt(chi2 / (CAST(n AS DOUBLE)
+             * CAST(least(n_row_cats, n_col_cats) - 1 AS DOUBLE))) AS cramers_v
+         FROM folded""",
+    "w16_pareto" ->
+      // identical rank cut ceil(n/10) = (n+9) // 10 under the same
+      // total order; exact integer char sums; bigints below 2^53 cast
+      // to double exactly, one terminal IEEE division
+      """WITH base AS (
+           SELECT source, doc_id, n_chars FROM documents
+         ), t AS (
+           SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+           FROM base GROUP BY 1
+         ), r AS (
+           SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM base
+         ), top AS (
+           SELECT r.source, sum(n_chars) AS top_chars
+           FROM r JOIN t USING (source)
+           WHERE rn <= (n_docs + 9) // 10 GROUP BY 1
+         )
+         SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_chars AS BIGINT) AS total_chars,
+           CAST((n_docs + 9) // 10 AS BIGINT) AS top_decile_docs,
+           CAST(top_chars AS BIGINT) AS top_decile_chars,
+           CAST(top_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS top_decile_share
+         FROM t JOIN top USING (source) ORDER BY source""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -214,6 +214,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "x33_triangles" -> 1.5,
     "x34_profile" -> 1.2,
     "e16_ewma" -> 1.0,
+    "a33_cramers_v" -> 1.2,
+    "w16_pareto" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
