@@ -3139,6 +3139,56 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Point-in-time fact-to-SCD2 enrichment (the warehouse "which
+    * dimension version was current when this fact happened" join):
+    * purchases enriched with the signup-version attributes valid at
+    * purchase time. The Spark-first insight IS the plan: do NOT build
+    * the interval table and range-join containment — an as-of join
+    * against the raw change log ([[TemporalJoin.asofJoin]], one
+    * union + per-key window pass) is the same relation, because
+    * SCD2's `[valid_from, valid_to)` intervals are by construction
+    * "latest change ≤ t". The oracle deliberately takes the OTHER
+    * road (materialize x8-style intervals, containment-join) — two
+    * independent formulations, equal row set. Same-timestamp change
+    * collisions pre-collapse to the max event_id (the zero-width-
+    * interval version can never be current). */
+  private val j21Scd2Join = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+    val dimLog = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max_by(
+        struct(col("event_id").as("dim_event_id"), col("value").as("dim_value")),
+        col("event_id")).as("_v"))
+      .select(col("user_id"), unix_micros(col("ts")).as("dim_tus"),
+        col("_v.dim_event_id").as("dim_event_id"),
+        col("_v.dim_value").as("dim_value"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("fact_tus"), col("value"))
+    TemporalJoin.asofJoin(facts, dimLog, Seq("user_id"), "fact_tus", "dim_tus")
+      .filter(col("dim_event_id").isNotNull) // inner: facts before v1 drop
+      .select(col("event_id"), col("user_id"), col("fact_tus"), col("value"),
+        col("dim_event_id"), col("dim_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Weekly-rhythm activity grid (day-of-week × hour heat map — the
+    * load-shape panel behind capacity planning and bot detection:
+    * humans have weekends, scripts don't): exact counts per cell.
+    * Both axes are PURE INTEGER arithmetic on epoch micros
+    * ((day+3) % 7 puts Monday at 0; 1970-01-01 was a Thursday) — no
+    * calendar functions, whose week/zone conventions differ across
+    * engines. ONE map-side-combined aggregate. */
+  private val e17CalendarHeat = (s: SparkSession, d: String) =>
+    Tables.events(s, d)
+      .select(expr("unix_micros(ts) div 86400000000L").as("_day"),
+        expr("(unix_micros(ts) div 3600000000L) % 24").as("hour"),
+        col("user_id"))
+      .select(((col("_day") + 3L) % 7L).as("dow_idx"), col("hour"), col("user_id"))
+      .groupBy(col("dow_idx"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow_idx"), col("hour"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3334,6 +3384,8 @@ object SparkEntry {
     "e16_ewma" -> e16Ewma,
     "a33_cramers_v" -> a33CramersV,
     "w16_pareto" -> w16Pareto,
+    "j21_scd2_join" -> j21Scd2Join,
+    "e17_calendar_heat" -> e17CalendarHeat,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5757,6 +5809,38 @@ object SparkEntry {
            CAST(top_chars AS BIGINT) AS top_decile_chars,
            CAST(top_chars AS DOUBLE) / CAST(total_chars AS DOUBLE) AS top_decile_share
          FROM t JOIN top USING (source) ORDER BY source""",
+    "j21_scd2_join" ->
+      // the INTERVAL road: materialize SCD2 [valid_from, valid_to)
+      // via lead(), containment-join facts — independent of the
+      // as-of formulation it verifies
+      """WITH ch AS (
+           SELECT user_id, epoch_us(ts) AS tus,
+             arg_max(event_id, event_id) AS dim_event_id,
+             arg_max(value, event_id) AS dim_value
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+         ), dim AS (
+           SELECT user_id, tus AS valid_from,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus) AS valid_to,
+             dim_event_id, dim_value
+           FROM ch
+         ), f AS (
+           SELECT event_id, user_id, epoch_us(ts) AS fact_tus, value
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT f.event_id, f.user_id, f.fact_tus, f.value,
+           dim.dim_event_id, dim.dim_value
+         FROM f JOIN dim ON f.user_id = dim.user_id
+           AND f.fact_tus >= dim.valid_from
+           AND (dim.valid_to IS NULL OR f.fact_tus < dim.valid_to)
+         ORDER BY f.event_id""",
+    "e17_calendar_heat" ->
+      // identical integer epoch arithmetic — no calendar functions on
+      // either engine (week/zone conventions differ)
+      """SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow_idx,
+           (epoch_us(ts) // 3600000000) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

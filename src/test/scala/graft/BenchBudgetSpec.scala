@@ -216,6 +216,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "e16_ewma" -> 1.0,
     "a33_cramers_v" -> 1.2,
     "w16_pareto" -> 1.2,
+    "j21_scd2_join" -> 1.2,
+    "e17_calendar_heat" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
