@@ -250,16 +250,26 @@ object SparkEntry {
     * count rides along here only to make the bound checkable — the scale
     * deployment runs the sketch alone (that is its whole point); the
     * dedicated spec additionally bounds the error against a9. */
-  private val a13ApproxDistinct = (s: SparkSession, d: String) =>
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
+  private val a13ApproxDistinct = (s: SparkSession, d: String) => {
+    // ONE map-side-combined distinct on (flag, orderkey), then both
+    // aggregates over the collapsed pairs: HLL is duplicate-insensitive
+    // (sketch of a distinct set = sketch of the multiset), and the
+    // exact count becomes a plain count(1). The naive single-agg form
+    // mixes a distinct and a non-distinct aggregate — Spark plans an
+    // Expand (x2 rows) plus a raw-row shuffle; this form's big
+    // exchange carries map-side-combined PAIRS (measured same-host
+    // A/B at sf0.1: 3.8 s -> 1.7 s min-of-2).
+    val pairs = t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+    pairs.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_nd"),
-        count_distinct(col("l_orderkey")).as("exact_nd"))
+        count(lit(1)).as("exact_nd"))
       .select(col("l_returnflag"),
         (abs(col("approx_nd") - col("exact_nd")).cast("double")
           / col("exact_nd").cast("double") <= 0.05).as("nd_within_5pct"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** CUBE: all grouping-set combinations (rollup's sibling, a11). */
   private val a14Cube = (s: SparkSession, d: String) =>
