@@ -3199,6 +3199,38 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"), count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("dow_idx"), col("hour"))
 
+  /** One-sided CUSUM changepoint statistic per user (Page 1954 — the
+    * classic "has this stream's level shifted up" sequential test;
+    * the monitoring twin of x30's distribution drift): s_t =
+    * max(0, s_{t−1} + x_t − k) with slack k = 55, plus the running
+    * max (the statistic an alarm thresholds). Order-sensitive float
+    * recursion made cross-engine exact the e16 way — both engines
+    * fold the identical sorted sequence with fixed IEEE steps. Spark
+    * folds ONCE with a struct accumulator (s, m); the oracle CANNOT
+    * (DuckDB 1.0 list_reduce rebinds struct accumulator fields
+    * mid-lambda — probed, not assumed) and instead re-folds every
+    * prefix and takes the max — O(n²) per user but an INDEPENDENT
+    * formulation of the same recursion, bounded-group sized. */
+  private val e18Cusum = (s: SparkSession, d: String) => {
+    val k = lit(55.0)
+    val step = (acc: Column, x: Column) =>
+      greatest(lit(0.0), acc + x.getField("value") - k)
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_id"), col("value")))).as("_seq"))
+      .select(col("user_id"),
+        size(col("_seq")).cast("long").as("n_events"),
+        aggregate(col("_seq"),
+          struct(lit(0.0).as("s"), lit(0.0).as("m")),
+          (acc, x) => struct(
+            step(acc.getField("s"), x).as("s"),
+            greatest(acc.getField("m"), step(acc.getField("s"), x)).as("m")))
+          .as("_c"))
+      .select(col("user_id"), col("n_events"),
+        col("_c.s").as("cusum_final"), col("_c.m").as("cusum_max"))
+      .orderBy(col("user_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3396,6 +3428,7 @@ object SparkEntry {
     "w16_pareto" -> w16Pareto,
     "j21_scd2_join" -> j21Scd2Join,
     "e17_calendar_heat" -> e17CalendarHeat,
+    "e18_cusum" -> e18Cusum,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5851,6 +5884,23 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_events,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e18_cusum" ->
+      // INDEPENDENT formulation: scalar fold for the final value, and
+      // the running max via re-folding every prefix (DuckDB 1.0
+      // list_reduce rebinds struct accumulator fields mid-lambda, so
+      // the one-pass (s, m) pair is not expressible here) — O(n^2)
+      // per user, bounded-group sized, same IEEE step sequence
+      """WITH s AS (
+           SELECT user_id, list(value ORDER BY event_id) AS seq
+           FROM events GROUP BY 1
+         )
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+           list_reduce(list_prepend(0.0e0, seq),
+             (acc, x) -> greatest(0.0e0, acc + x - 55.0e0)) AS cusum_final,
+           greatest(0.0e0, list_max(list_transform(range(1, len(seq) + 1),
+             i -> list_reduce(list_prepend(0.0e0, list_slice(seq, 1, i)),
+               (acc, x) -> greatest(0.0e0, acc + x - 55.0e0))))) AS cusum_max
+         FROM s ORDER BY user_id""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

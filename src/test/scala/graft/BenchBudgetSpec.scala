@@ -218,6 +218,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w16_pareto" -> 1.2,
     "j21_scd2_join" -> 1.2,
     "e17_calendar_heat" -> 1.0,
+    "e18_cusum" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
