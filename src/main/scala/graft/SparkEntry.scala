@@ -3231,6 +3231,62 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Mann–Kendall trend statistic per user (Mann 1945 — the
+    * distribution-free "is this series drifting monotonically" test;
+    * the rank-based companion to e18's level-shift CUSUM):
+    * S = Σ_{i<j} sign(x_j − x_i) over arrival order. EXACT integers
+    * end to end — sign pairs via a within-user self-equi-join (the
+    * j17 bounded-group contract: per-user pair count is quadratic in
+    * per-user activity; cap hyperactive keys first at 100 TB), one
+    * user-keyed shuffle shared by both sides. */
+  private val w17MannKendall = (s: SparkSession, d: String) => {
+    val ev = CachePool.register(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .persist())
+    val a = ev.select(col("user_id"), col("event_id").as("_ia"), col("value").as("_va"))
+    val b = ev.select(col("user_id"), col("event_id").as("_ib"), col("value").as("_vb"))
+    a.join(b, Seq("user_id")).filter(col("_ia") < col("_ib"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("_vb") > col("_va"), 1L)
+          .when(col("_vb") < col("_va"), -1L).otherwise(0L)).as("s_stat"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cross-source vocabulary overlap (the corpus-diversity audit
+    * behind "are these two crawls the same text in different
+    * wrappers?" — a set-similarity read on SOURCES where d3's LSH
+    * reads documents): per source pair, exact |A∩B| via ONE
+    * token-keyed self-join over the distinct (source, token) set —
+    * each token contributes C(k,2) ≤ |sources|² pairs, never a
+    * corpus cross product — and Jaccard as one terminal IEEE
+    * division of exact integers. */
+  private val t26VocabOverlap = (s: SparkSession, d: String) => {
+    val vocab = CachePool.register(
+      TextAnalysis.withTokens(t(s, d, "documents").select(col("source"), col("text")), "text")
+        .select(col("source"), explode(col("_toks")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .persist())
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    val inter = vocab.select(col("source").as("source_a"), col("tok"))
+      .join(vocab.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_vocab").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_vocab").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3429,6 +3485,8 @@ object SparkEntry {
     "j21_scd2_join" -> j21Scd2Join,
     "e17_calendar_heat" -> e17CalendarHeat,
     "e18_cusum" -> e18Cusum,
+    "w17_mann_kendall" -> w17MannKendall,
+    "t26_vocab_overlap" -> t26VocabOverlap,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5901,6 +5959,40 @@ object SparkEntry {
              i -> list_reduce(list_prepend(0.0e0, list_slice(seq, 1, i)),
                (acc, x) -> greatest(0.0e0, acc + x - 55.0e0))))) AS cusum_max
          FROM s ORDER BY user_id""",
+    "w17_mann_kendall" ->
+      // identical pair enumeration and integer sign sum
+      """WITH e AS (SELECT user_id, event_id, value FROM events)
+         SELECT a.user_id,
+           CAST(sum(CASE WHEN b.value > a.value THEN 1
+                         WHEN b.value < a.value THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+         GROUP BY 1 ORDER BY 1""",
+    "t26_vocab_overlap" ->
+      // identical normalize-tokenization (the t24 splits), DISTINCT
+      // (source, token) set, token-keyed pair join, exact counts
+      """WITH ex AS (
+           SELECT source,
+             unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS tok
+           FROM documents
+         ), v AS (
+           SELECT DISTINCT source, tok FROM ex WHERE tok <> ''
+         ), sz AS (
+           SELECT source, count(*) AS n_vocab FROM v GROUP BY 1
+         ), inter AS (
+           SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+           FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT source_a, source_b,
+           CAST(sa.n_vocab AS BIGINT) AS n_a, CAST(sb.n_vocab AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE)
+             / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sz sa ON sa.source = inter.source_a
+         JOIN sz sb ON sb.source = inter.source_b
+         ORDER BY source_a, source_b""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

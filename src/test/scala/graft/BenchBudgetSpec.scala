@@ -219,6 +219,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j21_scd2_join" -> 1.2,
     "e17_calendar_heat" -> 1.0,
     "e18_cusum" -> 1.0,
+    "w17_mann_kendall" -> 1.2,
+    "t26_vocab_overlap" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
