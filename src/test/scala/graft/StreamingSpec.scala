@@ -926,6 +926,80 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.map(_._7).sum > 100, "parity over a trivial panel proves nothing")
   }
 
+  test("streaming CUSUM: resumed left fold converges to batch e18 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingCusum
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("scusum")
+    // newest-first quartile drain: every user's fold is first computed
+    // over a suffix and must be rebuilt as earlier events arrive —
+    // parity proves the reorder buffer, not arrival luck
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingCusum.start(spark, stream, store, s"$base/cp")
+      .awaitTermination()
+    def rows(df: DataFrame): Seq[(Long, Long, Double, Double)] =
+      df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("cusum_final"), r.getAs[Double]("cusum_max"))).toSeq
+    val got = rows(StreamingCusum.cusumTable(spark, store))
+    val want = rows(SparkEntry.queries("e18_cusum")(spark, dir))
+    assert(got == want, s"streaming CUSUM diverged from batch e18")
+    assert(got.nonEmpty && got.exists(_._4 > 0.0), "an all-zero panel proves nothing")
+  }
+
+  test("streaming CUSUM processUser: late drops counted, replay deduped, compaction resumes the fold exactly") {
+    import graft.streaming.StreamingCusum
+    import graft.streaming.StreamingCusum.{CuBuf, Ev}
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    val k = 10.0
+    def run(lateness: Long, state: CuBuf, arrivals: Seq[Ev]) = {
+      val gs = TestGroupState.create[CuBuf](
+        optionalState =
+          if (state == null) Optional.empty[CuBuf]() else Optional.of(state),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs = Optional.empty[java.lang.Long]()
+          .asInstanceOf[Optional[Long]],
+        hasTimedOut = false)
+      val out = StreamingCusum.processUser(k, lateness)(
+        7L, arrivals.map(e => (7L, e)).iterator, gs).toSeq
+      (out, if (gs.exists) Some(gs.get) else None)
+    }
+    // in-order, unbounded lateness: plain fold, nothing frozen
+    val evs = Seq(Ev(100L, 1L, 15.0), Ev(200L, 2L, 5.0), Ev(300L, 3L, 25.0))
+    val (out1, st1) = run(Long.MaxValue, null, evs)
+    // s: max(0,0+15-10)=5; max(0,5+5-10)=0; max(0,0+25-10)=15; m=15
+    assert(out1.map(r => (r.n, r.s, r.m, r.drops)) == Seq((3L, 15.0, 15.0, 0L)))
+    assert(st1.get.buf.size == 3 && st1.get.frozenN == 0L)
+    // replayed rows dedup: same arrivals again -> no fresh, no output
+    val (out2, _) = run(Long.MaxValue, st1.get, evs)
+    assert(out2.isEmpty, "replay must not double-fold")
+    // tight lateness freezes a prefix; resumed fold equals full fold
+    val (out3, st3) = run(50L, st1.get, Seq(Ev(400L, 4L, 30.0)))
+    assert(out3.map(r => (r.n, r.s, r.m)) == Seq((4L, 35.0, 35.0)))
+    assert(st3.get.frozenN == 3L && st3.get.buf.map(_.eid) == Seq(4L),
+      s"events at/below 400-50 freeze into the accumulator: ${st3.get}")
+    // an arrival at-or-before the boundary is dropped AND counted
+    val (out4, st4) = run(50L, st3.get, Seq(Ev(150L, 99L, 1000.0)))
+    assert(out4.map(r => (r.drops, r.n)) == Seq((1L, 0L)))
+    assert(st4.get == st3.get, "a dropped event must not mutate state")
+  }
+
   test("streaming transitions: reverse-time drain converges to batch w12 pair-for-pair") {
     import graft.streaming.StreamingTransitions
     val dir = "/root/testdata/sf0.001"
