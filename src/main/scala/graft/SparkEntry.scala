@@ -3287,6 +3287,38 @@ object SparkEntry {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** TPC-H Q10 shape (returned-item report — "which customers
+    * returned the most revenue last quarter"): the 4-table star with
+    * TWO selective fact filters (quarter on orders, returnflag on
+    * lineitem — both must reach their scans), a fact⋈fact equi-join,
+    * a customer-key aggregate, a broadcast nation decorate, and a
+    * revenue-ordered TakeOrdered top-20. Revenue sums through
+    * DECIMAL(18,4) (the j5 dsum staging — exact rational, order-free)
+    * with one terminal double cast. The nation join runs AFTER the
+    * aggregate: 20-ish rows decorate |customers| groups, not
+    * |lineitem| fact rows. */
+  private val j22Q10Shape = (s: SparkSession, d: String) => {
+    val l = t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+    val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    RelationalOps.topK(
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name")),
+      20, Seq(col("revenue").desc, col("c_custkey").asc))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3487,6 +3519,7 @@ object SparkEntry {
     "e18_cusum" -> e18Cusum,
     "w17_mann_kendall" -> w17MannKendall,
     "t26_vocab_overlap" -> t26VocabOverlap,
+    "j22_q10_shape" -> j22Q10Shape,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5993,6 +6026,21 @@ object SparkEntry {
          JOIN sz sa ON sa.source = inter.source_a
          JOIN sz sb ON sb.source = inter.source_b
          ORDER BY source_a, source_b""",
+    "j22_q10_shape" ->
+      // identical filters, decimal-staged revenue (the j5 rule), full
+      // tie-break total order
+      """SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM (
+           SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+           GROUP BY 1, 2, 3, 4
+         ) JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -221,6 +221,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e18_cusum" -> 1.0,
     "w17_mann_kendall" -> 1.2,
     "t26_vocab_overlap" -> 1.5,
+    "j22_q10_shape" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
