@@ -414,6 +414,20 @@ object Bench {
       val (dsT1, _) = time(dsirCount(docs1))
       val (dsT5, _) = time(dsirCount(docs5))
       val (dsT25, _) = time(dsirCount(docs25))
+      // containment growth on the corpus axis (d21's shape, rewritten
+      // round 10): candidate volume is Σ_h df² over rare shingles —
+      // perturbed replicas translate tokens, so shingle df stays
+      // per-replica and the sum should track corpus size ~linearly;
+      // a super-linear fit here means cross-replica shingle collisions
+      // (or a cap regression) re-created the pair blow-up the upper-
+      // bound prune exists to prevent
+      def contCount(docs: org.apache.spark.sql.DataFrame): Long =
+        try fullCount(Dedup.containmentPairs(docs, "doc_id", "text"))
+        finally CachePool.releaseAll()
+      contCount(docs1) // untimed warmup
+      val (ctT1, _) = time(contCount(docs1))
+      val (ctT5, _) = time(contCount(docs5))
+      val (ctT25, _) = time(contCount(docs25))
       docs5.unpersist()
       docs25.unpersist()
       // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
@@ -663,6 +677,9 @@ object Bench {
         s""""dsir_sec_1x":${r3(dsT1)},"dsir_sec_5x":${r3(dsT5)},""" +
         s""""dsir_sec_25x":${r3(dsT25)},""" +
         s""""dsir_growth_exp":${fitExp(dsT1, dsT5, dsT25)},""" +
+        s""""containment_sec_1x":${r3(ctT1)},"containment_sec_5x":${r3(ctT5)},""" +
+        s""""containment_sec_25x":${r3(ctT25)},""" +
+        s""""containment_growth_exp":${fitExp(ctT1, ctT5, ctT25)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""ivf_sec_25x":${r3(ivT25)},""" +
         s""""ivf_growth_exp":${fitExp(ivT1, ivT5, ivT25)},""" +

@@ -3319,6 +3319,15 @@ object SparkEntry {
       20, Seq(col("revenue").desc, col("c_custkey").asc))
   }
 
+  /** ANN hard-negative mining ([[Similarity.hardNegativesTopK]]): per
+    * probe, the 5 nearest OTHER-labeled embeddings — the contrastive-
+    * training negative sampler, exact brute-force form. */
+  private val s16HardNegatives = (s: SparkSession, d: String) =>
+    Similarity.hardNegativesTopK(
+      t(s, d, "embeddings"), "vec_id", "embedding", "label",
+      col("vec_id") < 5, k = 5)
+      .orderBy(col("probe_id"), col("rank"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3520,6 +3529,7 @@ object SparkEntry {
     "w17_mann_kendall" -> w17MannKendall,
     "t26_vocab_overlap" -> t26VocabOverlap,
     "j22_q10_shape" -> j22Q10Shape,
+    "s16_hard_negatives" -> s16HardNegatives,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6041,6 +6051,17 @@ object SparkEntry {
            GROUP BY 1, 2, 3, 4
          ) JOIN nation ON c_nationkey = n_nationkey
          ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
+    "s16_hard_negatives" ->
+      // s1's brute-force shape with the label-inequality join condition
+      """SELECT probe_id, probe_label, neighbor_id, neighbor_label, rank FROM (
+           SELECT p.vec_id AS probe_id, p.label AS probe_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+               ORDER BY list_cosine_similarity(p.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS INTEGER) AS rank
+           FROM embeddings p CROSS JOIN embeddings c
+           WHERE p.vec_id < 5 AND c.label <> p.label
+         ) WHERE rank <= 5 ORDER BY probe_id, rank""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -102,6 +102,46 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-
+    * negatives upgrade every two-tower / embedding-model recipe ships:
+    * random negatives are too easy, so sample the nearest
+    * OTHER-LABELED vectors — maximally confusing, maximally
+    * informative gradients): per probe, exact top-k cosine neighbors
+    * whose `labelCol` DIFFERS from the probe's. Same bounded-probe
+    * broadcast against one corpus scan as [[cosineTopK]] — the label
+    * inequality rides the broadcast-join condition, so mismatched
+    * pairs are never materialized. The scale path swaps the corpus
+    * scan for the IVF index exactly as s1 → s3 (mine within probed
+    * cells, filter labels in the candidate list).
+    * Output: (probe_id, probe_label, neighbor_id, neighbor_label,
+    * rank), rank 1..k, ties to the smaller neighbor id. */
+  def hardNegativesTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probeFilter: Column,
+      k: Int,
+      maxProbes: Int = 10000): DataFrame = {
+    val probes = requireBoundedProbes(
+      df.filter(probeFilter)
+        .select(col(idCol).as("probe_id"), col(vecCol).as("_pv"),
+          col(labelCol).as("probe_label")),
+      "hardNegativesTopK", maxProbes)
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      col(labelCol).as("neighbor_label"))
+    val scored = broadcast(probes)
+      .join(corpus, col("neighbor_label") =!= col("probe_label"))
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank").cast("int").as("rank"))
+  }
+
   /** Full hyperplane matrix as plain doubles — lets an oracle inline the
     * identical constants (the planes are a pure function of (h, dim,
     * seed), so the "engine-specific" signature is reproducible anywhere

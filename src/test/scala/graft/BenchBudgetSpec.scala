@@ -222,6 +222,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w17_mann_kendall" -> 1.2,
     "t26_vocab_overlap" -> 1.5,
     "j22_q10_shape" -> 1.5,
+    "s16_hard_negatives" -> 1.4,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
@@ -245,6 +246,8 @@ class BenchBudgetSpec extends SparkTestBase {
       "boilerplate_sec_25x" -> 12.0,
       "dsir_sec_1x" -> 2.5, "dsir_sec_5x" -> 3.5,
       "dsir_sec_25x" -> 9.0,
+      "containment_sec_1x" -> 3.0, "containment_sec_5x" -> 6.0,
+      "containment_sec_25x" -> 12.0,
       "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.5,
       "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0,
       // depth probe is fixture-independent (spark.range synthetic): the
@@ -261,7 +264,8 @@ class BenchBudgetSpec extends SparkTestBase {
     // the bucketing claim is broken (at sf0.001 fixed overheads deflate
     // the slope — the bound still catches anything superlinear)
     for (name <- Seq("neardup_growth_exp", "boilerplate_growth_exp",
-        "neardup_cand_growth_exp", "dsir_growth_exp")) {
+        "neardup_cand_growth_exp", "dsir_growth_exp",
+        "containment_growth_exp")) {
       val e = metric(name)
       assert(e < 1.3, f"$name = $e%.2f — superlinear growth on the corpus axis")
     }
