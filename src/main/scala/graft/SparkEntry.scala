@@ -3328,6 +3328,97 @@ object SparkEntry {
       col("vec_id") < 5, k = 5)
       .orderBy(col("probe_id"), col("rank"))
 
+  /** Longest activity streak per user (gaps-and-islands on DISTINCT
+    * epoch days — the retention/engagement "7-day streak" metric):
+    * island key = day_idx − row_number (constant within a consecutive
+    * run), exact integer day buckets (the e17 calendar-free axis),
+    * one user-keyed shuffle shared by the distinct and the window. */
+  private val w18Streaks = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
+      .repartition(col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_idx"))
+    val runs = days
+      .withColumn("_g", col("day_idx") - row_number().over(w))
+      .groupBy(col("user_id"), col("_g"))
+      .agg(count(lit(1)).as("_len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("_len")).as("n_active_days"),
+        max(col("_len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Deterministic negative sampling (the recsys / contrastive
+    * random-negative generator beside s16's hard negatives): per user,
+    * the 3 smallest-md5 items the user never engaged — reproducible
+    * across runs and engines (the x2 hash-sampling discipline; no RNG
+    * anywhere). The item universe is bounded metadata, so candidates
+    * come from users × broadcast(items) minus interactions (a
+    * BroadcastNestedLoopJoin by construction, the bounded
+    * scalar-totals idiom — at an unbounded item universe, swap the
+    * cross for hash-bucket probing). */
+  private val x35NegativeSample = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ui = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+    val items = ui.select(col("item")).distinct()
+    val users = ui.select(col("user_id")).distinct()
+    val cand = users.crossJoin(broadcast(items))
+      .join(ui, Seq("user_id", "item"), "left_anti")
+    val w = Window.partitionBy(col("user_id")).orderBy(
+      md5(concat_ws(":", lit("neg"), col("user_id"), col("item")).cast("binary")).asc,
+      col("item").asc)
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  /** Eta-squared variance decomposition of document length by language
+    * (the numeric-by-categorical effect size completing a33's
+    * categorical-by-categorical Cramér's V — "how much of length
+    * variance does language explain?"): exact integer power sums per
+    * group (the a18 decimal staging), the between-group sum folded in
+    * lang order over the bounded group list (the a33/e16 fixed-
+    * sequence trick), and a fixed IEEE DAG for
+    * SSB = Σ_g S_g²/n_g − (Σx)²/n, SST = Σx² − (Σx)²/n,
+    * η² = SSB/SST. */
+  private val a34EtaSquared = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    val grp = t(s, d, "documents").select(col("lang"), col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("n_chars").cast(dec)).cast(dec).as("_s"),
+        sum(col("n_chars").cast(dec) * col("n_chars").cast(dec)).cast(dec).as("_q"))
+    def contrib(e: Column): Column =
+      e.getField("_s").cast("double") * e.getField("_s").cast("double") /
+        e.getField("_n").cast("double")
+    grp
+      .agg(
+        sort_array(collect_list(struct(col("lang"), col("_n"), col("_s")))).as("_cells"),
+        sum(col("_n")).as("n"),
+        count(lit(1)).as("n_groups"),
+        sum(col("_s")).cast(dec).as("_ts"),
+        sum(col("_q")).cast(dec).as("_tq"))
+      .select(col("n"), col("n_groups"),
+        aggregate(
+          slice(col("_cells"), lit(2), size(col("_cells"))),
+          contrib(element_at(col("_cells"), 1)),
+          (acc, e) => acc + contrib(e)).as("_b"),
+        (col("_ts").cast("double") * col("_ts").cast("double") /
+          col("n").cast("double")).as("_c"),
+        col("_tq").cast("double").as("_tqd"))
+      .select(col("n"), col("n_groups"),
+        (col("_b") - col("_c")).as("ss_between"),
+        (col("_tqd") - col("_c") - (col("_b") - col("_c"))).as("ss_within"),
+        ((col("_b") - col("_c")) / (col("_tqd") - col("_c"))).as("eta_sq"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3530,6 +3621,9 @@ object SparkEntry {
     "t26_vocab_overlap" -> t26VocabOverlap,
     "j22_q10_shape" -> j22Q10Shape,
     "s16_hard_negatives" -> s16HardNegatives,
+    "w18_streaks" -> w18Streaks,
+    "x35_negative_sample" -> x35NegativeSample,
+    "a34_eta_squared" -> a34EtaSquared,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6062,6 +6156,66 @@ object SparkEntry {
            FROM embeddings p CROSS JOIN embeddings c
            WHERE p.vec_id < 5 AND c.label <> p.label
          ) WHERE rank <= 5 ORDER BY probe_id, rank""",
+    "w18_streaks" ->
+      // identical islands: day_idx - row_number is constant within a
+      // consecutive run; exact integer day buckets
+      """WITH days AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day_idx
+           FROM events
+         ), runs AS (
+           SELECT user_id,
+             day_idx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_idx) AS g
+           FROM days
+         ), lens AS (
+           SELECT user_id, g, count(*) AS len FROM runs GROUP BY 1, 2
+         )
+         SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+         FROM lens GROUP BY 1 ORDER BY 1""",
+    "x35_negative_sample" ->
+      // identical md5('neg:user:item') ranking over the complement set
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), items AS (SELECT DISTINCT item FROM ui
+         ), users AS (SELECT DISTINCT user_id FROM ui
+         ), cand AS (
+           SELECT u.user_id, i.item FROM users u CROSS JOIN items i
+           WHERE NOT EXISTS (SELECT 1 FROM ui
+             WHERE ui.user_id = u.user_id AND ui.item = i.item)
+         ), ranked AS (
+           SELECT user_id, item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+               md5('neg:' || user_id::VARCHAR || ':' || item::VARCHAR), item) AS rank
+           FROM cand
+         )
+         SELECT user_id, item, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 3 ORDER BY user_id, rank""",
+    "a34_eta_squared" ->
+      // HUGEINT power sums, per-group contributions folded in lang
+      // order (list_reduce, init = first element), varchar-hopped
+      // exact-integer -> double casts, identical IEEE DAG
+      """WITH g AS (
+           SELECT lang, count(*) AS n, sum(CAST(n_chars AS HUGEINT)) AS s,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS q
+           FROM documents GROUP BY 1
+         ), f AS (
+           SELECT CAST(sum(n) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_groups,
+             list_reduce(
+               list(CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                    / CAST(n AS DOUBLE) ORDER BY lang),
+               (acc, x) -> acc + x) AS b,
+             CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS ts,
+             CAST(CAST(sum(q) AS VARCHAR) AS DOUBLE) AS tq
+           FROM g
+         )
+         SELECT n, n_groups,
+           (b - ts * ts / CAST(n AS DOUBLE)) AS ss_between,
+           (tq - ts * ts / CAST(n AS DOUBLE)) - (b - ts * ts / CAST(n AS DOUBLE)) AS ss_within,
+           (b - ts * ts / CAST(n AS DOUBLE)) / (tq - ts * ts / CAST(n AS DOUBLE)) AS eta_sq
+         FROM f""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -223,6 +223,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "t26_vocab_overlap" -> 1.5,
     "j22_q10_shape" -> 1.5,
     "s16_hard_negatives" -> 1.4,
+    "w18_streaks" -> 1.0,
+    "x35_negative_sample" -> 1.2,
+    "a34_eta_squared" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
