@@ -3419,6 +3419,46 @@ object SparkEntry {
         ((col("_b") - col("_c")) / (col("_tqd") - col("_c"))).as("eta_sq"))
   }
 
+  /** Lag-1 autocorrelation of daily event counts per type (the
+    * seasonality/burstiness smell test a telemetry pipeline runs
+    * before picking a forecast model — near 0: Poisson-ish noise;
+    * positive: momentum/bursts; negative: alternation): exact-integer
+    * ACF. The rational sample form r₁ = Σ(x_t−μ)(x_{t+1}−μ) / Σ(x−μ)²
+    * is cleared of its means by n²: numerator n²S₁₁ − nA(2A−x_f−x_l)
+    * + (n−1)A², denominator n²Q − nA² — every term an exact
+    * DECIMAL(38,0) over exact daily counts (adjacency via a day+1
+    * self-equi-join on the staged daily frame), ONE terminal IEEE
+    * division. PRECONDITION: the day grid is gap-free per type (true
+    * here; resample e9 fills gaps upstream otherwise). */
+  private val e19Acf = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    val daily = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("x"))
+      .repartition(col("event_type"))
+      .persist())
+    val s11 = daily.select(col("event_type"), col("day_idx"), col("x").as("_xa"))
+      .join(daily.select(col("event_type"), (col("day_idx") - 1L).as("day_idx"),
+        col("x").as("_xb")), Seq("event_type", "day_idx"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_xa").cast(dec) * col("_xb").cast(dec)).cast(dec).as("_s11"))
+    val agg = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast(dec).as("_a"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).cast(dec).as("_q"),
+      min_by(col("x"), col("day_idx")).as("_xf"),
+      max_by(col("x"), col("day_idx")).as("_xl"))
+    agg.join(s11, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        ((col("n").cast(dec) * col("n").cast(dec) * col("_s11")
+          - col("n").cast(dec) * col("_a") *
+            ((col("_a") - col("_xl")) + (col("_a") - col("_xf")))
+          + (col("n") - 1L).cast(dec) * col("_a") * col("_a")).cast("double")
+          / (col("n").cast(dec) * col("n").cast(dec) * col("_q")
+            - col("n").cast(dec) * col("_a") * col("_a")).cast("double")).as("acf1"))
+      .orderBy(col("event_type"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3624,6 +3664,7 @@ object SparkEntry {
     "w18_streaks" -> w18Streaks,
     "x35_negative_sample" -> x35NegativeSample,
     "a34_eta_squared" -> a34EtaSquared,
+    "e19_acf" -> e19Acf,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6216,6 +6257,30 @@ object SparkEntry {
            (tq - ts * ts / CAST(n AS DOUBLE)) - (b - ts * ts / CAST(n AS DOUBLE)) AS ss_within,
            (b - ts * ts / CAST(n AS DOUBLE)) / (tq - ts * ts / CAST(n AS DOUBLE)) AS eta_sq
          FROM f""",
+    "e19_acf" ->
+      // identical exact-integer clearing of the rational ACF; the
+      // numerator/denominator are HUGEINT-exact so tree shape is
+      // irrelevant, only the varchar-hopped terminal casts and the
+      // ONE division must match
+      """WITH d AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), j AS (
+           SELECT a.event_type, sum(CAST(a.x AS HUGEINT) * b.x) AS s11
+           FROM d a JOIN d b ON a.event_type = b.event_type
+             AND b.day_idx = a.day_idx + 1
+           GROUP BY 1
+         ), agg AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS a,
+             sum(CAST(x AS HUGEINT) * x) AS q,
+             arg_min(x, day_idx) AS xf, arg_max(x, day_idx) AS xl
+           FROM d GROUP BY 1
+         )
+         SELECT agg.event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n*n*s11 - n*a*((a - xl) + (a - xf)) + (n-1)*a*a AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n*n*q - n*a*a AS VARCHAR) AS DOUBLE) AS acf1
+         FROM agg JOIN j USING (event_type) ORDER BY 1""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -226,6 +226,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w18_streaks" -> 1.0,
     "x35_negative_sample" -> 1.2,
     "a34_eta_squared" -> 1.0,
+    "e19_acf" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
