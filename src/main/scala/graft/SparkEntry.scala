@@ -3432,10 +3432,14 @@ object SparkEntry {
     * here; resample e9 fills gaps upstream otherwise). */
   private val e19Acf = (s: SparkSession, d: String) => {
     val dec = "decimal(38,0)"
+    // NO pre-repartition by event_type: 5 keys would serialize the
+    // corpus-width count into 5 tasks. The (type, day) groupBy keeps
+    // full scan parallelism via map-side combine, and everything
+    // downstream reshuffles the ~|types × days| collapsed frame —
+    // the shrink-before-reshuffle pattern the shuffle audit blesses.
     val daily = CachePool.register(Tables.events(s, d)
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
       .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("x"))
-      .repartition(col("event_type"))
       .persist())
     val s11 = daily.select(col("event_type"), col("day_idx"), col("x").as("_xa"))
       .join(daily.select(col("event_type"), (col("day_idx") - 1L).as("day_idx"),
