@@ -2400,6 +2400,25 @@ object SparkEntry {
     /** Exploded (doc_id, n_bytes, pos, feature) rows — scalar columns
       * only, so the driver's rows/schema/hash compare applies (an
       * `array<float>` output column is unhashable in the harness). */
+    def sceneCuts(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val media = Multimodal.attachFakeMedia(
+        docs.select(col("doc_id"), col("text")), "text")
+      val frames = Multimodal.frameSampleStub(
+        media.select(col("doc_id"), col("media")), "media", nFrames = 8)
+      val hashed = Multimodal.perceptualHash(
+        frames.select(col("doc_id"), col("frame_idx"), col("frame_payload")),
+        "frame_payload")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      val ham = bit_count(col("phash").bitwiseXOR(col("_prev"))).cast("int")
+      hashed
+        .withColumn("_prev", lag(col("phash"), 1).over(w))
+        .select(col("doc_id"), col("frame_idx"), col("phash"),
+          when(col("_prev").isNotNull, ham).as("hamming"),
+          when(col("_prev").isNotNull, ham > 32).as("scene_cut"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+
     def features(docs: DataFrame): DataFrame =
       Multimodal.decodeFeatures(
         Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
@@ -2582,7 +2601,14 @@ object SparkEntry {
   /** The FakeDecoder-replay CTE chain for `dim` features, ending at
     * `s3(doc_id, n_bytes, pos, z3)` — shared by m1 (features) and m6
     * (perceptual hash). */
-  private def fakeDecodeCtes(dim: Int): String = {
+  private def fakeDecodeCtes(dim: Int): String = fakeDecodeCtes(dim,
+    """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS hx
+          FROM documents""", "doc_id, n_bytes")
+
+  /** FakeDecoder replay over an arbitrary payload base CTE: `baseSql`
+    * must yield the key columns in `keys` plus `hx` = md5 hex of the
+    * payload bytes; the chain threads `keys` through each mixing CTE. */
+  private def fakeDecodeCtes(dim: Int, baseSql: String, keys: String): String = {
     val M = "18446744073709551616::HUGEINT" // 2^64
     val c1 = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
     val c2 = BigInt(java.lang.Long.toUnsignedString(0xBF58476D1CE4E5B9L))
@@ -2591,24 +2617,23 @@ object SparkEntry {
       s"(strpos('0123456789abcdef', substr(hx,$j,1))-1)::HUGEINT * ${BigInt(16).pow(16 - j)}::HUGEINT"
     }.mkString(" + ")
     s"""base AS (
-          SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS hx
-          FROM documents
+          $baseSql
         ), seeded AS (
-          SELECT doc_id, n_bytes, ($hexParse) AS h FROM base
+          SELECT $keys, ($hexParse) AS h FROM base
         ), ex AS (
-          SELECT doc_id, n_bytes, CAST(p AS INTEGER) AS pos,
+          SELECT $keys, CAST(p AS INTEGER) AS pos,
             ((h + (p::HUGEINT * $c1::HUGEINT)) % $M) AS z0
           FROM seeded, unnest(range(0,$dim)) AS t(p)
         ), s1 AS (
-          SELECT doc_id, n_bytes, pos,
+          SELECT $keys, pos,
             xor(z0::UBIGINT, (z0 // 536870912)::UBIGINT)::HUGEINT AS z1 FROM ex
         ), s2 AS (
-          SELECT doc_id, n_bytes, pos,
+          SELECT $keys, pos,
             (((z1 % 4294967296) * $c2lo::HUGEINT
               + (((z1 % 4294967296) * $c2hi::HUGEINT + (z1 // 4294967296) * $c2lo::HUGEINT)
                  * 4294967296::HUGEINT)) % $M) AS z2 FROM s1
         ), s3 AS (
-          SELECT doc_id, n_bytes, pos,
+          SELECT $keys, pos,
             xor(z2::UBIGINT, (z2 // 4294967296)::UBIGINT)::HUGEINT AS z3 FROM s2
         )"""
   }
@@ -2690,6 +2715,42 @@ object SparkEntry {
         FROM cand WHERE bit_count(xor(ua, ub)) <= 3
         ORDER BY id_a, id_b"""
   }
+
+  /** m8: the frame-payload aHash replay — per (doc, frame) the seed is
+    * md5 of the HEX STRING sha256(text || frame_idx) (the engine casts
+    * the hex to its UTF-8 bytes, which is what DuckDB's md5(varchar)
+    * hashes), then m6's exact integer threshold pack, then the lag-1
+    * Hamming via a frame_idx−1 self-join on the unsigned forms. */
+  private def m8OracleSql: String =
+    s"""WITH ${fakeDecodeCtes(64,
+      """SELECT doc_id, f.frame_idx,
+            md5(sha256(text || f.frame_idx::VARCHAR)) AS hx
+          FROM documents, unnest(range(0, 8)) AS f(frame_idx)""",
+      "doc_id, frame_idx")},
+        feat AS (
+          SELECT doc_id, frame_idx, pos, (z3 // 1099511627776) AS k FROM s3
+        ), agg AS (
+          SELECT doc_id, frame_idx, sum(k) AS sk FROM feat GROUP BY 1, 2
+        ), ph AS (
+          SELECT f.doc_id, f.frame_idx,
+            sum(CASE WHEN f.k * 64 >= a.sk
+                THEN (1::UBIGINT << f.pos)::HUGEINT ELSE 0::HUGEINT END) AS u
+          FROM feat f JOIN agg a USING (doc_id, frame_idx) GROUP BY 1, 2
+        ), hs AS (
+          SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+            u::UBIGINT AS u,
+            (CASE WHEN u >= 9223372036854775808::HUGEINT
+              THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS phash
+          FROM ph
+        )
+        SELECT c.doc_id, c.frame_idx, c.phash,
+          CASE WHEN p.u IS NOT NULL
+            THEN bit_count(xor(c.u, p.u))::INTEGER END AS hamming,
+          CASE WHEN p.u IS NOT NULL
+            THEN bit_count(xor(c.u, p.u)) > 32 END AS scene_cut
+        FROM hs c LEFT JOIN hs p
+          ON p.doc_id = c.doc_id AND p.frame_idx = c.frame_idx - 1
+        ORDER BY c.doc_id, c.frame_idx"""
 
   // ====================================================================
   // Change capture, sketch merge, PII redaction (pipeline metadata ops)
@@ -3463,6 +3524,20 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Video scene-cut detection over sampled frames (the shot-boundary
+    * primitive a video-curation pipeline runs before clip extraction):
+    * frames from [[Multimodal.frameSampleStub]] (real codec swaps in
+    * behind the same contract), per-frame aHash, lag-1 Hamming along
+    * frame order per media item, cut where the distance clears the
+    * threshold. Composes the m2 frame plumbing, the m6 hash, and a
+    * per-item window — the narrow explode is the only row-multiplying
+    * stage, and the window partitions by media item (frames-per-item
+    * bounded). Fake frames are hash-independent, so Hamming
+    * concentrates around 32 and the 32-threshold splits ~half/half —
+    * the mechanism, not the fixture, is what the oracle replays. */
+  private val m8SceneCuts = (s: SparkSession, d: String) =>
+    Multimodal1.sceneCuts(t(s, d, "documents"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3669,6 +3744,7 @@ object SparkEntry {
     "x35_negative_sample" -> x35NegativeSample,
     "a34_eta_squared" -> a34EtaSquared,
     "e19_acf" -> e19Acf,
+    "m8_scene_cuts" -> m8SceneCuts,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4933,6 +5009,7 @@ object SparkEntry {
          FROM events GROUP BY 1 ORDER BY 1""",
     "m6_phash" -> m6OracleSql,
     "m7_phash_pairs" -> m7OracleSql,
+    "m8_scene_cuts" -> m8OracleSql,
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

@@ -227,6 +227,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x35_negative_sample" -> 1.2,
     "a34_eta_squared" -> 1.0,
     "e19_acf" -> 1.2,
+    "m8_scene_cuts" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
