@@ -3538,6 +3538,49 @@ object SparkEntry {
   private val m8SceneCuts = (s: SparkSession, d: String) =>
     Multimodal1.sceneCuts(t(s, d, "documents"))
 
+  /** Soft dedup weights (the downweight-don't-drop alternative some
+    * corpus recipes prefer over d12's hard cut — every near-dup
+    * cluster contributes ONE document of total training mass,
+    * distributed evenly): d8's components joined back per doc,
+    * weight = 1/cluster_size as one exact-integer division. */
+  private val d23SoftDedup = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("label"))
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram novelty against the past corpus (the incremental-crawl
+    * admission signal — "how much of this doc's content has the
+    * corpus, in doc_id order, never seen before?"): for each distinct
+    * 3-shingle the FIRST holder is min(doc_id); a doc's novelty is the
+    * fraction of its distinct shingles it introduced. ONE shingle-
+    * keyed min aggregate (map-side combined) + join-back — the d22
+    * line-dedup shape on the shingle axis, exact integers + one
+    * terminal division. */
+  private val t27Novelty = (s: SparkSession, d: String) => {
+    val sh = Dedup.stagedShingles(
+      t(s, d, "documents").select(col("doc_id"), col("text")), "doc_id", "text", 3)
+      .select(col("doc_id"), explode(col("_sh")).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("_h"))
+      .distinct()
+    val first = sh.groupBy(col("_h")).agg(min(col("doc_id")).as("_first"))
+    sh.join(first, Seq("_h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_first") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3745,6 +3788,8 @@ object SparkEntry {
     "a34_eta_squared" -> a34EtaSquared,
     "e19_acf" -> e19Acf,
     "m8_scene_cuts" -> m8SceneCuts,
+    "d23_soft_dedup" -> d23SoftDedup,
+    "t27_novelty" -> t27Novelty,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5010,6 +5055,7 @@ object SparkEntry {
     "m6_phash" -> m6OracleSql,
     "m7_phash_pairs" -> m7OracleSql,
     "m8_scene_cuts" -> m8OracleSql,
+    "t27_novelty" -> t27OracleSql,
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char
@@ -5114,6 +5160,7 @@ object SparkEntry {
          FROM s4 ORDER BY l_orderkey, l_linenumber""",
     "d8_neardup_groups" -> d8OracleSql,
     "d19_dup_cluster_sizes" -> d19OracleSql,
+    "d23_soft_dedup" -> d23OracleSql,
     "x29_curriculum" ->
       // decile bounds from quantile_cont (the a10 agreement), bucket =
       // count of cleared bounds (identical comparisons), md5 'cur:'
@@ -6708,6 +6755,20 @@ object SparkEntry {
         WHERE sh.doc_id >= 50
         ORDER BY sh.doc_id"""
 
+  /** t27: distinct 3-shingles per doc (the shared shingle CTE), first
+    * holder = min doc_id per shingle, novelty = introduced fraction. */
+  private def t27OracleSql: String =
+    s"""WITH $shingleCteSql,
+        dg AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+        fh AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+        SELECT dg.doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_shingles,
+          CAST(SUM(CASE WHEN fh.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN fh.first_doc = dg.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM dg JOIN fh USING (g)
+        GROUP BY 1 ORDER BY 1"""
+
   /** Brute-force exact-Jaccard oracle over 3-shingles (TextAnalysis
     * semantics) for a given pair predicate — shared by the self (d6) and
     * bipartite (d7) near-dup queries. */
@@ -6762,6 +6823,32 @@ object SparkEntry {
         SELECT cluster_size, COUNT(*) AS n_clusters,
           cluster_size * COUNT(*) AS n_docs
         FROM cs GROUP BY 1 ORDER BY 1"""
+
+  /** d23: d8's recursive-closure labels + per-label size joined back
+    * per doc, weight = 1/size — the soft-dedup oracle. */
+  private def d23OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lbl AS (
+          SELECT d.doc_id,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS label
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s),
+        cs AS (SELECT label, COUNT(*) AS cluster_size FROM lbl GROUP BY 1)
+        SELECT lbl.doc_id, lbl.label AS canonical_id,
+          CAST(cs.cluster_size AS BIGINT) AS cluster_size,
+          1.0e0 / CAST(cs.cluster_size AS DOUBLE) AS weight
+        FROM lbl JOIN cs USING (label)
+        ORDER BY lbl.doc_id"""
 
   /** d18: d8's recursive-closure labeling + the (source, doc_id)
     * lexicographic pick per component — the oracle replays the

@@ -228,6 +228,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a34_eta_squared" -> 1.0,
     "e19_acf" -> 1.2,
     "m8_scene_cuts" -> 2.0,
+    "d23_soft_dedup" -> 6.5,
+    "t27_novelty" -> 1.3,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
