@@ -3581,6 +3581,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Spearman rank correlation of document length vs crawl order per
+    * source ("is this crawl's content drifting longer over time?" —
+    * the rank-based drift monitor that ignores outliers where Pearson
+    * chases them): EXACT under ties via DOUBLED average ranks — the
+    * tie run (c values at min-rank r₀) has 2·avg = 2r₀ + c − 1, an
+    * integer, and Pearson is affine-invariant so doubling changes
+    * nothing — every sum is exact DECIMAL(38,0) (the a18 staging),
+    * with ONE sqrt and ONE division at the end. Tie ranks ride the
+    * a32 run-collapse (distinct values ranked, joined back), never a
+    * per-row tie-count window. */
+  private val w19Spearman = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = t(s, d, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+    val byVal = base.groupBy(col("source"), col("n_chars")).agg(count(lit(1)).as("_c"))
+    val wv = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xr = byVal
+      .withColumn("_r0", sum(col("_c")).over(wv) - col("_c") + 1L)
+      .select(col("source"), col("n_chars"),
+        (col("_r0") * 2L + col("_c") - 1L).as("_x2"))
+    val wy = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val ranked = base
+      .withColumn("_y2", row_number().over(wy).cast("long") * 2L)
+      .join(xr, Seq("source", "n_chars"))
+    ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n"),
+        sum(col("_x2").cast(dec)).cast(dec).as("_sx"),
+        sum(col("_y2").cast(dec)).cast(dec).as("_sy"),
+        sum(col("_x2").cast(dec) * col("_x2").cast(dec)).cast(dec).as("_sxx"),
+        sum(col("_y2").cast(dec) * col("_y2").cast(dec)).cast(dec).as("_syy"),
+        sum(col("_x2").cast(dec) * col("_y2").cast(dec)).cast(dec).as("_sxy"))
+      .select(col("source"), col("n"),
+        ((col("n").cast(dec) * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+          / sqrt((col("n").cast(dec) * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+            * (col("n").cast(dec) * col("_syy") - col("_sy") * col("_sy")).cast("double")))
+          .as("spearman_rho"))
+      .orderBy(col("source"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3790,6 +3830,7 @@ object SparkEntry {
     "m8_scene_cuts" -> m8SceneCuts,
     "d23_soft_dedup" -> d23SoftDedup,
     "t27_novelty" -> t27Novelty,
+    "w19_spearman" -> w19Spearman,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6409,6 +6450,26 @@ object SparkEntry {
            CAST(CAST(n*n*s11 - n*a*((a - xl) + (a - xf)) + (n-1)*a*a AS VARCHAR) AS DOUBLE)
              / CAST(CAST(n*n*q - n*a*a AS VARCHAR) AS DOUBLE) AS acf1
          FROM agg JOIN j USING (event_type) ORDER BY 1""",
+    "w19_spearman" ->
+      // doubled average ranks are exact integers under ties; HUGEINT
+      // sums, varchar-hopped terminal casts, one sqrt + one division
+      """WITH r AS (
+           SELECT source, doc_id, n_chars,
+             CAST(2 * ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS HUGEINT) AS y2,
+             CAST(2 * RANK() OVER (PARTITION BY source ORDER BY n_chars)
+               + COUNT(*) OVER (PARTITION BY source, n_chars) - 1 AS HUGEINT) AS x2
+           FROM documents
+         ), agg AS (
+           SELECT source, CAST(count(*) AS HUGEINT) AS n,
+             sum(x2) AS sx, sum(y2) AS sy, sum(x2*x2) AS sxx,
+             sum(y2*y2) AS syy, sum(x2*y2) AS sxy
+           FROM r GROUP BY 1
+         )
+         SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE)) AS spearman_rho
+         FROM agg ORDER BY source""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

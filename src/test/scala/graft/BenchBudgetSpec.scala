@@ -230,6 +230,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "m8_scene_cuts" -> 2.0,
     "d23_soft_dedup" -> 6.5,
     "t27_novelty" -> 1.3,
+    "w19_spearman" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
