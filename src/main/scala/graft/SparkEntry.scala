@@ -3621,6 +3621,43 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Theil–Sen robust trend slope of daily counts per event type
+    * (Theil 1950 / Sen 1968 — the median-of-pairwise-slopes estimator
+    * that pairs with w17's Mann–Kendall test: MK answers "is there a
+    * trend", Theil–Sen answers "how steep", both immune to outlier
+    * days): slopes are exact-integer rationals over the bounded daily
+    * grid, ordered by their (deterministic IEEE) quotient with a full
+    * (num, den) tie-break, median = (lo + hi)/2 picks — pair volume
+    * is quadratic in DAYS per type (30 → 435), never in events; the
+    * corpus-width work is ONE daily-count aggregate. */
+  private val e20TheilSen = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("x"))
+      .persist())
+    val pairs = daily.select(col("event_type"), col("day_idx").as("_da"), col("x").as("_xa"))
+      .join(daily.select(col("event_type"), col("day_idx").as("_db"), col("x").as("_xb")),
+        Seq("event_type"))
+      .filter(col("_da") < col("_db"))
+      .select(col("event_type"),
+        (col("_xb") - col("_xa")).as("_num"), (col("_db") - col("_da")).as("_den"))
+      .withColumn("_slope", col("_num").cast("double") / col("_den").cast("double"))
+    val nps = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("_np"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("_slope"), col("_num"), col("_den"))
+    pairs.withColumn("_rn", row_number().over(w))
+      .join(broadcast(nps), Seq("event_type"))
+      // integer div, NOT Column./ (which is double division on longs
+      // and would silently miss the lo pick whenever n_pairs is even)
+      .filter(col("_rn") === expr("(_np + 1) div 2") ||
+        col("_rn") === expr("_np div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(max(col("_np")).as("n_pairs"),
+        ((min(col("_slope")) + max(col("_slope"))) / 2.0).as("theil_sen_slope"))
+      .orderBy(col("event_type"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3831,6 +3868,7 @@ object SparkEntry {
     "d23_soft_dedup" -> d23SoftDedup,
     "t27_novelty" -> t27Novelty,
     "w19_spearman" -> w19Spearman,
+    "e20_theil_sen" -> e20TheilSen,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6470,6 +6508,32 @@ object SparkEntry {
              / sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE)
                   * CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE)) AS spearman_rho
          FROM agg ORDER BY source""",
+    "e20_theil_sen" ->
+      // identical slope quotients (exact integers -> one IEEE division
+      // each), identical (slope, num, den) total order, (lo+hi)/2
+      """WITH d AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx, count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), p AS (
+           SELECT a.event_type,
+             CAST(b.x AS BIGINT) - a.x AS num,
+             CAST(b.day_idx AS BIGINT) - a.day_idx AS den
+           FROM d a JOIN d b ON a.event_type = b.event_type
+             AND a.day_idx < b.day_idx
+         ), r AS (
+           SELECT event_type, num, den,
+             CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+           FROM p
+         ), picks AS (
+           SELECT event_type, np, slope FROM r
+           WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+         )
+         SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+           (min(slope) + max(slope)) / 2.0e0 AS theil_sen_slope
+         FROM picks GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -231,6 +231,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "d23_soft_dedup" -> 6.5,
     "t27_novelty" -> 1.3,
     "w19_spearman" -> 1.2,
+    "e20_theil_sen" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

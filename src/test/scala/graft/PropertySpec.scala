@@ -260,4 +260,30 @@ class PropertySpec extends SparkTestBase {
         "different multisets of equal size must separate somewhere")
     }
   }
+
+  test("e20 Theil-Sen: EVEN pair count averages the two middle slopes (the integer-div pick)") {
+    // 4 days -> 6 pairwise slopes (EVEN): the sf fixtures all land on
+    // odd pair counts, so the lo/hi median pick's even path is pinned
+    // here. Counts by day: 1, 4, 2, 7 -> slopes sorted:
+    // (2-4)/1=-2, (2-1)/2=0.5, (4-1)/1=3, ... full set:
+    // d1->d2: 3, d1->d3: 0.5, d1->d4: 2, d2->d3: -2, d2->d4: 1.5, d3->d4: 5
+    // sorted: -2, 0.5, 1.5, 2, 3, 5 -> median = (1.5 + 2)/2 = 1.75
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("theilsen")
+    val perDay = Seq(0 -> 1, 1 -> 4, 2 -> 2, 3 -> 7)
+    val rows = for {
+      (day, n) <- perDay; i <- 0 until n
+    } yield (day.toLong * 100 + i, // event_id
+      day.toLong * 86400000000L + i, // micros
+      1L, "click", 1.0, """{"k":1}""")
+    rows.toDF("event_id", "_tus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("_tus"))).drop("_tus")
+      .write.parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("e20_theil_sen")(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_pairs") == 6L)
+    assert(got(0).getAs[Double]("theil_sen_slope") == 1.75,
+      s"even-count median must average the middle slopes: ${got(0)}")
+  }
 }
