@@ -3658,6 +3658,36 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Per-user activity coverage by interval union (the uptime /
+    * "minutes actually active" metric — every event opens a 5-minute
+    * window, overlaps must not double-count): the classic merge —
+    * running max of interval ends over a (start, event_id) total
+    * order, a new island whenever a start clears everything before
+    * it, island id = running flag sum, then exact integer lengths.
+    * One user-keyed shuffle; state per row is O(1) running frames
+    * (never an unbounded-following frame). */
+  private val e21IntervalCoverage = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val width = 300000000L // 5 min in micros
+    val iv = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("_s"))
+      .withColumn("_e", col("_s") + width)
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("_s"), col("event_id"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv
+      .withColumn("_pm", max(col("_e")).over(prior))
+      .withColumn("_flag",
+        when(col("_pm").isNull || col("_s") > col("_pm"), 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_flag")).over(upto))
+      .groupBy(col("user_id"), col("_island"))
+      .agg(min(col("_s")).as("_is"), max(col("_e")).as("_ie"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("_ie") - col("_is")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3869,6 +3899,7 @@ object SparkEntry {
     "t27_novelty" -> t27Novelty,
     "w19_spearman" -> w19Spearman,
     "e20_theil_sen" -> e20TheilSen,
+    "e21_interval_coverage" -> e21IntervalCoverage,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6534,6 +6565,35 @@ object SparkEntry {
          SELECT event_type, CAST(max(np) AS BIGINT) AS n_pairs,
            (min(slope) + max(slope)) / 2.0e0 AS theil_sen_slope
          FROM picks GROUP BY 1 ORDER BY 1""",
+    "e21_interval_coverage" ->
+      // identical running-max merge under the same total order, exact
+      // integer micros throughout
+      """WITH iv AS (
+           SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+           FROM events
+         ), o AS (
+           SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY s, event_id) AS rn
+           FROM iv
+         ), f AS (
+           SELECT user_id, s, e, rn,
+             CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS flag
+           FROM o
+         ), g AS (
+           SELECT user_id, s, e,
+             sum(flag) OVER (PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM f
+         ), m AS (
+           SELECT user_id, island, min(s) AS i_s, max(e) AS i_e
+           FROM g GROUP BY 1, 2
+         )
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+         FROM m GROUP BY 1 ORDER BY 1""",
   )
 
   /** DuckDB twin of [[graft.operators.Similarity.signLshTopK]]: the

@@ -232,6 +232,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t27_novelty" -> 1.3,
     "w19_spearman" -> 1.2,
     "e20_theil_sen" -> 1.2,
+    "e21_interval_coverage" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
