@@ -3688,6 +3688,91 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Poisson(1) inverse-CDF thresholds (cumulative P(X ≤ k), k = 0..7)
+    * — computed ONCE here in a fixed op order and embedded as
+    * shortest-roundtrip literals in BOTH plans (the a31 Benford
+    * trick): neither engine evaluates exp at query time. */
+  private val bootThresholds: Seq[Double] = {
+    var p = math.exp(-1.0); var c = 0.0
+    (0 until 8).map { k => c += p; p /= (k + 1); c }
+  }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the mean
+    * document length (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams" — the ONE-PASS bootstrap: classic
+    * resampling needs B corpus passes, Poisson bootstrap gives every
+    * row an independent Poisson(1) multiplicity per replicate, so B
+    * replicate sums ride a single map-side-combined aggregate; the
+    * shuffle carries B rows per partition, not the corpus). The
+    * "randomness" is the x2/x35 hash discipline: u = first-8-hex of
+    * md5('boot{b}:{doc_id}') over 2³² (an exact dyadic), weight =
+    * count of cleared Poisson-CDF thresholds (the x29/psiBinOf
+    * comparison fold over plan-time literals — u can never equal a
+    * threshold, 32-bit dyadics don't hit 52-bit mantissas). Replicate
+    * means are exact-integer divisions; the CI is nearest-rank over
+    * the B=100 means (a bounded 100-row global window). */
+  private val a35BootstrapCi = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val B = 100
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+    val hx = md5(concat_ws("", lit("boot"), col("b").cast("string"),
+      lit(":"), col("doc_id").cast("string")).cast("binary"))
+    val u = conv(substring(hx, 1, 8), 16, 10).cast("long").cast("double") /
+      lit(4294967296.0)
+    val reps = docs.withColumn("b", explode(sequence(lit(0), lit(B - 1))))
+      .withColumn("_w", Evaluation.psiBinOf(u, typedLit(bootThresholds)).cast("long"))
+    val means = reps.groupBy(col("b"))
+      .agg(sum(col("_w") * col("n_chars")).as("_sw"), sum(col("_w")).as("_nw"))
+      .withColumn("_m", col("_sw").cast("double") / col("_nw").cast("double"))
+    val ranked = means
+      .withColumn("_rn", row_number().over(Window.orderBy(col("_m"), col("b"))))
+    val est = docs.agg(
+      (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_est"),
+      count(lit(1)).as("n_docs"))
+    est
+      .crossJoin(broadcast(ranked.filter(col("_rn") === 3)
+        .select(col("_m").as("ci_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("_rn") === 98)
+        .select(col("_m").as("ci_hi"))))
+      .withColumn("n_reps", lit(100L))
+      .select(col("n_docs"), col("n_reps"), col("mean_est"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
+  /** a35's twin: the same literals, hex parse, threshold fold, and
+    * nearest-rank picks. */
+  private def a35OracleSql: String = {
+    val ths = bootThresholds
+      .map(c => s"CASE WHEN u >= ${c}e0 THEN 1 ELSE 0 END").mkString(" + ")
+    val hexparse = (0 until 8)
+      .map(j => s"(strpos('0123456789abcdef', substr(hx, ${j + 1}, 1))-1) * ${BigInt(16).pow(7 - j)}")
+      .mkString(" + ")
+    s"""WITH reps AS (
+          SELECT doc_id, n_chars, b.b,
+            md5('boot' || b.b::VARCHAR || ':' || doc_id::VARCHAR) AS hx
+          FROM documents, unnest(range(0, 100)) AS b(b)
+        ), uu AS (
+          SELECT doc_id, n_chars, b, ($hexparse)::DOUBLE / 4294967296.0e0 AS u
+          FROM reps
+        ), ww AS (
+          SELECT b, CAST(sum(($ths) * n_chars) AS BIGINT) AS sw,
+            CAST(sum($ths) AS BIGINT) AS nw
+          FROM uu GROUP BY b
+        ), means AS (
+          SELECT b, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m,
+            ROW_NUMBER() OVER (ORDER BY CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE), b) AS rn
+          FROM ww
+        )
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+          CAST(100 AS BIGINT) AS n_reps,
+          (SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) FROM documents) AS mean_est,
+          max(CASE WHEN rn = 3 THEN m END) AS ci_lo,
+          max(CASE WHEN rn = 98 THEN m END) AS ci_hi
+        FROM means"""
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3900,6 +3985,7 @@ object SparkEntry {
     "w19_spearman" -> w19Spearman,
     "e20_theil_sen" -> e20TheilSen,
     "e21_interval_coverage" -> e21IntervalCoverage,
+    "a35_bootstrap_ci" -> a35BootstrapCi,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5166,6 +5252,7 @@ object SparkEntry {
     "m7_phash_pairs" -> m7OracleSql,
     "m8_scene_cuts" -> m8OracleSql,
     "t27_novelty" -> t27OracleSql,
+    "a35_bootstrap_ci" -> a35OracleSql,
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

@@ -233,6 +233,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w19_spearman" -> 1.2,
     "e20_theil_sen" -> 1.2,
     "e21_interval_coverage" -> 1.2,
+    "a35_bootstrap_ci" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
