@@ -3773,6 +3773,127 @@ object SparkEntry {
         FROM means"""
   }
 
+  /** Last-touch conversion attribution (the marketing/credit-assignment
+    * query every event pipeline ends up running): each purchase is
+    * credited to the SAME user's most recent strictly-earlier click —
+    * the classic `last(..., ignoreNulls)` over an unbounded-preceding
+    * running frame (O(1) state per row, one user_id Exchange shared
+    * with the w10/e7 family), never a per-purchase subquery. Purchases
+    * with no prior click land in the explicit `-1` unattributed bucket;
+    * the mean click→purchase lag is an exact-integer micros sum over
+    * one IEEE division. */
+  private val w20Attribution = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("_tus"), col("event_type"))
+    val prior = Window.partitionBy(col("user_id"))
+      .orderBy(col("_tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("_ck",
+        last(when(col("event_type") === "click", col("_tus")), ignoreNulls = true)
+          .over(prior))
+      .filter(col("event_type") === "purchase")
+      .withColumn("click_day",
+        when(col("_ck").isNull, lit(-1L)).otherwise(expr("_ck div 86400000000L")))
+      .groupBy(col("click_day"))
+      .agg(count(lit(1)).as("purchases"),
+        countDistinct(col("user_id")).as("users"),
+        (sum(col("_tus") - col("_ck")).cast("double") /
+          count(col("_ck")).cast("double")).as("mean_lag_us"))
+      .orderBy(col("click_day"))
+  }
+
+  /** Kendall's tau-b between the daily-count series of every pair of
+    * event types (the rank-correlation completion next to w19 Spearman
+    * and w17 Mann–Kendall: MK is tau of value-vs-TIME; this is tau
+    * BETWEEN two observed series — "does click volume track purchase
+    * volume day over day"). Concordant / discordant / tie cells are
+    * exact integers from a pairwise self-join bounded by DAYS² per
+    * type-pair (30 → 435 rows), never by events; corpus-width work is
+    * ONE daily-count aggregate. tau_b = (C−D)/√((n0−n1)(n0−n2)) is one
+    * sqrt and one division over those integers (Kendall 1945 tie
+    * correction). Days where either type has no events drop out of
+    * that pair's grid (inner join), keeping both series aligned. */
+  private val a36KendallTau = (s: SparkSession, d: String) => {
+    val daily = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_x"))
+      .persist())
+    val grid = daily.select(col("event_type").as("type_a"), col("_day"), col("_x").as("_xa"))
+      .join(daily.select(col("event_type").as("type_b"), col("_day"), col("_x").as("_xb")),
+        Seq("_day"))
+      .filter(col("type_a") < col("type_b"))
+    val isign = (c: Column) => when(c > 0L, 1L).when(c < 0L, -1L).otherwise(0L)
+    val pp = grid
+      .select(col("type_a"), col("type_b"), col("_day").as("_d1"),
+        col("_xa").as("_a1"), col("_xb").as("_b1"))
+      .join(grid.select(col("type_a"), col("type_b"), col("_day").as("_d2"),
+        col("_xa").as("_a2"), col("_xb").as("_b2")), Seq("type_a", "type_b"))
+      .filter(col("_d1") < col("_d2"))
+      .select(col("type_a"), col("type_b"),
+        isign(col("_a2") - col("_a1")).as("_sa"),
+        isign(col("_b2") - col("_b1")).as("_sb"))
+    pp.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_sa") * col("_sb") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("_sa") * col("_sb") === -1L, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("_sa") === 0L, 1L).otherwise(0L)).as("_tx"),
+        sum(when(col("_sb") === 0L, 1L).otherwise(0L)).as("_ty"))
+      .select(col("type_a"), col("type_b"), col("n_pairs"),
+        col("concordant"), col("discordant"),
+        ((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("n_pairs") - col("_tx")).cast("double") *
+            (col("n_pairs") - col("_ty")).cast("double"))).as("tau_b"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Daily volume-weighted average price per event type (the e15 OHLC
+    * family's missing member — OHLC gives the range, VWAP gives where
+    * the volume actually traded): price = `value` (a ≤2-decimal
+    * fixture double, recovered exactly through decimal(18,2) — the
+    * class-doc float discipline), volume = the integer `props.k`.
+    * Σ(price·k) rides an order-independent decimal sum, Σk a long sum;
+    * VWAP is ONE IEEE division at the end. Single map-side-combined
+    * aggregate, one (event_type, day) shuffle. */
+  private val e22Vwap = (s: SparkSession, d: String) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"),
+        col("value").cast("decimal(18,2)").as("_p"),
+        get_json_object(col("props"), "$.k").cast("long").as("_k"))
+    ev.groupBy(col("event_type"), col("day_idx"))
+      .agg(count(lit(1)).as("trades"),
+        sum(col("_k")).as("volume"),
+        sum(col("_p") * col("_k").cast("decimal(18,0)")).as("_pv"))
+      .select(col("event_type"), col("day_idx"), col("trades"), col("volume"),
+        (col("_pv").cast("double") / col("volume").cast("double")).as("vwap"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
+  /** Corpus-level vocabulary concentration per source (the Heaps'/Zipf
+    * health numbers a pretraining mix is tuned on — t14 is the same
+    * lens per DOCUMENT; this is the per-CORPUS roll-up where hapax
+    * share and type–token ratio mean something): one exploded
+    * (source, term) frequency aggregate — map-side combined, the only
+    * corpus-width shuffle — then a source-keyed fold to exact integer
+    * (tokens, types, hapax) cells and two IEEE divisions. Tokenizer is
+    * byte-for-byte t1/t3's normalize + whitespace split. */
+  private val t28Hapax = (s: SparkSession, d: String) => {
+    val tf = TextAnalysis.withTokens(t(s, d, "documents"), "text")
+      .select(col("source"), explode(col("_toks")).as("_term"))
+      .filter(col("_term") =!= "")
+      .groupBy(col("source"), col("_term")).agg(count(lit(1)).as("_f"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("_f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("_f") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double")).as("hapax_ratio"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("type_token_ratio"))
+      .orderBy(col("source"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3986,6 +4107,10 @@ object SparkEntry {
     "e20_theil_sen" -> e20TheilSen,
     "e21_interval_coverage" -> e21IntervalCoverage,
     "a35_bootstrap_ci" -> a35BootstrapCi,
+    "w20_attribution" -> w20Attribution,
+    "a36_kendall_tau" -> a36KendallTau,
+    "e22_vwap" -> e22Vwap,
+    "t28_hapax" -> t28Hapax,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5253,6 +5378,81 @@ object SparkEntry {
     "m8_scene_cuts" -> m8OracleSql,
     "t27_novelty" -> t27OracleSql,
     "a35_bootstrap_ci" -> a35OracleSql,
+    "w20_attribution" ->
+      // the identical strictly-preceding last-click frame (IGNORE NULLS
+      // over ROWS ... 1 PRECEDING), -1 unattributed bucket, and
+      // exact-integer lag sum over one IEEE division
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events
+         ), la AS (
+           SELECT user_id, event_type, tus,
+             last_value(CASE WHEN event_type = 'click' THEN tus END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ck
+           FROM ev
+         )
+         SELECT CASE WHEN ck IS NULL THEN CAST(-1 AS BIGINT) ELSE ck // 86400000000 END AS click_day,
+           CAST(count(*) AS BIGINT) AS purchases,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(sum(tus - ck) AS DOUBLE) / CAST(count(ck) AS DOUBLE) AS mean_lag_us
+         FROM la WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
+    "a36_kendall_tau" ->
+      // same aligned daily grid, same integer sign cells, same
+      // (C-D)/sqrt((n0-n1)(n0-n2)) DAG: one sqrt, one division
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), grid AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.day AS day, a.x AS xa, b.x AS xb
+           FROM daily a JOIN daily b USING (day)
+           WHERE a.event_type < b.event_type
+         ), pp AS (
+           SELECT g1.type_a, g1.type_b,
+             CASE WHEN g2.xa > g1.xa THEN 1 WHEN g2.xa < g1.xa THEN -1 ELSE 0 END AS sa,
+             CASE WHEN g2.xb > g1.xb THEN 1 WHEN g2.xb < g1.xb THEN -1 ELSE 0 END AS sb
+           FROM grid g1 JOIN grid g2
+             ON g1.type_a = g2.type_a AND g1.type_b = g2.type_b AND g1.day < g2.day
+         ), cells AS (
+           SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN sa * sb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(sum(CASE WHEN sa * sb = -1 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(sum(CASE WHEN sa = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+           FROM pp GROUP BY 1, 2
+         )
+         SELECT type_a, type_b, n_pairs, concordant, discordant,
+           CAST(concordant - discordant AS DOUBLE) /
+             sqrt(CAST(n_pairs - tx AS DOUBLE) * CAST(n_pairs - ty AS DOUBLE)) AS tau_b
+         FROM cells ORDER BY type_a, type_b""",
+    "e22_vwap" ->
+      // decimal-exact price*volume sum, long volume sum, one division
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+           CAST(count(*) AS BIGINT) AS trades,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS volume,
+           CAST(sum(CAST(value AS DECIMAL(18,2)) *
+                    CAST(CAST(props->>'k' AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)
+             / CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) AS vwap
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "t28_hapax" ->
+      // t1/t3's exact tokenizer, per-source frequency cells, two
+      // integer divisions
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT source, term, count(*) AS f FROM tok WHERE term <> '' GROUP BY 1, 2
+         )
+         SELECT source, CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_ratio,
+           CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS type_token_ratio
+         FROM tf GROUP BY 1 ORDER BY 1""",
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

@@ -234,6 +234,10 @@ class BenchBudgetSpec extends SparkTestBase {
     "e20_theil_sen" -> 1.2,
     "e21_interval_coverage" -> 1.2,
     "a35_bootstrap_ci" -> 1.5,
+    "w20_attribution" -> 1.2,
+    "a36_kendall_tau" -> 1.5,
+    "e22_vwap" -> 1.2,
+    "t28_hapax" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

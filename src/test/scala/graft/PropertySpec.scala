@@ -286,4 +286,98 @@ class PropertySpec extends SparkTestBase {
     assert(got(0).getAs[Double]("theil_sen_slope") == 1.75,
       s"even-count median must average the middle slopes: ${got(0)}")
   }
+
+  private def writeEvents(dir: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.spark.sql.functions._
+    rows.toDF("event_id", "_tus", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("_tus"))).drop("_tus")
+      .write.parquet(s"$dir/events.parquet")
+  }
+
+  test("w20 attribution: last prior click wins, no-click purchases land in -1, lag is exact") {
+    val dir = tmpDir("attr")
+    val h = 3600000000L // 1h in micros
+    writeEvents(dir, Seq(
+      // user 1: purchase BEFORE any click -> unattributed
+      (1L, 1 * h, 1L, "purchase", 1.0, "{}"),
+      // user 1: click, click, purchase -> attributed to the SECOND click, lag 1h
+      (2L, 2 * h, 1L, "click", 1.0, "{}"),
+      (3L, 3 * h, 1L, "click", 1.0, "{}"),
+      (4L, 4 * h, 1L, "purchase", 1.0, "{}"),
+      // user 2's click must never attribute user 1's purchase
+      (5L, 5 * h, 2L, "click", 1.0, "{}"),
+      (6L, 6 * h, 2L, "purchase", 1.0, "{}"),
+      // a view between click and purchase does not steal credit
+      (7L, 7 * h, 3L, "click", 1.0, "{}"),
+      (8L, 8 * h, 3L, "view", 1.0, "{}"),
+      (9L, 9 * h, 3L, "purchase", 1.0, "{}")))
+    val got = SparkEntry.queries("w20_attribution")(spark, dir).collect()
+    val byDay = got.map(r => r.getAs[Long]("click_day") -> r).toMap
+    assert(byDay(-1L).getAs[Long]("purchases") == 1L)
+    assert(byDay(-1L).isNullAt(byDay(-1L).fieldIndex("mean_lag_us")),
+      "unattributed bucket must have null mean lag")
+    assert(byDay(0L).getAs[Long]("purchases") == 3L)
+    assert(byDay(0L).getAs[Long]("users") == 3L)
+    // lags: 1h (user 1), 1h (user 2), 2h (user 3) -> mean = 4h/3
+    assert(byDay(0L).getAs[Double]("mean_lag_us") == (4 * h).toDouble / 3.0)
+  }
+
+  test("a36 Kendall tau-b: +1 on concordant series, tie cells counted on both axes") {
+    val dir = tmpDir("kendall")
+    val day = 86400000000L
+    // daily counts over 3 days: type a -> 1,2,3 ; type b -> 2,3,4
+    // (perfectly concordant); type c -> 1,1,2 (one tied a-pair... c<->a:
+    // pairs (d1,d2): a rises, c ties -> tx; (d1,d3),(d2,d3): concordant)
+    def burst(t: String, d: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, d * day + i * 1000L, 1L, t, 1.0, "{}"))
+    writeEvents(dir,
+      burst("a", 0, 1, 100) ++ burst("a", 1, 2, 200) ++ burst("a", 2, 3, 300) ++
+      burst("b", 0, 2, 400) ++ burst("b", 1, 3, 500) ++ burst("b", 2, 4, 600) ++
+      burst("c", 0, 1, 700) ++ burst("c", 1, 1, 800) ++ burst("c", 2, 2, 900))
+    val got = SparkEntry.queries("a36_kendall_tau")(spark, dir).collect()
+    val byPair = got.map(r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    val ab = byPair(("a", "b"))
+    assert(ab.getAs[Long]("n_pairs") == 3L && ab.getAs[Long]("concordant") == 3L)
+    assert(ab.getAs[Double]("tau_b") == 1.0)
+    val ac = byPair(("a", "c"))
+    assert(ac.getAs[Long]("concordant") == 2L && ac.getAs[Long]("discordant") == 0L)
+    // tau_b = (2-0)/sqrt((3-0)*(3-1)) = 2/sqrt(6)
+    assert(ac.getAs[Double]("tau_b") == 2.0 / math.sqrt(3.0 * 2.0))
+  }
+
+  test("e22 VWAP: hand-math volume weighting, decimal-exact at 2dp") {
+    val dir = tmpDir("vwap")
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "click", 10.50, """{"k": 2}"""),
+      (2L, 2000L, 1L, "click", 20.25, """{"k": 4}"""),
+      (3L, 3000L, 1L, "view", 99.99, """{"k": 1}""")))
+    val got = SparkEntry.queries("e22_vwap")(spark, dir).collect()
+    val click = got.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("trades") == 2L && click.getAs[Long]("volume") == 6L)
+    // (10.50*2 + 20.25*4) / 6 = 102.00 / 6 = 17.0 exactly
+    assert(click.getAs[Double]("vwap") == 17.0)
+    val view = got.find(_.getAs[String]("event_type") == "view").get
+    assert(view.getAs[Double]("vwap") == 99.99)
+  }
+
+  test("t28 hapax: corpus-level type/token/hapax cells are exact") {
+    val dir = tmpDir("hapax")
+    Seq(
+      (1L, "the cat sat", "en", "srcA", 11L),
+      (2L, "the dog", "en", "srcA", 7L),
+      (3L, "unique words only here", "en", "srcB", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t28_hapax")(spark, dir).collect()
+    val a = got.find(_.getAs[String]("source") == "srcA").get
+    // srcA tokens: the,cat,sat,the,dog -> 5 tokens, 4 types, hapax 3 (cat,sat,dog)
+    assert(a.getAs[Long]("n_tokens") == 5L && a.getAs[Long]("n_types") == 4L)
+    assert(a.getAs[Long]("n_hapax") == 3L)
+    assert(a.getAs[Double]("hapax_ratio") == 3.0 / 4.0)
+    assert(a.getAs[Double]("type_token_ratio") == 4.0 / 5.0)
+    val b = got.find(_.getAs[String]("source") == "srcB").get
+    assert(b.getAs[Long]("n_hapax") == 4L && b.getAs[Double]("hapax_ratio") == 1.0)
+  }
 }
