@@ -3894,6 +3894,72 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** TPC-H Q16 shape (parts/supplier relationship report): distinct
+    * (part, supplier) pairs from the fact table stand in for PARTSUPP,
+    * the filtered part dim broadcasts into them, "complaint" suppliers
+    * (negative balance — the fixture's analogue of Q16's comment scan)
+    * are removed by a broadcast LEFT ANTI, and the count-distinct
+    * collapses to (brand, type, size) cells. Both dims are
+    * broadcast-sized forever (parts-after-filter, bad-suppliers); the
+    * only corpus-width work is the fact-side distinct, which
+    * map-side-combines on its own keys. Ref semantics:
+    * TPC-H Q16 (Council spec §2.4.16). */
+  private val j23Q16Shape = (s: SparkSession, d: String) => {
+    val ps = t(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+    val p = t(s, d, "part")
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val bad = t(s, d, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** Welch's unequal-variance t-statistic between the `value`
+    * distributions of every event-type pair (Welch 1947 — the
+    * two-sample location test that does NOT assume equal variances,
+    * completing the stats suite beside a29's KS distance and a34's
+    * eta-squared: KS says "different shape", Welch-t says "different
+    * MEAN, and how many standard errors apart"). Cells are exact:
+    * n (long), Σv and Σv² through decimals (value is a ≤2-decimal
+    * fixture double). The t DAG is fixed IEEE — decimal cells hop
+    * through correctly-rounded casts (the w19 varchar trick on the
+    * DuckDB side), then mean/var/t are the identical 6-op sequence in
+    * both engines. ONE map-side-combined aggregate over the corpus;
+    * the pair frame is 5×5 broadcast algebra. */
+  private val a37WelchT = (s: SparkSession, d: String) => {
+    // widths chosen so every product/difference stays inside Spark's
+    // 38-digit exactness: s1 ≤ 1e14 (16,2), s2 ≤ 1e20 (24,4) →
+    // n(10,0)·s2 = (35,4), s1² = (33,4), difference (36,4) — no
+    // precision-overflow rounding anywhere before the terminal casts
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("_v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col("_v")).cast("decimal(16,2)").as("_s1"),
+        sum(col("_v") * col("_v")).cast("decimal(24,4)").as("_s2"))
+    val a = cells.select(col("event_type").as("type_a"), col("_n").as("n_a"),
+      col("_s1").as("_s1a"), col("_s2").as("_s2a"))
+    val b = cells.select(col("event_type").as("type_b"), col("_n").as("n_b"),
+      col("_s1").as("_s1b"), col("_s2").as("_s2b"))
+    val mean = (s1: Column, n: Column) => s1.cast("double") / n.cast("double")
+    val vr = (n: Column, s1: Column, s2: Column) =>
+      (n.cast("decimal(10,0)") * s2 - s1 * s1).cast("double") /
+        (n * (n - 1L)).cast("double")
+    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        mean(col("_s1a"), col("n_a")).as("mean_a"),
+        mean(col("_s1b"), col("n_b")).as("mean_b"),
+        ((mean(col("_s1a"), col("n_a")) - mean(col("_s1b"), col("n_b"))) /
+          sqrt(vr(col("n_a"), col("_s1a"), col("_s2a")) / col("n_a").cast("double") +
+            vr(col("n_b"), col("_s1b"), col("_s2b")) / col("n_b").cast("double")))
+          .as("t_stat"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4111,6 +4177,8 @@ object SparkEntry {
     "a36_kendall_tau" -> a36KendallTau,
     "e22_vwap" -> e22Vwap,
     "t28_hapax" -> t28Hapax,
+    "j23_q16_shape" -> j23Q16Shape,
+    "a37_welch_t" -> a37WelchT,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5453,6 +5521,53 @@ object SparkEntry {
              / CAST(count(*) AS DOUBLE) AS hapax_ratio,
            CAST(count(*) AS DOUBLE) / CAST(sum(f) AS DOUBLE) AS type_token_ratio
          FROM tf GROUP BY 1 ORDER BY 1""",
+    "j23_q16_shape" ->
+      // identical partsupp surrogate, part filters, anti-joined
+      // negative-balance suppliers, count-distinct cells, total order
+      """WITH ps AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+         )
+         SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ps JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+           AND p_size IN (1, 4, 9, 14, 19, 23)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "a37_welch_t" ->
+      // HUGEINT cells scaled by 100 (value has <=2 decimals), variance
+      // numerator is a non-negative exact integer at scale 4 spliced to
+      // its decimal string (the w19 varchar hop: one correctly-rounded
+      // parse matches Spark's one correctly-rounded decimal->double),
+      // then the identical 6-op IEEE t DAG
+      """WITH v AS (
+           SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v100
+           FROM events
+         ), cells AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(v100) AS s1i, sum(v100 * v100) AS s2i
+           FROM v GROUP BY 1
+         ), dag AS (
+           SELECT c.event_type AS type_a, d.event_type AS type_b,
+             c.n AS n_a, d.n AS n_b,
+             CAST(CAST(c.s1i // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST(c.s1i % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+               / CAST(c.n AS DOUBLE) AS mean_a,
+             CAST(CAST(d.s1i // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST(d.s1i % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+               / CAST(d.n AS DOUBLE) AS mean_b,
+             CAST(CAST((c.n * c.s2i - c.s1i * c.s1i) // 10000 AS VARCHAR) || '.' ||
+                  lpad(CAST((c.n * c.s2i - c.s1i * c.s1i) % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+               / CAST(c.n * (c.n - 1) AS DOUBLE) AS var_a,
+             CAST(CAST((d.n * d.s2i - d.s1i * d.s1i) // 10000 AS VARCHAR) || '.' ||
+                  lpad(CAST((d.n * d.s2i - d.s1i * d.s1i) % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+               / CAST(d.n * (d.n - 1) AS DOUBLE) AS var_b
+           FROM cells c JOIN cells d ON c.event_type < d.event_type
+         )
+         SELECT type_a, type_b, n_a, n_b, mean_a, mean_b,
+           (mean_a - mean_b) / sqrt(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS t_stat
+         FROM dag ORDER BY type_a, type_b""",
     "m1_multimodal_features" -> m1OracleSql,
     "m5_chunk_dedup" ->
       // replay the seeded payloads, hex them, slice fixed 128-hex-char

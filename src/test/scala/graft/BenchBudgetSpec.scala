@@ -238,6 +238,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a36_kendall_tau" -> 1.5,
     "e22_vwap" -> 1.2,
     "t28_hapax" -> 2.0,
+    "j23_q16_shape" -> 1.5,
+    "a37_welch_t" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

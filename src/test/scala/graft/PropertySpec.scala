@@ -362,6 +362,26 @@ class PropertySpec extends SparkTestBase {
     assert(view.getAs[Double]("vwap") == 99.99)
   }
 
+  test("a37 Welch t: zero on identical cells, hand-math on a known pair, antisymmetric sign") {
+    val dir = tmpDir("welch")
+    // type a: 1.00, 2.00, 3.00 ; type b: identical -> t = 0
+    // type c: 11.00, 12.00, 13.00 -> mean 12, var 1; vs a (mean 2, var 1):
+    // t = (2 - 12)/sqrt(1/3 + 1/3) = -10/sqrt(2/3)
+    val rows = for {
+      (ty, base) <- Seq(("a", 1.0), ("b", 1.0), ("c", 11.0)); i <- 0 until 3
+    } yield ((ty + i).hashCode.toLong.abs, i * 1000L, 1L, ty, base + i, "{}")
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("a37_welch_t")(spark, dir).collect()
+    val byPair = got.map(r =>
+      (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(byPair(("a", "b")).getAs[Double]("t_stat") == 0.0)
+    val ac = byPair(("a", "c"))
+    assert(ac.getAs[Double]("mean_a") == 2.0 && ac.getAs[Double]("mean_b") == 12.0)
+    assert(ac.getAs[Double]("t_stat") == -10.0 / math.sqrt(1.0 / 3.0 + 1.0 / 3.0))
+    // b vs c must mirror a vs c exactly (identical cells)
+    assert(byPair(("b", "c")).getAs[Double]("t_stat") == ac.getAs[Double]("t_stat"))
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
