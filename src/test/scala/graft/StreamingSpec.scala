@@ -1101,4 +1101,99 @@ class StreamingSpec extends SparkTestBase {
     assert(p(1L, Iterator((1L, Ev(500L, 5L, "view"))), s1).isEmpty)
     assert(s1.get == before)
   }
+
+  test("streaming attribution: reverse-time drain converges to batch w20 row-for-row") {
+    import graft.streaming.StreamingAttribution
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sattr")
+    // the transitions test's hostile staging: four time-quartile files
+    // drained latest-first, so most purchases are first credited WRONG
+    // (their real last-touch click arrives later) and must be exactly
+    // retracted and re-credited
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingAttribution.start(spark, stream, store, s"$base/cp")
+      .awaitTermination()
+
+    def rows(df: DataFrame): Set[(Long, Long, Long, Option[Double])] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    val got = rows(StreamingAttribution.attributionTable(spark, store))
+    val want = rows(SparkEntry.queries("w20_attribution")(spark, dir))
+    assert(got == want,
+      s"streaming attribution diverged from batch w20:\n got=$got\n want=$want")
+    assert(got.nonEmpty, "parity on an empty table proves nothing")
+    assert(StreamingAttribution.droppedLate(spark, store) == 0L,
+      "unbounded lateness must never drop")
+  }
+
+  test("streaming attribution state: late click re-credits, user flips, frozen prefix final") {
+    import graft.streaming.StreamingAttribution.{processUser, ADelta, AttrState}
+    import graft.streaming.StreamingTransitions.Ev
+    import org.apache.spark.sql.streaming.TestGroupState
+    val day = 86400000000L
+    def st = TestGroupState.create[AttrState](
+      optionalState = org.apache.spark.api.java.Optional.empty[AttrState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val p = processUser(Long.MaxValue) _ // no compaction: pure revision logic
+
+    val s1 = st
+    // purchase with NO prior click -> -1 bucket, user flip +1
+    val d1 = p(7L, Iterator((7L, Ev(day + 500L, 1L, "purchase"))), s1).toSet
+    assert(d1 == Set(ADelta(-1L, 1L, 0L, 1L, false)))
+
+    // late click BEFORE the purchase: -1 retracts (purchases AND user),
+    // day 1 gains both, lag = 300
+    val d2 = p(7L, Iterator((7L, Ev(day + 200L, 2L, "click"))), s1).toSet
+    assert(d2 == Set(
+      ADelta(-1L, -1L, 0L, -1L, false),
+      ADelta(1L, 1L, 300L, 1L, false)))
+
+    // a LATER click lands between: credit moves to it (same day here,
+    // so only the lag changes; day cells stay, no user flip)
+    val d3 = p(7L, Iterator((7L, Ev(day + 400L, 3L, "click"))), s1).toSet
+    assert(d3 == Set(ADelta(1L, 0L, -200L, 0L, false)))
+
+    // compaction path: tight horizon freezes everything; the frozen
+    // prefix must collapse to (boundary, last click, flagged days)
+    val s2 = st
+    val pc = processUser(100L) _
+    val dc1 = pc(8L, Iterator(
+      (8L, Ev(day + 100L, 1L, "click")),
+      (8L, Ev(day + 200L, 2L, "purchase")),
+      (8L, Ev(2 * day + 900L, 3L, "noise"))), s2).toSet
+    assert(dc1 == Set(ADelta(1L, 1L, 100L, 1L, false)))
+    // horizon = (2*day+900) - 100 freezes [click, purchase]; the noise
+    // event itself stays revisable
+    val st2 = s2.get
+    assert(st2.bound == Some(Ev(day + 200L, 2L, "purchase")) &&
+      st2.lastFrozenClick == Some(day + 100L) && st2.frozenDays == Set(1L) &&
+      st2.buf == Seq(Ev(2 * day + 900L, 3L, "noise")),
+      s"frozen-prefix collapse wrong: $st2")
+    // a live purchase after the freeze credits the FROZEN click; the
+    // day-1 user flag is already frozen -> no user re-flip
+    val dc2 = pc(8L, Iterator((8L, Ev(2 * day + 1000L, 4L, "purchase"))), s2).toSet
+    assert(dc2 == Set(ADelta(1L, 1L, day + 900L, 0L, false)))
+    // an event sorting at-or-before the boundary: dropped and counted
+    val dc3 = pc(8L, Iterator((8L, Ev(day + 150L, 9L, "click"))), s2).toSet
+    assert(dc3 == Set(ADelta(0L, 1L, 0L, 0L, true)))
+  }
 }
