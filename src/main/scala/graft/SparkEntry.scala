@@ -2419,6 +2419,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }
 
+    /** m9 — audio-energy segmentation: 16 sampled windows per item
+      * (frameSampleStub is modality-agnostic window plumbing), each
+      * window fake-decoded to a 16-dim feature frame whose EXACT
+      * integer energy (sum of 24-bit numerators) is thresholded at
+      * mean-feature ≥ ½ (energy ≥ dim·2^23 — an integer predicate both
+      * engines replay bit-for-bit), then contiguous active windows
+      * collapse to segments via [[Multimodal.activeSegments]]. With a
+      * real codec the decode swaps in behind the same contract; the
+      * plumbing (window explode → narrow decode → islands) is the
+      * production shape. */
+    def audioSegments(docs: DataFrame): DataFrame = {
+      val dim = 16
+      val media = Multimodal.attachFakeMedia(
+        docs.select(col("doc_id"), col("text")), "text")
+      val wins = Multimodal.frameSampleStub(
+        media.select(col("doc_id"), col("media")), "media", nFrames = 16)
+      val feat = Multimodal.decodeFeatures(
+        wins.select(col("doc_id"), col("frame_idx").as("win_idx"),
+          col("frame_payload")),
+        "frame_payload", dim)
+        .select(col("doc_id"), col("win_idx"),
+          Multimodal.windowEnergy(col("features")).as("energy"))
+        .withColumn("active", col("energy") >= lit(dim.toLong * 8388608L))
+      Multimodal.activeSegments(feat, "doc_id", "win_idx", "active", "energy")
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }
+
     def features(docs: DataFrame): DataFrame =
       Multimodal.decodeFeatures(
         Multimodal.attachFakeMedia(docs.select(col("doc_id"), col("text")), "text"),
@@ -2637,6 +2664,34 @@ object SparkEntry {
             xor(z2::UBIGINT, (z2 // 4294967296)::UBIGINT)::HUGEINT AS z3 FROM s2
         )"""
   }
+
+  /** m9: the window-payload energy replay — m8's hex-string seed chain
+    * at dim 16, per-window exact integer energy Σk, the integer
+    * activity threshold (Σk ≥ 16·2^23 ⇔ mean feature ≥ ½), then the
+    * identical gaps-and-islands collapse and per-item segment index. */
+  private def m9OracleSql: String =
+    s"""WITH ${fakeDecodeCtes(16,
+      """SELECT doc_id, f.win_idx,
+            md5(sha256(text || f.win_idx::VARCHAR)) AS hx
+          FROM documents, unnest(range(0, 16)) AS f(win_idx)""",
+      "doc_id, win_idx")},
+        en AS (
+          SELECT doc_id, CAST(win_idx AS INTEGER) AS win_idx,
+            CAST(sum(z3 // 1099511627776) AS BIGINT) AS e
+          FROM s3 GROUP BY 1, 2
+        ), isl AS (
+          SELECT doc_id, win_idx, e,
+            win_idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win_idx) AS island
+          FROM en WHERE e >= 134217728
+        ), seg AS (
+          SELECT doc_id, island, min(win_idx) AS start_win, max(win_idx) AS end_win,
+            CAST(count(*) AS BIGINT) AS n_wins, CAST(sum(e) AS BIGINT) AS energy_sum
+          FROM isl GROUP BY 1, 2
+        )
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_win) AS INTEGER) AS seg_idx,
+          start_win, end_win, n_wins, energy_sum
+        FROM seg ORDER BY doc_id, seg_idx"""
 
   private def m1OracleSql: String =
     s"""WITH ${fakeDecodeCtes(8)}
@@ -3538,6 +3593,9 @@ object SparkEntry {
   private val m8SceneCuts = (s: SparkSession, d: String) =>
     Multimodal1.sceneCuts(t(s, d, "documents"))
 
+  private val m9AudioSegments = (s: SparkSession, d: String) =>
+    Multimodal1.audioSegments(t(s, d, "documents"))
+
   /** Soft dedup weights (the downweight-don't-drop alternative some
     * corpus recipes prefer over d12's hard cut — every near-dup
     * cluster contributes ONE document of total training mass,
@@ -4179,6 +4237,7 @@ object SparkEntry {
     "t28_hapax" -> t28Hapax,
     "j23_q16_shape" -> j23Q16Shape,
     "a37_welch_t" -> a37WelchT,
+    "m9_audio_segments" -> m9AudioSegments,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5444,6 +5503,7 @@ object SparkEntry {
     "m6_phash" -> m6OracleSql,
     "m7_phash_pairs" -> m7OracleSql,
     "m8_scene_cuts" -> m8OracleSql,
+    "m9_audio_segments" -> m9OracleSql,
     "t27_novelty" -> t27OracleSql,
     "a35_bootstrap_ci" -> a35OracleSql,
     "w20_attribution" ->

@@ -321,4 +321,38 @@ object Multimodal {
   def validateModality(df: DataFrame, mediaCol: String, declaredCol: String): DataFrame =
     df.withColumn("sniffed_mime", sniffMime(col(mediaCol)))
       .withColumn("modality_ok", col("sniffed_mime") === col(declaredCol))
+
+  /** Exact integer energy of a decoded feature window: the sum of the
+    * 24-bit feature NUMERATORS (each fake feature is k/2^24; k < 2^24
+    * round-trips through float32 exactly, so the long cast is lossless
+    * and the sum is an exact integer on any engine). With a real codec
+    * the analogue is the window's integer sample-energy sum — the
+    * segmentation logic downstream is codec-agnostic. */
+  def windowEnergy(features: Column): Column =
+    aggregate(features, lit(0L),
+      (acc, f) => acc + (f * lit(16777216.0f)).cast("long"))
+
+  /** Active-region segmentation over per-(item, window) activity flags
+    * (the audio silence-splitting primitive — every voice pipeline cuts
+    * on energy before transcribing): contiguous runs of active windows
+    * become segments via gaps-and-islands (island = win − row_number,
+    * both per item), then one (item, island) collapse. Bounded by
+    * windows-per-item, one item-keyed shuffle shared by the window and
+    * the groupBy; never corpus-quadratic. Output: per segment
+    * (seg_idx, start_win, end_win, n_wins, energy_sum). */
+  def activeSegments(
+      df: DataFrame, idCol: String, winCol: String,
+      activeCol: String, energyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWin = Window.partitionBy(col(idCol)).orderBy(col(winCol))
+    val segs = df.filter(col(activeCol))
+      .withColumn("_island", col(winCol) - row_number().over(byWin))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col(winCol)).as("start_win"), max(col(winCol)).as("end_win"),
+        count(lit(1)).as("n_wins"), sum(col(energyCol)).as("energy_sum"))
+    val byStart = Window.partitionBy(col(idCol)).orderBy(col("start_win"))
+    segs.withColumn("seg_idx", row_number().over(byStart))
+      .select(col(idCol), col("seg_idx"), col("start_win"), col("end_win"),
+        col("n_wins"), col("energy_sum"))
+  }
 }

@@ -175,4 +175,42 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(nd == Set((1L, 2L, 3), (2L, 3L, 1)), s"got $nd")
   }
+
+  test("activeSegments: contiguous runs collapse, gaps split, energy sums are exact") {
+    import spark.implicits._
+    // item 1: active at wins 0,1,2 | 5 | 8,9 -> three segments
+    // item 2: nothing active -> no rows
+    val flags = Seq(
+      (1L, 0, true, 10L), (1L, 1, true, 20L), (1L, 2, true, 30L),
+      (1L, 3, false, 1L), (1L, 4, false, 1L),
+      (1L, 5, true, 40L),
+      (1L, 6, false, 1L), (1L, 7, false, 1L),
+      (1L, 8, true, 50L), (1L, 9, true, 60L),
+      (2L, 0, false, 5L), (2L, 1, false, 5L))
+      .toDF("doc_id", "win_idx", "active", "energy")
+    val segs = Multimodal.activeSegments(flags, "doc_id", "win_idx", "active", "energy")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(segs == Set(
+      (1L, 1, 0, 2, 3L, 60L),
+      (1L, 2, 5, 5, 1L, 40L),
+      (1L, 3, 8, 9, 2L, 110L)), s"got $segs")
+  }
+
+  test("windowEnergy equals the integer numerator sum of the fake features") {
+    import spark.implicits._
+    val df = Seq((1L, "hello audio payload"), (2L, "x")).toDF("doc_id", "text")
+    val feat = Multimodal.decodeFeatures(
+      Multimodal.attachFakeMedia(df, "text").select(col("doc_id"), col("media")),
+      "media", dim = 16)
+    val got = feat.select(col("doc_id"), Multimodal.windowEnergy(col("features")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = df.collect().map { r =>
+      val payload = r.getString(1).getBytes("UTF-8")
+      val ks = Multimodal.FakeDecoder.decode(payload, 16)
+        .map(f => (f * 16777216.0f).toLong)
+      r.getLong(0) -> ks.sum
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
 }
