@@ -4018,6 +4018,51 @@ object SparkEntry {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Association-rule metrics over the j17 co-engagement frame
+    * (Agrawal–Srikant 1994's support/confidence plus lift — the
+    * directed "users who engaged X also engaged Y" numbers a
+    * recommender or curriculum builder reads off the basket matrix):
+    * ONE fact scan + ONE user-keyed shuffle builds the distinct
+    * (user, item) frame (j17's exact staging, shared by the self-join
+    * sides), pair counts flow from the bounded within-user join, and
+    * the per-item counts + basket total are broadcast-sized forever
+    * (the item universe is bounded — the x35 argument). Every metric
+    * is exact integers under one IEEE division; rules below the
+    * support floor are cut before the join-back so the directed
+    * explode stays items²-bounded. */
+  private val j24AssocRules = (s: SparkSession, d: String) => {
+    val ui = CachePool.register(Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .repartition(col("user_id"))
+      .distinct()
+      .persist())
+    val total = ui.agg(countDistinct(col("user_id")).as("_nu"))
+    val ic = ui.groupBy(col("item")).agg(count(lit(1)).as("_ci"))
+    val pc = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5L)
+    val directed = pc.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .unionAll(pc.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    directed
+      .join(broadcast(ic.select(col("item").as("antecedent"), col("_ci").as("_ca"))),
+        Seq("antecedent"))
+      .join(broadcast(ic.select(col("item").as("consequent"), col("_ci").as("_cb"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        (col("n_ab").cast("double") / col("_nu").cast("double")).as("support"),
+        (col("n_ab").cast("double") / col("_ca").cast("double")).as("confidence"),
+        ((col("n_ab") * col("_nu")).cast("double") /
+          (col("_ca") * col("_cb")).cast("double")).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4238,6 +4283,7 @@ object SparkEntry {
     "j23_q16_shape" -> j23Q16Shape,
     "a37_welch_t" -> a37WelchT,
     "m9_audio_segments" -> m9AudioSegments,
+    "j24_assoc_rules" -> j24AssocRules,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5504,6 +5550,34 @@ object SparkEntry {
     "m7_phash_pairs" -> m7OracleSql,
     "m8_scene_cuts" -> m8OracleSql,
     "m9_audio_segments" -> m9OracleSql,
+    "j24_assoc_rules" ->
+      // identical basket frame, support floor, directed explode, and
+      // exact-integer metric divisions
+      """WITH ui AS (
+           SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+           FROM events WHERE props->>'k' IS NOT NULL
+         ), total AS (
+           SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ui
+         ), ic AS (
+           SELECT item, CAST(count(*) AS BIGINT) AS ci FROM ui GROUP BY 1
+         ), pc AS (
+           SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS n_ab
+           FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 5
+         ), directed AS (
+           SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pc
+           UNION ALL
+           SELECT item_b AS antecedent, item_a AS consequent, n_ab FROM pc
+         )
+         SELECT d.antecedent, d.consequent, d.n_ab,
+           CAST(d.n_ab AS DOUBLE) / CAST(t.nu AS DOUBLE) AS support,
+           CAST(d.n_ab AS DOUBLE) / CAST(ca.ci AS DOUBLE) AS confidence,
+           CAST(d.n_ab * t.nu AS DOUBLE) / CAST(ca.ci * cb.ci AS DOUBLE) AS lift
+         FROM directed d
+         JOIN ic ca ON ca.item = d.antecedent
+         JOIN ic cb ON cb.item = d.consequent
+         CROSS JOIN total t
+         ORDER BY d.antecedent, d.consequent""",
     "t27_novelty" -> t27OracleSql,
     "a35_bootstrap_ci" -> a35OracleSql,
     "w20_attribution" ->

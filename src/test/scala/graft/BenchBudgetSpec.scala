@@ -241,6 +241,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "j23_q16_shape" -> 1.5,
     "a37_welch_t" -> 1.2,
     "m9_audio_segments" -> 3.0,
+    "j24_assoc_rules" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

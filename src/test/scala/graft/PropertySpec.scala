@@ -382,6 +382,28 @@ class PropertySpec extends SparkTestBase {
     assert(byPair(("b", "c")).getAs[Double]("t_stat") == ac.getAs[Double]("t_stat"))
   }
 
+  test("j24 association rules: hand-math support/confidence/lift, support floor cuts") {
+    val dir = tmpDir("assoc")
+    // users 1..5 engage items {1, 2}; user 6 engages {1} only; user 7
+    // engages {3, 4} (below the n_ab >= 5 floor -> cut)
+    val rows = (for (u <- 1L to 5L; it <- Seq(1, 2)) yield (u * 10 + it, u * 1000L, u, "view", 1.0, s"""{"k": $it}""")) ++
+      Seq((61L, 6000L, 6L, "view", 1.0, """{"k": 1}"""),
+        (73L, 7000L, 7L, "view", 1.0, """{"k": 3}"""),
+        (74L, 7100L, 7L, "view", 1.0, """{"k": 4}"""))
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("j24_assoc_rules")(spark, dir).collect()
+    assert(got.length == 2, s"only the (1,2) pair clears the floor: ${got.toSeq}")
+    val fwd = got.find(_.getAs[Int]("antecedent") == 1).get
+    // N = 7 users, c_1 = 6, c_2 = 5, n_12 = 5
+    assert(fwd.getAs[Long]("n_ab") == 5L)
+    assert(fwd.getAs[Double]("support") == 5.0 / 7.0)
+    assert(fwd.getAs[Double]("confidence") == 5.0 / 6.0)
+    assert(fwd.getAs[Double]("lift") == 35.0 / 30.0)
+    val bwd = got.find(_.getAs[Int]("antecedent") == 2).get
+    assert(bwd.getAs[Double]("confidence") == 5.0 / 5.0)
+    assert(bwd.getAs[Double]("lift") == 35.0 / 30.0)
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
