@@ -1142,6 +1142,39 @@ class StreamingSpec extends SparkTestBase {
       "unbounded lateness must never drop")
   }
 
+  test("streaming VWAP: additive integer cells converge to batch e22 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingVwap
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("svwap")
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingVwap.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def rows(df: DataFrame): Set[(String, Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val got = rows(StreamingVwap.vwapTable(spark, store))
+    val want = rows(SparkEntry.queries("e22_vwap")(spark, dir))
+    assert(got == want, s"streaming VWAP diverged from batch e22:\n got=$got\n want=$want")
+    assert(got.nonEmpty, "parity on an empty panel proves nothing")
+  }
+
   test("streaming attribution state: late click re-credits, user flips, frozen prefix final") {
     import graft.streaming.StreamingAttribution.{processUser, ADelta, AttrState}
     import graft.streaming.StreamingTransitions.Ev
