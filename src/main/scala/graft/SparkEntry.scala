@@ -4007,7 +4007,7 @@ object SparkEntry {
     val vr = (n: Column, s1: Column, s2: Column) =>
       (n.cast("decimal(10,0)") * s2 - s1 * s1).cast("double") /
         (n * (n - 1L)).cast("double")
-    a.crossJoin(b).filter(col("type_a") < col("type_b"))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
         mean(col("_s1a"), col("n_a")).as("mean_a"),
         mean(col("_s1b"), col("n_b")).as("mean_b"),

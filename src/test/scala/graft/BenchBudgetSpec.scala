@@ -361,13 +361,19 @@ class BenchBudgetSpec extends SparkTestBase {
     // full-output materialization, same as Bench (round-7 fix): count()
     // lets Catalyst prune computed columns — and for as-of shapes the
     // whole window + union right branch — out of the timed plan
+    // CachePool released inside every run, exactly as Bench times it:
+    // without the release, the ~30 staging queries' persisted frames
+    // accumulate across the 200+-query loop and the memory pressure
+    // lands on whoever runs LAST alphabetically (x22–x33 measured
+    // 1.4–2× over budget in-suite at 218 queries, green in isolation)
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      Bench.fullCount(fn(spark, dir))
+      try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
     val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      Bench.fullCount(fn(spark, dir)) // warmup: codegen/JIT/footer priming
+      // warmup: codegen/JIT/footer priming
+      try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
       val sec = timed(fn)
       if (sec > budgets(name)) Some((name, fn, sec)) else None
     }
