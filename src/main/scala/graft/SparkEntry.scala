@@ -4063,6 +4063,70 @@ object SparkEntry {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** DAU growth accounting (the new/retained/resurrected/churned
+    * decomposition every product-analytics stack reports — the
+    * Social-Capital "growth accounting" identity:
+    * DAU(t) = new + retained + resurrected, and
+    * DAU(t) − DAU(t−1) = new + resurrected − churned): ONE user-keyed
+    * shuffle builds the distinct (user, day) frame and its lag/lead
+    * windows — new is a null lag, retained an adjacent lag,
+    * resurrected a gapped lag; churn contributes at day+1 whenever the
+    * lead is absent or gapped, capped at the corpus horizon via the
+    * bounded scalar-total idiom (an open right edge would otherwise
+    * report everyone churned the day after the snapshot). Day cells
+    * are exact integers; the identity is spec-pinned. */
+  private val w21GrowthAccounting = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+      .repartition(col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val st = ud
+      .withColumn("_prev", lag(col("day"), 1).over(w))
+      .withColumn("_next", lead(col("day"), 1).over(w))
+    val counts = st.groupBy(col("day")).agg(
+      count(lit(1)).as("dau"),
+      sum(when(col("_prev").isNull, 1L).otherwise(0L)).as("new_users"),
+      sum(when(col("_prev") === col("day") - 1L, 1L).otherwise(0L)).as("retained"),
+      sum(when(col("_prev").isNotNull && col("_prev") < col("day") - 1L, 1L)
+        .otherwise(0L)).as("resurrected"))
+    val horizon = ud.agg(max(col("day")).as("_maxd"))
+    val churn = st
+      .filter(col("_next").isNull || col("_next") > col("day") + 1L)
+      .select((col("day") + 1L).as("day"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") <= col("_maxd"))
+      .groupBy(col("day")).agg(count(lit(1)).as("churned"))
+    counts.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        coalesce(col("resurrected"), lit(0L)).as("resurrected"),
+        coalesce(col("churned"), lit(0L)).as("churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Diurnal activity profile per event type (the hour-of-day
+    * seasonality panel read before any anomaly threshold is set — a
+    * "quiet hour" alert limit that ignores the 3 AM trough pages
+    * someone every night): exact hour cells from ONE map-side-combined
+    * aggregate, per-type totals broadcast back (|event_type| rows —
+    * never a whole-partition window over the corpus), share = one
+    * IEEE division. */
+  private val e23Diurnal = (s: SparkSession, d: String) => {
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .groupBy(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("_tot"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("hour_of_day"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("share"))
+      .orderBy(col("event_type"), col("hour_of_day"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4284,6 +4348,8 @@ object SparkEntry {
     "a37_welch_t" -> a37WelchT,
     "m9_audio_segments" -> m9AudioSegments,
     "j24_assoc_rules" -> j24AssocRules,
+    "w21_growth_accounting" -> w21GrowthAccounting,
+    "e23_diurnal" -> e23Diurnal,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5578,6 +5644,50 @@ object SparkEntry {
          JOIN ic cb ON cb.item = d.consequent
          CROSS JOIN total t
          ORDER BY d.antecedent, d.consequent""",
+    "w21_growth_accounting" ->
+      // identical (user, day) frame, lag/lead classification, horizon
+      // cap, full-outer day alignment with coalesced zeros
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+         ), st AS (
+           SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+           FROM ud
+         ), counts AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS dau,
+             CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+             CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+             CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+           FROM st GROUP BY 1
+         ), churn AS (
+           SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS churned
+           FROM st
+           WHERE (nxt IS NULL OR nxt > day + 1)
+             AND day + 1 <= (SELECT max(day) FROM ud)
+           GROUP BY 1
+         )
+         SELECT COALESCE(c.day, h.day) AS day,
+           COALESCE(c.dau, 0) AS dau,
+           COALESCE(c.new_users, 0) AS new_users,
+           COALESCE(c.retained, 0) AS retained,
+           COALESCE(c.resurrected, 0) AS resurrected,
+           COALESCE(h.churned, 0) AS churned
+         FROM counts c FULL JOIN churn h ON c.day = h.day
+         ORDER BY 1""",
+    "e23_diurnal" ->
+      // identical hour cells, per-type totals, one division
+      """WITH cells AS (
+           SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2
+         ), tot AS (
+           SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1
+         )
+         SELECT c.event_type, c.hour_of_day, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
+         FROM cells c JOIN tot t USING (event_type)
+         ORDER BY c.event_type, c.hour_of_day""",
     "t27_novelty" -> t27OracleSql,
     "a35_bootstrap_ci" -> a35OracleSql,
     "w20_attribution" ->

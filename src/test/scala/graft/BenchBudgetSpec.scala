@@ -242,6 +242,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a37_welch_t" -> 1.2,
     "m9_audio_segments" -> 3.0,
     "j24_assoc_rules" -> 2.0,
+    "w21_growth_accounting" -> 1.2,
+    "e23_diurnal" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

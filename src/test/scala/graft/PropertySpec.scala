@@ -404,6 +404,39 @@ class PropertySpec extends SparkTestBase {
     assert(bwd.getAs[Double]("lift") == 35.0 / 30.0)
   }
 
+  test("w21 growth accounting: hand classification and the growth identity hold") {
+    val dir = tmpDir("growth")
+    val day = 86400000000L
+    // user 1 active days 0,1,4 ; user 2 active days 1,2 ; user 3 active day 4
+    val rows = Seq((1L, 0), (1L, 1), (1L, 4), (2L, 1), (2L, 2), (3L, 4))
+      .zipWithIndex.map { case ((u, dy), i) =>
+        (i.toLong, dy * day + 1000L * u, u, "view", 1.0, "{}")
+      }
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("w21_growth_accounting")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("new_users"), r.getAs[Long]("retained"),
+          r.getAs[Long]("resurrected"), r.getAs[Long]("churned"))).toMap
+    // day 0: u1 new | day 1: u1 retained, u2 new | day 2: u2 retained,
+    // u1 churns (next=4) | day 3: u2 churns (no next, 3 <= horizon) |
+    // day 4: u1 resurrected, u3 new; churn at 5 > horizon -> dropped
+    assert(got(0L) == (1L, 1L, 0L, 0L, 0L), s"day0: ${got(0L)}")
+    assert(got(1L) == (2L, 1L, 1L, 0L, 0L), s"day1: ${got(1L)}")
+    assert(got(2L) == (1L, 0L, 1L, 0L, 1L), s"day2: ${got(2L)}")
+    assert(got(3L) == (0L, 0L, 0L, 0L, 1L), s"day3: ${got(3L)}")
+    assert(got(4L) == (2L, 1L, 0L, 1L, 0L), s"day4: ${got(4L)}")
+    assert(!got.contains(5L), "churn past the corpus horizon must be capped")
+    // the growth identity on every day: dau = new + retained + resurrected,
+    // and dau(t) - dau(t-1) = new + resurrected - churned
+    got.foreach { case (d2, (dau, nw, re, rs, _)) =>
+      assert(dau == nw + re + rs, s"day $d2 decomposition broke")
+    }
+    got.keys.filter(d2 => got.contains(d2 - 1)).foreach { d2 =>
+      val (dau, nw, _, rs, ch) = got(d2)
+      assert(dau - got(d2 - 1)._1 == nw + rs - ch, s"day $d2 delta identity broke")
+    }
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
