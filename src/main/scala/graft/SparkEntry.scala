@@ -4082,16 +4082,20 @@ object SparkEntry {
       .repartition(col("user_id"))
       .distinct()
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    val st = ud
+    // staged: counts, churn AND the horizon scalar all consume the
+    // classified frame — unstaged, each branch re-scans the corpus and
+    // re-runs the distinct + window (audited)
+    val st = CachePool.register(ud
       .withColumn("_prev", lag(col("day"), 1).over(w))
       .withColumn("_next", lead(col("day"), 1).over(w))
+      .persist())
     val counts = st.groupBy(col("day")).agg(
       count(lit(1)).as("dau"),
       sum(when(col("_prev").isNull, 1L).otherwise(0L)).as("new_users"),
       sum(when(col("_prev") === col("day") - 1L, 1L).otherwise(0L)).as("retained"),
       sum(when(col("_prev").isNotNull && col("_prev") < col("day") - 1L, 1L)
         .otherwise(0L)).as("resurrected"))
-    val horizon = ud.agg(max(col("day")).as("_maxd"))
+    val horizon = st.agg(max(col("day")).as("_maxd"))
     val churn = st
       .filter(col("_next").isNull || col("_next") > col("day") + 1L)
       .select((col("day") + 1L).as("day"))
@@ -4116,10 +4120,13 @@ object SparkEntry {
     * never a whole-partition window over the corpus), share = one
     * IEEE division. */
   private val e23Diurnal = (s: SparkSession, d: String) => {
-    val cells = Tables.events(s, d)
+    // cells staged: BOTH the report and the totals consume it — unstaged,
+    // the totals branch re-scans and re-aggregates the corpus (audited)
+    val cells = CachePool.register(Tables.events(s, d)
       .select(col("event_type"), hour(col("ts")).as("hour_of_day"))
       .groupBy(col("event_type"), col("hour_of_day"))
       .agg(count(lit(1)).as("n"))
+      .persist())
     val totals = cells.groupBy(col("event_type")).agg(sum(col("n")).as("_tot"))
     cells.join(broadcast(totals), Seq("event_type"))
       .select(col("event_type"), col("hour_of_day"), col("n"),
