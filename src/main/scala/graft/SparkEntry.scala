@@ -1059,6 +1059,16 @@ object SparkEntry {
         threshold = 0.5, k = 3, numHashes = 32, bands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** d24 — the EXACT-recall alternative to d6 on the identical corpus,
+    * threshold and shingling: prefix filtering instead of MinHash-LSH.
+    * Same oracle as d6 (the brute-force threshold join), so a green row
+    * PROVES the no-miss guarantee end-to-end, not just on a planted
+    * pair. */
+  private val d24PrefixPairs = (s: SparkSession, d: String) =>
+    Dedup.prefixFilterPairs(t(s, d, "documents"), "doc_id", "text",
+        tNum = 1, tDen = 2, k = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Decontamination: docs 0-49 play the eval set, the rest the training
     * corpus; output = training docs leaking eval content. Same recall
     * argument as d6 (deterministic signatures, oracle re-proves). */
@@ -4134,6 +4144,48 @@ object SparkEntry {
       .orderBy(col("event_type"), col("hour_of_day"))
   }
 
+  /** Holt double-exponential smoothing of daily counts per event type
+    * (Holt 1957 — the level+trend forecaster one notch up from e16's
+    * single EWMA: EWMA tracks WHERE the series is, Holt also tracks
+    * where it's GOING; the one-step forecast level+trend is the
+    * capacity-planning number). Order-sensitive float recursion made
+    * cross-engine exact the e16/e18 way: the bounded daily series
+    * collects into ONE sorted array per type and folds through a
+    * (level, trend) struct accumulator in day order — α=½, β=¼ are
+    * exact dyadics, every step is the identical IEEE sequence, and the
+    * DuckDB twin replays it as a recursive CTE over the same
+    * row-numbered series (step t+1 reads only step t — the recursion
+    * IS the fold). Standard init: l₂ = x₂, b₂ = x₂ − x₁, iterate from
+    * t = 3. Corpus-width work is ONE daily-count aggregate; the fold
+    * is days-bounded. */
+  private val e24Holt = (s: SparkSession, d: String) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_x"))
+    val seq = sort_array(collect_list(struct(col("_day"), col("_x"))))
+    val x = (e: Column) => e.getField("_x").cast("double")
+    daily
+      .groupBy(col("event_type")).agg(seq.as("_seq"))
+      .filter(size(col("_seq")) >= 2)
+      .select(col("event_type"),
+        size(col("_seq")).cast("long").as("n_days"),
+        aggregate(
+          slice(col("_seq"), lit(3), size(col("_seq"))),
+          struct(
+            x(element_at(col("_seq"), 2)).as("l"),
+            (x(element_at(col("_seq"), 2)) - x(element_at(col("_seq"), 1))).as("b")),
+          (acc, e) => {
+            val l2 = x(e) * lit(0.5) + (acc.getField("l") + acc.getField("b")) * lit(0.5)
+            struct(l2.as("l"),
+              ((l2 - acc.getField("l")) * lit(0.25) +
+                acc.getField("b") * lit(0.75)).as("b"))
+          }).as("_st"))
+      .select(col("event_type"), col("n_days"),
+        col("_st.l").as("level"), col("_st.b").as("trend"),
+        (col("_st.l") + col("_st.b")).as("forecast_1"))
+      .orderBy(col("event_type"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4357,6 +4409,8 @@ object SparkEntry {
     "j24_assoc_rules" -> j24AssocRules,
     "w21_growth_accounting" -> w21GrowthAccounting,
     "e23_diurnal" -> e23Diurnal,
+    "d24_prefix_pairs" -> d24PrefixPairs,
+    "e24_holt" -> e24Holt,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5682,6 +5736,31 @@ object SparkEntry {
            COALESCE(h.churned, 0) AS churned
          FROM counts c FULL JOIN churn h ON c.day = h.day
          ORDER BY 1""",
+    "e24_holt" ->
+      // the identical fold as a recursive CTE: row-numbered daily
+      // series, l2/b2 init, each step the same IEEE 5-op sequence
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), rn AS (
+           SELECT event_type, CAST(x AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM daily
+         ), rec AS (
+           SELECT a.event_type, 2::BIGINT AS t, a.n,
+             b.x AS l, b.x - a.x AS b
+           FROM rn a JOIN rn b ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+           UNION ALL
+           SELECT r.event_type, r.t + 1, r.n,
+             d.x * 0.5 + (r.l + r.b) * 0.5 AS l,
+             ((d.x * 0.5 + (r.l + r.b) * 0.5) - r.l) * 0.25 + r.b * 0.75 AS b
+           FROM rec r JOIN rn d ON d.event_type = r.event_type AND d.t = r.t + 1
+           WHERE r.t < r.n
+         )
+         SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+           l + b AS forecast_1
+         FROM rec WHERE t = n ORDER BY event_type""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (
@@ -5895,6 +5974,11 @@ object SparkEntry {
       // brute-force exact-Jaccard ground truth: same normalize/tokenize/
       // 3-shingle semantics as TextAnalysis, distinct shingle sets,
       // |A∩B|/|A∪B| as double (identical small-int division → bit-equal)
+      jaccardOracle("a.doc_id < b.doc_id"),
+    "d24_prefix_pairs" ->
+      // the SAME brute-force ground truth as d6: prefix filtering
+      // claims exact recall, so equality with the exhaustive join IS
+      // the theorem checked on the whole corpus
       jaccardOracle("a.doc_id < b.doc_id"),
     "d7_decontaminate" ->
       // bipartite brute-force ground truth: eval slice vs training rest

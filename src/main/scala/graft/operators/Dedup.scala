@@ -970,4 +970,58 @@ object Dedup {
       .agg(count(lit(1)).as("n_lines"),
         sum(coalesce(col("_dup"), lit(0L))).as("n_dup_lines"))
   }
+
+  /** EXACT-recall similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo, Ma & Srikant 2007, "Scaling up
+    * all pairs similarity search"): the deterministic alternative to
+    * [[nearDupPairs]]'s MinHash-LSH. LSH recall is probabilistic — a
+    * qualifying pair can land in no shared band; prefix filtering
+    * PROVES it can't be missed: under any global shingle order, the
+    * globally-smallest element of A∩B sits inside both docs' prefixes
+    * (a doc has |S|−⌈t·|S|⌉ non-qualifying slots but its prefix is one
+    * longer), so every Jaccard-≥-t pair shares a prefix shingle.
+    * Ordering by ASCENDING document frequency (rarest first, shingle
+    * tiebreak) makes those prefixes collide as little as possible —
+    * the candidate join runs per prefix-shingle inverted list, cost
+    * scales with Σ list², never n².
+    *
+    * The threshold is an exact rational tNum/tDen so the prefix length
+    * |S| − ⌈t·|S|⌉ + 1 is pure integer arithmetic on both engines.
+    * Verification is the shared [[verifyStagedPairs]] exact-Jaccard
+    * pass over the staged shingle frame (evaluated ONCE for sizes,
+    * prefixes and verify). Output: (id_a, id_b, jaccard ≥ t). */
+  def prefixFilterPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tNum: Int = 1,
+      tDen: Int = 2,
+      k: Int = 3): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val staged = stagedShingles(df, idCol, textCol, k)
+    // distinct (id, shingle) staged once: document frequencies, set
+    // sizes and the ranked prefixes all consume it
+    val ig = graft.CachePool.register(
+      staged.select(col(idCol), explode(array_distinct(col("_sh"))).as("_g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = ig.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+    val sizes = ig.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
+    val byRarity = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_g"))
+    val prefixes = ig
+      .join(dfreq, Seq("_g"))
+      .join(sizes, Seq(idCol))
+      .withColumn("_r", row_number().over(byRarity))
+      // ceil(t*n) = (n*tNum + tDen - 1) div tDen, all integers
+      .filter(col("_r") <=
+        col("_n") - expr(s"(_n * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col(idCol), col("_g"))
+    val cands = prefixes.select(col(idCol).as("id_a"), col("_g"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("_g")), Seq("_g"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyStagedPairs(cands, staged, staged, idCol,
+      tNum.toDouble / tDen.toDouble)
+  }
 }

@@ -244,6 +244,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j24_assoc_rules" -> 2.0,
     "w21_growth_accounting" -> 1.2,
     "e23_diurnal" -> 1.0,
+    "d24_prefix_pairs" -> 3.0,
+    "e24_holt" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -437,6 +437,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("e24 Holt: hand-stepped level/trend fold, two-day series returns its init") {
+    val dir = tmpDir("holt")
+    val day = 86400000000L
+    def burst(t: String, d2: Int, n: Int, base: Long) =
+      (0 until n).map(i => (base + i, d2 * day + i * 1000L, 1L, t, 1.0, "{}"))
+    // type a: daily counts 2, 4, 8 -> init l=4, b=2;
+    // step: l=8*.5+(4+2)*.5=7, b=(7-4)*.25+2*.75=2.25, forecast 9.25
+    // type b: two days 5, 9 -> init l=9, b=4 returned untouched
+    writeEvents(dir,
+      burst("a", 0, 2, 100) ++ burst("a", 1, 4, 200) ++ burst("a", 2, 8, 300) ++
+      burst("b", 0, 5, 400) ++ burst("b", 1, 9, 500))
+    val got = SparkEntry.queries("e24_holt")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_days") == 3L)
+    assert(a.getAs[Double]("level") == 7.0 && a.getAs[Double]("trend") == 2.25)
+    assert(a.getAs[Double]("forecast_1") == 9.25)
+    val b = got("b")
+    assert(b.getAs[Double]("level") == 9.0 && b.getAs[Double]("trend") == 4.0)
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(

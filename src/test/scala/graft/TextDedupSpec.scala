@@ -769,4 +769,43 @@ class TextDedupSpec extends SparkTestBase {
     assert(d4.getAs[Long]("n_ellipsis_lines") == 2L, "… and ... both count")
     assert(d4.getAs[Long]("n_symbols") == 1L, "the … is a symbol; ASCII dots are not")
   }
+
+  test("prefixFilterPairs equals the brute-force threshold join on random near-dup corpora") {
+    import spark.implicits._
+    // deterministic corpus with planted near-dups: doc 3i+1 is doc 3i
+    // with one word swapped (Jaccard >> 0.5), doc 3i+2 is unrelated
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    def text(seed: Int, n: Int) =
+      (0 until n).map(j => words(((seed * 31 + j * 17) % 997) % words.size)).mkString(" ")
+    val docs = (0 until 20).flatMap { i =>
+      val base = text(i, 12)
+      Seq((3L * i, base),
+        (3L * i + 1, base.split(" ").updated(5, "swapped").mkString(" ")),
+        (3L * i + 2, text(i + 1000, 12)))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs with the same shingle semantics
+    val rows = docs.collect().map(r => r.getLong(0) ->
+      TextAnalysisTestSupport.shingleSet(r.getString(1))).toMap
+    val want = (for {
+      a <- rows.keys; b <- rows.keys; if a < b
+      sa = rows(a); sb = rows(b)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want, s"exact recall broke:\n got=$got\n want=$want")
+    assert(want.size >= 20, "the planted twins must actually qualify")
+  }
+}
+
+/** Scala-side twin of the 3-shingle semantics for brute-force checks. */
+object TextAnalysisTestSupport {
+  def shingleSet(text: String): Set[String] = {
+    val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", "").trim
+      .split("\\s+").toSeq.filter(_ => true)
+    if (toks.size < 3) Set(toks.mkString(" "))
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
 }
