@@ -1059,14 +1059,19 @@ object SparkEntry {
         threshold = 0.5, k = 3, numHashes = 32, bands = 8)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** d24 — the EXACT-recall alternative to d6 on the identical corpus,
-    * threshold and shingling: prefix filtering instead of MinHash-LSH.
-    * Same oracle as d6 (the brute-force threshold join), so a green row
+  /** d24 — the EXACT-recall alternative to d6's LSH on the identical
+    * corpus and shingling: prefix filtering instead of MinHash. Run at
+    * t = 0.8, prefix filtering's natural regime — the prefix is
+    * |S|/5+1 rarest shingles, so inverted lists stay short (at t = 0.5
+    * they are half the set and the candidate join degenerates toward
+    * the cross product; measured 21.9 s → the 0.8 form at sf0.1).
+    * The oracle is the brute-force threshold join, so a green row
     * PROVES the no-miss guarantee end-to-end, not just on a planted
-    * pair. */
+    * pair (the fixture's qualifying pairs all sit at J ≥ 0.9 — the
+    * 0.5 and 0.8 forms select the identical set, d6 cross-checks). */
   private val d24PrefixPairs = (s: SparkSession, d: String) =>
     Dedup.prefixFilterPairs(t(s, d, "documents"), "doc_id", "text",
-        tNum = 1, tDen = 2, k = 3)
+        tNum = 4, tDen = 5, k = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Decontamination: docs 0-49 play the eval set, the rest the training
@@ -4186,6 +4191,63 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Whitney U rank-sum test between the `value` distributions of
+    * every event-type pair (Mann & Whitney 1947 — the NONPARAMETRIC
+    * location test beside a37's Welch t: Welch assumes means matter,
+    * U only assumes ranks do, so it survives the heavy tails that make
+    * t-statistics lie). Exact under ties via w19's doubled-average-rank
+    * trick on the per-pair pooled sample: 2·avgrank = 2r₀ + c − 1 is an
+    * integer per distinct value, so 2U = Σ_A 2·avgrank − n_A(n_A+1) is
+    * exact, and the tie-corrected normal approximation
+    * z = (2U − n_An_B) / √(n_An_B((n+1)n(n−1) − Σ(t³−t)) / (3n(n−1)))
+    * is one division and one sqrt over exact integer cells. Each event
+    * joins its |types|−1 pairs through a broadcast pair list (bounded
+    * fan-out, one (pair, value) shuffle); rank arithmetic runs on the
+    * RUN-COLLAPSED distinct values (the a32/w19 discipline — never a
+    * per-row tie-count window). */
+  private val a38MannWhitney = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val types = ev.select(col("event_type")).distinct()
+    val tp = types.select(col("event_type").as("type_a"))
+      .join(types.select(col("event_type").as("type_b")),
+        col("type_a") < col("type_b"))
+    val pooled = ev.join(broadcast(tp),
+        col("event_type") === col("type_a") || col("event_type") === col("type_b"))
+    val runs = pooled
+      .groupBy(col("type_a"), col("type_b"), col("value"))
+      .agg(count(lit(1)).as("_c"),
+        sum(when(col("event_type") === col("type_a"), 1L).otherwise(0L)).as("_ca"))
+    val byVal = Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = runs
+      .withColumn("_r0", sum(col("_c")).over(byVal) - col("_c") + 1L)
+      .withColumn("_2avg", col("_r0") * 2L + col("_c") - 1L)
+    ranked
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(
+        sum(col("_ca")).as("n_a"),
+        sum(col("_c") - col("_ca")).as("n_b"),
+        sum(col("_ca").cast(dec) * col("_2avg").cast(dec)).cast(dec).as("_2ra"),
+        sum((col("_c").cast(dec) * col("_c").cast(dec) * col("_c").cast(dec) -
+          col("_c").cast(dec)).cast(dec)).cast(dec).as("_t3"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("_2ra") - (col("n_a").cast(dec) * (col("n_a").cast(dec) + 1))).cast("long")
+          .as("u2"),
+        ((col("_2ra") - (col("n_a").cast(dec) * (col("n_a").cast(dec) + 1))
+          - col("n_a").cast(dec) * col("n_b").cast(dec)).cast("double") /
+          sqrt(
+            (col("n_a").cast(dec) * col("n_b").cast(dec) *
+              ((col("n_a").cast(dec) + col("n_b") + 1) *
+                (col("n_a").cast(dec) + col("n_b")) *
+                (col("n_a").cast(dec) + col("n_b") - 1) - col("_t3"))).cast("double") /
+            ((col("n_a").cast(dec) + col("n_b")) *
+              (col("n_a").cast(dec) + col("n_b") - 1) * 3).cast("double")))
+          .as("z_stat"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4411,6 +4473,7 @@ object SparkEntry {
     "e23_diurnal" -> e23Diurnal,
     "d24_prefix_pairs" -> d24PrefixPairs,
     "e24_holt" -> e24Holt,
+    "a38_mann_whitney" -> a38MannWhitney,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5761,6 +5824,41 @@ object SparkEntry {
          SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
            l + b AS forecast_1
          FROM rec WHERE t = n ORDER BY event_type""",
+    "a38_mann_whitney" ->
+      // HUGEINT doubled-rank cells on the pooled per-pair sample, the
+      // same exact-integer 2U and tie-corrected variance, varchar-hopped
+      // terminal casts (numerator and variance product exceed 2^53),
+      // one division + one sqrt + one division
+      """WITH ty AS (SELECT DISTINCT event_type FROM events),
+         tp AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b
+           FROM ty a JOIN ty b ON a.event_type < b.event_type
+         ), pooled AS (
+           SELECT tp.type_a, tp.type_b, e.event_type, e.value
+           FROM events e JOIN tp
+             ON e.event_type = tp.type_a OR e.event_type = tp.type_b
+         ), runs AS (
+           SELECT type_a, type_b, value, CAST(count(*) AS HUGEINT) AS c,
+             CAST(sum(CASE WHEN event_type = type_a THEN 1 ELSE 0 END) AS HUGEINT) AS ca
+           FROM pooled GROUP BY 1, 2, 3
+         ), ranked AS (
+           SELECT type_a, type_b, c, ca,
+             sum(c) OVER (PARTITION BY type_a, type_b ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r0
+           FROM runs
+         ), cells AS (
+           SELECT type_a, type_b,
+             CAST(sum(ca) AS HUGEINT) AS na, CAST(sum(c - ca) AS HUGEINT) AS nb,
+             sum(ca * (2*r0 + c - 1)) AS r2a, sum(c*c*c - c) AS t3
+           FROM ranked GROUP BY 1, 2
+         )
+         SELECT type_a, type_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(r2a - na*(na+1) AS BIGINT) AS u2,
+           CAST(CAST(r2a - na*(na+1) - na*nb AS VARCHAR) AS DOUBLE) /
+             sqrt(CAST(CAST(na*nb*((na+nb+1)*(na+nb)*(na+nb-1) - t3) AS VARCHAR) AS DOUBLE)
+               / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
+         FROM cells ORDER BY type_a, type_b""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (
@@ -5976,10 +6074,16 @@ object SparkEntry {
       // |A∩B|/|A∪B| as double (identical small-int division → bit-equal)
       jaccardOracle("a.doc_id < b.doc_id"),
     "d24_prefix_pairs" ->
-      // the SAME brute-force ground truth as d6: prefix filtering
-      // claims exact recall, so equality with the exhaustive join IS
-      // the theorem checked on the whole corpus
-      jaccardOracle("a.doc_id < b.doc_id"),
+      // the d6 brute-force ground truth at the 0.8 threshold: prefix
+      // filtering claims exact recall, so equality with the exhaustive
+      // join IS the theorem checked on the whole corpus
+      s"""WITH $shingleCteSql
+          SELECT id_a, id_b, j AS jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              len(list_intersect(a.s, b.s))::DOUBLE
+                / len(list_distinct(list_concat(a.s, b.s)))::DOUBLE AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          WHERE j >= 0.8 ORDER BY id_a, id_b""",
     "d7_decontaminate" ->
       // bipartite brute-force ground truth: eval slice vs training rest
       jaccardOracle("a.doc_id < 50 AND b.doc_id >= 50"),

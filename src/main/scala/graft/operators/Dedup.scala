@@ -1015,10 +1015,18 @@ object Dedup {
       // ceil(t*n) = (n*tNum + tDen - 1) div tDen, all integers
       .filter(col("_r") <=
         col("_n") - expr(s"(_n * $tNum + ${tDen - 1}) div $tDen") + 1)
-      .select(col(idCol), col("_g"))
-    val cands = prefixes.select(col(idCol).as("id_a"), col("_g"))
-      .join(prefixes.select(col(idCol).as("id_b"), col("_g")), Seq("_g"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col(idCol), col("_n"), col("_g"))
+    // PPJoin length filter rides the candidate join: J ≥ t forces
+    // min(|A|,|B|) ≥ t·max(|A|,|B|) (the intersection fits in the
+    // smaller set), so size-incompatible prefix collisions never
+    // materialize as candidates — integer form n_a·tDen ≥ n_b·tNum
+    val cands = prefixes
+      .select(col(idCol).as("id_a"), col("_n").as("_na"), col("_g"))
+      .join(prefixes.select(col(idCol).as("id_b"), col("_n").as("_nb"), col("_g")),
+        Seq("_g"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_na") * tDen >= col("_nb") * tNum &&
+        col("_nb") * tDen >= col("_na") * tNum)
       .select(col("id_a"), col("id_b"))
       .distinct()
     verifyStagedPairs(cands, staged, staged, idCol,

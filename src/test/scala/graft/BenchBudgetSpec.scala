@@ -246,6 +246,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e23_diurnal" -> 1.0,
     "d24_prefix_pairs" -> 3.0,
     "e24_holt" -> 1.2,
+    "a38_mann_whitney" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

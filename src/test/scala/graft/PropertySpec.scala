@@ -458,6 +458,22 @@ class PropertySpec extends SparkTestBase {
     assert(b.getAs[Double]("level") == 9.0 && b.getAs[Double]("trend") == 4.0)
   }
 
+  test("a38 Mann-Whitney: hand-math doubled ranks under ties, exact U and z") {
+    val dir = tmpDir("mw")
+    // A = {1.00, 2.00}, B = {2.00, 3.00}: pooled avg ranks 1, 2.5, 2.5, 4
+    // R_A = 3.5 -> 2U = 2*3.5 - 2*3 = 1; T = 2^3-2 = 6; n = 4
+    // 4sigma^2 = 4*(5*4*3 - 6)/(3*4*3) = 6 -> z = (1-4)/sqrt(6)
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 1.00, "{}"), (2L, 2000L, 1L, "a", 2.00, "{}"),
+      (3L, 3000L, 1L, "b", 2.00, "{}"), (4L, 4000L, 1L, "b", 3.00, "{}")))
+    val got = SparkEntry.queries("a38_mann_whitney")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2") == 1L, s"2U wrong: $r")
+    assert(r.getAs[Double]("z_stat") == -3.0 / math.sqrt(6.0), s"z wrong: $r")
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
