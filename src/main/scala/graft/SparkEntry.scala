@@ -4248,6 +4248,82 @@ object SparkEntry {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** Effective-token curation report per source (the "how many tokens
+    * do I ACTUALLY have" number a pretraining-mix owner reads after
+    * dedup + quality gating: raw counts double-count near-dup clusters
+    * and d23's 1/cluster_size weights are rationals that won't sum
+    * exactly): dedup clusters computed corpus-wide FIRST (a duplicate
+    * of an admitted doc still dilutes it), then the n_chars ≥ 200
+    * admission gate, then per-(source, cluster_size) EXACT integer
+    * token sums — and the only float work is a bounded fold over the
+    * distinct cluster sizes per source in size order (the a33/e16
+    * fixed-sequence trick): effective = Σ_size Σtokens(size)/size,
+    * deterministic IEEE on both engines. Composes d23's components,
+    * t3's tokenizer and the x15 budget-report shape end-to-end. */
+  private val x36EffectiveTokens = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val sizes = comps.groupBy(col("label")).agg(count(lit(1)).as("_csz"))
+    val toks = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      when(length(trim(col("text"))) === 0, 0)
+        .otherwise(size(split(trim(col("text")), "\\s+"))).cast("long").as("_nt"))
+    val joined = CachePool.register(toks
+      .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"))
+      .join(broadcast(sizes), Seq("label"))
+      .persist())
+    val perSource = joined.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val buckets = joined.filter(col("n_chars") >= 200L)
+      .groupBy(col("source"), col("_csz"))
+      .agg(count(lit(1)).as("_nd"), sum(col("_nt")).as("_st"))
+    val folded = buckets.groupBy(col("source"))
+      .agg(sum(col("_nd")).as("n_admitted"),
+        sum(col("_st")).as("admitted_tokens"),
+        sort_array(collect_list(struct(col("_csz"), col("_st")))).as("_b"))
+      .select(col("source"), col("n_admitted"), col("admitted_tokens"),
+        aggregate(col("_b"), lit(0.0),
+          (acc, e) => acc + e.getField("_st").cast("double") /
+            e.getField("_csz").cast("double")).as("effective_tokens"))
+    perSource.join(folded, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"),
+        coalesce(col("effective_tokens"), lit(0.0)).as("effective_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier per part): the ARGMIN-decorate
+    * join pattern — the cheapest (price, supplier) per part is ONE
+    * struct-min aggregate over the fact (map-side combined; the struct
+    * order is total because the tie-break key rides inside), and the
+    * supplier/nation decoration joins AFTER the argmin against
+    * |parts| rows, never |lineitem|. The naive correlated-subquery
+    * form re-scans the fact per part; the window-rank form shuffles
+    * full fact rows. Exact decimal price ordering (ties to the
+    * smaller supplier key). */
+  private val j25Q2Shape = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("_p"), col("l_suppkey"))
+    val best = li.groupBy(col("l_partkey"))
+      .agg(min(struct(col("_p").as("p"), col("l_suppkey").as("sk"))).as("_b"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("_b.p").cast("double").as("best_price"),
+        col("_b.sk").as("s_suppkey"))
+    val p = t(s, d, "part")
+      .filter(col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    best.join(broadcast(p), Seq("p_partkey"))
+      .join(broadcast(sup), Seq("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("best_price"), col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy(col("p_partkey"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4474,6 +4550,8 @@ object SparkEntry {
     "d24_prefix_pairs" -> d24PrefixPairs,
     "e24_holt" -> e24Holt,
     "a38_mann_whitney" -> a38MannWhitney,
+    "x36_effective_tokens" -> x36EffectiveTokens,
+    "j25_q2_shape" -> j25Q2Shape,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5859,6 +5937,26 @@ object SparkEntry {
              sqrt(CAST(CAST(na*nb*((na+nb+1)*(na+nb)*(na+nb-1) - t3) AS VARCHAR) AS DOUBLE)
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
+    "x36_effective_tokens" -> x36OracleSql,
+    "j25_q2_shape" ->
+      // identical argmin: row_number over (price, suppkey) exact
+      // decimal order, rank-1 pick, the same decorate joins
+      """WITH best AS (
+           SELECT l_partkey AS p_partkey,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price,
+             l_suppkey AS s_suppkey,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+               ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)), l_suppkey) AS rn
+           FROM lineitem
+         )
+         SELECT b.p_partkey, p.p_brand, p.p_size, b.best_price,
+           b.s_suppkey, s.s_name, n.n_name
+         FROM best b
+         JOIN part p ON p.p_partkey = b.p_partkey AND p.p_size <= 10
+         JOIN supplier s ON s.s_suppkey = b.s_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE b.rn = 1
+         ORDER BY b.p_partkey""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (
@@ -7852,6 +7950,52 @@ object SparkEntry {
 
   /** d23: d8's recursive-closure labels + per-label size joined back
     * per doc, weight = 1/size — the soft-dedup oracle. */
+  /** x36: d23's recursive-closure clusters + t3's tokenizer + the
+    * n_chars gate, folded per source over (cluster_size, token_sum)
+    * buckets in size order — the identical IEEE sequence as the
+    * engine's bounded aggregate fold. */
+  private def x36OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lbl AS (
+          SELECT d.doc_id, d.source, d.n_chars,
+            CASE WHEN length(trim(d.text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(d.text), '\\s+')) END AS nt,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS label
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s),
+        cs AS (SELECT label, COUNT(*) AS csz FROM lbl GROUP BY 1),
+        j AS (SELECT lbl.*, cs.csz FROM lbl JOIN cs USING (label)),
+        per_source AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM j GROUP BY 1),
+        buckets AS (
+          SELECT source, csz, CAST(count(*) AS BIGINT) AS nd,
+            CAST(sum(nt) AS BIGINT) AS st
+          FROM j WHERE n_chars >= 200 GROUP BY 1, 2),
+        folded AS (
+          SELECT source, CAST(sum(nd) AS BIGINT) AS n_admitted,
+            CAST(sum(st) AS BIGINT) AS admitted_tokens,
+            list_reduce(
+              list_prepend(0.0e0,
+                list(CAST(st AS DOUBLE) / CAST(csz AS DOUBLE) ORDER BY csz)),
+              (acc, x) -> acc + x) AS effective_tokens
+          FROM buckets GROUP BY 1)
+        SELECT p.source, p.n_docs,
+          COALESCE(f.n_admitted, 0) AS n_admitted,
+          COALESCE(f.admitted_tokens, 0) AS admitted_tokens,
+          COALESCE(f.effective_tokens, 0.0e0) AS effective_tokens
+        FROM per_source p LEFT JOIN folded f USING (source)
+        ORDER BY p.source"""
+
   private def d23OracleSql: String =
     s"""WITH RECURSIVE $shingleCteSql,
         pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),

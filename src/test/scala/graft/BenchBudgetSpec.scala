@@ -247,6 +247,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "d24_prefix_pairs" -> 3.0,
     "e24_holt" -> 1.2,
     "a38_mann_whitney" -> 1.5,
+    "x36_effective_tokens" -> 6.5,
+    "j25_q2_shape" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -474,6 +474,62 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Double]("z_stat") == -3.0 / math.sqrt(6.0), s"z wrong: $r")
   }
 
+  test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
+    val dir = tmpDir("efftok")
+    val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
+    val long2 = long1 // exact dup: the tightest near-dup cluster
+    val uniq = ("one two three four five six seven eight " * 8).trim
+    val short = "tiny doc" // fails the n_chars >= 200 gate
+    Seq(
+      (1L, long1, "en", "srcA", long1.length.toLong),
+      (2L, long2, "en", "srcA", long2.length.toLong),
+      (3L, uniq, "en", "srcA", uniq.length.toLong),
+      (4L, short, "en", "srcB", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x36_effective_tokens")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("srcA")
+    assert(a.getAs[Long]("n_docs") == 3L && a.getAs[Long]("n_admitted") == 3L)
+    assert(a.getAs[Long]("admitted_tokens") == 192L)
+    // docs 1+2 form one cluster of 2 (128 tokens -> 64 effective);
+    // doc 3 is its own cluster (64) -> fold: 0 + 64.0 + 128/2
+    assert(a.getAs[Double]("effective_tokens") == 0.0 + 64.0 + 128.0 / 2.0,
+      s"srcA fold: $a")
+    val b = got("srcB")
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Long]("n_admitted") == 0L)
+    assert(b.getAs[Double]("effective_tokens") == 0.0)
+  }
+
+  test("j25 Q2 shape: argmin picks the cheapest offer with supplier tie-break") {
+    val dir = tmpDir("q2")
+    Seq((10L, 100L, 1L, 1, 1.0, 5.00, 0.0, 0.0, "N", "O", 0L),
+      (10L, 100L, 2L, 2, 1.0, 3.00, 0.0, 0.0, "N", "O", 0L),
+      (10L, 100L, 3L, 3, 1.0, 3.00, 0.0, 0.0, "N", "O", 0L), // tie -> supplier 2 wins
+      (11L, 200L, 3L, 1, 1.0, 9.00, 0.0, 0.0, "N", "O", 0L))
+      .map { case (ok, pk, sk, ln, q, ep, di, tx, rf, ls, sd) =>
+        (ok, pk, sk, ln, q, ep, di, tx, rf, ls, new java.sql.Timestamp(sd)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "p100", "Brand#1", "SMALL", 5, 1.0), (200L, "p200", "Brand#2", "LARGE", 50, 2.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    Seq((2L, "SupTwo", 7, 1.0), (3L, "SupThree", 7, 1.0), (1L, "SupOne", 7, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.parquet(s"$dir/supplier.parquet")
+    Seq((7, "WONDERLAND", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$dir/nation.parquet")
+    val got = SparkEntry.queries("j25_q2_shape")(spark, dir).collect()
+    // part 200 (size 50) filtered out; part 100 argmin = 3.00 tie -> supplier 2
+    assert(got.length == 1, s"got ${got.toSeq}")
+    assert(got(0).getAs[Long]("s_suppkey") == 2L)
+    assert(got(0).getAs[Double]("best_price") == 3.0)
+    assert(got(0).getAs[String]("s_name") == "SupTwo")
+    assert(got(0).getAs[String]("n_name") == "WONDERLAND")
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
