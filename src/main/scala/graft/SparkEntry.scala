@@ -4324,6 +4324,57 @@ object SparkEntry {
       .orderBy(col("p_partkey"))
   }
 
+  /** TPC-H Q14 shape (promotion revenue share): one month of the fact
+    * (the shipdate filter reaches the parquet scan), broadcast part
+    * decorate, TWO conditional decimal sums in ONE aggregate (never
+    * two passes), share = one IEEE division of exact decimals. The
+    * single-row "what fraction of this month's revenue was promo"
+    * marketing KPI. */
+  private val j26Q14Shape = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-02-01"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("_rev"))
+    val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("_rev"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("decimal(28,4)").as("_pr"),
+        sum(col("_rev")).cast("decimal(28,4)").as("_tr"))
+      .select(col("_pr").cast("double").as("promo_revenue"),
+        col("_tr").cast("double").as("total_revenue"),
+        (lit(100.0) * col("_pr").cast("double") / col("_tr").cast("double"))
+          .as("promo_revenue_pct"))
+  }
+
+  /** DAU/MAU stickiness per day (the engagement-quality ratio beside
+    * w21's growth accounting — growth says how DAU changes, stickiness
+    * says whether actives come back within the month): trailing-28-day
+    * distinct users per day via the BOUNDED grid join — the distinct
+    * (user, day) frame fans out ≤28× against the day grid (never a
+    * sliding count-distinct window, which Spark cannot do exactly),
+    * then one exact count-distinct per grid day. Exact integers, one
+    * IEEE division. */
+  private val w23Stickiness = (s: SparkSession, d: String) => {
+    val ud = CachePool.register(Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("day"))
+      .distinct()
+      .persist())
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val grid = ud.select(col("day").as("_gday")).distinct()
+    val mau = ud.join(broadcast(grid),
+        col("day") <= col("_gday") && col("day") > col("_gday") - 28L)
+      .groupBy(col("_gday")).agg(countDistinct(col("user_id")).as("mau"))
+      .select(col("_gday").as("day"), col("mau"))
+    dau.join(mau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4552,6 +4603,8 @@ object SparkEntry {
     "a38_mann_whitney" -> a38MannWhitney,
     "x36_effective_tokens" -> x36EffectiveTokens,
     "j25_q2_shape" -> j25Q2Shape,
+    "j26_q14_shape" -> j26Q14Shape,
+    "w23_stickiness" -> w23Stickiness,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5957,6 +6010,36 @@ object SparkEntry {
          JOIN nation n ON n.n_nationkey = s.s_nationkey
          WHERE b.rn = 1
          ORDER BY b.p_partkey""",
+    "j26_q14_shape" ->
+      // identical month slice, decimal-exact conditional revenue sums,
+      // one division scaled by 100
+      """SELECT
+           CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+           CAST(sum(rev) AS DOUBLE) AS total_revenue,
+           100.0e0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE) AS promo_revenue_pct
+         FROM (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4)) AS rev, p_type
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01')""",
+    "w23_stickiness" ->
+      // identical bounded grid join, exact count-distinct, one division
+      """WITH ud AS (
+           SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+         ), dau AS (
+           SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+         ), grid AS (SELECT DISTINCT day AS gday FROM ud
+         ), mau AS (
+           SELECT g.gday AS day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS mau
+           FROM ud u JOIN grid g ON u.day <= g.gday AND u.day > g.gday - 28
+           GROUP BY 1
+         )
+         SELECT d.day, d.dau, m.mau,
+           CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+         FROM dau d JOIN mau m USING (day)
+         ORDER BY d.day""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (

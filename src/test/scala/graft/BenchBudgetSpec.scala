@@ -249,6 +249,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a38_mann_whitney" -> 1.5,
     "x36_effective_tokens" -> 6.5,
     "j25_q2_shape" -> 1.2,
+    "j26_q14_shape" -> 1.2,
+    "w23_stickiness" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

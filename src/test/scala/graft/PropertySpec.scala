@@ -530,6 +530,45 @@ class PropertySpec extends SparkTestBase {
     assert(got(0).getAs[String]("n_name") == "WONDERLAND")
   }
 
+  test("w23 stickiness: trailing-28-day distinct users, hand grid") {
+    val dir = tmpDir("stick")
+    val day = 86400000000L
+    // user 1 active days 0 and 30; user 2 active days 0, 1, 30
+    writeEvents(dir, Seq(
+      (1L, 0 * day + 1L, 1L, "view", 1.0, "{}"),
+      (2L, 30 * day + 1L, 1L, "view", 1.0, "{}"),
+      (3L, 0 * day + 2L, 2L, "view", 1.0, "{}"),
+      (4L, 1 * day + 2L, 2L, "view", 1.0, "{}"),
+      (5L, 30 * day + 2L, 2L, "view", 1.0, "{}")))
+    val got = SparkEntry.queries("w23_stickiness")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"), r.getAs[Double]("stickiness"))).toMap
+    assert(got(0L) == (2L, 2L, 1.0))
+    assert(got(1L) == (1L, 2L, 0.5))
+    // day 30's window is (2, 30]: day-0 activity aged out, day 1 in
+    assert(got(30L) == (2L, 2L, 1.0), s"day30: ${got(30L)}")
+  }
+
+  test("j26 Q14: promo share over the month slice is decimal-exact") {
+    val dir = tmpDir("q14")
+    def ts(s2: String) = java.sql.Timestamp.valueOf(s2 + " 00:00:00")
+    Seq(
+      (1L, 100L, 1L, 1, 1.0, 100.00, 0.10, 0.0, "N", "O", ts("1996-01-05")), // promo: 90.00
+      (2L, 200L, 1L, 1, 1.0, 50.00, 0.00, 0.0, "N", "O", ts("1996-01-20")), // standard: 50.00
+      (3L, 100L, 1L, 1, 1.0, 999.00, 0.00, 0.0, "N", "O", ts("1996-03-01"))) // outside the month
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "p", "Brand#1", "PROMO", 1, 1.0), (200L, "p", "Brand#2", "STANDARD", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val r = SparkEntry.queries("j26_q14_shape")(spark, dir).collect()(0)
+    assert(r.getAs[Double]("promo_revenue") == 90.0)
+    assert(r.getAs[Double]("total_revenue") == 140.0)
+    assert(r.getAs[Double]("promo_revenue_pct") == 100.0 * 90.0 / 140.0)
+  }
+
   test("t28 hapax: corpus-level type/token/hapax cells are exact") {
     val dir = tmpDir("hapax")
     Seq(
