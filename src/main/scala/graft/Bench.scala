@@ -428,6 +428,20 @@ object Bench {
       val (ctT1, _) = time(contCount(docs1))
       val (ctT5, _) = time(contCount(docs5))
       val (ctT25, _) = time(contCount(docs25))
+      // prefix-filter growth on the corpus axis (d24's shape, new in
+      // round 10): candidate volume is Σ_g |prefix inverted list|² over
+      // the rarest-first prefixes — perturbed replicas translate
+      // tokens, so lists stay per-replica and the fit should sit ≈1;
+      // a super-linear fit means the t=0.8 prefixes started colliding
+      // across replicas (the degeneration the 0.5→0.8 rework removed)
+      def pfxCount(docs: org.apache.spark.sql.DataFrame): Long =
+        try fullCount(Dedup.prefixFilterPairs(docs, "doc_id", "text",
+          tNum = 4, tDen = 5))
+        finally CachePool.releaseAll()
+      pfxCount(docs1) // untimed warmup
+      val (pfT1, _) = time(pfxCount(docs1))
+      val (pfT5, _) = time(pfxCount(docs5))
+      val (pfT25, _) = time(pfxCount(docs25))
       docs5.unpersist()
       docs25.unpersist()
       // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
@@ -680,6 +694,9 @@ object Bench {
         s""""containment_sec_1x":${r3(ctT1)},"containment_sec_5x":${r3(ctT5)},""" +
         s""""containment_sec_25x":${r3(ctT25)},""" +
         s""""containment_growth_exp":${fitExp(ctT1, ctT5, ctT25)},""" +
+        s""""prefix_sec_1x":${r3(pfT1)},"prefix_sec_5x":${r3(pfT5)},""" +
+        s""""prefix_sec_25x":${r3(pfT25)},""" +
+        s""""prefix_growth_exp":${fitExp(pfT1, pfT5, pfT25)},""" +
         s""""ivf_sec_1x":${r3(ivT1)},"ivf_sec_5x":${r3(ivT5)},""" +
         s""""ivf_sec_25x":${r3(ivT25)},""" +
         s""""ivf_growth_exp":${fitExp(ivT1, ivT5, ivT25)},""" +

@@ -276,6 +276,8 @@ class BenchBudgetSpec extends SparkTestBase {
       "dsir_sec_25x" -> 9.0,
       "containment_sec_1x" -> 3.0, "containment_sec_5x" -> 6.0,
       "containment_sec_25x" -> 12.0,
+      "prefix_sec_1x" -> 3.0, "prefix_sec_5x" -> 6.0,
+      "prefix_sec_25x" -> 12.0,
       "asof_sec_1x" -> 1.5, "asof_sec_5x" -> 2.5,
       "asof_hot_sec_plain" -> 1.5, "asof_hot_sec_split" -> 3.0,
       // depth probe is fixture-independent (spark.range synthetic): the
@@ -293,7 +295,7 @@ class BenchBudgetSpec extends SparkTestBase {
     // the slope — the bound still catches anything superlinear)
     for (name <- Seq("neardup_growth_exp", "boilerplate_growth_exp",
         "neardup_cand_growth_exp", "dsir_growth_exp",
-        "containment_growth_exp")) {
+        "containment_growth_exp", "prefix_growth_exp")) {
       val e = metric(name)
       assert(e < 1.3, f"$name = $e%.2f — superlinear growth on the corpus axis")
     }
