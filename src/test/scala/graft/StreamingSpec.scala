@@ -1175,6 +1175,72 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "parity on an empty panel proves nothing")
   }
 
+  test("streaming growth accounting: grow-only day sets converge to batch w21 row-for-row") {
+    import graft.streaming.StreamingGrowth
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sgrow")
+    // reverse-quartile drain: every user's day set is assembled
+    // newest-first, so most days are first classified "new" or
+    // "resurrected" WRONG and must be exactly re-classified
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingGrowth.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def rows(df: DataFrame): Set[(Long, Long, Long, Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val got = rows(StreamingGrowth.growthTable(spark, store))
+    val want = rows(SparkEntry.queries("w21_growth_accounting")(spark, dir))
+    assert(got == want,
+      s"streaming growth diverged from batch w21:\n got=$got\n want=$want")
+    assert(got.nonEmpty, "parity on an empty panel proves nothing")
+  }
+
+  test("streaming growth state: late mid-gap day splits churn and re-classifies exactly") {
+    import graft.streaming.StreamingGrowth.{processUser, DaySet, GDelta}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st = TestGroupState.create[DaySet](
+      optionalState = org.apache.spark.api.java.Optional.empty[DaySet](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[java.lang.Long]().asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    val s1 = st
+    // days {0, 3}: 0 new, 3 resurrected; churn at 1 and 4
+    val d1 = processUser(1L, Iterator((1L, 0L), (1L, 3L)), s1).toSet
+    assert(d1 == Set(
+      GDelta(0L, 1L, 1L, 0L, 0L, 0L),
+      GDelta(1L, 0L, 0L, 0L, 0L, 1L),
+      GDelta(3L, 1L, 0L, 0L, 1L, 0L),
+      GDelta(4L, 0L, 0L, 0L, 0L, 1L)), s"d1=$d1")
+    // late day 2 arrives: churn at 1 stays (0 has no successor), day 2
+    // becomes resurrected, day 3 flips resurrected -> retained, churn
+    // at 3 never existed (2's successor is 3)
+    val d2 = processUser(1L, Iterator((1L, 2L)), s1).toSet
+    assert(d2 == Set(
+      GDelta(2L, 1L, 0L, 0L, 1L, 0L),
+      GDelta(3L, 0L, 0L, 1L, -1L, 0L)), s"d2=$d2")
+    // duplicate replay: no deltas, no state change
+    val before = s1.get
+    assert(processUser(1L, Iterator((1L, 2L), (1L, 0L)), s1).isEmpty)
+    assert(s1.get == before)
+  }
+
   test("streaming attribution state: late click re-credits, user flips, frozen prefix final") {
     import graft.streaming.StreamingAttribution.{processUser, ADelta, AttrState}
     import graft.streaming.StreamingTransitions.Ev
