@@ -4375,6 +4375,34 @@ object SparkEntry {
       .orderBy(col("day"))
   }
 
+  /** TPC-H Q19 shape (disjunctive-predicate revenue): the OR-of-ANDs
+    * pricing query — three (brand, size-band, quantity-band) branches
+    * OR-ed together. The equi-join key stays clean (partkey) so the
+    * plan is ONE broadcast hash join; the disjunction is a residual
+    * filter evaluated post-join inside codegen, never a fallback to a
+    * nested-loop join (the trap when the OR is written INTO the join
+    * condition of separate joins and unioned — three fact scans).
+    * Exact decimal revenue, single row. */
+  private val j27Q19Shape = (s: SparkSession, d: String) => {
+    val li = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("_rev"))
+    val p = t(s, d, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#34" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("_rev")).cast("decimal(28,4)").as("_r"))
+      .select(col("n_items"), col("_r").cast("double").as("revenue"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4605,6 +4633,7 @@ object SparkEntry {
     "j25_q2_shape" -> j25Q2Shape,
     "j26_q14_shape" -> j26Q14Shape,
     "w23_stickiness" -> w23Stickiness,
+    "j27_q19_shape" -> j27Q19Shape,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6040,6 +6069,19 @@ object SparkEntry {
            CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
          FROM dau d JOIN mau m USING (day)
          ORDER BY d.day""",
+    "j27_q19_shape" ->
+      // identical branches as a residual disjunction over the one join
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(rev) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+         FROM (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(18,4)) AS rev,
+             l_quantity, p_brand, p_size
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (

@@ -251,6 +251,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "j25_q2_shape" -> 1.2,
     "j26_q14_shape" -> 1.2,
     "w23_stickiness" -> 1.2,
+    "j27_q19_shape" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
