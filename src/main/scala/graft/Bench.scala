@@ -143,6 +143,7 @@ object Bench {
     val streamingDedup = benchStreamingDedup(spark, sfDir)
     val streamingDedupGrowth = benchStreamingDedupGrowth(spark, sfDir)
     val streamingTransitions = benchStreamingTransitions(spark, sfDir)
+    val streamingGrowth = benchStreamingGrowth(spark, sfDir)
     val scale = benchScale(spark, sfDir)
     val ann = benchAnnQuality(spark)
     // sentinels again at the very end: post/pre = within-run drift
@@ -156,7 +157,7 @@ object Bench {
     // the timing field names the discipline so the round-over-round
     // series break at r7 (count() → full materialization) has its cause
     // recorded in the artifact itself
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"streaming_growth":$streamingGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
@@ -878,6 +879,54 @@ object Bench {
       case e: Throwable =>
         System.err.println(s"[bench] streaming transitions failed: ${e.getMessage}")
         """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0,"drops":-1}"""
+    }
+  }
+
+  /** Streaming growth-accounting throughput: the transitions drain
+    * staging (time-segmented fixture files, one per trigger) through
+    * [[graft.streaming.StreamingGrowth]] — the grow-only day-set twin.
+    * No lateness knob and no drop path (set union commutes); the
+    * number is pure classification-diff + merge cost per row. */
+  private[graft] def benchStreamingGrowth(
+      spark: SparkSession,
+      sfDir: String,
+      nSegments: Int = 8): String = {
+    try {
+      import org.apache.spark.sql.functions.{col, least, lit, unix_micros}
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val rows = ev.count()
+      val bounds = ev.agg(
+        org.apache.spark.sql.functions.min(unix_micros(col("ts"))),
+        org.apache.spark.sql.functions.max(unix_micros(col("ts")))).head()
+      val (tMin, tMax) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(tMax - tMin, 1L)
+      def drain(): Double = {
+        val base = java.nio.file.Files.createTempDirectory("graft-sgrow-bench").toString
+        ev.withColumn("_seg",
+            least(lit(nSegments - 1),
+              ((unix_micros(col("ts")) - tMin) * nSegments / (span + 1)).cast("int")))
+          .repartition(1)
+          .write.partitionBy("_seg").parquet(s"$base/in")
+        val store = new graft.streaming.ParquetKpiStore(s"$base/store")
+        val stream = spark.readStream
+          .schema(spark.read.parquet(s"$base/in/_seg=0").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$base/in/_seg=*")
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingGrowth.start(
+          spark, stream, store, s"$base/cp").awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = drain()
+      val second = drain()
+      val sec = math.min(first, second)
+      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},""" +
+        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)}}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] streaming growth failed: ${e.getMessage}")
+        """{"rows":0,"seconds":-1.0,"rows_per_sec":-1.0}"""
     }
   }
 

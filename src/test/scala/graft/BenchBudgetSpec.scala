@@ -356,6 +356,13 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(tr > 0, "streaming transitions bench failed to run")
     assert(tr >= 60.0 * floorScale,
       f"streaming transitions throughput $tr%.1f rows/s below floor ${60.0 * floorScale}%.1f")
+    // growth accounting (round-10): same 8×125-row drain; the grow-only
+    // day-set fold is lighter than transitions' reorder buffer
+    Bench.benchStreamingGrowth(spark, dir, nSegments = 4) // warmup
+    val g = rps(Bench.benchStreamingGrowth(spark, dir, nSegments = 4))
+    assert(g > 0, "streaming growth bench failed to run")
+    assert(g >= 60.0 * floorScale,
+      f"streaming growth throughput $g%.1f rows/s below floor ${60.0 * floorScale}%.1f")
     val drops = """"drops":(-?[0-9]+)""".r.findFirstMatchIn(
       Bench.benchStreamingTransitions(spark, dir, nSegments = 4)).map(_.group(1).toLong)
     assert(drops.contains(0L),
