@@ -4403,6 +4403,29 @@ object SparkEntry {
       .select(col("n_items"), col("_r").cast("double").as("revenue"))
   }
 
+  /** Deterministic per-group mode (the most-frequent item per event
+    * type, ties to the smallest item — the categorical summary
+    * statistic the a-family lacked; nondeterministic tie handling is
+    * how two runs of "the modal item" disagree in a report): counts
+    * collapse map-side, then the j25 argmin trick on (−count, item) —
+    * ONE struct-min aggregate per group, never a window over the
+    * count frame. */
+  private val a39GroupMode = (s: SparkSession, d: String) => {
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("_item"))
+      .filter(col("_item").isNotNull)
+      .groupBy(col("event_type"), col("_item")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("_c")).as("nc"), col("_item").as("it"))).as("_m"),
+        sum(col("_c")).as("n_events"))
+      .select(col("event_type"), col("_m.it").as("modal_item"),
+        (-col("_m.nc")).as("n_occurrences"), col("n_events"),
+        ((-col("_m.nc")).cast("double") / col("n_events").cast("double"))
+          .as("modal_share"))
+      .orderBy(col("event_type"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4634,6 +4657,7 @@ object SparkEntry {
     "j26_q14_shape" -> j26Q14Shape,
     "w23_stickiness" -> w23Stickiness,
     "j27_q19_shape" -> j27Q19Shape,
+    "a39_group_mode" -> a39GroupMode,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6082,6 +6106,21 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "a39_group_mode" ->
+      // identical argmin over (-count, item), identical share division
+      """WITH c AS (
+           SELECT event_type, CAST(props->>'k' AS INTEGER) AS item,
+             CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE props->>'k' IS NOT NULL GROUP BY 1, 2
+         ), r AS (
+           SELECT event_type, item, c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c DESC, item) AS rn
+           FROM c
+         )
+         SELECT event_type, item AS modal_item, c AS n_occurrences, n_events,
+           CAST(c AS DOUBLE) / CAST(n_events AS DOUBLE) AS modal_share
+         FROM r WHERE rn = 1 ORDER BY event_type""",
     "e23_diurnal" ->
       // identical hour cells, per-type totals, one division
       """WITH cells AS (

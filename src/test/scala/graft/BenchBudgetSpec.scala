@@ -252,6 +252,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "j26_q14_shape" -> 1.2,
     "w23_stickiness" -> 1.2,
     "j27_q19_shape" -> 1.2,
+    "a39_group_mode" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
