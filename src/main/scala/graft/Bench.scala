@@ -329,9 +329,11 @@ object Bench {
         wd.processBatch(spark, docs, 0L)
         wd.processBatch(spark, probe, 1L)
       }
-      val secs = Seq(1, 5, 25).map { sc =>
-        val base = java.nio.file.Files.createTempDirectory(s"graft-sdg-$sc").toString
-        val dd = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
+      def growthAxis(indexParts: Int): Map[Int, Double] = Seq(1, 5, 25).map { sc =>
+        val base = java.nio.file.Files
+          .createTempDirectory(s"graft-sdg-$indexParts-$sc").toString
+        val dd = new graft.streaming.StreamingLshDedup(
+          s"$base/index", s"$base/matches", indexParts = indexParts)
         val idx = ScaleFixture.scaleDocuments(docs, sc).persist()
         idx.count()
         dd.processBatch(spark, idx, 0L) // build the accumulated index, untimed
@@ -340,9 +342,21 @@ object Bench {
         dd.processBatch(spark, probe, 1L)
         sc -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      val secs = growthAxis(1)
+      // the same axis with bucket-partition pruning ON (indexParts=16):
+      // at local scale the partitioned layout pays ~35% overhead (file
+      // planning + per-partition filters), which is why the default is
+      // the flat layout — the pruned series exists to show WHERE the
+      // crossover sits as the accumulated index grows (the pruned probe
+      // reads only touched bucket ranges, so its slope vs index size is
+      // flatter; the scaladoc's 100 TB argument, now measured)
+      val pruned = growthAxis(16)
       probe.unpersist()
       s"""{"probe_rows":$probeRows,"sec_idx1x":${r3(secs(1))},""" +
-        s""""sec_idx5x":${r3(secs(5))},"sec_idx25x":${r3(secs(25))}}"""
+        s""""sec_idx5x":${r3(secs(5))},"sec_idx25x":${r3(secs(25))},""" +
+        s""""pruned_sec_idx1x":${r3(pruned(1))},""" +
+        s""""pruned_sec_idx5x":${r3(pruned(5))},""" +
+        s""""pruned_sec_idx25x":${r3(pruned(25))}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming dedup growth failed: ${e.getMessage}")
@@ -365,6 +379,13 @@ object Bench {
       CachePool.releaseAll(blocking = true)
       spark.catalog.clearCache()
       System.gc()
+      // section-local sentinel bracket (round-10 verdict: the run-level
+      // pre/post pair brackets only the registry loop, so a noise burst
+      // INSIDE benchScale — the r10 boilerplate_growth_exp 1.101 — was
+      // unattributable). pre/post here, plus min-of-2 on every growth
+      // probe below, makes "host burst" vs "real creep" decidable from
+      // the artifact alone.
+      val scaleSentinelPre = timeSentinels(spark, sfDir)
       val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
       // The 5x frames are synthetic: a 5-way union whose per-replica
@@ -376,10 +397,20 @@ object Bench {
       val docs5 = ScaleFixture.scaleDocuments(docs1, 5).persist()
       val embs1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val embs5 = ScaleFixture.scaleEmbeddings(embs1, 5).persist()
+      // min-of-2, the registry-loop discipline: run 1 doubles as codegen
+      // /JIT warmup AND a single-run host-noise burst (this machine has
+      // documented intermittent ~2× slowdowns) cannot fake a growth
+      // exponent unless it spans both runs — which the sentinel bracket
+      // would then show. Counts are deterministic; keep run 1's.
       def time(f: => Long): (Double, Long) = {
-        val t0 = System.nanoTime()
-        val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
+        def one(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        val a = one()
+        val b = one()
+        (math.min(a._1, b._1), a._2)
       }
       docs5.count(); embs5.count() // materialize outside the timed region
       val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
@@ -411,8 +442,7 @@ object Bench {
         try fullCount(graft.operators.Importance.scoreAgainstTarget(
           docs, "doc_id", "text", pmod(col("doc_id"), lit(17L)) === 0L))
         finally CachePool.releaseAll()
-      dsirCount(docs1) // untimed warmup: codegen for tokenize+bucket+score
-      val (dsT1, _) = time(dsirCount(docs1))
+      val (dsT1, _) = time(dsirCount(docs1)) // min-of-2: run 1 is the warmup
       val (dsT5, _) = time(dsirCount(docs5))
       val (dsT25, _) = time(dsirCount(docs25))
       // containment growth on the corpus axis (d21's shape, rewritten
@@ -425,7 +455,6 @@ object Bench {
       def contCount(docs: org.apache.spark.sql.DataFrame): Long =
         try fullCount(Dedup.containmentPairs(docs, "doc_id", "text"))
         finally CachePool.releaseAll()
-      contCount(docs1) // untimed warmup
       val (ctT1, _) = time(contCount(docs1))
       val (ctT5, _) = time(contCount(docs5))
       val (ctT25, _) = time(contCount(docs25))
@@ -439,7 +468,6 @@ object Bench {
         try fullCount(Dedup.prefixFilterPairs(docs, "doc_id", "text",
           tNum = 4, tDen = 5))
         finally CachePool.releaseAll()
-      pfxCount(docs1) // untimed warmup
       val (pfT1, _) = time(pfxCount(docs1))
       val (pfT5, _) = time(pfxCount(docs5))
       val (pfT25, _) = time(pfxCount(docs25))
@@ -456,15 +484,11 @@ object Bench {
       }
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      // untimed warmup: the FIRST ivf / embedding-near-dup execution
-      // pays Janino codegen + JIT for the centroid/assignment pipeline.
-      // Round 7 timed that into ivf_sec_1x (4.92 s vs ivf_sec_5x
-      // 2.74 s — the growth probe read as shrinkage and was unusable).
-      // Same discipline as the asof deep probe below.
-      Similarity.ivfTopK(
-        embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count()
-      Dedup.embeddingNearDupExact(
-        embs1, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count()
+      // the FIRST ivf / embedding-near-dup execution pays Janino
+      // codegen + JIT for the centroid/assignment pipeline. Round 7
+      // timed that into ivf_sec_1x (4.92 s vs ivf_sec_5x 2.74 s — the
+      // growth probe read as shrinkage and was unusable); min-of-2's
+      // first run now absorbs it.
       var iv1 = Set.empty[(Long, Long)]
       val (ivT1, _) = time {
         iv1 = pairs(Similarity.ivfTopK(
@@ -587,8 +611,7 @@ object Bench {
           .asofJoin(purchD, clicksD, Seq("user_id"), "tus", "tus"))
         def splitRun() = fullCount(graft.operators.TemporalJoin
           .asofJoinSkew(purchD, clicksD, Seq("user_id"), "tus", "tus", width))
-        plainRun(); splitRun() // codegen warmup
-        val (tp, _) = time(plainRun())
+        val (tp, _) = time(plainRun()) // min-of-2: run 1 is the warmup
         val (ts, _) = time(splitRun())
         clicksD.unpersist(); purchD.unpersist()
         (tp, ts)
@@ -681,7 +704,15 @@ object Bench {
         clustered.unpersist()
         r
       }
-      s"""{"neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,"neardup_cand_25x":$cand25,""" +
+      val scaleSentinelPost = timeSentinels(spark, sfDir)
+      val scaleDrift =
+        if (scaleSentinelPre._1 > 0)
+          math.rint(scaleSentinelPost._1 / scaleSentinelPre._1 * 1000) / 1000
+        else -1.0
+      s"""{"sentinel_pre_sec":${r3(scaleSentinelPre._1)},""" +
+        s""""sentinel_post_sec":${r3(scaleSentinelPost._1)},""" +
+        s""""sentinel_drift":$scaleDrift,""" +
+        s""""neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,"neardup_cand_25x":$cand25,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""neardup_sec_25x":${r3(ndT25)},""" +
         s""""neardup_growth_exp":${fitExp(ndT1, ndT5, ndT25)},""" +

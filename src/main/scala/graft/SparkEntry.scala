@@ -26,6 +26,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Hyperactive-key cap shared by the within-group pairing queries
+    * (j17/j24 basket mining, w17 Mann–Kendall): per-key work is
+    * quadratic in key activity, so keys past this row count are
+    * dropped whole ([[RelationalOps.capPerKey]]) rather than allowed
+    * to serialize ~cap²/2 pairs into one task. 2000 bounds a task at
+    * ~2M pairs and sits ~20× above the fixture's busiest key (99
+    * events / 67 basket items), so fixture-scale results — and the
+    * DuckDB oracles — are bit-identical with the guard ACTIVE. */
+  private[graft] val defaultMaxPerKey: Int = 2000
+
   /** Exact money arithmetic: see class doc. */
   private def dsum(c: Column, scale: Int): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
@@ -2031,7 +2041,18 @@ object SparkEntry {
     * count = distinct co-engaging users (exact — (user, item) is
     * distinct by construction), TakeOrdered top-20 with full
     * tie-break. */
-  private val j17Cooccurrence = (s: SparkSession, d: String) => {
+  private val j17Cooccurrence = (s: SparkSession, d: String) =>
+    cooccurrencePairs(s, d)
+
+  /** j17's body with the hyperactive-user cap exposed: per-user pair
+    * count is quadratic in basket size, so keys past `maxItemsPerUser`
+    * are DROPPED (the [[RelationalOps.capPerKey]] discipline — whole
+    * key, observable, never a silent truncation). The default sits
+    * ~20× above the fixture's max basket (67) and bounds any single
+    * task to ≤ C(2000,2) ≈ 2M pairs. */
+  private[graft] def cooccurrencePairs(
+      s: SparkSession, d: String,
+      maxItemsPerUser: Int = defaultMaxPerKey): DataFrame = {
     // ONE fact scan + ONE fact shuffle for the whole pipeline: the
     // explicit user_id repartition satisfies (by the subset rule) the
     // distinct's (user, item) clustering AND both sides of the
@@ -2039,13 +2060,15 @@ object SparkEntry {
     // Exchange(user, item) for the distinct plus Exchange(user) per
     // join side (the e12 lesson). The distinct frame is staged via
     // CachePool because BOTH join sides consume it — unstaged, each
-    // side re-scans and re-shuffles the fact (plan-pinned).
-    val ui = CachePool.register(Tables.events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .repartition(col("user_id"))
-      .distinct()
+    // side re-scans and re-shuffles the fact (plan-pinned). capPerKey
+    // rides the same user_id clustering: no extra shuffle.
+    val ui = CachePool.register(RelationalOps.capPerKey(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .repartition(col("user_id"))
+        .distinct(), "user_id", maxItemsPerUser)
       .persist())
     val pairs = ui.select(col("user_id"), col("item").as("item_a"))
       .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
@@ -3370,10 +3393,19 @@ object SparkEntry {
     * j17 bounded-group contract: per-user pair count is quadratic in
     * per-user activity; cap hyperactive keys first at 100 TB), one
     * user-keyed shuffle shared by both sides. */
-  private val w17MannKendall = (s: SparkSession, d: String) => {
-    val ev = CachePool.register(Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("value"))
-      .repartition(col("user_id"))
+  private val w17MannKendall = (s: SparkSession, d: String) =>
+    mannKendall(s, d)
+
+  /** w17's body with the hyperactive-user cap exposed (see
+    * [[defaultMaxPerKey]]; capPerKey rides the explicit user_id
+    * repartition, adding no shuffle). */
+  private[graft] def mannKendall(
+      s: SparkSession, d: String,
+      maxEventsPerUser: Int = defaultMaxPerKey): DataFrame = {
+    val ev = CachePool.register(RelationalOps.capPerKey(
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .repartition(col("user_id")), "user_id", maxEventsPerUser)
       .persist())
     val a = ev.select(col("user_id"), col("event_id").as("_ia"), col("value").as("_va"))
     val b = ev.select(col("user_id"), col("event_id").as("_ib"), col("value").as("_vb"))
@@ -3509,6 +3541,21 @@ object SparkEntry {
       .filter(col("rank") <= 3)
       .orderBy(col("user_id"), col("rank"))
   }
+
+  /** Hash-bucket-probed negative sampling
+    * ([[Sampling.negativeSampleHashProbe]]) — x35's UNBOUNDED-universe
+    * scale path as a first-class registry entry: per user, 3 probed
+    * hash buckets of the item space, anti-joined interactions, k=3
+    * smallest-md5 survivors under x35's exact rank key. No crossJoin,
+    * no full-universe broadcast anywhere in the plan. */
+  private val x37NegativeProbe = (s: SparkSession, d: String) =>
+    Sampling.negativeSampleHashProbe(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull),
+      "user_id", "item", k = 3)
+      .orderBy(col("user_id"), col("rank"))
 
   /** Eta-squared variance decomposition of document length by language
     * (the numeric-by-categorical effect size completing a33's
@@ -4007,13 +4054,23 @@ object SparkEntry {
     // widths chosen so every product/difference stays inside Spark's
     // 38-digit exactness: s1 ≤ 1e14 (16,2), s2 ≤ 1e20 (24,4) →
     // n(10,0)·s2 = (35,4), s1² = (33,4), difference (36,4) — no
-    // precision-overflow rounding anywhere before the terminal casts
+    // precision-overflow rounding anywhere before the terminal casts.
+    // The down-casts are guarded: under non-ANSI semantics an
+    // overflowing cast yields null, which would silently null the
+    // t_stat cells at a scale factor past the fixture bound —
+    // assert_true turns that into a loud failure instead.
+    val guardedCast = (c: Column, t: String) => {
+      val casted = c.cast(t)
+      when(assert_true(casted.isNotNull || c.isNull,
+        lit(s"a37_welch_t: decimal overflow casting sum to $t — " +
+          "widen the cell widths for this scale factor")).isNull, casted)
+    }
     val cells = Tables.events(s, d)
       .select(col("event_type"), col("value").cast("decimal(18,2)").as("_v"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("_n"),
-        sum(col("_v")).cast("decimal(16,2)").as("_s1"),
-        sum(col("_v") * col("_v")).cast("decimal(24,4)").as("_s2"))
+        guardedCast(sum(col("_v")), "decimal(16,2)").as("_s1"),
+        guardedCast(sum(col("_v") * col("_v")), "decimal(24,4)").as("_s2"))
     val a = cells.select(col("event_type").as("type_a"), col("_n").as("n_a"),
       col("_s1").as("_s1a"), col("_s2").as("_s2a"))
     val b = cells.select(col("event_type").as("type_b"), col("_n").as("n_b"),
@@ -4045,13 +4102,23 @@ object SparkEntry {
     * is exact integers under one IEEE division; rules below the
     * support floor are cut before the join-back so the directed
     * explode stays items²-bounded. */
-  private val j24AssocRules = (s: SparkSession, d: String) => {
-    val ui = CachePool.register(Tables.events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .repartition(col("user_id"))
-      .distinct()
+  private val j24AssocRules = (s: SparkSession, d: String) =>
+    assocRules(s, d)
+
+  /** j24's body with the hyperactive-user cap exposed (see
+    * [[defaultMaxPerKey]]): support/confidence/lift are computed over
+    * the CAPPED basket universe — consistent numerator and
+    * denominators, never a truncated basket. */
+  private[graft] def assocRules(
+      s: SparkSession, d: String,
+      maxItemsPerUser: Int = defaultMaxPerKey): DataFrame = {
+    val ui = CachePool.register(RelationalOps.capPerKey(
+      Tables.events(s, d)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+        .repartition(col("user_id"))
+        .distinct(), "user_id", maxItemsPerUser)
       .persist())
     val total = ui.agg(countDistinct(col("user_id")).as("_nu"))
     val ic = ui.groupBy(col("item")).agg(count(lit(1)).as("_ci"))
@@ -4403,6 +4470,52 @@ object SparkEntry {
       .select(col("n_items"), col("_r").cast("double").as("revenue"))
   }
 
+  /** TPC-H Q21 shape (waiting-supplier report) — the one classic join
+    * stressor j1–j27 lacked: a multi-way SEMI + ANTI pipeline under
+    * CORRELATED-EXISTS rewrites with a NON-EQUI residual
+    * (`l2.l_suppkey <> l1.l_suppkey` rides the orderkey equi-join as
+    * a join-condition residual, never a nested loop). Adapted to the
+    * fixture's columns: "late" is `l_returnflag = 'R'` (no
+    * receipt/commit dates exist here); the structure — EXISTS another
+    * supplier on the order, NOT EXISTS another LATE supplier — is
+    * Q21's verbatim.
+    *
+    * Plan shape: the left side shrinks FIRST through the broadcast
+    * nation-supplier semi-join (Q21's most selective predicate), then
+    * all three orderkey-keyed joins (orders-F semi, other-supplier
+    * semi, other-late-supplier anti) cluster on l_orderkey so the
+    * exchange is planned once and reused; the fact is scanned once,
+    * staged for its three consumers. The aggregate rewrite (per-order
+    * distinct-supplier counts replacing both subqueries) would be one
+    * shuffle cheaper still — this entry deliberately keeps the
+    * semi/anti JOIN form because exercising that plan is the point. */
+  private val j28Q21Shape = (s: SparkSession, d: String) => {
+    val l = CachePool.register(t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .persist()) // three consumers: the late left side, l2, l3
+    val late = l.filter(col("l_returnflag") === "R")
+    val supq = t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_9")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+    val orders = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    val l2 = l.select(col("l_orderkey").as("_ok2"), col("l_suppkey").as("_sk2"))
+    val l3 = late.select(col("l_orderkey").as("_ok3"), col("l_suppkey").as("_sk3"))
+    late
+      .join(broadcast(supq), col("l_suppkey") === col("s_suppkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(l2, col("l_orderkey") === col("_ok2") &&
+        col("l_suppkey") =!= col("_sk2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("_ok3") &&
+        col("l_suppkey") =!= col("_sk3"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Deterministic per-group mode (the most-frequent item per event
     * type, ties to the smallest item — the categorical summary
     * statistic the a-family lacked; nondeterministic tie handling is
@@ -4657,6 +4770,8 @@ object SparkEntry {
     "j26_q14_shape" -> j26Q14Shape,
     "w23_stickiness" -> w23Stickiness,
     "j27_q19_shape" -> j27Q19Shape,
+    "j28_q21_shape" -> j28Q21Shape,
+    "x37_negative_probe" -> x37NegativeProbe,
     "a39_group_mode" -> a39GroupMode,
   )
 
@@ -6106,6 +6221,52 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "x37_negative_probe" ->
+      // identical bucket hashes (first hex char of md5), identical
+      // probe derivation, identical rank key as x35
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), items AS (
+           SELECT DISTINCT item,
+             substr(md5('xneg-ibkt:' || item::VARCHAR), 1, 1) AS ib
+           FROM ui
+         ), probes AS (
+           SELECT DISTINCT user_id,
+             substr(md5('xneg-probe:' || user_id::VARCHAR || ':' || t::VARCHAR), 1, 1) AS ib
+           FROM (SELECT DISTINCT user_id FROM ui) u
+           CROSS JOIN (VALUES (0), (1), (2)) s(t)
+         ), cand AS (
+           SELECT p.user_id, i.item FROM probes p JOIN items i USING (ib)
+           WHERE NOT EXISTS (SELECT 1 FROM ui
+             WHERE ui.user_id = p.user_id AND ui.item = i.item)
+         ), ranked AS (
+           SELECT user_id, item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+               md5('neg:' || user_id::VARCHAR || ':' || item::VARCHAR), item) AS rank
+           FROM cand
+         )
+         SELECT user_id, item, CAST(rank AS INTEGER) AS rank
+         FROM ranked WHERE rank <= 3 ORDER BY user_id, rank""",
+    "j28_q21_shape" ->
+      // DuckDB keeps the correlated EXISTS/NOT EXISTS form; Spark runs
+      // the decorrelated semi/anti joins — same relation by definition
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         JOIN nation ON n_nationkey = s_nationkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND n_name = 'NATION_9'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                       WHERE l3.l_orderkey = l1.l_orderkey
+                         AND l3.l_suppkey <> l1.l_suppkey
+                         AND l3.l_returnflag = 'R')
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
     "a39_group_mode" ->
       // identical argmin over (-count, item), identical share division
       """WITH c AS (

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, and batch-shaped
   * feature extraction over partitions.
   *
-  * The actual media decode (JPEG/WAV/frame sampling) requires native
-  * codec libraries that are NOT in this environment — it is STUBBED
-  * behind [[FakeDecoder]], a deterministic stand-in keyed on the payload
-  * bytes. Everything Spark-side is real and tested: the schema contract,
+  * Decode is pluggable behind [[MediaDecoder]]: [[ImageIoDecoder]] is a
+  * REAL PNG/JPEG path (JDK ImageIO — spec'd against a hand-computed
+  * 8×8 PNG aHash), [[AutoDecoder]] routes per payload on magic bytes,
+  * and [[FakeDecoder]] is the deterministic stand-in the DuckDB-oracled
+  * m-queries keep (cross-engine replayable; WAV/video decode would need
+  * native codecs this environment lacks). Everything Spark-side is real
+  * and tested: the schema contract,
   * the per-partition batch shape (decode amortized over `batchSize`-row
   * chunks — the `mapInPandas` batching idiom, expressed natively in
   * Scala), and the partitioning behavior (decode is a narrow map — rows
@@ -35,9 +38,19 @@ object Multimodal {
         xxhash64(payload).as("checksum")))
   }
 
+  /** The decode contract: payload bytes → fixed-dim float features.
+    * [[FakeDecoder]] is the deterministic oracle-replayable twin;
+    * [[ImageIoDecoder]] is the real PNG/JPEG path (pure-JVM ImageIO —
+    * no native codec needed); [[AutoDecoder]] routes per payload on
+    * the same magic bytes [[sniffMime]] reads. Instances must be
+    * serializable — they ship inside the mapPartitions closure. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
   /** STUB decode: deterministic pseudo-features from payload bytes.
-    * A real deployment replaces this body with the codec call; the
-    * signature (bytes → fixed-dim float features) is the contract.
+    * A real deployment swaps in [[ImageIoDecoder]]/[[AutoDecoder]];
+    * the signature (bytes → fixed-dim float features) is the contract.
     *
     * The recurrence is chosen to be independently reproducible by a SQL
     * oracle (the driver's DuckDB gate): seed = first 8 bytes of
@@ -46,7 +59,7 @@ object Multimodal {
     * the feature is the top 24 bits over 2^24 — an exact dyadic rational
     * that float32 represents with zero rounding on any platform, so
     * value comparison is bit-exact. */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     private val C1 = 0x9E3779B97F4A7C15L
     private val C2 = 0xBF58476D1CE4E5B9L
 
@@ -65,6 +78,87 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode over javax.imageio (pure JVM — PNG and JPEG
+    * readers ship with the JDK, no native codec): decode → luma
+    * (integer ITU-R BT.601: (299·R + 587·G + 114·B)/1000, exact for
+    * gray pixels where it collapses to the gray value) → integer
+    * area-average downscale onto a √dim × √dim grid → feature =
+    * mean-luma / 256 ∈ [0, 1). Exactly the aHash front-end
+    * [[perceptualHash]] documents: with this decoder its features ARE
+    * the downscaled luma grid.
+    *
+    * Determinism: PNG decode is lossless and bit-stable; the grid sum
+    * is integer arithmetic with one terminal division — a spec
+    * hand-computes an 8×8 PNG through it. (JPEG IDCT is bit-stable
+    * within one JVM but not a cross-engine contract — which is why
+    * the DuckDB-oracled m-queries keep [[FakeDecoder]].)
+    *
+    * Cell geometry uses the standard proportional split
+    * (⌊c·extent/g⌋ boundaries), so any image size downscales; an
+    * undecodable payload fails LOUDLY (quarantine upstream with
+    * [[validateModality]] — feeding corrupt bytes to a codec should
+    * never silently produce features). */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val g = math.sqrt(dim.toDouble).toInt
+      require(g * g == dim, s"ImageIoDecoder needs a square dim, got $dim")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "ImageIoDecoder: payload is not a decodable image — gate with validateModality")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= g && h >= g,
+        s"image ${w}x$h smaller than the ${g}x$g feature grid")
+      val out = new Array[Float](dim)
+      var cy = 0
+      while (cy < g) {
+        val y0 = cy * h / g; val y1 = (cy + 1) * h / g
+        var cx = 0
+        while (cx < g) {
+          val x0 = cx * w / g; val x1 = (cx + 1) * w / g
+          var lumaSum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              lumaSum += (299L * ((rgb >> 16) & 0xff) +
+                587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+              x += 1
+            }
+            y += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0).toLong
+          out(cy * g + cx) = (lumaSum.toDouble / n / 256.0).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      out
+    }
+  }
+
+  /** Per-payload routing on the magic bytes [[sniffMime]] reads:
+    * PNG/JPEG payloads take the real [[ImageIoDecoder]]; everything
+    * else falls back to the deterministic [[FakeDecoder]] twin. The
+    * mixed-corpus entry point — one `decodeFeatures` pass over a
+    * table whose media column holds both real images and opaque
+    * payloads. */
+  object AutoDecoder extends MediaDecoder {
+    private def hasPrefix(payload: Array[Byte], magic: Array[Byte]): Boolean =
+      payload.length >= magic.length && {
+        var i = 0
+        while (i < magic.length && payload(i) == magic(i)) i += 1
+        i == magic.length
+      }
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val isImage = magicBytes.exists { case (mime, magic) =>
+        mime.startsWith("image/") && hasPrefix(payload, magic)
+      }
+      if (isImage) ImageIoDecoder.decode(payload, dim)
+      else FakeDecoder.decode(payload, dim)
+    }
+  }
+
   /** Per-partition, batch-shaped feature extraction: rows are processed
     * in `batchSize` chunks so a real decoder could amortize model/codec
     * setup per chunk (the Pandas-UDF batch idiom). Narrow operation —
@@ -78,15 +172,17 @@ object Multimodal {
     * time with no place to hold per-chunk state. Do not "optimize" this
     * into an expression: it would break the real-codec integration point
     * for a stage whose cost is decode CPU, not expression overhead. */
-  def decodeFeatures(df: DataFrame, mediaCol: String, dim: Int, batchSize: Int = 256): DataFrame = {
+  def decodeFeatures(
+      df: DataFrame, mediaCol: String, dim: Int, batchSize: Int = 256,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val outSchema = df.schema.add("features", ArrayType(FloatType, containsNull = false))
     val mediaIdx = df.schema.fieldIndex(mediaCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { chunk =>
-        // real decoder: one codec/session init per chunk goes here
+        // a session-holding decoder amortizes its codec init per chunk
         chunk.iterator.map { r =>
           val payload = r.getAs[Array[Byte]](mediaIdx)
-          val feats = FakeDecoder.decode(payload, dim)
+          val feats = decoder.decode(payload, dim)
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
@@ -136,10 +232,12 @@ object Multimodal {
     * Narrow map after the decode stage — no shuffle; the mean is
     * staged as a column so the per-bit lambda reads a materialized
     * scalar. */
-  def perceptualHash(df: DataFrame, mediaCol: String, dim: Int = 64): DataFrame = {
+  def perceptualHash(
+      df: DataFrame, mediaCol: String, dim: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(dim >= 1 && dim <= 64, s"phash needs 1..64 bits, got $dim")
     val f = col("features")
-    decodeFeatures(df, mediaCol, dim)
+    decodeFeatures(df, mediaCol, dim, decoder = decoder)
       .withColumn("_fmean",
         aggregate(f, lit(0.0), (a, x) => a + x.cast("double")) / lit(dim.toDouble))
       .withColumn("phash", aggregate(

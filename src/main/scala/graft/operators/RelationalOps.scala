@@ -263,4 +263,36 @@ object RelationalOps {
       }: _*)).as("_p"))
       .select(col("_p.*"))
   }
+
+  /** Hyperactive-key guard for within-group pairings (j17/j24
+    * co-occurrence, w17 Mann–Kendall): any operator that self-joins a
+    * frame on `keyCol` does per-key work QUADRATIC in that key's row
+    * count, so one scripted power user with 10⁵ rows is 10¹⁰ pairs in
+    * a single task. This is the d3 `cappedBuckets` discipline ported
+    * to keyed frames: drop the ENTIRE key once it exceeds
+    * `maxPerKey` rows (a capped hyperactive key is low-value for
+    * basket/trend mining the same way a degenerate LSH bucket is for
+    * near-dup — keeping a truncated subset would silently bias the
+    * statistic, dropping the key is observable via
+    * [[droppedHyperactiveKeys]]).
+    *
+    * Plan shape: one count-over-window partitioned by `keyCol` — on a
+    * frame already repartitioned by `keyCol` (every call site here)
+    * this adds NO shuffle, only a per-partition sort. */
+  def capPerKey(df: DataFrame, keyCol: String, maxPerKey: Int): DataFrame = {
+    require(maxPerKey > 0, s"maxPerKey must be positive, got $maxPerKey")
+    df.withColumn("_ksize",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("_ksize") <= maxPerKey)
+      .drop("_ksize")
+  }
+
+  /** The keys [[capPerKey]] would drop, with their sizes — the
+    * observability half of the contract: a pipeline logs/alerts on
+    * this frame's count so capped keys are a monitored event, not a
+    * silent bias. Same single-shuffle shape (one grouped count). */
+  def droppedHyperactiveKeys(
+      df: DataFrame, keyCol: String, maxPerKey: Int): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxPerKey)
 }

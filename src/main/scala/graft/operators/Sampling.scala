@@ -70,6 +70,54 @@ object Sampling {
       .drop("_qrk")
   }
 
+  /** Hash-bucket-probed negative sampling — the UNBOUNDED-universe
+    * scale path the x35 exact sampler's scaladoc promises: x35 ranks
+    * the FULL complement users × broadcast(items) (right at a bounded
+    * item universe, impossible when items are an unbounded corpus).
+    * Here each user deterministically probes `trials` hash buckets of
+    * the item universe (bucket = first hex char of md5 — 16 buckets,
+    * the engine-portable discipline of [[uniformHex]]), pulls only
+    * those buckets' items through a bucket-keyed equi-join, anti-joins
+    * its own interactions, and keeps the k smallest-md5 survivors
+    * under the SAME `md5(neg:user:item)` rank x35 uses.
+    *
+    * Scale shape: no crossJoin, no full-universe broadcast — shuffle
+    * volume is |users|·trials probe rows + one pass of the item table,
+    * candidate volume |users|·trials·|items|/16 (the knob: more
+    * trials, more candidates). Fully deterministic (retry/rerun-safe,
+    * oracle-replayable). Contract: a user engaging a whole probed
+    * bucket can come up short of k — the shortfall is deterministic
+    * and visible (fewer than k rows for that user), the standard
+    * accept of probed (vs exhaustive) sampling. */
+  def negativeSampleHashProbe(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      k: Int,
+      trials: Int = 3,
+      salt: String = "xneg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && trials > 0, s"k and trials must be positive, got k=$k trials=$trials")
+    val ui = interactions.select(col(userCol), col(itemCol)).distinct()
+    val items = ui.select(col(itemCol)).distinct()
+      .withColumn("_ib", substring(
+        md5(concat_ws(":", lit(s"$salt-ibkt"), col(itemCol)).cast("binary")), 1, 1))
+    val probes = ui.select(col(userCol)).distinct()
+      .select(col(userCol), explode(sequence(lit(0), lit(trials - 1))).as("_t"))
+      .select(col(userCol), substring(
+        md5(concat_ws(":", lit(s"$salt-probe"), col(userCol), col("_t"))
+          .cast("binary")), 1, 1).as("_ib"))
+      .distinct() // two trials landing in one bucket probe it once
+    val cand = probes.join(items, "_ib")
+      .join(ui, Seq(userCol, itemCol), "left_anti")
+    val w = Window.partitionBy(col(userCol)).orderBy(
+      md5(concat_ws(":", lit("neg"), col(userCol), col(itemCol)).cast("binary")).asc,
+      col(itemCol).asc)
+    cand.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(userCol), col(itemCol), col("rank"))
+  }
+
   /** Exact weighted budget apportionment: split an integer row `budget`
     * across the groups of `groupCol` proportionally to INTEGER weights
     * (largest-remainder / Hamilton method), then keep each group's

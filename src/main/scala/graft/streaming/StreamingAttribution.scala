@@ -155,25 +155,30 @@ object StreamingAttribution {
 
   private val cellsTable = "attribution_daily"
   private val dropsTable = "attribution_drops"
+  private val group = "attribution"
 
   /** Fold one micro-batch of deltas into the store (map-side combined
-    * per day before the merge). */
+    * per day before the merge) — as ONE
+    * [[ParquetKpiStore.mergeGroup]] commit, so the attribution cells
+    * and the drop counter always read at the same batch generation
+    * (accepted + dropped must tile the arrivals; a mixed-generation
+    * read would break that accounting identity). */
   private def applyBatch(store: ParquetKpiStore)(
       batch: Dataset[ADelta], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val staged = batch.persist()
     try {
-      store.merge(spark, cellsTable, Seq("click_day"),
-        staged.filter(!col("isDrop"))
-          .groupBy(col("clickDay").as("click_day"))
-          .agg(sum(col("dPurchases")).as("purchases"),
-            sum(col("dLagSum")).as("lag_sum"),
-            sum(col("dUsers")).as("users")),
-        batchId)
-      store.merge(spark, dropsTable, Seq("k"),
-        staged.filter(col("isDrop"))
-          .groupBy(lit("late").as("k"))
-          .agg(sum(col("dPurchases")).as("n_dropped")),
+      store.mergeGroup(spark, group, Seq(
+        (cellsTable, Seq("click_day"),
+          staged.filter(!col("isDrop"))
+            .groupBy(col("clickDay").as("click_day"))
+            .agg(sum(col("dPurchases")).as("purchases"),
+              sum(col("dLagSum")).as("lag_sum"),
+              sum(col("dUsers")).as("users"))),
+        (dropsTable, Seq("k"),
+          staged.filter(col("isDrop"))
+            .groupBy(lit("late").as("k"))
+            .agg(sum(col("dPurchases")).as("n_dropped")))),
         batchId)
     } finally { staged.unpersist(); () }
   }
@@ -184,7 +189,7 @@ object StreamingAttribution {
       events: DataFrame,
       store: ParquetKpiStore,
       checkpointDir: String,
-      latenessMicros: Long = Long.MaxValue,
+      latenessMicros: Long = StreamingTransitions.DefaultLatenessMicros,
       availableNow: Boolean = true): StreamingQuery = {
     val w = deltaStream(events, latenessMicros).writeStream
       .queryName("graft_stream_attribution")
@@ -200,7 +205,7 @@ object StreamingAttribution {
     * matching the batch query; the unattributed bucket's mean lag is
     * null exactly as batch. */
   def attributionTable(spark: SparkSession, store: ParquetKpiStore): DataFrame =
-    store.read(spark, cellsTable)
+    store.readGrouped(spark, group, cellsTable)
       .getOrElse(spark.emptyDataFrame)
       .filter(col("purchases") > 0)
       .select(col("click_day"), col("purchases"), col("users"),
@@ -211,7 +216,7 @@ object StreamingAttribution {
 
   /** Count of events rejected as later than the lateness horizon. */
   def droppedLate(spark: SparkSession, store: ParquetKpiStore): Long =
-    store.read(spark, dropsTable)
+    store.readGrouped(spark, group, dropsTable)
       .map(_.agg(coalesce(sum(col("n_dropped")), lit(0L))).head().getLong(0))
       .getOrElse(0L)
 }

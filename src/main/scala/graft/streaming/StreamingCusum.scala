@@ -141,7 +141,7 @@ object StreamingCusum {
       store: ParquetKpiStore,
       checkpointDir: String,
       k: Double = 55.0,
-      latenessMicros: Long = Long.MaxValue,
+      latenessMicros: Long = StreamingTransitions.DefaultLatenessMicros,
       availableNow: Boolean = true): StreamingQuery = {
     val w = deltaStream(events, k, latenessMicros).writeStream
       .queryName("graft_stream_cusum")

@@ -101,24 +101,29 @@ object StreamingRetention {
 
   private val cellsTable = "retention_cells"
   private val sizesTable = "retention_cohorts"
+  private val group = "retention"
 
   /** Fold one micro-batch of deltas into the store: the batch is
     * pre-aggregated per key (map-side combined — delta rows per batch
-    * are membership-bounded already) and merged additively. */
+    * are membership-bounded already) and merged additively — as ONE
+    * [[ParquetKpiStore.mergeGroup]] commit, so a reader can never see
+    * the cells table at batch n beside the cohort-sizes table at n−1
+    * (retention = cells/sizes would silently misreport across that
+    * gap; the crash-injection spec pins the invariant). */
   private def applyBatch(store: ParquetKpiStore)(
       batch: Dataset[Delta], batchId: Long): Unit = {
     val spark = batch.sparkSession
     val staged = batch.persist()
     try {
-      store.merge(spark, sizesTable, Seq("cohort_wk"),
-        staged.filter(col("isSize"))
-          .groupBy(col("cohortWk").as("cohort_wk"))
-          .agg(sum(col("dn")).as("cohort_n")),
-        batchId)
-      store.merge(spark, cellsTable, Seq("cohort_wk", "k"),
-        staged.filter(!col("isSize"))
-          .groupBy(col("cohortWk").as("cohort_wk"), col("k"))
-          .agg(sum(col("dn")).as("n_active")),
+      store.mergeGroup(spark, group, Seq(
+        (sizesTable, Seq("cohort_wk"),
+          staged.filter(col("isSize"))
+            .groupBy(col("cohortWk").as("cohort_wk"))
+            .agg(sum(col("dn")).as("cohort_n"))),
+        (cellsTable, Seq("cohort_wk", "k"),
+          staged.filter(!col("isSize"))
+            .groupBy(col("cohortWk").as("cohort_wk"), col("k"))
+            .agg(sum(col("dn")).as("n_active")))),
         batchId)
     } finally { staged.unpersist(); () }
   }
@@ -145,9 +150,11 @@ object StreamingRetention {
     * memberships — dropped, matching the batch query, which never
     * creates them. */
   def retentionTable(spark: SparkSession, store: ParquetKpiStore): DataFrame = {
-    val cells = store.read(spark, cellsTable)
+    // grouped reads: both tables resolve through the ONE manifest —
+    // the cross-table generation consistency mergeGroup guarantees
+    val cells = store.readGrouped(spark, group, cellsTable)
       .getOrElse(spark.emptyDataFrame)
-    val sizes = store.read(spark, sizesTable)
+    val sizes = store.readGrouped(spark, group, sizesTable)
       .getOrElse(spark.emptyDataFrame)
     cells.filter(col("n_active") > 0)
       .join(sizes.filter(col("cohort_n") > 0), Seq("cohort_wk"))

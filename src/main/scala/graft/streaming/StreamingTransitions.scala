@@ -155,13 +155,25 @@ object StreamingTransitions {
     } finally { staged.unpersist(); () }
   }
 
+  /** Default reorder-buffer lateness for the exact-retraction twin
+    * family (transitions / CUSUM / attribution): 7 days of event
+    * time. The freeze horizon is `last.tus - lateness`, so an
+    * infinite default would make the horizon always negative and the
+    * per-user buffer retain the FULL event history — correct for a
+    * bounded parity drain, unbounded state growth on a long-lived
+    * stream. Callers replaying a finite fixture out of order (the
+    * parity specs) pass `Long.MaxValue` explicitly; production
+    * callers either take this bound or size it to their stream's
+    * true disorder. */
+  val DefaultLatenessMicros: Long = 7L * 86400000000L
+
   /** Hook an events stream into the incremental transition store. */
   def start(
       spark: SparkSession,
       events: DataFrame,
       store: ParquetKpiStore,
       checkpointDir: String,
-      latenessMicros: Long = Long.MaxValue,
+      latenessMicros: Long = DefaultLatenessMicros,
       availableNow: Boolean = true): StreamingQuery = {
     val w = deltaStream(events, latenessMicros).writeStream
       .queryName("graft_stream_transitions")

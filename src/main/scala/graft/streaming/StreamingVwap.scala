@@ -16,10 +16,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * retraction machinery at all.
   *
   * Read-back parity is BIT-exact against batch `e22`: the batch DAG is
-  * double(Σpv_decimal) / double(Σk), and IEEE division of the exact
-  * integer pv_cents by 100.0 is the same correctly-rounded double as
-  * Spark's decimal→double cast of Σpv (one rounding each, of the same
-  * rational) — spec-asserted under a hostile reverse-time drain.
+  * double(Σpv_decimal) / double(Σk); read-back rebuilds Σpv EXACTLY as
+  * a decimal (pv_cents / 100 is exact at scale ≥ 2, and decimal(38,6)
+  * holds any long's worth of cents), then casts to double — ONE
+  * correctly-rounded conversion of the same rational, at ANY
+  * magnitude. (A double-side `pv_cents.cast(double) / 100.0` would
+  * round twice once pv_cents exceeds 2^53.) Spec-asserted under a
+  * hostile reverse-time drain.
   *
   * State is |days × event_types| rows regardless of volume; merges are
   * idempotent per (table, batchId) — the K3–K10 exactly-once
@@ -65,7 +68,7 @@ object StreamingVwap {
     store.read(spark, table)
       .getOrElse(spark.emptyDataFrame)
       .select(col("event_type"), col("day_idx"), col("trades"), col("volume"),
-        ((col("pv_cents").cast("double") / 100.0) /
+        ((col("pv_cents").cast("decimal(38,0)") / lit(100)).cast("double") /
           col("volume").cast("double")).as("vwap"))
       .orderBy(col("event_type"), col("day_idx"))
 }

@@ -135,6 +135,108 @@ class ParquetKpiStore(root: String) extends Serializable {
     pruneOldVersions(spark, table, batchId)
   }
 
+  // ------------------------------------------------------------------
+  // Multi-table atomic commit (round-11): twins that fold one batch
+  // into TWO tables (retention cells+cohorts, attribution cells+drops)
+  // could expose a reader to table A at batch n and table B at n−1
+  // after a crash between the two per-table merges — the same
+  // non-atomicity the reference's per-table MySQL upserts had
+  // (Consumer.scala:159-166). A GROUP commit stages every member
+  // table's next version dir first and then swaps ONE manifest file;
+  // grouped readers resolve versions through the manifest only, so
+  // they see all members at generation n or all at n−1, never mixed.
+  // ------------------------------------------------------------------
+
+  private def groupManifest(group: String) = new Path(s"$root/_GROUP_$group")
+
+  /** Highest batch atomically committed for `group` (-1 if none). */
+  def appliedGroupBatch(spark: SparkSession, group: String): Long = {
+    val f = fs(spark)
+    if (!f.exists(groupManifest(group))) -1L
+    else {
+      val in = f.open(groupManifest(group))
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Read a member table at the group's committed generation (empty
+    * option if the group was never committed). NEVER reads a member's
+    * per-table `_LATEST`: the manifest is the single source of truth,
+    * which is what makes the cross-table read consistent. */
+  def readGrouped(spark: SparkSession, group: String, table: String): Option[DataFrame] = {
+    val b = appliedGroupBatch(spark, group)
+    if (b < 0) None
+    else {
+      val vdir = s"${tableDir(table)}/v_$b"
+      // a member with no rows in any batch so far has no version dir
+      if (!fs(spark).exists(new Path(vdir))) None
+      else Some(spark.read.parquet(vdir))
+    }
+  }
+
+  /** Atomic multi-table additive merge: every `(table, keys, updates)`
+    * member folds like [[merge]], but versions land as uncommitted
+    * `v_batchId` dirs first and ONE manifest swap
+    * ([[writePointerAtomic]]'s rename discipline on the group file)
+    * publishes them all. Crash anywhere before the swap: the manifest
+    * still names generation n−1, every staged dir is invisible to
+    * [[readGrouped]], and the idempotence watermark (now per GROUP,
+    * not per table) makes the replay rebuild every member from the
+    * n−1 state — exactly-once across the whole group. */
+  def mergeGroup(
+      spark: SparkSession,
+      group: String,
+      members: Seq[(String, Seq[String], DataFrame)],
+      batchId: Long): Unit = synchronized {
+    require(members.nonEmpty, "mergeGroup needs at least one member table")
+    if (batchId <= appliedGroupBatch(spark, group)) return // idempotent replay
+    members.foreach { case (table, keys, updates) =>
+      val valueCols = updates.columns.filterNot(keys.contains)
+      val merged = readGrouped(spark, group, table) match {
+        case None => updates
+        case Some(cur) =>
+          cur.unionByName(updates)
+            .groupBy(keys.map(col): _*)
+            .agg(valueCols.head -> "sum", valueCols.tail.map(_ -> "sum"): _*)
+            .select(keys.map(col) ++ valueCols.map(c => col(s"sum($c)").cast(
+              updates.schema(c).dataType).as(c)): _*)
+      }
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(s"${tableDir(table)}/v_$batchId")
+    }
+    // every member staged — ONE atomic swap commits the generation
+    writeGroupManifestAtomic(spark, group, batchId)
+    members.foreach { case (table, _, _) =>
+      pruneOldVersions(spark, table, batchId)
+    }
+  }
+
+  /** The group manifest swap — same two-path atomic rename as
+    * [[writePointerAtomic]], on the group file. */
+  private def writeGroupManifestAtomic(
+      spark: SparkSession, group: String, batchId: Long): Unit = {
+    val f = fs(spark)
+    val dst = groupManifest(group)
+    val tmp = new Path(s"$root/_GROUP_$group.tmp")
+    val content = batchId.toString
+    if (Option(f.getUri.getScheme).forall(_ == "file")) {
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.createDirectories(tmpNio.getParent)
+      java.nio.file.Files.write(tmpNio, content.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmpNio,
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val out = f.create(tmp, true)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Atomic pointer swap: write `_LATEST.tmp`, then rename OVER the live
     * `_LATEST` — a racing reader sees the old pointer or the new one,
     * never a truncated file (the previous create-overwrite truncated

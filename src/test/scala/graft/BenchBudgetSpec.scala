@@ -253,6 +253,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "w23_stickiness" -> 1.2,
     "j27_q19_shape" -> 1.2,
     "a39_group_mode" -> 1.0,
+    "j28_q21_shape" -> 2.0,
+    "x37_negative_probe" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
@@ -292,14 +294,19 @@ class BenchBudgetSpec extends SparkTestBase {
       if (v > budget) Some(f"$name: $v%.2f s > budget $budget%.1f s") else None
     }
     assert(over.isEmpty, s"scale-probe budget regressions:\n${over.mkString("\n")}")
-    // growth exponents over the 1x/5x/25x corpus axis: near-linear or
-    // the bucketing claim is broken (at sf0.001 fixed overheads deflate
-    // the slope — the bound still catches anything superlinear)
+    // growth exponents over the 1x/5x/25x corpus axis: these probes are
+    // linear BY DESIGN (bucketed/capped candidate generation, 8-byte
+    // key shuffles), and at sf0.001 fixed overheads further DEFLATE the
+    // measured slope — so a fit even slightly above 1 is evidence of a
+    // real superlinear creep, not noise. The old 1.3 gate let the r10
+    // boilerplate 1.101 pass silently; with min-of-2 per probe (round
+    // 11) a single-run host burst can no longer fake the slope, so the
+    // gate can sit just above linear.
     for (name <- Seq("neardup_growth_exp", "boilerplate_growth_exp",
         "neardup_cand_growth_exp", "dsir_growth_exp",
         "containment_growth_exp", "prefix_growth_exp")) {
       val e = metric(name)
-      assert(e < 1.3, f"$name = $e%.2f — superlinear growth on the corpus axis")
+      assert(e < 1.05, f"$name = $e%.2f — superlinear growth on the corpus axis")
     }
   }
 

@@ -213,4 +213,87 @@ class MultimodalSpec extends SparkTestBase {
     }.toMap
     assert(got == want, s"got $got want $want")
   }
+
+  // ---- real codec path (round-11): JDK ImageIO behind the same contract
+
+  /** 8×8 gray PNG whose pixel (x, y) carries gray value v(y*8+x). */
+  private def grayPng(v: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val g = v(y * 8 + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("ImageIoDecoder: hand-computed 8x8 PNG lumas and aHash through perceptualHash") {
+    // gray 10 on the first 32 pixels, 200 on the last 32: at dim=64
+    // each grid cell is exactly one pixel, luma == gray (BT.601 on
+    // r=g=b collapses), feature = gray/256
+    val png = grayPng(i => if (i < 32) 10 else 200)
+    val df = Seq((1L, png)).toDF("id", "media")
+    // the real payload sniffs as the mime m4 gates on
+    assert(df.select(Multimodal.sniffMime(col("media"))).head().getString(0) == "image/png")
+    val feats = Multimodal.decodeFeatures(df, "media", dim = 64,
+        decoder = Multimodal.ImageIoDecoder)
+      .select("features").head().getSeq[Float](0)
+    val want = (0 until 64).map(i => (if (i < 32) 10 else 200) / 256.0f)
+    assert(feats == want, s"lumas: $feats")
+    // aHash by hand: mean = (32*10 + 32*200)/64/256 = 105/256 — bits
+    // 32..63 (the 200-gray pixels) set, bits 0..31 clear
+    val hash = Multimodal.perceptualHash(df, "media", dim = 64,
+        decoder = Multimodal.ImageIoDecoder)
+      .select("phash").head().getLong(0)
+    assert(hash == 0xFFFFFFFF00000000L, f"phash: $hash%016x")
+  }
+
+  test("ImageIoDecoder feeds the banded phash join: one-pixel edit is a hamming-0 near-dup") {
+    // flipping one 10-gray pixel to 0 moves the mean to 6730/64/256 —
+    // still strictly between both gray levels, so every threshold bit
+    // (and the hash) is unchanged: the classic aHash robustness claim,
+    // here through the REAL decode path end to end
+    val a = grayPng(i => if (i < 32) 10 else 200)
+    val b = grayPng(i => if (i == 0) 0 else if (i < 32) 10 else 200)
+    val hashed = Multimodal.perceptualHash(
+      Seq((1L, a), (2L, b)).toDF("id", "media"), "media", dim = 64,
+      decoder = Multimodal.ImageIoDecoder)
+    val pairs = Multimodal.phashNearDupPairs(hashed, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), s"pairs: ${pairs.toSeq}")
+  }
+
+  test("ImageIoDecoder: area-average downscale and JPEG decodability") {
+    // 8x8 image onto a 2x2 grid: each cell averages a 4x4 quadrant of
+    // uniform gray — exact integer means
+    val quad = grayPng(i => {
+      val (x, y) = (i % 8, i / 8)
+      (if (y < 4) (if (x < 4) 40 else 80) else (if (x < 4) 120 else 240))
+    })
+    val f = Multimodal.ImageIoDecoder.decode(quad, 4)
+    assert(f.toSeq == Seq(40, 80, 120, 240).map(_ / 256.0f), s"got ${f.toSeq}")
+    // JPEG: lossy (no golden values) but must decode through the same
+    // path — 64 features in [0, 1)
+    val img = new java.awt.image.BufferedImage(16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    val jf = Multimodal.ImageIoDecoder.decode(baos.toByteArray, 64)
+    assert(jf.length == 64 && jf.forall(x => x >= 0f && x < 1f))
+    // a mid-gray JPEG round-trips near mid-gray (IDCT noise ≤ a few steps)
+    assert(jf.forall(x => math.abs(x - 128 / 256.0f) < 8 / 256.0f), s"jpeg lumas: ${jf.toSeq}")
+  }
+
+  test("AutoDecoder routes PNG to ImageIO and opaque payloads to the fake twin") {
+    val png = grayPng(_ => 100)
+    val text = "not an image".getBytes("UTF-8")
+    assert(Multimodal.AutoDecoder.decode(png, 64).toSeq ==
+      Multimodal.ImageIoDecoder.decode(png, 64).toSeq)
+    assert(Multimodal.AutoDecoder.decode(text, 64).toSeq ==
+      Multimodal.FakeDecoder.decode(text, 64).toSeq)
+    // undecodable bytes through the real path fail loudly, not silently
+    val bad = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
+    intercept[Exception](Multimodal.ImageIoDecoder.decode(bad, 64))
+  }
 }

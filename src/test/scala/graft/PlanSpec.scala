@@ -197,4 +197,34 @@ class PlanSpec extends SparkTestBase {
   test("entry flagship runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("Q21 shape decorrelates to semi + anti joins, dims broadcast (J28)") {
+    val q = SparkEntry.queries("j28_q21_shape")(spark, dir)
+    val p = plan(q)
+    // the correlated EXISTS/NOT EXISTS must become join operators —
+    // LeftSemi for "another supplier exists", LeftAnti for "no other
+    // late supplier" — with the <> residual riding the equi-join,
+    // never a nested-loop/cartesian fallback
+    assert(p.contains("LeftSemi"), s"no semi join in Q21 plan:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in Q21 plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must not global-sort:\n$p")
+    CachePool.releaseAll()
+  }
+
+  test("capPerKey rides the existing user partitioning: ONE exchange in j17 (no cap shuffle)") {
+    val q = SparkEntry.queries("j17_cooccurrence")(spark, dir)
+    val p = plan(q)
+    // the guard's count-over-window must reuse the explicit user_id
+    // repartition — a second user-keyed exchange would mean the cap
+    // broke the e12 one-shuffle discipline. Count DISTINCT plan ids:
+    // the one cached exchange prints once per join side consuming it.
+    val exchangeIds =
+      """Exchange hashpartitioning\(user_id[^\n]*plan_id=(\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(exchangeIds.size <= 1,
+      s"j17 shuffles the fact on user_id ${exchangeIds.size} distinct times:\n$p")
+    CachePool.releaseAll()
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Dedup, RelationalOps, Segmentation, TextAnalysis}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -545,7 +546,9 @@ class PropertySpec extends SparkTestBase {
         (r.getAs[Long]("dau"), r.getAs[Long]("mau"), r.getAs[Double]("stickiness"))).toMap
     assert(got(0L) == (2L, 2L, 1.0))
     assert(got(1L) == (1L, 2L, 0.5))
-    // day 30's window is (2, 30]: day-0 activity aged out, day 1 in
+    // day 30's window is (2, 30]: both users' day-0 activity AND user
+    // 2's day-1 activity have aged out — mau=2 comes from the two
+    // users' day-30 events alone
     assert(got(30L) == (2L, 2L, 1.0), s"day30: ${got(30L)}")
   }
 
@@ -586,5 +589,54 @@ class PropertySpec extends SparkTestBase {
     assert(a.getAs[Double]("type_token_ratio") == 4.0 / 5.0)
     val b = got.find(_.getAs[String]("source") == "srcB").get
     assert(b.getAs[Long]("n_hapax") == 4L && b.getAs[Double]("hapax_ratio") == 1.0)
+  }
+
+  test("hyperactive-key cap: planted power user is dropped whole and observably; others are exact") {
+    val dir = tmpDir("hyperkey")
+    // five normal users sharing basket {1, 2}; user 99 with 12 items —
+    // past the planted cap of 10, under which C(12,2) = 66 pairs would
+    // ride one task at scale
+    val normals = (1L to 5L).flatMap { u =>
+      Seq((u * 10L, u * 1000L, u, "view", u.toDouble, """{"k": 1}"""),
+        (u * 10L + 1L, u * 1000L + 1L, u, "view", u.toDouble + 1.0, """{"k": 2}"""))
+    }
+    val power = (0 until 12).map { i =>
+      (100L + i, 100000L + i, 99L, "view", i.toDouble, s"""{"k": ${10 + i}}""")
+    }
+    writeEvents(dir, normals ++ power)
+
+    // j17: only the shared (1,2) pair survives — none of the power
+    // user's 66 within-basket pairs
+    val co = SparkEntry.cooccurrencePairs(spark, dir, maxItemsPerUser = 10)
+      .collect().map(r => (r.getAs[Int]("item_a"), r.getAs[Int]("item_b"),
+        r.getAs[Long]("n_users")))
+    assert(co.toSeq == Seq((1, 2, 5L)), s"j17 capped: ${co.toSeq}")
+
+    // j24: denominators use the CAPPED universe — support 5/5 = 1
+    val rules = SparkEntry.assocRules(spark, dir, maxItemsPerUser = 10)
+      .collect().map(r => (r.getAs[Int]("antecedent"), r.getAs[Int]("consequent"),
+        r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift")))
+    assert(rules.toSet == Set((1, 2, 5L, 1.0, 1.0, 1.0), (2, 1, 5L, 1.0, 1.0, 1.0)),
+      s"j24 capped: ${rules.toSeq}")
+
+    // w17: the power user's trend row is gone; a normal user's exact
+    // S over its 1 pair (values u, u+1 ascending) is +1
+    val mk = SparkEntry.mannKendall(spark, dir, maxEventsPerUser = 10)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("s_stat"), r.getAs[Long]("n_pairs"))).toMap
+    assert(!mk.contains(99L), s"power user leaked through the cap: $mk")
+    assert(mk(1L) == (1L, 1L) && mk.size == 5, s"w17 capped: $mk")
+
+    // observability: the dropped key is reported with its size
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull).distinct()
+    val dropped = RelationalOps.droppedHyperactiveKeys(staged, "user_id", 10)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_rows"))
+    assert(dropped.toSeq == Seq(99L -> 12L), s"dropped: ${dropped.toSeq}")
+    // and with the cap at-or-above the busiest key, capPerKey is the identity
+    assert(RelationalOps.capPerKey(staged, "user_id", 12).count() == staged.count())
   }
 }

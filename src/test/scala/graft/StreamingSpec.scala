@@ -637,6 +637,52 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty, "parity on an empty table proves nothing")
   }
 
+  test("mergeGroup: a crash between the two table folds never exposes mixed generations") {
+    import spark.implicits._
+    val store = new ParquetKpiStore(s"${tmpDir("mgroup")}/store")
+    def sizes(n: Long) = Seq((10L, n)).toDF("cohort_wk", "cohort_n")
+    def cells(k: Long, n: Long) = Seq((10L, k, n)).toDF("cohort_wk", "k", "n_active")
+    def readPairs(): (Seq[(Long, Long)], Seq[(Long, Long, Long)]) = (
+      store.readGrouped(spark, "g", "sizes").map(_.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1)))).getOrElse(Nil),
+      store.readGrouped(spark, "g", "cells").map(_.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))).getOrElse(Nil))
+
+    // batch 0 commits both members atomically
+    store.mergeGroup(spark, "g", Seq(
+      ("sizes", Seq("cohort_wk"), sizes(5L)),
+      ("cells", Seq("cohort_wk", "k"), cells(0L, 5L))), 0L)
+    assert(readPairs() == (Seq((10L, 5L)), Seq((10L, 0L, 5L))))
+
+    // batch 1 CRASHES after the first member staged its version dir:
+    // the second member's frame throws during evaluation — exactly the
+    // between-merges window the per-table swap was vulnerable to
+    val poison = Seq((10L, 0L, 1L)).toDF("cohort_wk", "k", "n_active")
+      .as[(Long, Long, Long)]
+      .map { _ => throw new RuntimeException("injected crash between folds"); (0L, 0L, 0L) }
+      .toDF("cohort_wk", "k", "n_active")
+    intercept[Exception](store.mergeGroup(spark, "g", Seq(
+      ("sizes", Seq("cohort_wk"), sizes(2L)),
+      ("cells", Seq("cohort_wk", "k"), poison)), 1L))
+    // reader still sees generation 0 for BOTH tables — the staged
+    // sizes v_1 dir is invisible (per-table _LATEST would now show 7)
+    assert(store.appliedGroupBatch(spark, "g") == 0L, "manifest advanced past a crash")
+    assert(readPairs() == (Seq((10L, 5L)), Seq((10L, 0L, 5L))),
+      "mixed generations exposed after a crash between folds")
+
+    // replay of batch 1 (foreachBatch redelivers it) folds exactly once
+    store.mergeGroup(spark, "g", Seq(
+      ("sizes", Seq("cohort_wk"), sizes(2L)),
+      ("cells", Seq("cohort_wk", "k"), cells(1L, 3L))), 1L)
+    assert(readPairs()._1 == Seq((10L, 7L)))
+    assert(readPairs()._2.toSet == Set((10L, 0L, 5L), (10L, 1L, 3L)))
+    // and a second replay of the same batch is a no-op
+    store.mergeGroup(spark, "g", Seq(
+      ("sizes", Seq("cohort_wk"), sizes(2L)),
+      ("cells", Seq("cohort_wk", "k"), cells(1L, 3L))), 1L)
+    assert(readPairs()._1 == Seq((10L, 7L)), "replayed batch double-folded")
+  }
+
   test("streaming retention state transitions: growth, and retroactive cohort move retracts exactly") {
     import graft.streaming.StreamingRetention.{processUser, Delta, UserWeeks}
     import org.apache.spark.sql.streaming.TestGroupState
@@ -797,6 +843,49 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want, s"streaming distinct diverged: got=${got.size} want=${want.size}")
     assert(got.nonEmpty, "parity on an empty table proves nothing")
+    // nothing in the fixture approaches the cardinality cap: every
+    // row must still be EXACT mode (the sketch fallback is for hot
+    // keys only — see the planted-hot-user test)
+    assert(StreamingDistinct.distinctTable(spark, store)
+      .filter(col("is_approx")).count() == 0L)
+  }
+
+  test("streaming distinct hot key: state degrades to a bounded HLL sketch, observably, within its error bound") {
+    import graft.streaming.StreamingDistinct
+    import graft.streaming.StreamingDistinct.{DCount, Hll, UserItems}
+    import org.apache.spark.sql.streaming.TestGroupState
+    def st() = TestGroupState.create[UserItems](
+      optionalState = org.apache.spark.api.java.Optional.empty[UserItems](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs =
+        org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val p = StreamingDistinct.processUser(1000) _
+
+    // under the cap: exact, not approx
+    val s1 = st()
+    val d1 = p(7L, (1 to 500).iterator.map(i => (7L, i)), s1).toSeq
+    assert(d1 == Seq(DCount(7L, 500L, approx = false)))
+    assert(s1.get.items.size == 500 && s1.get.sketch.isEmpty)
+
+    // crossing the cap: the switch is emitted, and state drops from a
+    // growing set to the FIXED 4096-byte register array
+    val d2 = p(7L, (501 to 20000).iterator.map(i => (7L, i)), s1).toSeq
+    assert(d2.size == 1 && d2.head.approx, s"no observable switch: $d2")
+    assert(s1.get.items.isEmpty && s1.get.sketch.get.length == Hll.m,
+      "state not bounded after crossing the cap")
+    // documented bound: se = 1.04/sqrt(4096) = 1.6%; assert 3 se
+    val est = d2.head.nDistinct
+    assert(math.abs(est - 20000L) < 20000 * 0.05, s"estimate $est vs 20000 outside 3 se")
+
+    // replaying already-seen items grows nothing and emits nothing —
+    // the register-max merge is idempotent like the set union it replaced
+    assert(p(7L, (1 to 20000).iterator.map(i => (7L, i)), s1).isEmpty)
+
+    // more novel items keep moving the estimate, state size unchanged
+    val d3 = p(7L, (20001 to 40000).iterator.map(i => (7L, i)), s1).toSeq
+    assert(d3.size == 1 && d3.head.approx && s1.get.sketch.get.length == Hll.m)
+    assert(math.abs(d3.head.nDistinct - 40000L) < 40000 * 0.05,
+      s"estimate ${d3.head.nDistinct} vs 40000 outside 3 se")
   }
 
   test("streaming frequency: additive cell merges converge to the batch sketch cell-for-cell under reverse drain") {
@@ -950,8 +1039,10 @@ class StreamingSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$base/in/_seg=0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
-    StreamingCusum.start(spark, stream, store, s"$base/cp")
-      .awaitTermination()
+    // unbounded lateness: this drain replays the fixture in reverse
+    // time order, so the finite production default would drop events
+    StreamingCusum.start(spark, stream, store, s"$base/cp",
+      latenessMicros = Long.MaxValue).awaitTermination()
     def rows(df: DataFrame): Seq[(Long, Long, Double, Double)] =
       df.collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
         r.getAs[Double]("cusum_final"), r.getAs[Double]("cusum_max"))).toSeq
@@ -1025,8 +1116,9 @@ class StreamingSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$base/in/_seg=0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
-    StreamingTransitions.start(spark, stream, store, s"$base/cp")
-      .awaitTermination()
+    // unbounded lateness: reverse-time drain (see the CUSUM parity note)
+    StreamingTransitions.start(spark, stream, store, s"$base/cp",
+      latenessMicros = Long.MaxValue).awaitTermination()
 
     def rows(df: DataFrame): Set[(String, String, Long, Double)] =
       df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
@@ -1127,8 +1219,9 @@ class StreamingSpec extends SparkTestBase {
     val schema = spark.read.parquet(s"$base/in/_seg=0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
-    StreamingAttribution.start(spark, stream, store, s"$base/cp")
-      .awaitTermination()
+    // unbounded lateness: reverse-time drain (see the CUSUM parity note)
+    StreamingAttribution.start(spark, stream, store, s"$base/cp",
+      latenessMicros = Long.MaxValue).awaitTermination()
 
     def rows(df: DataFrame): Set[(Long, Long, Long, Option[Double])] =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
