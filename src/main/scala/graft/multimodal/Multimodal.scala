@@ -137,12 +137,78 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode — RIFF/WAVE PCM parsed directly from the bytes
+    * (the container is a length-prefixed chunk list; 16-bit PCM needs
+    * no codec at all, which is why voice pipelines standardize on it
+    * before transcription): locate the `fmt ` and `data` chunks,
+    * require mono 16-bit PCM (anything else fails LOUDLY — a
+    * compressed or multichannel payload should be transcoded
+    * upstream, not silently misread), then feature i = mean |sample|
+    * over the i-th of `dim` proportional windows, normalized by 2^15
+    * into [0, 1) — exactly the per-window energy profile
+    * [[activeSegments]] cuts on. Integer sums, one terminal division:
+    * deterministic on any platform, hand-computable in a spec. */
+  object WavDecoder extends MediaDecoder {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      le16(b, off) | (le16(b, off + 2) << 16)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      require(payload.length >= 12 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "WavDecoder: not a RIFF/WAVE payload")
+      var pos = 12
+      var pcmOk = false
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= payload.length) {
+        val id = tag(payload, pos)
+        val sz = le32(payload, pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= payload.length,
+          s"WavDecoder: chunk $id overruns the payload")
+        if (id == "fmt ") {
+          val audioFormat = le16(payload, pos + 8)
+          val channels = le16(payload, pos + 10)
+          val bits = le16(payload, pos + 22)
+          require(audioFormat == 1 && bits == 16 && channels == 1,
+            s"WavDecoder: need mono 16-bit PCM, got format=$audioFormat " +
+              s"channels=$channels bits=$bits — transcode upstream")
+          pcmOk = true
+        } else if (id == "data") {
+          dataOff = pos + 8; dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(pcmOk && dataOff >= 0, "WavDecoder: missing fmt/data chunk")
+      val n = dataLen / 2
+      require(n >= dim, s"WavDecoder: $n samples < $dim windows")
+      val out = new Array[Float](dim)
+      var w = 0
+      while (w < dim) {
+        val s0 = (w.toLong * n / dim).toInt
+        val s1 = ((w + 1).toLong * n / dim).toInt
+        var absSum = 0L
+        var i = s0
+        while (i < s1) {
+          val s = le16(payload, dataOff + 2 * i).toShort.toInt
+          absSum += math.abs(s.toLong)
+          i += 1
+        }
+        out(w) = (absSum.toDouble / (s1 - s0) / 32768.0).toFloat
+        w += 1
+      }
+      out
+    }
+  }
+
   /** Per-payload routing on the magic bytes [[sniffMime]] reads:
-    * PNG/JPEG payloads take the real [[ImageIoDecoder]]; everything
-    * else falls back to the deterministic [[FakeDecoder]] twin. The
-    * mixed-corpus entry point — one `decodeFeatures` pass over a
-    * table whose media column holds both real images and opaque
-    * payloads. */
+    * PNG/JPEG payloads take the real [[ImageIoDecoder]], RIFF/WAVE
+    * payloads the real [[WavDecoder]]; everything else falls back to
+    * the deterministic [[FakeDecoder]] twin. The mixed-corpus entry
+    * point — one `decodeFeatures` pass over a table whose media
+    * column holds real images, real audio, and opaque payloads. */
   object AutoDecoder extends MediaDecoder {
     private def hasPrefix(payload: Array[Byte], magic: Array[Byte]): Boolean =
       payload.length >= magic.length && {
@@ -154,7 +220,11 @@ object Multimodal {
       val isImage = magicBytes.exists { case (mime, magic) =>
         mime.startsWith("image/") && hasPrefix(payload, magic)
       }
+      val isWave = payload.length >= 12 &&
+        hasPrefix(payload, "RIFF".getBytes("US-ASCII")) &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE"
       if (isImage) ImageIoDecoder.decode(payload, dim)
+      else if (isWave) WavDecoder.decode(payload, dim)
       else FakeDecoder.decode(payload, dim)
     }
   }

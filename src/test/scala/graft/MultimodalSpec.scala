@@ -285,6 +285,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(jf.forall(x => math.abs(x - 128 / 256.0f) < 8 / 256.0f), s"jpeg lumas: ${jf.toSeq}")
   }
 
+  /** Mono 16-bit PCM WAV from raw samples — 44-byte canonical header. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("WavDecoder: hand-computed window energies from raw PCM, loud failure off-contract") {
+    // 8 samples at |1000| then 8 at |4000|: dim=2 windows of 8 — the
+    // mean-|sample|/2^15 features are exact rationals
+    val s = (Array.fill(8)(1000) ++ Array.fill(8)(4000))
+      .zipWithIndex.map { case (a, i) => (if (i % 2 == 0) a else -a).toShort }
+    val f = Multimodal.WavDecoder.decode(wavBytes(s), 2)
+    assert(f.toSeq == Seq(1000 / 32768.0f, 4000 / 32768.0f), s"got ${f.toSeq}")
+    // the payload sniffs as the mime m4 gates on
+    val df = Seq(Tuple1(wavBytes(s))).toDF("media")
+    assert(df.select(Multimodal.sniffMime(col("media"))).head().getString(0) == "audio/wav")
+    // stereo / non-PCM / truncated payloads fail loudly, never misread
+    val stereo = wavBytes(s).clone()
+    stereo(22) = 2 // numChannels LE16 low byte
+    intercept[Exception](Multimodal.WavDecoder.decode(stereo, 2))
+    intercept[Exception](Multimodal.WavDecoder.decode(wavBytes(s).take(30), 2))
+  }
+
+  test("WavDecoder feeds activeSegments: silence-split on a real PCM payload end to end") {
+    // 8 windows x 100 samples: tone / silence / tone — the audio
+    // segmentation path with the REAL decoder instead of the fake twin
+    val pattern = Seq(8000, 8000, 0, 0, 0, 0, 8000, 8000)
+    val samples = pattern.flatMap(a => Seq.fill(100)(a.toShort)).toArray
+    val feats = Multimodal.decodeFeatures(
+      Seq((1L, wavBytes(samples))).toDF("doc_id", "media"),
+      "media", dim = 8, decoder = Multimodal.WavDecoder)
+    val wins = feats.select(col("doc_id"),
+        posexplode(col("features")).as(Seq("win_idx", "f")))
+      .withColumn("active", col("f") > 0.1f)
+      .withColumn("energy", Multimodal.windowEnergy(array(col("f"))))
+    val segs = Multimodal.activeSegments(wins, "doc_id", "win_idx", "active", "energy")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(segs == Set((1, 0, 1), (2, 6, 7)), s"got $segs")
+  }
+
   test("AutoDecoder routes PNG to ImageIO and opaque payloads to the fake twin") {
     val png = grayPng(_ => 100)
     val text = "not an image".getBytes("UTF-8")
@@ -292,6 +340,14 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.ImageIoDecoder.decode(png, 64).toSeq)
     assert(Multimodal.AutoDecoder.decode(text, 64).toSeq ==
       Multimodal.FakeDecoder.decode(text, 64).toSeq)
+    val wav = wavBytes(Array.fill(64)(500.toShort))
+    assert(Multimodal.AutoDecoder.decode(wav, 4).toSeq ==
+      Multimodal.WavDecoder.decode(wav, 4).toSeq)
+    // RIFF but not WAVE (an AVI-ish container) is NOT audio — falls to
+    // the fake twin instead of crashing the wave parser
+    val avi = "RIFF    AVI LIST".getBytes("US-ASCII")
+    assert(Multimodal.AutoDecoder.decode(avi, 4).toSeq ==
+      Multimodal.FakeDecoder.decode(avi, 4).toSeq)
     // undecodable bytes through the real path fail loudly, not silently
     val bad = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
     intercept[Exception](Multimodal.ImageIoDecoder.decode(bad, 64))
