@@ -49,6 +49,8 @@ object GraftSqlApi {
       es => graft.functions.MinHashSignature(es.head, intLit(es(1), "minhash_signature", 1)))
     GraftSqlBridge.registerFunction(spark, "graft_normalize",
       es => Lower(RegExpReplace(es.head, Literal("[^a-zA-Z0-9\\s]"), Literal(""))))
+    GraftSqlBridge.registerFunction(spark, "nfc_normalize",
+      es => graft.functions.NfcNormalize(es.head))
   }
 
   /** Both registrations in one call. */

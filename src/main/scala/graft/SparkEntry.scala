@@ -3542,6 +3542,60 @@ object SparkEntry {
       .orderBy(col("user_id"), col("rank"))
   }
 
+  /** Unicode NFC hygiene audit ([[TextAnalysis.nfc]], the native
+    * codegen'd [[graft.functions.NfcNormalize]]): "é" as U+00E9 and
+    * as e+U+0301 are byte-different, so every byte-level signature
+    * (t5 md5, MinHash, shingles) splits visually-identical strings —
+    * this is the canonical-composition pass run before fingerprinting.
+    * The fixture text is ASCII by construction, so each doc is
+    * DECORATED with a decomposed e+combining-acute prefix to exercise
+    * real composition; cells are code-point counts before/after, the
+    * composed flag, and the md5 fingerprint of the normalized string —
+    * the oracle (DuckDB `nfc_normalize`, the same Unicode-standard
+    * algorithm as the JDK's) compares the output byte-for-byte. */
+  private val t29Nfc = (s: SparkSession, d: String) => {
+    // DECOMPOSED prefix: 'e' + combining acute (U+0301) + space — NFC
+    // composes the pair to U+00E9, shrinking the code-point count by 1.
+    // The escape (not a raw combining char) keeps the source immune to
+    // editor/tooling normalization.
+    val decorated = concat(lit("e\u0301 "), col("text"))
+    val normalized = TextAnalysis.nfc(decorated)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(decorated).as("len_raw"),
+        length(normalized).as("len_nfc"),
+        md5(normalized.cast("binary")).as("nfc_fp"),
+        (length(normalized) < length(decorated)).as("composed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TPC-H Q22 shape (global-positive-customers report) — the second
+    * classic correlated-subquery stressor beside j28's Q21: a SCALAR
+    * subquery gates the fact (balance above the positive-balance
+    * mean) and a NOT-EXISTS anti-join removes engaged customers.
+    * Adapted to the fixture: every customer has orders, so the anti
+    * side is the URGENT-priority order subset ("rich customers who
+    * never placed an urgent order" — the dormant-value report);
+    * country code becomes the nation key. Plan: the mean is ONE
+    * broadcast scalar (never a per-row subquery), the anti-join
+    * shuffles only (custkey) pairs, totals are exact decimal sums
+    * under one terminal cast. */
+  private val j29Q22Shape = (s: SparkSession, d: String) => {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("_avgbal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("_avgbal"))
+      .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal"), 2).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** Hash-bucket-probed negative sampling
     * ([[Sampling.negativeSampleHashProbe]]) — x35's UNBOUNDED-universe
     * scale path as a first-class registry entry: per user, 3 probed
@@ -4771,6 +4825,8 @@ object SparkEntry {
     "w23_stickiness" -> w23Stickiness,
     "j27_q19_shape" -> j27Q19Shape,
     "j28_q21_shape" -> j28Q21Shape,
+    "j29_q22_shape" -> j29Q22Shape,
+    "t29_nfc" -> t29Nfc,
     "x37_negative_probe" -> x37NegativeProbe,
     "a39_group_mode" -> a39GroupMode,
   )
@@ -6221,6 +6277,37 @@ object SparkEntry {
          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "t29_nfc" ->
+      // DuckDB's nfc_normalize implements the same Unicode-standard
+      // canonical composition as the JDK Normalizer behind the native
+      // expression; chr(769) is the combining acute the Spark side
+      // embeds as a literal
+      """WITH d AS (
+           SELECT doc_id, 'e' || chr(769) || ' ' || text AS dec
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(length(dec) AS INTEGER) AS len_raw,
+           CAST(length(nfc_normalize(dec)) AS INTEGER) AS len_nfc,
+           md5(nfc_normalize(dec)) AS nfc_fp,
+           (length(nfc_normalize(dec)) < length(dec)) AS composed
+         FROM d ORDER BY doc_id""",
+    "j29_q22_shape" ->
+      // identical scalar gate (decimal-sum mean over positive
+      // balances) and the correlated NOT EXISTS the anti-join rewrites
+      """WITH avgbal AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS a
+           FROM customer WHERE c_acctbal > 0
+         )
+         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+         FROM customer c, avgbal
+         WHERE c.c_acctbal > avgbal.a
+           AND NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT')
+         GROUP BY 1 ORDER BY 1""",
     "x37_negative_probe" ->
       // identical bucket hashes (first hex char of md5), identical
       // probe derivation, identical rank key as x35

@@ -27,6 +27,16 @@ object TextAnalysis {
   def normalize(c: Column): Column =
     lower(regexp_replace(c, "[^a-zA-Z0-9\\s]", ""))
 
+  /** Unicode NFC canonical composition ([[graft.functions.NfcNormalize]]
+    * — native codegen'd expression, no UDF): run BEFORE any
+    * fingerprint/shingle stage on corpora that may carry decomposed
+    * sequences, or byte-level signatures split visually-identical
+    * strings. */
+  def nfc(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** F2: numeric ordering key from `segment_<i>` file names. Non-matching
     * names yield null (ANSI-safe: regexp_extract returns "" on no match,
     * which ANSI cast would reject). */

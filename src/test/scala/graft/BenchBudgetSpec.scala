@@ -254,6 +254,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j27_q19_shape" -> 1.2,
     "a39_group_mode" -> 1.0,
     "j28_q21_shape" -> 2.0,
+    "j29_q22_shape" -> 1.2,
+    "t29_nfc" -> 1.2,
     "x37_negative_probe" -> 1.2,
   )
 

@@ -798,6 +798,46 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == want, s"exact recall broke:\n got=$got\n want=$want")
     assert(want.size >= 20, "the planted twins must actually qualify")
   }
+
+  test("nfc: composes decomposed sequences, idempotent, JDK-parity, unifies fingerprints") {
+    import spark.implicits._
+    // e + combining acute (U+0301) composes to U+00E9; precomposed form
+    // is a fixed point; ASCII untouched; Hangul jamo compose to a
+    // syllable (the multi-char canonical-composition case).
+    // Escapes, not raw chars: immune to editor/tooling normalization.
+    val cases = Seq(
+      "cafe\u0301",          // e + combining acute (decomposed)
+      "caf\u00e9",           // precomposed
+      "plain ascii 123",
+      "\u1100\u1161\u11a8", // jamo G+A+K -> syllable U+AC01
+      "A\u030a",             // A + combining ring -> U+00C5
+      "")
+    val got = cases.toDF("s")
+      .select(operators.TextAnalysis.nfc(col("s")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    val want = cases.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(got == want, "column output must match the JDK normalizer exactly")
+    assert(got.head == "caf\u00e9" && got.head == got(1),
+      "decomposed and precomposed forms must converge byte-for-byte")
+    assert(got(3) == "\uac01" && got(4) == "\u00c5")
+    // idempotence: NFC(NFC(x)) == NFC(x), through the column twice
+    val twice = cases.toDF("s")
+      .select(operators.TextAnalysis.nfc(operators.TextAnalysis.nfc(col("s"))).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(twice == want)
+    // the motivating property: md5 fingerprints unify after nfc, split before
+    val fps = Seq("cafe\u0301", "caf\u00e9").toDF("s")
+      .select(md5(col("s").cast("binary")).as("raw"),
+        md5(operators.TextAnalysis.nfc(col("s")).cast("binary")).as("n"))
+      .collect()
+    assert(fps(0).getString(0) != fps(1).getString(0), "raw fingerprints must differ")
+    assert(fps(0).getString(1) == fps(1).getString(1), "nfc fingerprints must unify")
+    // SQL-registered twin is the same native expression
+    GraftSqlApi.init(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      "SELECT nfc_normalize('cafe\\u0301')").collect()(0).getString(0)
+    assert(viaSql == "caf\u00e9")
+  }
 }
 
 /** Scala-side twin of the 3-shingle semantics for brute-force checks. */
