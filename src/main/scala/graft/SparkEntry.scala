@@ -3596,6 +3596,320 @@ object SparkEntry {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue) — the correlated
+    * PER-KEY scalar-aggregate stressor: each fact row is gated by an
+    * aggregate over its OWN part's rows (qty below 1/5 of the part's
+    * mean). The naive form recomputes the subquery per row; the plan
+    * here aggregates ONCE per part (map-side combined over the
+    * brand-semi-filtered fact) and broadcasts the |brand parts|-row
+    * stats frame back onto the fact — the aggregate-join-reuse
+    * rewrite every optimizer aims for, written directly. The mean
+    * threshold is EXACT integer arithmetic (qty is integer-valued:
+    * `5·qty·cnt < Σqty` multiplies out the division), so no row near
+    * the boundary can flip between engines; revenue is the standard
+    * decimal-staged sum under one terminal /7.0. */
+  private val j30Q17Shape = (s: SparkSession, d: String) => {
+    val brandParts = t(s, d, "part").filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val li = CachePool.register(t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .persist()) // two consumers: per-part stats and the gated fact
+    val stats = li.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("_qs"),
+        count(lit(1)).as("_qc"))
+      .withColumnRenamed("l_partkey", "_pk")
+    li.join(broadcast(stats), col("l_partkey") === col("_pk"))
+      .filter(lit(5L) * col("l_quantity").cast("long") * col("_qc") < col("_qs"))
+      .agg((dsum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution) — the ONE
+    * classic that puts a predicate INSIDE a left-outer join's ON
+    * clause (never-matched customers must survive with count 0, so
+    * the filter cannot move to a WHERE) and stacks a second
+    * aggregation over the first's output. Orders shrink at the scan
+    * (priority pushed down), the outer join shuffles (custkey) only,
+    * and the second groupBy is over ≤ |distinct counts| rows —
+    * exact integers throughout. */
+  private val j31Q13Shape = (s: SparkSession, d: String) => {
+    val c = t(s, d, "customer").select(col("c_custkey"))
+    val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier) — argmax over an aggregated view
+    * WITH ties: revenue per supplier over one quarter, keep every
+    * supplier whose revenue equals the global max. The max is ONE
+    * broadcast scalar over the |supplier|-row aggregate (never a
+    * per-row subquery or a global window over the fact), and the
+    * equality compares the DECIMAL sums BEFORE the terminal double
+    * cast — ties are exact, not within-epsilon. Supplier names
+    * decorate the ≤|supplier| winners by broadcast. */
+  private val j32Q15Shape = (s: SparkSession, d: String) => {
+    val rev = CachePool.register(t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("_rev"))
+      .persist()) // two consumers: the winners filter and the max scalar
+    val mx = rev.agg(max(col("_rev")).as("_mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("_rev") === col("_mx"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion) — the DOUBLY nested
+    * semi-join: suppliers qualify through a per-(part, supplier)
+    * aggregate threshold, parts qualify through a name prefix.
+    * Without an availqty column the threshold is adapted to "1996
+    * shipped more than half of all-time shipped" — same structure, a
+    * per-group scalar comparison deciding semi-membership. The plan
+    * runs inside-out: prefix parts broadcast-semi shrink the fact,
+    * ONE (part,supp) aggregate computes both sums (conditional +
+    * total, exact integers), the qualifying suppkey set (≤|supplier|
+    * rows) broadcast-semis into the nation-filtered supplier dim.
+    * Nothing corpus-width survives past the first aggregate — the
+    * ShuffleAudit (l_suppkey)⊂(l_partkey,l_suppkey) flag is the
+    * distinct's re-shuffle of that already-aggregated frame, which is
+    * required (clustering on the pair does not co-locate suppkeys)
+    * and runs on post-aggregate, not corpus, volume. */
+  private val j33Q20Shape = (s: SparkSession, d: String) => {
+    val selParts = t(s, d, "part").filter(col("p_name").like("blue%"))
+      .select(col("p_partkey"))
+    val qualSupp = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("l_shipdate"))
+      .join(broadcast(selParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(year(col("l_shipdate")) === 1996,
+          col("l_quantity").cast("long")).otherwise(0L)).as("_q96"),
+        sum(col("l_quantity").cast("long")).as("_qt"))
+      .filter(lit(2L) * col("_q96") > col("_qt"))
+      .select(col("l_suppkey")).distinct()
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(qualSupp), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_name"), col("s_suppkey"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations) — the
+    * disjunctive DIM-PAIR predicate: revenue by (supplier nation,
+    * customer nation, year) for the two directed orientations of one
+    * nation pair. Both nation joins are broadcast and PRE-FILTERED to
+    * the two nations — the inner joins shrink the fact to in-pair
+    * rows before the shuffle joins run, and the OR-of-ANDs survives
+    * only as a cheap residual over two broadcast-decorated columns
+    * (never a union of two plans). Year from the ship date, decimal
+    * revenue, exact group keys. */
+  private val j34Q7Shape = (s: SparkSession, d: String) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, d, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("_cnk"), col("n_name").as("cust_nation"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_snk"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("_cnk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share) — the conditional-share
+    * aggregate: one nation's fraction of a region's promo-part
+    * revenue per year. TWO decimal sums (conditional numerator +
+    * total) ride ONE aggregate pass — never two plans unioned — and
+    * the share is one terminal IEEE division per year row. Part and
+    * both nation sides broadcast; the customer-region membership
+    * shrinks the orders arm via the region-filtered nation broadcast
+    * BEFORE the fact join. */
+  private val j35Q8Shape = (s: SparkSession, d: String) => {
+    val promoParts = t(s, d, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val amerNations = t(s, d, "nation")
+      .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")
+          .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey").as("_cnk"))
+    val suppNation = t(s, d, "nation")
+      .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))
+    val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amerNations), col("c_nationkey") === col("_cnk"), "left_semi")
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("_snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_5", vol)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+        sum(vol).cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking) — the EXISTS semi-join
+    * classic: count orders per priority that have at least one
+    * qualifying lineitem. "Late" adapted to the fixture as
+    * `l_returnflag = 'R'` (no commit/receipt dates — the j28
+    * adaptation). The EXISTS is a LEFT SEMI join, never a
+    * count-distinct or an inner join that would double-count orders
+    * with several qualifying lines; orders shrink at the scan
+    * (quarter pushdown) so the semi-join probes a quarter's orders
+    * against the flag-filtered fact. Exact integer counts. */
+  private val j36Q4Shape = (s: SparkSession, d: String) => {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val late = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape (forecasting revenue change) — the pure
+    * scan-pushdown aggregate: no join at all, three conjunctive
+    * range predicates (ship year, discount band, quantity cap) that
+    * must ALL reach the parquet scan as PushedFilters, one decimal
+    * sum over the survivors. At 100 TB this query IS the scan — the
+    * plan's whole cost model is how few row groups min/max stats let
+    * it open; the band predicates on doubles compare the same IEEE
+    * literals in both engines (fixture discounts are exact
+    * hundredths either way, compared bit-identically). */
+  private val j37Q6Shape = (s: SparkSession, d: String) => {
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
+  }
+
+  /** TPC-H Q9 shape (product type profit) — the widest classic join
+    * tree (fact + 4 dims) with an EXPRESSION aggregate (revenue
+    * minus cost) and a substring part filter. Cost adapted to the
+    * fixture as `0.5 · p_retailprice · qty` (no partsupp table /
+    * ps_supplycost — retail price is the only cost-like column), so
+    * the profit expression subtracts two decimal-staged terms per
+    * row and sums ONCE — never two aggregates differenced. The part
+    * filter broadcast-semi-shrinks the fact FIRST (a `%gear%`
+    * contains-match can't push to parquet stats, but ~9% part
+    * selectivity cuts every later join); supplier→nation decorates
+    * by broadcast; only orders (for the year) joins at fact width. */
+  private val j38Q9Shape = (s: SparkSession, d: String) => {
+    val gearParts = t(s, d, "part").filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val cost = lit(0.5) * col("p_retailprice") * col("l_quantity")
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(gearParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount.cast("decimal(18,4)") - cost.cast("decimal(18,4)"))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock identification) — groupBy with
+    * a GLOBAL-SCALAR HAVING: keep per-part value groups above a
+    * fraction of the grand total. Value adapted to lineitem revenue
+    * restricted to one nation's suppliers (no partsupp table). The
+    * total is ONE broadcast scalar over the aggregate (never a
+    * windowed sum-over-all or a per-row subquery), and the threshold
+    * comparison is EXACT: `value · 500 > total` cross-multiplies the
+    * 0.2% fraction away, so no decimal-rounding boundary can flip a
+    * group between engines. The nation's suppliers broadcast-semi
+    * shrink the fact before its one shuffle (by l_partkey). */
+  private val j39Q11Shape = (s: SparkSession, d: String) => {
+    val natSupp = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation").filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val v = CachePool.register(t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("_val"))
+      .persist()) // two consumers: the grand total and the HAVING filter
+    val total = v.agg(sum(col("_val")).as("_tot"))
+    v.crossJoin(broadcast(total))
+      .filter(col("_val") * lit(500) > col("_tot"))
+      .select(col("l_partkey"), col("_val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q12 shape (shipping mode / priority classes) — the
+    * conditional TWO-WAY count: per group, split one year's lines
+    * into high- vs low-priority counts in ONE aggregate pass (two
+    * `sum(case…)` columns riding the same shuffle — never two
+    * filtered plans unioned). Group key adapted to `l_returnflag`
+    * (no shipmode column); the priority test decorates via the
+    * orderkey join, with the year filter shrinking the fact at the
+    * scan before the join shuffles. Exact integer counts. */
+  private val j40Q12Shape = (s: SparkSession, d: String) => {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Hash-bucket-probed negative sampling
     * ([[Sampling.negativeSampleHashProbe]]) — x35's UNBOUNDED-universe
     * scale path as a first-class registry entry: per user, 3 probed
@@ -4826,6 +5140,17 @@ object SparkEntry {
     "j27_q19_shape" -> j27Q19Shape,
     "j28_q21_shape" -> j28Q21Shape,
     "j29_q22_shape" -> j29Q22Shape,
+    "j30_q17_shape" -> j30Q17Shape,
+    "j31_q13_shape" -> j31Q13Shape,
+    "j32_q15_shape" -> j32Q15Shape,
+    "j33_q20_shape" -> j33Q20Shape,
+    "j34_q7_shape" -> j34Q7Shape,
+    "j35_q8_shape" -> j35Q8Shape,
+    "j36_q4_shape" -> j36Q4Shape,
+    "j37_q6_shape" -> j37Q6Shape,
+    "j38_q9_shape" -> j38Q9Shape,
+    "j39_q11_shape" -> j39Q11Shape,
+    "j40_q12_shape" -> j40Q12Shape,
     "t29_nfc" -> t29Nfc,
     "x37_negative_probe" -> x37NegativeProbe,
     "a39_group_mode" -> a39GroupMode,
@@ -6308,6 +6633,148 @@ object SparkEntry {
              WHERE o.o_custkey = c.c_custkey
                AND o.o_orderpriority = '1-URGENT')
          GROUP BY 1 ORDER BY 1""",
+    "j30_q17_shape" ->
+      // DuckDB keeps Q17's correlated per-part scalar subqueries; the
+      // threshold is the same exact-integer cross-multiplication
+      // (5·qty·cnt < Σqty), so no boundary row can flip
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0
+           AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#23'
+           AND 5 * CAST(l_quantity AS BIGINT) *
+               (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+             < (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "j31_q13_shape" ->
+      // the ON-clause filter stays in the join condition (outer rows
+      // with zero matches must survive); exact integer double-groupBy
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+               FROM customer LEFT OUTER JOIN orders
+                 ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey) t
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "j32_q15_shape" ->
+      // identical decimal revenue; the tie-keeping max equality
+      // compares DECIMALs before the terminal double cast
+      """WITH revenue0 AS (
+           SELECT l_suppkey AS supplier_no,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+         FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+         WHERE total_rev = (SELECT max(total_rev) FROM revenue0)
+         ORDER BY s_suppkey""",
+    "j33_q20_shape" ->
+      // DuckDB keeps Q20's nested-IN form; same prefix, same
+      // exact-integer 2·q96 > qtotal threshold per (part, supplier)
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem
+           WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+           GROUP BY l_partkey, l_suppkey
+           HAVING 2 * sum(CASE WHEN year(l_shipdate) = 1996
+                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                > sum(CAST(l_quantity AS BIGINT)))
+         AND s_nationkey IN (SELECT n_nationkey FROM nation
+                             WHERE n_name = 'NATION_3')
+         ORDER BY s_name, s_suppkey""",
+    "j34_q7_shape" ->
+      // the Q7 disjunctive nation-pair predicate verbatim; identical
+      // decimal volume staging and year keys
+      """SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DOUBLE) AS revenue
+         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l_shipdate)::INT AS l_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                 JOIN nation n2 ON c_nationkey = n2.n_nationkey
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                 AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) s
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "j35_q8_shape" ->
+      // two decimal sums in one aggregate, one IEEE division per year
+      """SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(sum(vol) AS DOUBLE) AS mkt_share
+         FROM (SELECT year(o_orderdate)::INT AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS vol,
+                 n2.n_name AS supp_nation
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+                 JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                 JOIN region ON n1.n_regionkey = r_regionkey
+                 JOIN supplier ON l_suppkey = s_suppkey
+                 JOIN nation n2 ON s_nationkey = n2.n_nationkey
+               WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') s
+         GROUP BY o_year ORDER BY o_year""",
+    "j36_q4_shape" ->
+      // DuckDB keeps Q4's correlated EXISTS form; "late" adapted to
+      // l_returnflag = 'R' (no commit/receipt dates), same as j28
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j37_q6_shape" ->
+      // identical three-predicate scan + decimal staging
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "j38_q9_shape" ->
+      // identical profit expression (cost proxied by 0.5·retailprice·qty
+      // — no partsupp in the fixture), identical decimal staging
+      """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+         FROM (SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+                 CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   - CAST(0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+               FROM lineitem JOIN part ON p_partkey = l_partkey
+                 JOIN supplier ON s_suppkey = l_suppkey
+                 JOIN nation ON s_nationkey = n_nationkey
+                 JOIN orders ON o_orderkey = l_orderkey
+               WHERE p_name LIKE '%gear%') p
+         GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    "j39_q11_shape" ->
+      // DuckDB keeps Q11's scalar-subquery HAVING; the 0.2% fraction is
+      // cross-multiplied to the exact-integer value*500 > total form
+      """WITH v AS (
+           SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS _val
+           FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3' GROUP BY l_partkey)
+         SELECT l_partkey, CAST(_val AS DOUBLE) AS value FROM v
+         WHERE _val * 500 > (SELECT sum(_val) FROM v)
+         ORDER BY value DESC, l_partkey""",
+    "j40_q12_shape" ->
+      // identical conditional two-way counts; group key adapted to
+      // l_returnflag (no shipmode column)
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x37_negative_probe" ->
       // identical bucket hashes (first hex char of md5), identical
       // probe derivation, identical rank key as x35

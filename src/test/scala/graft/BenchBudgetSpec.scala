@@ -255,6 +255,17 @@ class BenchBudgetSpec extends SparkTestBase {
     "a39_group_mode" -> 1.0,
     "j28_q21_shape" -> 2.0,
     "j29_q22_shape" -> 1.2,
+    "j30_q17_shape" -> 1.2,
+    "j31_q13_shape" -> 1.2,
+    "j32_q15_shape" -> 1.2,
+    "j33_q20_shape" -> 1.2,
+    "j34_q7_shape" -> 1.5,
+    "j35_q8_shape" -> 1.5,
+    "j36_q4_shape" -> 1.2,
+    "j37_q6_shape" -> 1.0,
+    "j38_q9_shape" -> 1.5,
+    "j39_q11_shape" -> 1.2,
+    "j40_q12_shape" -> 1.2,
     "t29_nfc" -> 1.2,
     "x37_negative_probe" -> 1.2,
   )
