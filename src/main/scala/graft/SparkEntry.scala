@@ -3206,6 +3206,44 @@ object SparkEntry {
     Graph.triangleCount(edges, "item_a", "item_b")
   }
 
+  /** x33's co-engagement item graph (users co-engaging >= 40 times),
+    * shared by the three graph queries so x33/x38/x39 exercise three
+    * algorithms over ONE derivation. */
+  private def coEngagementEdges(s: SparkSession, d: String): DataFrame = {
+    val ui = Tables.events(s, d)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .repartition(col("user_id"))
+      .distinct()
+    ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= 40L)
+      .select(col("item_a"), col("item_b"))
+  }
+
+  /** Exact-integer PageRank ([[Graph.pageRankInt]], 5 rounds) over
+    * the co-engagement graph — the constant-vector iterative-loop
+    * family's registry face. The micro-unit integer discipline makes
+    * an ITERATIVE float algorithm oracle-exact: DuckDB unrolls the
+    * same five rounds as CTEs and every rank matches bit-for-bit
+    * because both engines do the identical BIGINT floor divisions
+    * and associative sums. */
+  private val x38PageRank = (s: SparkSession, d: String) =>
+    Graph.pageRankInt(coEngagementEdges(s, d), "item_a", "item_b", 5)
+      .orderBy(col("pr").desc, col("node"))
+
+  /** Fixed-depth k-core peeling ([[Graph.kCorePeel]], k=20, 3
+    * rounds) over the co-engagement graph — the shrinking-frame
+    * iterative family (95 -> 46 -> 33 -> 24 nodes at sf0.01; the
+    * dense core that survives is the organic-community signal
+    * scripted engagement farms fail). Exact integer degrees. */
+  private val x39KCore = (s: SparkSession, d: String) =>
+    Graph.kCorePeel(coEngagementEdges(s, d), "item_a", "item_b", 20, 3)
+      .orderBy(col("node"))
+
   /** Single-pass column profiler ([[RelationalOps.profileColumns]])
     * over the documents table — the dataset-card summary. Doubles are
     * deliberately absent (float stringification is engine-specific). */
@@ -5153,6 +5191,8 @@ object SparkEntry {
     "j40_q12_shape" -> j40Q12Shape,
     "t29_nfc" -> t29Nfc,
     "x37_negative_probe" -> x37NegativeProbe,
+    "x38_pagerank" -> x38PageRank,
+    "x39_kcore" -> x39KCore,
     "a39_group_mode" -> a39GroupMode,
   )
 
@@ -8050,6 +8090,74 @@ object SparkEntry {
          FROM e e1
          JOIN e e2 ON e1.s = e2.s AND e1.d < e2.d
          JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d""",
+    "x38_pagerank" ->
+      // the five power-iteration rounds UNROLLED as CTEs, in the same
+      // integer micro-unit discipline (floor-divided contribution and
+      // damping) — bit-exact regardless of per-node summation order
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), e AS (
+           SELECT a.item AS s, b.item AS d
+           FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 40
+         ), ed AS (SELECT s AS src, d AS dst FROM e
+                   UNION ALL SELECT d, s FROM e),
+         deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                 FROM ed GROUP BY src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         r1 AS (SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum(r0.pr // deg.deg)) // 100 AS BIGINT) AS pr
+           FROM r0 JOIN ed ON r0.node = ed.src JOIN deg ON deg.src = r0.node
+           GROUP BY ed.dst),
+         r2 AS (SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum(r1.pr // deg.deg)) // 100 AS BIGINT) AS pr
+           FROM r1 JOIN ed ON r1.node = ed.src JOIN deg ON deg.src = r1.node
+           GROUP BY ed.dst),
+         r3 AS (SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum(r2.pr // deg.deg)) // 100 AS BIGINT) AS pr
+           FROM r2 JOIN ed ON r2.node = ed.src JOIN deg ON deg.src = r2.node
+           GROUP BY ed.dst),
+         r4 AS (SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum(r3.pr // deg.deg)) // 100 AS BIGINT) AS pr
+           FROM r3 JOIN ed ON r3.node = ed.src JOIN deg ON deg.src = r3.node
+           GROUP BY ed.dst),
+         r5 AS (SELECT ed.dst AS node,
+             CAST(150000 + (85 * sum(r4.pr // deg.deg)) // 100 AS BIGINT) AS pr
+           FROM r4 JOIN ed ON r4.node = ed.src JOIN deg ON deg.src = r4.node
+           GROUP BY ed.dst)
+         SELECT node, pr FROM r5 ORDER BY pr DESC, node""",
+    "x39_kcore" ->
+      // three peel rounds unrolled; same exact-integer degrees
+      """WITH ui AS (
+           SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+           FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
+         ), e AS (
+           SELECT a.item AS s, b.item AS d
+           FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 40
+         ), ed AS (SELECT s AS src, d AS dst FROM e
+                   UNION ALL SELECT d, s FROM e),
+         d0 AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+         n0 AS (SELECT src AS node FROM d0 WHERE deg >= 20),
+         e1 AS (SELECT src, dst FROM ed
+                WHERE src IN (SELECT node FROM n0)
+                  AND dst IN (SELECT node FROM n0)),
+         d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+         n1 AS (SELECT src AS node FROM d1 WHERE deg >= 20),
+         e2 AS (SELECT src, dst FROM e1
+                WHERE src IN (SELECT node FROM n1)
+                  AND dst IN (SELECT node FROM n1)),
+         d2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src),
+         n2 AS (SELECT src AS node FROM d2 WHERE deg >= 20),
+         e3 AS (SELECT src, dst FROM e2
+                WHERE src IN (SELECT node FROM n2)
+                  AND dst IN (SELECT node FROM n2)),
+         d3 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
+         SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
+         FROM d3 WHERE deg >= 20 ORDER BY node""",
     "x34_profile" ->
       // per-column UNION ALL replay; only engine-stable stringifications
       // (integers, strings) are profiled

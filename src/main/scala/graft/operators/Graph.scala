@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.CachePool
+
 /** Distributed graph primitives over edge-list DataFrames — the
   * companion to [[Dedup.connectedComponents]]'s label propagation:
   * where components answer "which docs are transitively tied", these
@@ -63,5 +65,93 @@ object Graph {
       greatest(col("_lo"), col("_hi")).as("_w2"))
     wedges.join(closing, Seq("_w1", "_w2"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Exact-INTEGER PageRank power iteration over an undirected edge
+    * list — the constant-size-vector iterative shape (Pregel / Page
+    * et al. 1999): a rank vector of |V| rows cycles against a
+    * partitioned edge list for a FIXED number of rounds. Floating-
+    * point PageRank is irreproducible across engines (per-node
+    * contribution sums are order-dependent IEEE additions), so ranks
+    * live in integer micro-units with floor division at both the
+    * contribution split (`pr div deg`) and the damping step
+    * (`150000 + (85·Σ) div 100` — d = 0.85 over a 1e6 scale): every
+    * operation is an exact BIGINT op, addition is associative, and
+    * two engines agree bit-for-bit regardless of summation order.
+    *
+    * Scale shape: the edge list (with out-degree attached) is
+    * persisted ONCE and re-read every round; only the |V|-row rank
+    * vector shuffles per iteration — at 100 TB of edges the per-round
+    * cost is one shuffle of the rank vector onto the edge
+    * partitioning plus one map-side-combined sum, never a re-shuffle
+    * of the edges themselves. Fixed `iterations` keeps the lineage
+    * bounded (each round consumes the previous exactly once, so the
+    * whole loop evaluates as one linear pipeline when the result is
+    * written). Undirected: each canonical `src < dst` edge carries
+    * mass both ways, so every node has in-neighbors and the vector's
+    * node set is invariant across rounds.
+    *
+    * PRECONDITION (as [[triangleCount]]): canonical simple edges —
+    * `src < dst`, no duplicates, no self-loops.
+    *
+    * Output: (node, pr) — micro-unit integer ranks. */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    val ed = e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d")))
+    val deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    // edge list decorated with the source's out-degree, persisted once
+    // for the whole loop — the only corpus-width frame in play.
+    val edDeg = CachePool.register(
+      ed.join(deg, Seq("_s")).persist())
+    var ranks = deg.select(col("_s").as("node"),
+      lit(1000000L).as("pr"))
+    for (_ <- 1 to iterations) {
+      ranks = edDeg.join(ranks, edDeg("_s") === ranks("node"))
+        .select(col("_d"), expr("pr div _deg").as("_c"))
+        .groupBy(col("_d")).agg(sum(col("_c")).as("_sum"))
+        .select(col("_d").as("node"),
+          expr("CAST(150000 + (85 * _sum) div 100 AS BIGINT)").as("pr"))
+    }
+    ranks
+  }
+
+  /** Fixed-depth k-core peeling over an undirected edge list — the
+    * SHRINKING-frame iterative shape (vs [[pageRankInt]]'s constant
+    * vector): each round recomputes degrees over the surviving
+    * induced subgraph and drops every node below `k`, cascading
+    * removals round over round (Matula & Beck 1983's peeling, run a
+    * fixed `rounds` deep rather than to fixpoint so the operator is
+    * a well-defined bounded computation with an unrollable oracle —
+    * convergence-dependent loop counts are how two engines disagree).
+    * Output after R rounds: nodes whose degree in the R-times-peeled
+    * subgraph still clears `k`, with that degree — exact integers.
+    *
+    * Scale shape: every round's frame is a SUBSET of the previous
+    * (monotone shrink — the cheap direction), each peel is one
+    * degree aggregate plus two broadcast-semi filters on the
+    * surviving node set (at real scale the survivor set shrinks
+    * toward the dense core and broadcasts long before the loop
+    * ends); rounds' edge frames are persisted because each is read
+    * twice (degree pass + induce pass) — without the persist the
+    * lineage re-evaluates the base scan 2^rounds times.
+    *
+    * PRECONDITION (as [[triangleCount]]): canonical simple edges. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    var ed = CachePool.register(
+      e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d"))).persist())
+    var deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    for (_ <- 1 to rounds) {
+      val survivors = deg.filter(col("_deg") >= k).select(col("_s").as("_n"))
+      ed = CachePool.register(ed
+        .join(broadcast(survivors), ed("_s") === col("_n"), "left_semi")
+        .join(broadcast(survivors), ed("_d") === col("_n"), "left_semi")
+        .persist())
+      deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+    }
+    deg.filter(col("_deg") >= k)
+      .select(col("_s").as("node"), col("_deg").as("core_deg"))
   }
 }

@@ -268,6 +268,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "j40_q12_shape" -> 1.2,
     "t29_nfc" -> 1.2,
     "x37_negative_probe" -> 1.2,
+    "x38_pagerank" -> 2.5,
+    "x39_kcore" -> 2.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

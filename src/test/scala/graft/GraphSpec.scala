@@ -42,4 +42,79 @@ class GraphSpec extends SparkTestBase {
     val empty: DataFrame = Seq.empty[(Long, Long)].toDF("s", "d")
     assert(Graph.triangleCount(empty, "s", "d").collect()(0).getLong(0) == 0L)
   }
+
+  /** Sequential reference model of the exact-integer PageRank — the
+    * same micro-unit floor divisions, computed single-threaded. The
+    * distributed op must match it EXACTLY on any graph (that is the
+    * whole point of the integer discipline). */
+  private def prModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val ed = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = ed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = ed.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => pr(s) / deg(s) }.sum).toMap
+      pr = contrib.map { case (n, c) => n -> (150000L + 85L * c / 100L) }
+    }
+    pr
+  }
+
+  private def prRun(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRankInt(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRankInt matches the sequential integer model exactly (asymmetric graph)") {
+    // hub-and-chain: hub 0 over 4 spokes, a tail hanging off spoke 1 —
+    // asymmetric degrees so per-node ranks all differ.
+    val g = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 5L), (5L, 6L))
+    assert(prRun(g, 5) == prModel(g, 5))
+  }
+
+  test("pageRankInt: regular graphs rank uniformly; hubs outrank spokes") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = prRun(k4, 3)
+    assert(r.values.toSet.size == 1) // 3-regular: all ranks identical
+    val star = (1L to 6L).map(i => (0L, i))
+    val rs = prRun(star, 4)
+    assert(rs(0L) > rs(1L) && (1L to 6L).map(rs).toSet.size == 1)
+  }
+
+  /** Sequential reference for fixed-depth k-core peeling. */
+  private def coreModel(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] = {
+    var ed = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var deg = ed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    for (_ <- 1 to rounds) {
+      val surv = deg.filter(_._2 >= k).keySet
+      ed = ed.filter { case (s, d) => surv(s) && surv(d) }
+      deg = ed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    }
+    deg.filter(_._2 >= k)
+  }
+
+  private def coreRun(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Graph.kCorePeel(edges.toDF("s", "d"), "s", "d", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCorePeel: pendant chain cascades off a K5 core round by round") {
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L)) // tail off core node 5
+    val g = k5 ++ chain
+    // k=4: chain nodes never reach degree 4; the K5 core survives with
+    // its internal degree 4 (node 5's tail edge is induced away).
+    val got = coreRun(g, 4, 2)
+    assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    assert(got == coreModel(g, 4, 2))
+  }
+
+  test("kCorePeel: fixed depth peels exactly `rounds` cascade steps, not to fixpoint") {
+    // triangle + 3-node tail, k=2: each round exposes ONE new tail
+    // node below k, so depth controls how far the cascade runs.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    for (r <- 1 to 3)
+      assert(coreRun(g, 2, r) == coreModel(g, 2, r), s"rounds=$r")
+    // after enough rounds only the triangle remains
+    assert(coreRun(g, 2, 3).keySet == Set(1L, 2L, 3L))
+  }
 }
