@@ -3244,6 +3244,29 @@ object SparkEntry {
     Graph.kCorePeel(coEngagementEdges(s, d), "item_a", "item_b", 20, 3)
       .orderBy(col("node"))
 
+  /** 2-D Pareto frontier ([[RelationalOps.skyline2D]]) over the part
+    * catalog: parts no other part beats on BOTH price and units sold
+    * (the premium-AND-popular set — the price/popularity tradeoff
+    * curve a curation pass reads before mining hard negatives from
+    * "expensive but unsold" vs "cheap and everywhere"). Both dims in
+    * exact integers (price cents, unit sum); the DuckDB twin keeps
+    * the O(n²) NOT-EXISTS dominance form — two independent
+    * algorithms, one exact frontier. */
+  private val x40Skyline = (s: SparkSession, d: String) => {
+    val pts = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"))
+      .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey"),
+            (col("p_retailprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("price_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("price_cents"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty_sold"))
+    RelationalOps.skyline2D(pts, "price_cents", "qty_sold")
+      .select(col("p_partkey"), col("price_cents"), col("qty_sold"))
+      .orderBy(col("price_cents").desc, col("p_partkey"))
+  }
+
   /** Single-pass column profiler ([[RelationalOps.profileColumns]])
     * over the documents table — the dataset-card summary. Doubles are
     * deliberately absent (float stringification is engine-specific). */
@@ -5193,6 +5216,7 @@ object SparkEntry {
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,
+    "x40_skyline" -> x40Skyline,
     "a39_group_mode" -> a39GroupMode,
   )
 
@@ -8158,6 +8182,23 @@ object SparkEntry {
          d3 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
          SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
          FROM d3 WHERE deg >= 20 ORDER BY node""",
+    "x40_skyline" ->
+      // the O(n²) NOT-EXISTS dominance form — an INDEPENDENT algorithm
+      // from the two-level prefix-max the engine runs; exact integers
+      """WITH pts AS (
+           SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sold
+           FROM part JOIN lineitem ON l_partkey = p_partkey
+           GROUP BY 1, 2)
+         SELECT p_partkey, price_cents, qty_sold FROM pts p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts q
+           WHERE q.price_cents >= p.price_cents
+             AND q.qty_sold >= p.qty_sold
+             AND (q.price_cents > p.price_cents OR q.qty_sold > p.qty_sold))
+         ORDER BY price_cents DESC, p_partkey""",
     "x34_profile" ->
       // per-column UNION ALL replay; only engine-stable stringifications
       // (integers, strings) are profiled

@@ -295,4 +295,52 @@ object RelationalOps {
       df: DataFrame, keyCol: String, maxPerKey: Int): DataFrame =
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
       .filter(col("n_rows") > maxPerKey)
+
+  /** 2-D skyline / Pareto frontier (Börzsönyi, Kossmann & Stocker,
+    * "The Skyline Operator", ICDE 2001), both dimensions maximized:
+    * keep rows no OTHER row dominates (other.x ≥ x AND other.y ≥ y
+    * with at least one strict; exact ties dominate nothing, so
+    * duplicate frontier points all survive). Columns must be
+    * integral (LongType after any caller-side cents/scale staging) —
+    * dominance on floats is the usual cross-engine trap.
+    *
+    * The naive form is the O(n²) NOT-EXISTS self-join (the DuckDB
+    * oracle keeps it). The 2-D structure collapses it to prefix
+    * maxima: a row survives iff y equals its x-group's max AND beats
+    * every strictly-greater-x group's best y. Plan: ONE hash
+    * aggregate to per-x maxima (|distinct x| rows), then the
+    * [[Sampling.tokenBudgetSelect]] TWO-LEVEL prefix discipline as a
+    * prefix-MAX over x-descending order — per-bucket maxima roll up
+    * through one metadata-scale window over the bucket list, each
+    * group's strict-prefix max is `greatest`(bucket offset,
+    * within-bucket strictly-preceding max) under a bucket-PARTITIONED
+    * window — never an unpartitioned window over the distinct-x
+    * frame (corpus-width in the worst case; serializing it into one
+    * task is the scale-killer). One equi-join on x decorates the
+    * input back; everything stays exact longs. */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String,
+      bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    require(!df.columns.exists(
+      Seq("_maxy", "_pos", "_bk", "_bmax", "_boff", "_strict").contains),
+      "skyline2D: _maxy/_pos/_bk/_bmax/_boff/_strict are internal column names")
+    val perX = df.groupBy(col(xCol)).agg(max(col(yCol)).as("_maxy"))
+    val indexed = withRowIndex(perX, "_pos", Seq(col(xCol).desc))
+      .withColumn("_bk", expr(s"_pos div ${bucketSize}L"))
+    val bw = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk"))
+      .agg(max(col("_maxy")).as("_bmax"))
+      .select(col("_bk"),
+        coalesce(max(col("_bmax")).over(bw), lit(Long.MinValue)).as("_boff"))
+    val ww = Window.partitionBy(col("_bk")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val strict = indexed
+      .join(broadcast(offsets), "_bk")
+      .select(col(xCol), col("_maxy"),
+        greatest(col("_boff"),
+          coalesce(max(col("_maxy")).over(ww), lit(Long.MinValue))).as("_strict"))
+    df.join(strict, Seq(xCol))
+      .filter(col(yCol) === col("_maxy") && col(yCol) > col("_strict"))
+      .drop("_maxy", "_strict")
+  }
 }

@@ -270,6 +270,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x37_negative_probe" -> 1.2,
     "x38_pagerank" -> 2.5,
     "x39_kcore" -> 2.5,
+    "x40_skyline" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -251,4 +251,53 @@ class RelationalOpsSpec extends SparkTestBase {
     assert(v.getAs[Long]("n_nulls") == 0L && v.getAs[Long]("n_distinct") == 3L)
     assert(v.getAs[String]("min_value") == "10" && v.getAs[String]("max_value") == "30")
   }
+
+  /** Sequential O(n²) dominance model — the independent algorithm the
+    * two-level prefix-max implementation must agree with exactly. */
+  private def skyModel(pts: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] =
+    pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.toSet
+
+  private def skyRun(pts: Seq[(Long, Long, Long)],
+      bucketSize: Long): Set[(Long, Long, Long)] =
+    RelationalOps.skyline2D(pts.toDF("id", "x", "y"), "x", "y", bucketSize)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("x"),
+        r.getAs[Long]("y"))).toSet
+
+  test("skyline2D matches the O(n²) dominance model; ties and equal-x handled") {
+    val pts = Seq(
+      (1L, 10L, 1L), (2L, 8L, 5L), (3L, 8L, 3L),  // equal x: only max-y survives
+      (4L, 6L, 5L),                               // dominated by (8,5)
+      (5L, 4L, 9L), (6L, 4L, 9L),                 // exact duplicates: BOTH survive
+      (7L, 2L, 9L),                               // dominated by (4,9)
+      (8L, 1L, 12L))
+    val want = skyModel(pts)
+    assert(want.map(p => (p._2, p._3)) ==
+      Set((10L, 1L), (8L, 5L), (4L, 9L), (1L, 12L)))
+    assert(skyRun(pts, 1 << 20) == want)
+    // bucketSize 2 forces multiple buckets through the two-level
+    // prefix max — the cross-bucket offset path must agree too
+    assert(skyRun(pts, 2L) == want)
+    assert(skyRun(pts, 1L) == want)
+  }
+
+  test("skyline2D: randomized parity with the dominance model across bucket sizes") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1L to 120L).map(i =>
+      (i, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val want = skyModel(pts)
+    for (bs <- Seq(1L, 3L, 64L)) assert(skyRun(pts, bs) == want, s"bucket=$bs")
+  }
+
+  test("skyline2D: single point and fully-dominated chains") {
+    assert(skyRun(Seq((1L, 5L, 5L)), 4L) == Set((1L, 5L, 5L)))
+    // a monotone staircase is ALL frontier; a reversed chain is one point
+    val stairs = Seq((1L, 1L, 9L), (2L, 2L, 8L), (3L, 3L, 7L))
+    assert(skyRun(stairs, 2L) == stairs.toSet)
+    val chain = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L))
+    assert(skyRun(chain, 2L) == Set((3L, 3L, 3L)))
+  }
 }
