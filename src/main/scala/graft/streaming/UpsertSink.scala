@@ -212,6 +212,36 @@ class ParquetKpiStore(root: String) extends Serializable {
     }
   }
 
+  /** Atomic multi-table REPLACE commit — [[mergeGroup]]'s general
+    * sibling for twins whose next state is not an additive fold: the
+    * caller computes each member's FULL next state (reading the
+    * current generation via [[readGrouped]] — the staged write goes
+    * to a NEW `v_batchId` dir, never over the version being read),
+    * and this call stages every member then swaps ONE manifest.
+    * Same crash contract as [[mergeGroup]]: die before the swap and
+    * the group still reads generation n−1 whole, and the group-level
+    * idempotence watermark makes the replay recompute every member
+    * from that committed state — exactly-once across the group. Used
+    * by [[graft.streaming.StreamingSkyline]], whose frontier member
+    * REMOVES newly-dominated rows (not expressible as a keyed
+    * additive merge). */
+  def commitGroup(
+      spark: SparkSession,
+      group: String,
+      members: Seq[(String, DataFrame)],
+      batchId: Long): Unit = synchronized {
+    require(members.nonEmpty, "commitGroup needs at least one member table")
+    if (batchId <= appliedGroupBatch(spark, group)) return // idempotent replay
+    members.foreach { case (table, next) =>
+      next.write.mode(SaveMode.Overwrite)
+        .parquet(s"${tableDir(table)}/v_$batchId")
+    }
+    writeGroupManifestAtomic(spark, group, batchId)
+    members.foreach { case (table, _) =>
+      pruneOldVersions(spark, table, batchId)
+    }
+  }
+
   /** The group manifest swap — same two-path atomic rename as
     * [[writePointerAtomic]], on the group file. */
   private def writeGroupManifestAtomic(

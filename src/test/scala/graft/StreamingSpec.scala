@@ -683,6 +683,90 @@ class StreamingSpec extends SparkTestBase {
     assert(readPairs()._1 == Seq((10L, 7L)), "replayed batch double-folded")
   }
 
+  test("streaming skyline: monotone points need no retractions — reverse drain equals batch x40 frontier") {
+    import graft.streaming.StreamingSkyline
+    import graft.operators.RelationalOps
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("ssky")
+    // hostile reverse-time staging (the StreamingDistinct harness):
+    // the frontier is a pure function of commutative per-user totals,
+    // so arrival order must not matter despite frontier EVICTIONS
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingSkyline.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def triples(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("value_cents"), r.getAs[Long]("n_events"))).toSet
+    val batchTotals = sources.Tables.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("_vc"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("_vc")).as("value_cents"), count(lit(1)).as("n_events"))
+    val wantFrontier =
+      triples(RelationalOps.skyline2D(batchTotals, "value_cents", "n_events"))
+    val gotFrontier = triples(StreamingSkyline.frontier(spark, store))
+    assert(gotFrontier == wantFrontier,
+      s"frontier diverged: got=$gotFrontier want=$wantFrontier")
+    assert(gotFrontier.nonEmpty, "parity on an empty frontier proves nothing")
+    // the frontier must be a STRICT subset of users — evictions happened
+    assert(triples(StreamingSkyline.totals(spark, store)) == triples(batchTotals))
+    assert(gotFrontier.size < batchTotals.count(),
+      "no dominated user at all — the fixture should evict most users")
+    // both members read at ONE generation via the group manifest
+    assert(store.appliedGroupBatch(spark, "skyline") >= 3L,
+      "expected at least the four staged segments to commit")
+  }
+
+  test("commitGroup: a crash while staging the second member never exposes mixed generations") {
+    import spark.implicits._
+    val store = new ParquetKpiStore(s"${tmpDir("cgroup")}/store")
+    def totals(v: Long) = Seq((1L, v, 2L)).toDF("user_id", "value_cents", "n_events")
+    def front(v: Long) = Seq((1L, v, 2L)).toDF("user_id", "value_cents", "n_events")
+    def read(t: String): Seq[(Long, Long, Long)] =
+      store.readGrouped(spark, "g2", t).map(_.collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))).getOrElse(Nil)
+
+    store.commitGroup(spark, "g2",
+      Seq("tot" -> totals(100L), "fr" -> front(100L)), 0L)
+    assert(read("tot") == Seq((1L, 100L, 2L)) && read("fr") == Seq((1L, 100L, 2L)))
+
+    // batch 1 crashes evaluating the SECOND member, after the first
+    // staged its v_1 dir — the mixed-generation window
+    val poison = Seq((1L, 0L, 0L)).toDF("user_id", "value_cents", "n_events")
+      .as[(Long, Long, Long)]
+      .map { _ => throw new RuntimeException("injected staging crash"); (0L, 0L, 0L) }
+      .toDF("user_id", "value_cents", "n_events")
+    intercept[Exception](store.commitGroup(spark, "g2",
+      Seq("tot" -> totals(200L), "fr" -> poison), 1L))
+    assert(store.appliedGroupBatch(spark, "g2") == 0L, "manifest advanced past a crash")
+    assert(read("tot") == Seq((1L, 100L, 2L)) && read("fr") == Seq((1L, 100L, 2L)),
+      "mixed generations exposed after a staging crash")
+
+    // redelivered batch 1 commits whole; a second replay is a no-op
+    store.commitGroup(spark, "g2",
+      Seq("tot" -> totals(200L), "fr" -> front(200L)), 1L)
+    assert(read("tot") == Seq((1L, 200L, 2L)) && read("fr") == Seq((1L, 200L, 2L)))
+    store.commitGroup(spark, "g2",
+      Seq("tot" -> totals(999L), "fr" -> front(999L)), 1L)
+    assert(read("tot") == Seq((1L, 200L, 2L)), "replayed batch re-applied")
+  }
+
   test("streaming retention state transitions: growth, and retroactive cohort move retracts exactly") {
     import graft.streaming.StreamingRetention.{processUser, Delta, UserWeeks}
     import org.apache.spark.sql.streaming.TestGroupState
