@@ -616,6 +616,38 @@ object Bench {
         clicksD.unpersist(); purchD.unpersist()
         (tp, ts)
       }
+      // iterative-loop growth on the graph axis (x38/x39's families,
+      // round 11): a circulant graph (each node wired to +1/+7/+31
+      // mod n) is a connected constant-degree fixture with ~3n edges,
+      // so pageRankInt's per-round cost (one |V|-row rank shuffle
+      // against the once-persisted edge list) and kCorePeel's
+      // per-round degree aggregate should both track n ~linearly —
+      // the fitted exponent is the evidence the FIXED-ITERATION loops
+      // hide no super-linear join. 3 rounds each: the axis measures
+      // per-round scaling, not convergence. spark.range synthetic —
+      // graph SHAPE is the variable, corpus content is irrelevant.
+      val graphN = sys.env.getOrElse("SPARK_GRAFT_GRAPH_NODES", "500000").toLong
+      def circulantEdges(n: Long): org.apache.spark.sql.DataFrame =
+        spark.range(n).select(col("id").as("_gs"),
+            org.apache.spark.sql.functions.explode(
+              org.apache.spark.sql.functions.array(
+                lit(1L), lit(7L), lit(31L))).as("_off"))
+          .select(col("_gs"), pmod(col("_gs") + col("_off"), lit(n)).as("_gd"))
+          .filter(col("_gs") < col("_gd")) // canonical; drops wrap edges
+      def prCount(n: Long): Long =
+        try fullCount(graft.operators.Graph.pageRankInt(
+          circulantEdges(n), "_gs", "_gd", 3))
+        finally CachePool.releaseAll()
+      def coreCount(n: Long): Long =
+        try fullCount(graft.operators.Graph.kCorePeel(
+          circulantEdges(n), "_gs", "_gd", 4, 2))
+        finally CachePool.releaseAll()
+      val (prT1, _) = time(prCount(graphN / 25))
+      val (prT5, _) = time(prCount(graphN / 5))
+      val (prT25, _) = time(prCount(graphN))
+      val (kcT1, _) = time(coreCount(graphN / 25))
+      val (kcT5, _) = time(coreCount(graphN / 5))
+      val (kcT25, _) = time(coreCount(graphN))
       // banded (OR-amplification) vs multi-probe at comparable search
       // effort: 5 independent 4-bit tables vs 5 probed buckets of one
       def bandedRecallAndCands(bands: Int): (Double, Long) = {
@@ -738,6 +770,12 @@ object Bench {
         s""""asof_sec_1x":${r3(asofT1)},"asof_sec_5x":${r3(asofT5)},""" +
         s""""asof_hot_sec_plain":${r3(asofHotT)},"asof_hot_sec_split":${r3(asofHotSplitT)},""" +
         s""""asof_deep_sec_plain":${r3(asofDeepT)},"asof_deep_sec_split":${r3(asofDeepSplitT)},""" +
+        s""""pagerank_sec_1x":${r3(prT1)},"pagerank_sec_5x":${r3(prT5)},""" +
+        s""""pagerank_sec_25x":${r3(prT25)},""" +
+        s""""pagerank_growth_exp":${fitExp(prT1, prT5, prT25)},""" +
+        s""""kcore_sec_1x":${r3(kcT1)},"kcore_sec_5x":${r3(kcT5)},""" +
+        s""""kcore_sec_25x":${r3(kcT25)},""" +
+        s""""kcore_growth_exp":${fitExp(kcT1, kcT5, kcT25)},""" +
         s""""ivf_recall_at5_nprobe4":${recallAt(4)},""" +
         s""""ivf_recall_at5_nprobe8":${recallAt(8)},""" +
         s""""ivf_recall_at5_nprobe16":${recallAt(16)},""" +

@@ -303,7 +303,13 @@ class BenchBudgetSpec extends SparkTestBase {
       // depth probe is fixture-independent (spark.range synthetic): the
       // test session's local[4] pays the same single-task plain sort as
       // local[32], and the split is capped at 4-way parallelism
-      "asof_deep_sec_plain" -> 9.0, "asof_deep_sec_split" -> 7.0)
+      "asof_deep_sec_plain" -> 9.0, "asof_deep_sec_split" -> 7.0,
+      // graph iterative-loop probes (spark.range circulant synthetic;
+      // measured local[8] ~0.9/1.7/3.8 s pagerank, ~1.1/1.6/2.7 s kcore)
+      "pagerank_sec_1x" -> 3.0, "pagerank_sec_5x" -> 5.0,
+      "pagerank_sec_25x" -> 9.0,
+      "kcore_sec_1x" -> 3.0, "kcore_sec_5x" -> 5.0,
+      "kcore_sec_25x" -> 8.0)
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val v = metric(name)
       assert(v >= 0, s"$name failed to run")
@@ -320,7 +326,8 @@ class BenchBudgetSpec extends SparkTestBase {
     // gate can sit just above linear.
     for (name <- Seq("neardup_growth_exp", "boilerplate_growth_exp",
         "neardup_cand_growth_exp", "dsir_growth_exp",
-        "containment_growth_exp", "prefix_growth_exp")) {
+        "containment_growth_exp", "prefix_growth_exp",
+        "pagerank_growth_exp", "kcore_growth_exp")) {
       val e = metric(name)
       assert(e < 1.05, f"$name = $e%.2f — superlinear growth on the corpus axis")
     }
