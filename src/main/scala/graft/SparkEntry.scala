@@ -3630,6 +3630,17 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** FULL BPE tokenizer training ([[TextAnalysis.bpeTrain]], 10
+    * merges) over the documents corpus — the loop t22 is one step of,
+    * producing the learned merge table (which IS the tokenizer).
+    * Rows-only at the driver gate (ten coupled argmax-and-rewrite
+    * rounds do not unroll into DuckDB SQL); the exactness evidence is
+    * the spec suite: Sennrich's worked vocabulary replayed by hand,
+    * the "aaa" greedy-overlap rule, and step-1 equality against the
+    * independently-oracled t22 pair counts. */
+  private val t30BpeTrain = (s: SparkSession, d: String) =>
+    TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 10)
+
   /** TPC-H Q22 shape (global-positive-customers report) — the second
     * classic correlated-subquery stressor beside j28's Q21: a SCALAR
     * subquery gates the fact (balance above the positive-balance
@@ -5213,6 +5224,7 @@ object SparkEntry {
     "j39_q11_shape" -> j39Q11Shape,
     "j40_q12_shape" -> j40Q12Shape,
     "t29_nfc" -> t29Nfc,
+    "t30_bpe_train" -> t30BpeTrain,
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,

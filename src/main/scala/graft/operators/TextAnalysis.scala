@@ -721,6 +721,86 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("f")).as("cnt"))
   }
 
+  /** FULL BPE tokenizer training (Sennrich et al. 2016) — the loop
+    * [[bpePairCounts]] is one step of, run `merges` rounds: count
+    * adjacent SYMBOL pairs over the frequency-weighted vocabulary,
+    * merge the winner everywhere (greedy left-to-right, the reference
+    * algorithm's overlap rule: "aaa" under (a,a) → ("aa","a")), and
+    * repeat with the merged symbol now atomic. Returns the learned
+    * merge table — (step, left, right, pair_count), `merges` rows —
+    * which IS the tokenizer (apply-time replays it in order).
+    *
+    * Winner selection is deterministic: max count, ties to the
+    * lexicographically smallest (left, right) — the j25 struct-min
+    * argmax, so two runs (or two engines) learn the identical table.
+    *
+    * Scale shape — the published two-tier trick, now for the whole
+    * loop: the CORPUS-sized pass is the one (word, freq) aggregate up
+    * front; all `merges` rounds run over the DISTINCT-WORD vocabulary
+    * (each round: one explode of per-word adjacent pairs into a
+    * map-side-combined sum, one 1-row argmax collect — the bounded
+    * scalar collect the IVF centroid loop also uses — and one narrow
+    * per-word fold applying the merge). Per-round vocab frames are
+    * persisted and the previous round's released: each is read twice
+    * (pair count + merge apply), and without the persist the lineage
+    * re-derives the corpus scan 2^merges times. A 100 TB deployment
+    * additionally SAMPLES the corpus before the vocab aggregate
+    * (standard practice — BPE statistics converge long before the
+    * full corpus is counted); the loop itself is already
+    * vocabulary-bounded.
+    *
+    * Symbols are strings; a merged symbol is its concatenation, so
+    * (as in byte-level BPE implementations) two different merge
+    * histories producing the same string are the same symbol. The
+    * end-of-word marker keeps final characters in exactly one
+    * boundary pair ([[bpePairCounts]]'s argument). */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+      marker: String = "_"): DataFrame = {
+    require(merges > 0, s"merges must be positive, got $merges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = graft.CachePool.register(
+      withTokens(df.select(col(textCol)), textCol)
+        .select(explode(col("_toks")).as("_w0"))
+        .filter(col("_w0") =!= "")
+        .groupBy(col("_w0")).agg(count(lit(1)).as("f"))
+        .select(col("f"),
+          transform(sequence(lit(1), length(col("_w0")) + 1),
+            i => concat(col("_w0"), lit(marker)).substr(i, lit(1))).as("syms"))
+        .persist())
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (step <- 1 to merges) {
+      val best = vocab
+        .select(col("f"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(element_at(col("syms"), j + 1).as("l"),
+              element_at(col("syms"), j + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("f")).as("cnt"))
+        // deterministic argmax: min over (−count, left, right)
+        .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("b"))
+        .select(col("b.l"), col("b.r"), (-col("b.nc")).as("cnt"))
+        .head() // bounded: ONE winner row per round (the centroid-loop discipline)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      learned += ((step, a, b, cnt))
+      val merged = concat(lit(a), lit(b))
+      val prev = vocab
+      vocab = graft.CachePool.register(prev.select(col("f"),
+        aggregate(col("syms"), array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === a && x === b,
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x)))).as("syms"))
+        .persist())
+      vocab.count() // materialize before releasing the parent
+      prev.unpersist()
+    }
+    vocab.unpersist()
+    learned.toSeq.toDF("step", "left", "right", "pair_count")
+      .select(col("step").cast("long").as("step"), col("left"),
+        col("right"), col("pair_count"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

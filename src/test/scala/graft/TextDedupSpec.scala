@@ -616,6 +616,77 @@ class TextDedupSpec extends SparkTestBase {
       s"got $got")
   }
 
+  /** Sequential reference BPE (Sennrich et al. 2016's algorithm
+    * verbatim: scan-left greedy merge, count-then-lex-min winner) —
+    * the independent implementation bpeTrain must reproduce. */
+  private def bpeModel(words: Map[String, Long],
+      merges: Int): Seq[(Long, String, String, Long)] = {
+    def mergeSeq(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => ((w + "_").map(_.toString).toVector, f) }
+    (1 to merges).map { step =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val ((a, b), c) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+      vocab = vocab.map { case (syms, f) => (mergeSeq(syms, a, b), f) }
+      (step.toLong, a, b, c)
+    }
+  }
+
+  private def bpeRun(docs: Seq[String], merges: Int): Seq[(Long, String, String, Long)] =
+    TextAnalysis.bpeTrain(docs.map(Tuple1(_)).toDF("text"), "text", merges)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+
+  test("bpeTrain reproduces the sequential Sennrich loop on the worked vocabulary") {
+    // the paper's worked example vocabulary (low×5 lower×2 newest×6
+    // widest×3), as documents carrying word frequency
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val want = bpeModel(words, 8)
+    val got = bpeRun(docs, 8)
+    assert(got == want, s"merge tables diverged:\n got=$got\nwant=$want")
+    // the first learned merge on this vocabulary is the famous (e, s)
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
+  }
+
+  test("bpeTrain: greedy left-to-right overlap rule and merged-symbol atomicity") {
+    // Sennrich's two-stage semantics on 'aaaa_': the COUNT stage sees
+    // all 3 overlapping (a,a) windows, but the MERGE stage scans
+    // greedily left-to-right, so the word becomes (aa)(aa)(_) — two
+    // atomic aa symbols, never three. Round 2's pair counts are then
+    // (aa,aa)=1 and (aa,_)=1, and the tie breaks lexicographically to
+    // (aa,_) ('_' < 'a'). All three facts pin the greedy rule.
+    val got = bpeRun(Seq("aaaa"), 2)
+    assert(got(0) == ((1L, "a", "a", 3L)),
+      s"count stage must see all 3 overlapping windows: ${got(0)}")
+    assert(got(1) == ((2L, "aa", "_", 1L)),
+      s"round 2 over (aa)(aa)(_) with lex tie-break: ${got(1)}")
+    assert(got == bpeModel(Map("aaaa" -> 1L), 2))
+  }
+
+  test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
+    val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
+    val df = docs.map(Tuple1(_)).toDF("text")
+    val pairWinner = TextAnalysis.bpePairCounts(df, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .minBy { case (p, n) => (-n, p) }
+    val step1 = bpeRun(docs, 1).head
+    assert(step1._2 + step1._3 == pairWinner._1 && step1._4 == pairWinner._2,
+      s"step1=$step1 vs pairCounts winner=$pairWinner")
+  }
+
   test("readability: exact word/sentence/syllable counts, clamped sentences, null grade on empty docs") {
     val df = Seq(
       (1L, "Hello world. Nice day."),
