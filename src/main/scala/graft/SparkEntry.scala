@@ -3641,6 +3641,26 @@ object SparkEntry {
   private val t30BpeTrain = (s: SparkSession, d: String) =>
     TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 10)
 
+  /** Exact per-group lower weighted median
+    * ([[RelationalOps.weightedMedianLower]]): the price point at
+    * which half of each return-flag's shipped QUANTITY sits at or
+    * below — the quantity-weighted counterpart of a13's unweighted
+    * quantiles, exact where a15's approx family is bounded-error.
+    * Money staged to cents, weights are integral quantities, the
+    * half-threshold cross-multiplied — every compared number is a
+    * BIGINT, so the picked value is bit-identical on any engine. */
+  private val a41WeightedMedian = (s: SparkSession, d: String) => {
+    val staged = t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("_price_cents"),
+      col("l_quantity").cast("long").as("_qty"))
+    RelationalOps.weightedMedianLower(
+      staged, "l_returnflag", "_price_cents", "_qty")
+      .select(col("l_returnflag"), col("w_median").as("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** TPC-H Q22 shape (global-positive-customers report) — the second
     * classic correlated-subquery stressor beside j28's Q21: a SCALAR
     * subquery gates the fact (balance above the positive-balance
@@ -5225,6 +5245,7 @@ object SparkEntry {
     "j40_q12_shape" -> j40Q12Shape,
     "t29_nfc" -> t29Nfc,
     "t30_bpe_train" -> t30BpeTrain,
+    "a41_weighted_median" -> a41WeightedMedian,
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,
@@ -6850,6 +6871,23 @@ object SparkEntry {
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a41_weighted_median" ->
+      // the naive windowed form — an INDEPENDENT shape from the
+      // two-level grouped prefix the engine runs; same exact integers
+      """WITH pv AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         agg AS (SELECT l_returnflag, v, sum(w) AS sw
+                 FROM pv GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v,
+                 sum(sw) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                 sum(sw) OVER (PARTITION BY l_returnflag) AS tot
+               FROM agg)
+         SELECT l_returnflag, CAST(min(v) AS BIGINT) AS wmedian_cents
+         FROM c WHERE 2 * cum >= tot
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "x37_negative_probe" ->
       // identical bucket hashes (first hex char of md5), identical

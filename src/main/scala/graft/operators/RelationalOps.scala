@@ -343,4 +343,54 @@ object RelationalOps {
       .filter(col(yCol) === col("_maxy") && col(yCol) > col("_strict"))
       .drop("_maxy", "_strict")
   }
+
+  /** Exact per-group LOWER weighted median — the smallest value whose
+    * cumulative weight reaches half the group's total (`2·cum ≥ W`,
+    * cross-multiplied so no half-boundary ever sits on a division).
+    * Values and weights must be integral longs (callers stage money
+    * as cents) — the result is a VALUE FROM THE DATA, bit-identical
+    * on any engine, unlike interpolating medians whose midpoint
+    * arithmetic is an engine-shaped float.
+    *
+    * Scale shape: one map-side-combined aggregate to (group, value,
+    * Σw) — the only corpus-width shuffle — then the two-level prefix
+    * discipline ([[Sampling.tokenBudgetSelect]]) as a GROUPED prefix
+    * sum: rows index globally over (group, value) order, bucket
+    * subtotals per (bucket, group) roll up through one
+    * metadata-scale window PARTITIONED BY GROUP over the bucket
+    * list, and each row's in-group cumulative is bucket offset +
+    * within-(bucket, group) running sum. No window ever spans a
+    * group's full distinct-value frame (corpus-width for a hot group
+    * — the scale-killer), and group totals decorate by one
+    * post-aggregate join. */
+  def weightedMedianLower(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, bucketSize: Long = 1 << 20): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    require(!df.columns.exists(
+      Seq("_sw", "_pos", "_bk", "_boff", "_cum", "_tot").contains),
+      "weightedMedianLower: _sw/_pos/_bk/_boff/_cum/_tot are internal names")
+    val agg = df.groupBy(col(groupCol), col(valCol))
+      .agg(sum(col(wCol)).as("_sw"))
+    val indexed = withRowIndex(agg, "_pos", Seq(col(groupCol), col(valCol)))
+      .withColumn("_bk", expr(s"_pos div ${bucketSize}L"))
+    val bw = Window.partitionBy(col(groupCol)).orderBy(col("_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk"), col(groupCol))
+      .agg(sum(col("_sw")).as("_bsum"))
+      .select(col("_bk"), col(groupCol),
+        coalesce(sum(col("_bsum")).over(bw), lit(0L)).as("_boff"))
+    val ww = Window.partitionBy(col("_bk"), col(groupCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = agg.groupBy(col(groupCol)).agg(sum(col("_sw")).as("_tot"))
+    // offsets carries ≥ one row per GROUP (unlike tokenBudgetSelect's
+    // pure-bucket metadata), so no forced broadcast: AQE broadcasts it
+    // when |groups| is small and shuffle-joins when it is not
+    indexed
+      .join(offsets, Seq("_bk", groupCol))
+      .withColumn("_cum", col("_boff") + sum(col("_sw")).over(ww))
+      .join(totals, Seq(groupCol))
+      .filter(lit(2L) * col("_cum") >= col("_tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valCol)).as("w_median"))
+  }
 }

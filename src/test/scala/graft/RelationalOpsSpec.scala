@@ -300,4 +300,45 @@ class RelationalOpsSpec extends SparkTestBase {
     val chain = Seq((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L))
     assert(skyRun(chain, 2L) == Set((3L, 3L, 3L)))
   }
+
+  /** Sequential lower-weighted-median reference: smallest v with
+    * 2·cumWeight(≤v) ≥ total. */
+  private def wmModel(pts: Seq[(String, Long, Long)]): Map[String, Long] =
+    pts.groupBy(_._1).map { case (g, rows) =>
+      val total = rows.map(_._3).sum
+      val byV = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      g -> byV.collectFirst {
+        case (v, w) if { cum += w; 2 * cum >= total } => v
+      }.get
+    }
+
+  private def wmRun(pts: Seq[(String, Long, Long)], bs: Long): Map[String, Long] =
+    RelationalOps.weightedMedianLower(
+      pts.toDF("g", "v", "w"), "g", "v", "w", bs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("weightedMedianLower matches the sequential model; half-boundary picks the lower value") {
+    // group a: weights 1,1,2 over values 10,20,30 -> cum(20)=2, tot=4,
+    // 2*2>=4 EXACTLY -> lower median 20 (the cross-multiplied boundary)
+    val pts = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 2L),
+      ("b", 5L, 9L), ("b", 100L, 1L),     // heavy low value dominates
+      ("c", 7L, 3L))                      // single value group
+    val want = Map("a" -> 20L, "b" -> 5L, "c" -> 7L)
+    assert(wmModel(pts) == want)
+    assert(wmRun(pts, 1L << 20) == want)
+    assert(wmRun(pts, 2L) == want, "cross-bucket offsets must agree")
+    assert(wmRun(pts, 1L) == want)
+  }
+
+  test("weightedMedianLower: randomized parity across bucket sizes and group layouts") {
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 300).map { _ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(40).toLong, 1L + rnd.nextInt(9))
+    }
+    val want = wmModel(pts)
+    for (bs <- Seq(1L, 7L, 64L)) assert(wmRun(pts, bs) == want, s"bucket=$bs")
+  }
 }
