@@ -3641,6 +3641,26 @@ object SparkEntry {
   private val t30BpeTrain = (s: SparkSession, d: String) =>
     TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 10)
 
+  /** Train-then-encode tokenizer pipeline ([[TextAnalysis.bpeTrain]] →
+    * [[TextAnalysis.bpeEncode]]): learn 10 merges on the corpus, then
+    * tokenize every document with the learned table (replayed in
+    * learned order as a literal plan — never a join) and report the
+    * per-doc BPE token count. The standard two-job shape: train once
+    * over the vocabulary, encode as an embarrassingly-parallel narrow
+    * map. Rows-only at the driver gate (same reason as t30); the
+    * spec suite pins encode against a hand-replayed table AND
+    * train/encode consistency (encoding the training corpus must
+    * reproduce the loop's own final symbol arrays). */
+  private val t31BpeEncode = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
+    TextAnalysis.bpeEncode(docs, "text", table)
+      .select(col("doc_id"), col("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact per-group lower weighted median
     * ([[RelationalOps.weightedMedianLower]]): the price point at
     * which half of each return-flag's shipped QUANTITY sits at or
@@ -5246,6 +5266,7 @@ object SparkEntry {
     "t29_nfc" -> t29Nfc,
     "t30_bpe_train" -> t30BpeTrain,
     "a41_weighted_median" -> a41WeightedMedian,
+    "t31_bpe_encode" -> t31BpeEncode,
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,

@@ -754,6 +754,27 @@ object TextAnalysis {
     * histories producing the same string are the same symbol. The
     * end-of-word marker keeps final characters in exactly one
     * boundary pair ([[bpePairCounts]]'s argument). */
+  /** One learned merge applied to a symbol array — the greedy
+    * left-to-right fold both [[bpeTrain]] (during training) and
+    * [[bpeEncode]] (at apply time) run: append each symbol unless the
+    * tail of the output is `a` and the symbol is `b`, in which case
+    * the tail becomes the atomic `a+b` (so "aaa" under (a,a) folds to
+    * ("aa","a"), the reference overlap rule — a just-merged tail is
+    * the CONCATENATION and can only re-merge if a literal follow-on
+    * rule says so). */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Per-word initial symbol array: characters plus the end-of-word
+    * marker ([[bpePairCounts]]'s boundary argument). */
+  private def charSyms(word: Column, marker: String): Column =
+    transform(sequence(lit(1), length(word) + 1),
+      i => concat(word, lit(marker)).substr(i, lit(1)))
+
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
       marker: String = "_"): DataFrame = {
     require(merges > 0, s"merges must be positive, got $merges")
@@ -764,9 +785,7 @@ object TextAnalysis {
         .select(explode(col("_toks")).as("_w0"))
         .filter(col("_w0") =!= "")
         .groupBy(col("_w0")).agg(count(lit(1)).as("f"))
-        .select(col("f"),
-          transform(sequence(lit(1), length(col("_w0")) + 1),
-            i => concat(col("_w0"), lit(marker)).substr(i, lit(1))).as("syms"))
+        .select(col("f"), charSyms(col("_w0"), marker).as("syms"))
         .persist())
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (step <- 1 to merges) {
@@ -783,15 +802,9 @@ object TextAnalysis {
         .head() // bounded: ONE winner row per round (the centroid-loop discipline)
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       learned += ((step, a, b, cnt))
-      val merged = concat(lit(a), lit(b))
       val prev = vocab
       vocab = graft.CachePool.register(prev.select(col("f"),
-        aggregate(col("syms"), array().cast("array<string>"),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === a && x === b,
-            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-            .otherwise(concat(acc, array(x)))).as("syms"))
-        .persist())
+        applyMerge(col("syms"), a, b).as("syms")).persist())
       vocab.count() // materialize before releasing the parent
       prev.unpersist()
     }
@@ -799,6 +812,38 @@ object TextAnalysis {
     learned.toSeq.toDF("step", "left", "right", "pair_count")
       .select(col("step").cast("long").as("step"), col("left"),
         col("right"), col("pair_count"))
+  }
+
+  /** APPLY side of the tokenizer [[bpeTrain]] learns: encode each
+    * document with a learned merge table, replaying the merges IN
+    * LEARNED ORDER over every word (the table is ordered — rule k can
+    * only fire on symbols rules 1..k−1 built; applying out of order
+    * is a different, wrong tokenizer). Adds `bpe_tokens` (the per-doc
+    * symbol array, per-word arrays flattened in word order) and
+    * `n_bpe_tokens`.
+    *
+    * Scale shape: the merge table is a LITERAL folded into the plan
+    * (it is the model, ≤ a few thousand rules — never a join), and
+    * encoding runs as one narrow per-row pass: tokenize, per-word
+    * char split, then `merges.length` chained [[applyMerge]] folds —
+    * all whole-stage-codegen HOFs over each row's own arrays, no
+    * shuffle anywhere. The train→encode pair is the standard
+    * two-job pipeline: train once (vocabulary-bounded loop), encode
+    * anywhere (embarrassingly parallel map). */
+  def bpeEncode(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "_"): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode needs a non-empty merge table")
+    require(!df.columns.exists(Seq("_toks", "bpe_tokens", "n_bpe_tokens").contains),
+      "bpeEncode: _toks/bpe_tokens/n_bpe_tokens are output column names")
+    val encodedWord = merges.foldLeft[Column => Column](w => charSyms(w, marker)) {
+      case (enc, (a, b)) => w => applyMerge(enc(w), a, b)
+    }
+    withTokens(df, textCol)
+      .withColumn("bpe_tokens",
+        flatten(transform(filter(col("_toks"), w => w =!= ""),
+          w => encodedWord(w))))
+      .withColumn("n_bpe_tokens", size(col("bpe_tokens")).cast("long"))
+      .drop("_toks")
   }
 
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —

