@@ -3656,7 +3656,7 @@ object SparkEntry {
     val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
-    TextAnalysis.bpeEncode(docs, "text", table)
+    TextAnalysis.bpeEncodeByVocab(docs, "doc_id", "text", table)
       .select(col("doc_id"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }

@@ -97,7 +97,12 @@ object Graph {
     * Output: (node, pr) — micro-unit integer ranks. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    // persist the CANONICAL edges before symmetrizing: the union's two
+    // branches otherwise each re-run the caller's whole edge
+    // derivation (a self-join for the co-engagement graph) once —
+    // measured 2x the derivation cost at sf0.1 before this persist
+    val e = CachePool.register(edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d")).persist())
     val ed = e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d")))
     val deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     // edge list decorated with the source's out-degree, persisted once
@@ -139,7 +144,10 @@ object Graph {
     * PRECONDITION (as [[triangleCount]]): canonical simple edges. */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    // canonical edges persisted before the symmetrizing union — the
+    // [[pageRankInt]] double-derivation fix
+    val e = CachePool.register(edges
+      .select(col(srcCol).as("_s"), col(dstCol).as("_d")).persist())
     var ed = CachePool.register(
       e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d"))).persist())
     var deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))

@@ -726,6 +726,23 @@ class TextDedupSpec extends SparkTestBase {
     assert(unseen.length < "lowest_".length, "no learned subword applied at all")
   }
 
+  test("bpeEncodeByVocab equals the narrow bpeEncode row-for-row (incl. empty docs)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "banana bandana"),
+      (3L, ""), (4L, "aaaa aab"), (5L, "the the the"))
+    val df = docs.toDF("doc_id", "text")
+    val table = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "_"))
+    val narrow = TextAnalysis.bpeEncode(df, "text", table)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val byVocab = TextAnalysis.bpeEncodeByVocab(df, "doc_id", "text", table)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(byVocab == narrow, s"paths diverged:\n vocab=$byVocab\nnarrow=$narrow")
+    assert(narrow(3L).isEmpty, "empty doc must encode to an empty token array")
+    assert(narrow(1L).nonEmpty)
+  }
+
   test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
     val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
     val df = docs.map(Tuple1(_)).toDF("text")
