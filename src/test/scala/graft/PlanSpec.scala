@@ -227,4 +227,62 @@ class PlanSpec extends SparkTestBase {
       s"j17 shuffles the fact on user_id ${exchangeIds.size} distinct times:\n$p")
     CachePool.releaseAll()
   }
+
+  test("Q6 shape: all three range predicates reach the parquet scan (J37)") {
+    val q = SparkEntry.queries("j37_q6_shape")(spark, dir)
+    val f = formatted(q)
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c predicate not pushed:\n$pushed")
+    val read = f.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"Q6 scan reads unneeded columns:\n$read")
+  }
+
+  test("Q17 shape: per-part gate is ONE aggregate joined back, all joins broadcast (J30)") {
+    val q = SparkEntry.queries("j30_q17_shape")(spark, dir)
+    val p = plan(q)
+    assert(!p.contains("SortMergeJoin"),
+      s"Q17's brand-shrunk joins must all broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the semi-filtered fact is persisted once for its two consumers
+    assert(p.contains("InMemoryTableScan"),
+      s"fact not staged for the stats+gate reuse:\n$p")
+    CachePool.releaseAll()
+  }
+
+  test("Q4 shape: EXISTS decorrelates to LEFT SEMI with the quarter filter pushed (J36)") {
+    val q = SparkEntry.queries("j36_q4_shape")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("LeftSemi"), s"no semi join in Q4 plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val f = formatted(q)
+    val pushed = f.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_orderdate"), s"quarter filter not pushed:\n$pushed")
+  }
+
+  test("skyline + weighted median: every window is bucket-scoped, never corpus-ordered (X40/A41)") {
+    for (name <- Seq("x40_skyline", "a41_weighted_median")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      // the two-level prefix discipline: every Window's partition/order
+      // spec involves the bucket id — a Window line WITHOUT _bk would
+      // be a corpus-width total order in one task
+      val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty, s"$name lost its prefix windows:\n$p")
+      windows.foreach(w =>
+        assert(w.contains("_bk"), s"$name has a non-bucketed window: $w"))
+      CachePool.releaseAll()
+    }
+  }
+
+  test("pagerank: the decorated edge list is persisted and reused across iterations (X38)") {
+    val q = SparkEntry.queries("x38_pagerank")(spark, dir)
+    val p = plan(q)
+    // 5 iterations must consume the SAME in-memory edge relation, not
+    // re-derive the co-engagement self-join per round
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 5, s"expected the edge cache under every iteration, saw $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    CachePool.releaseAll()
+  }
 }
