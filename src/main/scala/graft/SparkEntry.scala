@@ -3252,6 +3252,21 @@ object SparkEntry {
     * exact integers (price cents, unit sum); the DuckDB twin keeps
     * the O(n²) NOT-EXISTS dominance form — two independent
     * algorithms, one exact frontier. */
+  /** Bradley–Terry preference strengths ([[Preference.bradleyTerry]])
+    * over comparisons derived from the event log (consecutive same-user
+    * events, higher value wins, exact tie → lexicographically smaller
+    * type): the RLHF/DPO preference-data primitive. The wins-matrix
+    * reduction is distributed; the MM fixed point runs over the bounded
+    * item domain with every iteration quantized to BIGINTs, so the
+    * oracle replays the 8 unrolled iterations bit-for-bit. */
+  private val x41BradleyTerry = (s: SparkSession, d: String) =>
+    Preference.bradleyTerry(
+      Preference.comparisonsFromLog(t(s, d, "events"),
+        keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+        itemCol = "event_type", valueCol = "value"),
+      iters = 8)
+      .orderBy(col("rk"))
+
   private val x40Skyline = (s: SparkSession, d: String) => {
     val pts = t(s, d, "lineitem")
       .select(col("l_partkey"), col("l_quantity"))
@@ -3660,6 +3675,16 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
+
+  /** Okapi BM25 top-10 retrieval ([[TextAnalysis.bm25Rank]]) for a
+    * fixed 4-term query — one tokenize→groupBy pass (dl + conditional
+    * tfs), bounded scalar stats, quantized-ln idf, TakeOrderedAndProject
+    * top-k. The oracle replays the identical fixed IEEE DAG with the
+    * same ⌊65536·ln⌋ idf quantization. */
+  private val t32Bm25 = (s: SparkSession, d: String) =>
+    TextAnalysis.bm25Rank(t(s, d, "documents"), "doc_id", "text",
+      queryTerms = Seq("spark", "join", "window", "stream"))
+      .orderBy(col("rk"))
 
   /** Exact per-group lower weighted median
     * ([[RelationalOps.weightedMedianLower]]): the price point at
@@ -5267,10 +5292,12 @@ object SparkEntry {
     "t30_bpe_train" -> t30BpeTrain,
     "a41_weighted_median" -> a41WeightedMedian,
     "t31_bpe_encode" -> t31BpeEncode,
+    "t32_bm25" -> t32Bm25,
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,
     "x40_skyline" -> x40Skyline,
+    "x41_bradley_terry" -> x41BradleyTerry,
     "a39_group_mode" -> a39GroupMode,
   )
 
@@ -6917,7 +6944,7 @@ object SparkEntry {
            SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS item
            FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
-         ), items AS (
+         ), items AS MATERIALIZED (
            SELECT DISTINCT item,
              substr(md5('xneg-ibkt:' || item::VARCHAR), 1, 1) AS ib
            FROM ui
@@ -8253,6 +8280,53 @@ object SparkEntry {
          d3 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
          SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
          FROM d3 WHERE deg >= 20 ORDER BY node""",
+    "t32_bm25" ->
+      // identical fixed IEEE DAG: one tokenize→group pass for dl +
+      // conditional tfs, quantized ⌊65536·ln⌋ idf, left-assoc
+      // contribution fold in query-term order, top-10 by (score DESC,
+      // doc_id); (k1+1)/(1−b) derived as 1.2+1.0 / 1.0−0.75 both sides
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), perdoc AS (
+           SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (WHERE term = 'spark')  AS tf0,
+             count(*) FILTER (WHERE term = 'join')   AS tf1,
+             count(*) FILTER (WHERE term = 'window') AS tf2,
+             count(*) FILTER (WHERE term = 'stream') AS tf3
+           FROM toks WHERE term <> '' GROUP BY 1
+         ), nn AS (SELECT count(*) AS n FROM documents),
+         st AS (
+           SELECT CAST(sum(dl) AS BIGINT) AS sumdl,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+             CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+             CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+             CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+           FROM perdoc
+         ), cst AS (
+           SELECT CAST(st.sumdl AS DOUBLE) / CAST(nn.n AS DOUBLE) AS avgdl,
+             CAST(CAST(floor(65536.0 * ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(st.df0 AS DOUBLE) + 0.5) / (CAST(st.df0 AS DOUBLE) + 0.5))) AS BIGINT) AS DOUBLE) AS idf0,
+             CAST(CAST(floor(65536.0 * ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(st.df1 AS DOUBLE) + 0.5) / (CAST(st.df1 AS DOUBLE) + 0.5))) AS BIGINT) AS DOUBLE) AS idf1,
+             CAST(CAST(floor(65536.0 * ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(st.df2 AS DOUBLE) + 0.5) / (CAST(st.df2 AS DOUBLE) + 0.5))) AS BIGINT) AS DOUBLE) AS idf2,
+             CAST(CAST(floor(65536.0 * ln(1.0 + (CAST(nn.n AS DOUBLE) - CAST(st.df3 AS DOUBLE) + 0.5) / (CAST(st.df3 AS DOUBLE) + 0.5))) AS BIGINT) AS DOUBLE) AS idf3
+           FROM st, nn
+         ), scored AS (
+           SELECT doc_id, dl,
+             CASE WHEN tf0 > 0 THEN idf0 * CAST(tf0 AS DOUBLE) * (1.2 + 1.0) / (CAST(tf0 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END
+           + CASE WHEN tf1 > 0 THEN idf1 * CAST(tf1 AS DOUBLE) * (1.2 + 1.0) / (CAST(tf1 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END
+           + CASE WHEN tf2 > 0 THEN idf2 * CAST(tf2 AS DOUBLE) * (1.2 + 1.0) / (CAST(tf2 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END
+           + CASE WHEN tf3 > 0 THEN idf3 * CAST(tf3 AS DOUBLE) * (1.2 + 1.0) / (CAST(tf3 AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE) / avgdl)) ELSE 0.0 END
+               AS score
+           FROM perdoc, cst
+           WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0 OR tf3 > 0
+         )
+         SELECT doc_id, dl, score, rk FROM (
+           SELECT doc_id, dl, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rk
+           FROM scored
+         ) WHERE rk <= 10 ORDER BY rk""",
+    "x41_bradley_terry" -> x41OracleSql,
     "x40_skyline" ->
       // the O(n²) NOT-EXISTS dominance form — an INDEPENDENT algorithm
       // from the two-level prefix-max the engine runs; exact integers
@@ -9152,6 +9226,69 @@ object SparkEntry {
   /** d11: d10's positional-shingle pipeline + lag-based gap-and-island
     * consolidation — flagged spans cover [pos, pos+2]; islands break
     * where pos > lag(pos) + 3 (beyond overlap-or-adjacency). */
+  /** x41's oracle: the quantized Bradley–Terry MM iteration unrolled as
+    * 8 chained CTE blocks (d/r/t/it per step) — DuckDB replays the
+    * identical fixed IEEE DAG ([[graft.operators.Preference]]): every
+    * cross-item sum is over ⌊·⌋-quantized BIGINTs (order-free), every
+    * double op correctly rounded, so strength_q matches bit-for-bit. */
+  private def x41OracleSql: String = {
+    val iterBlocks = (1 to 8).map { k =>
+      val p = k - 1
+      s"""d$k AS MATERIALIZED (
+           SELECT p.i, CAST(sum(CAST(floor(CAST(p.n AS DOUBLE) * 281474976710656.0 / CAST(si.sq + sj.sq AS DOUBLE)) AS BIGINT)) AS BIGINT) AS denomq
+           FROM pairs p JOIN it$p si ON si.i = p.i JOIN it$p sj ON sj.i = p.j
+           GROUP BY 1
+         ), r$k AS MATERIALIZED (
+           SELECT w.i, CAST(w.wi AS DOUBLE) * 16777216.0 / CAST(d.denomq AS DOUBLE) AS raws
+           FROM wtot w JOIN d$k d ON d.i = w.i
+         ), t$k AS MATERIALIZED (
+           SELECT CAST(sum(CAST(floor(raws * 16777216.0) AS BIGINT)) AS BIGINT) AS totq FROM r$k
+         ), it$k AS MATERIALIZED (
+           SELECT r.i, greatest(1, CAST(floor(r.raws * (CAST(mc.m AS DOUBLE) * 16777216.0) / CAST(t.totq AS DOUBLE) * 16777216.0) AS BIGINT)) AS sq
+           FROM r$k r, t$k t, mcnt mc
+         )"""
+    }.mkString(", ")
+    s"""WITH lagged AS (
+           SELECT event_type, value,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pitem,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pval
+           FROM events
+         ), cmp AS (
+           SELECT
+             CASE WHEN value > pval THEN event_type
+                  WHEN value < pval THEN pitem
+                  ELSE least(event_type, pitem) END AS winner,
+             CASE WHEN value > pval THEN pitem
+                  WHEN value < pval THEN event_type
+                  ELSE greatest(event_type, pitem) END AS loser
+           FROM lagged WHERE pitem IS NOT NULL AND pitem <> event_type
+         ), wins AS MATERIALIZED (
+           SELECT winner AS i, loser AS j, CAST(count(*) AS BIGINT) AS w
+           FROM cmp GROUP BY 1, 2
+         ), items AS (
+           SELECT DISTINCT i FROM (SELECT i FROM wins UNION ALL SELECT j AS i FROM wins)
+         ), wtot AS MATERIALIZED (
+           SELECT it.i, CAST(COALESCE(sum(w.w), 0) AS BIGINT) AS wi
+           FROM items it LEFT JOIN wins w ON w.i = it.i GROUP BY 1
+         ), pairs AS MATERIALIZED (
+           SELECT i, j, CAST(sum(w) AS BIGINT) AS n FROM (
+             SELECT i, j, w FROM wins
+             UNION ALL SELECT j AS i, i AS j, w FROM wins
+           ) GROUP BY 1, 2
+         ), gm AS MATERIALIZED (
+           SELECT i, CAST(sum(n) AS BIGINT) AS g FROM pairs GROUP BY 1
+         ), mcnt AS MATERIALIZED (
+           SELECT CAST(count(*) AS BIGINT) AS m FROM items
+         ), it0 AS MATERIALIZED (
+           SELECT i, CAST(16777216 AS BIGINT) AS sq FROM items
+         ), $iterBlocks
+         SELECT item, wins, games, strength_q, rk FROM (
+           SELECT it.i AS item, w.wi AS wins, g.g AS games, it.sq AS strength_q,
+             CAST(ROW_NUMBER() OVER (ORDER BY it.sq DESC, it.i) AS INTEGER) AS rk
+           FROM it8 it JOIN wtot w ON w.i = it.i JOIN gm g ON g.i = it.i
+         ) ORDER BY rk"""
+  }
+
   private def d11OracleSql: String =
     """WITH sh AS (
          SELECT doc_id,

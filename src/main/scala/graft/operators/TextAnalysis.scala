@@ -884,6 +884,88 @@ object TextAnalysis {
       .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
   }
 
+  /** Okapi BM25 top-`topK` document retrieval for a fixed query-term
+    * set (Robertson & Zaragoza 2009, "The Probabilistic Relevance
+    * Framework: BM25 and Beyond") — the ranking primitive behind
+    * retrieval-based curation and RAG-corpus selection.
+    *
+    * ONE shuffle end-to-end: a single tokenize→explode→groupBy(doc)
+    * pass produces, per document, its length `dl` AND one conditional
+    * tf column per query term (count-when, map-side combined) — no
+    * per-term scan, no tf⋈df join like the textbook formulation. The
+    * corpus statistics (N, Σdl, per-term document frequencies) are ONE
+    * scalar-aggregate row collected driver-side — bounded metadata,
+    * |queryTerms|+2 values, the IVF-centroid class.
+    *
+    * Engine-exactness discipline: `ln` is correctly rounded in no
+    * common libm, so each term's idf is QUANTIZED driver-side —
+    * ⌊65536·ln(1 + (N−df+0.5)/(df+0.5))⌋ as a BIGINT literal (the x27
+    * PSI trick) — and everything downstream is add/multiply/divide over
+    * exact-integer operands in a fixed left-assoc DAG (correctly rounded per
+    * IEEE 754 in every engine). (k1+1) and (1−b) are computed as
+    * `k1 + 1.0` / `1.0 − b` on BOTH sides (not pasted as decimal
+    * literals) so the constant-derivation DAG is shared too.
+    *
+    * Scale: the groupBy shuffles (doc_id, dl, 4×tf) — never token
+    * rows; the final top-k is orderBy+limit = TakeOrderedAndProject
+    * (per-partition heaps, no global sort). Docs matching zero query
+    * terms are dropped before ranking. */
+  def bm25Rank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      s"queryTerms must be non-empty and distinct: $queryTerms")
+    val base = withTokens(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), explode(col("_toks")).as("term"))
+      .filter(col("term") =!= "")
+    val tfCols = queryTerms.indices.map(i =>
+      count(when(col("term") === queryTerms(i), 1)).as(s"tf$i"))
+    val perDoc = base.groupBy(col(idCol))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // Bounded driver-side metadata: N plus ONE row of |queryTerms|+1
+    // scalar aggregates (corpus length sum + per-term doc frequencies).
+    val nDocs = df.count()
+    val statAggs = sum(col("dl")).as("sumdl") +: queryTerms.indices.map(i =>
+      sum((col(s"tf$i") > 0).cast("long")).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*).head()
+    val sumDl = stats.getAs[Long]("sumdl")
+    val avgdl = sumDl.toDouble / nDocs.toDouble
+    // Quantized idf per term (driver-side Math.log == Spark's ln).
+    val idfQ = queryTerms.indices.map { i =>
+      val dfT = stats.getAs[Long](s"df$i").toDouble
+      math.floor(65536.0 *
+        math.log(1.0 + (nDocs.toDouble - dfT + 0.5) / (dfT + 0.5))).toLong
+    }
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    def contrib(i: Int): Column = {
+      val tfD = col(s"tf$i").cast("double")
+      when(col(s"tf$i") > 0,
+        lit(idfQ(i).toDouble) * tfD * lit(k1p1) /
+          (tfD + lit(k1) * (lit(oneMinusB) +
+            lit(b) * col("dl").cast("double") / lit(avgdl))))
+        .otherwise(lit(0.0))
+    }
+    val score = queryTerms.indices.map(contrib)
+      .reduceLeft(_ + _) // fixed left-assoc fold, mirrored in the oracle
+    val anyHit = queryTerms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _)
+    val ranked = perDoc.filter(anyHit)
+      .withColumn("score", score)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(topK)
+    // row_number over the already-limited frame: a single-partition
+    // window over <= topK rows (bounded by construction).
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc)
+    ranked.withColumn("rk", row_number().over(w))
+      .select(col(idCol), col("dl"), col("score"), col("rk"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

@@ -274,6 +274,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "x38_pagerank" -> 2.5,
     "x39_kcore" -> 2.5,
     "x40_skyline" -> 1.5,
+    "t32_bm25" -> 1.2,
+    "x41_bradley_terry" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

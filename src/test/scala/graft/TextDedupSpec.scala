@@ -976,6 +976,39 @@ class TextDedupSpec extends SparkTestBase {
       "SELECT nfc_normalize('cafe\\u0301')").collect()(0).getString(0)
     assert(viaSql == "caf\u00e9")
   }
+
+  test("bm25Rank: both-term doc outranks one-term doc; non-matching doc dropped") {
+    val docs = Seq(
+      (1L, "Spark spark JOIN!"),   // dl=3, tf(spark)=2, tf(join)=1
+      (2L, "spark filter"),        // dl=2, tf(spark)=1
+      (3L, "table scan merge")     // no query terms -> dropped
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .bm25Rank(docs, "doc_id", "text", Seq("spark", "join"))
+      .orderBy("rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rows.map(_._1) == Seq(1L, 2L))
+    assert(rows.map(_._2) == Seq(3L, 2L)) // dl
+    assert(rows(0)._3 > rows(1)._3 && rows(1)._3 > 0.0)
+    assert(rows.map(_._4) == Seq(1, 2))
+    // hand-checked idf quantization for the rarer term: N=3, df(join)=1
+    // -> floor(65536*ln(1 + 2.5/1.5)) = 64279; a doc-1-only contribution
+    // so its score strictly exceeds any spark-only score.
+    val idfJoin = math.floor(65536.0 * math.log(1.0 + 2.5 / 1.5)).toLong
+    assert(idfJoin == 64279L)
+  }
+
+  test("bm25Rank: identical docs tie on score, rank by doc_id; topK truncates") {
+    val docs = Seq(
+      (5L, "spark run"), (2L, "spark run"), (9L, "spark run"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis
+      .bm25Rank(docs, "doc_id", "text", Seq("spark"), topK = 2)
+      .orderBy("rk")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(rows.map(_._1) == Seq(2L, 5L)) // tie -> doc_id asc, truncated to 2
+    assert(rows(0)._3 == rows(1)._3)
+  }
 }
 
 /** Scala-side twin of the 3-shingle semantics for brute-force checks. */
