@@ -3676,6 +3676,15 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-trained bigram cross-entropy per document
+    * ([[TextAnalysis.bigramCrossEntropy]]) — the CCNet perplexity-
+    * filter primitive. The per-bigram log-prob is quantized ONCE in
+    * the model table, so every per-doc score is an order-free INTEGER
+    * sum the oracle replays exactly. */
+  private val t33BigramXent = (s: SparkSession, d: String) =>
+    TextAnalysis.bigramCrossEntropy(t(s, d, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Okapi BM25 top-10 retrieval ([[TextAnalysis.bm25Rank]]) for a
     * fixed 4-term query — one tokenize→groupBy pass (dl + conditional
     * tfs), bounded scalar stats, quantized-ln idf, TakeOrderedAndProject
@@ -5293,6 +5302,7 @@ object SparkEntry {
     "a41_weighted_median" -> a41WeightedMedian,
     "t31_bpe_encode" -> t31BpeEncode,
     "t32_bm25" -> t32Bm25,
+    "t33_bigram_xent" -> t33BigramXent,
     "x37_negative_probe" -> x37NegativeProbe,
     "x38_pagerank" -> x38PageRank,
     "x39_kcore" -> x39KCore,
@@ -8280,6 +8290,42 @@ object SparkEntry {
          d3 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src)
          SELECT src AS node, CAST(deg AS BIGINT) AS core_deg
          FROM d3 WHERE deg >= 20 ORDER BY node""",
+    "t33_bigram_xent" ->
+      // the model table quantizes each bigram's log-prob ONCE
+      // (⌊65536·ln((c(v,w)+1)/(c(v)+V))⌋); per-doc scores are integer
+      // sums — order-free, no float accumulation anywhere
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'), 1) AS pos
+           FROM documents
+         ), bgr AS (
+           SELECT doc_id,
+             tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+           FROM toks
+         ), docbi AS (
+           SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS occ
+           FROM bgr WHERE bg IS NOT NULL GROUP BY 1, 2
+         ), cvw AS (
+           SELECT bg, CAST(sum(occ) AS BIGINT) AS cvw FROM docbi GROUP BY 1
+         ), ctx AS (
+           SELECT split_part(bg, ' ', 1) AS v, CAST(sum(cvw) AS BIGINT) AS cv
+           FROM cvw GROUP BY 1
+         ), vv AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM ctx),
+         model AS (
+           SELECT c.bg,
+             CAST(floor(65536.0 * ln(CAST(c.cvw + 1 AS DOUBLE) / CAST(x.cv + vv.vocab AS DOUBLE))) AS BIGINT) AS q
+           FROM cvw c JOIN ctx x ON x.v = split_part(c.bg, ' ', 1), vv
+         ), sc AS (
+           SELECT d.doc_id, CAST(sum(d.occ) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.occ * m.q) AS BIGINT) AS logprob_q
+           FROM docbi d JOIN model m ON m.bg = d.bg GROUP BY 1
+         )
+         SELECT doc.doc_id,
+           COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+           COALESCE(sc.logprob_q, 0) AS logprob_q
+         FROM documents doc LEFT JOIN sc ON sc.doc_id = doc.doc_id
+         ORDER BY doc.doc_id""",
     "t32_bm25" ->
       // identical fixed IEEE DAG: one tokenize→group pass for dl +
       // conditional tfs, quantized ⌊65536·ln⌋ idf, left-assoc

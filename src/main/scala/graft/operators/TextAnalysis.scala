@@ -966,6 +966,64 @@ object TextAnalysis {
       .select(col(idCol), col("dl"), col("score"), col("rk"))
   }
 
+  /** Corpus-trained bigram cross-entropy score per document — the
+    * perplexity-filter primitive (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", which ranks documents by LM perplexity; the demonstrable
+    * self-contained variant trains the bigram model on the corpus
+    * itself — swap the model table for an external LM's to reproduce
+    * CCNet exactly).
+    *
+    * Model: add-one-smoothed bigram LM. c(v,w) = corpus bigram counts;
+    * c(v) = Σ_w c(v,w) (context totals, derived FROM the bigram table
+    * — one fewer corpus pass); V = context-vocabulary size.
+    * p̂(w|v) = (c(v,w)+1)/(c(v)+V).
+    *
+    * Engine-exactness: each bigram's log-probability is quantized ONCE
+    * in the model table — q(v,w) = ⌊65536·ln((c(v,w)+1)/(c(v)+V))⌋, a
+    * BIGINT — so the per-document score Σ occ·q is an INTEGER sum:
+    * order-free, bit-exact on any engine, no float accumulation at all
+    * (stronger than the x27 pattern, which still sums doubles).
+    *
+    * Scale: every stage is linear — one bigram explode pre-combined to
+    * (doc, bigram, occ), corpus counts are vocabulary²-bounded
+    * aggregates, the model join is key-partitioned on the bigram, and
+    * the final per-doc fold is a hash agg of integers. No windows, no
+    * quadratic candidate sets, nothing collected but the scalar V. */
+  def bigramCrossEntropy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val staged = withShingles(df.select(col(idCol), col(textCol)), textCol, k = 2)
+    // (doc, bigram, occ): map-side combined before any join
+    val docBi = staged
+      .select(col(idCol), explode(col("_sh")).as("bg"))
+      .filter(col("bg").contains(" ")) // <2-token docs collapse to a 1-shingle
+      .groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("occ"))
+    val cvw = docBi.groupBy(col("bg")).agg(sum(col("occ")).as("cvw"))
+    val ctx = cvw
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
+    val vocab = ctx.count() // bounded scalar: context-vocabulary size
+    val model = cvw
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .join(ctx, "v")
+      .withColumn("q",
+        floor(lit(65536.0) *
+          log((col("cvw") + lit(1L)).cast("double") /
+            (col("cv") + lit(vocab)).cast("double"))).cast("long"))
+      .select(col("bg"), col("q"))
+    val scored = docBi.join(model, "bg")
+      .groupBy(col(idCol))
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * col("q")).as("logprob_q"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_q"), lit(0L)).as("logprob_q"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of normalized text) —
     * engine-independent, used for exact dedup keys. */
   def fingerprintMd5(c: Column): Column = md5(normalize(c).cast("binary"))

@@ -275,6 +275,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x39_kcore" -> 2.5,
     "x40_skyline" -> 1.5,
     "t32_bm25" -> 1.2,
+    "t33_bigram_xent" -> 1.5,
     "x41_bradley_terry" -> 1.5,
   )
 

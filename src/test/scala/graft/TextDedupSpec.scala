@@ -998,6 +998,19 @@ class TextDedupSpec extends SparkTestBase {
     assert(idfJoin == 64279L)
   }
 
+  test("bigramCrossEntropy: hand-computed add-one bigram model, integer scores, no-bigram doc zeroed") {
+    // corpus bigrams: "a b"x2 (doc1), "b a" x1 (doc1) + x1 (doc2)
+    // ctx totals: a->2, b->2; V=2 -> p = (2+1)/(2+2) = 0.75 for both
+    // q = floor(65536*ln(0.75)) = floor(-18853.54...) = -18854
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.bigramCrossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val q = math.floor(65536.0 * math.log(0.75)).toLong
+    assert(q == -18854L)
+    assert(rows == Seq((1L, 3L, 3 * q), (2L, 1L, q), (3L, 0L, 0L)))
+  }
+
   test("bm25Rank: identical docs tie on score, rank by doc_id; topK truncates") {
     val docs = Seq(
       (5L, "spark run"), (2L, "spark run"), (9L, "spark run"))
