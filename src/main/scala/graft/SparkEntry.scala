@@ -4772,6 +4772,37 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Day-of-week seasonality profile per event type (the weekly twin
+    * of e23's diurnal panel — the classic pre-forecasting decomposition
+    * read: "is Saturday traffic really 2× Tuesday, or is the window
+    * just catching one hot weekend?"). dow = epoch_day % 7 (day 0 =
+    * Thursday 1970-01-01, documented anchor — pure integer arithmetic,
+    * no locale/calendar dependence in either engine). Per (type, dow):
+    * event count n and ACTIVE-day count d (days with ≥1 event), so the
+    * seasonal index compares rates, not raw sums — a dow with fewer
+    * observed days isn't under-weighted. Index = (n/d)/(T/D) computed
+    * as (n·D)/(d·T): exact integer cross-products, ONE IEEE division.
+    * One daily-cell aggregate feeds both the dow cells and the
+    * broadcast per-type totals (e23's staging discipline). */
+  private val e25DowSeasonality = (s: SparkSession, d: String) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_n"))
+    val cells = CachePool.register(daily
+      .withColumn("dow", (col("_day") % 7).cast("int"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("_n")).as("n_events"), count(lit(1)).as("n_days"))
+      .persist())
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("_t"), sum(col("n_days")).as("_d"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n_events"), col("n_days"),
+        ((col("n_events") * col("_d")).cast("double") /
+          (col("n_days") * col("_t")).cast("double")).as("seasonal_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Mann–Whitney U rank-sum test between the `value` distributions of
     * every event-type pair (Mann & Whitney 1947 — the NONPARAMETRIC
     * location test beside a37's Welch t: Welch assumes means matter,
@@ -5278,6 +5309,7 @@ object SparkEntry {
     "e23_diurnal" -> e23Diurnal,
     "d24_prefix_pairs" -> d24PrefixPairs,
     "e24_holt" -> e24Holt,
+    "e25_dow_seasonality" -> e25DowSeasonality,
     "a38_mann_whitney" -> a38MannWhitney,
     "x36_effective_tokens" -> x36EffectiveTokens,
     "j25_q2_shape" -> j25Q2Shape,
@@ -7021,6 +7053,28 @@ object SparkEntry {
            CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
          FROM cells c JOIN tot t USING (event_type)
          ORDER BY c.event_type, c.hour_of_day""",
+    "e25_dow_seasonality" ->
+      // identical integer daily cells, dow = epoch_day % 7, index via
+      // exact cross-products and ONE division
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2
+         ), cells AS (
+           SELECT event_type, CAST(d % 7 AS INTEGER) AS dow,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1, 2
+         ), tot AS (
+           SELECT event_type, CAST(sum(n_events) AS BIGINT) AS t,
+             CAST(sum(n_days) AS BIGINT) AS dd
+           FROM cells GROUP BY 1
+         )
+         SELECT c.event_type, c.dow, c.n_events, c.n_days,
+           CAST(c.n_events * t.dd AS DOUBLE) / CAST(c.n_days * t.t AS DOUBLE)
+             AS seasonal_index
+         FROM cells c JOIN tot t USING (event_type)
+         ORDER BY c.event_type, c.dow""",
     "t27_novelty" -> t27OracleSql,
     "a35_bootstrap_ci" -> a35OracleSql,
     "w20_attribution" ->

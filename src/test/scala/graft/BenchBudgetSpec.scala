@@ -277,6 +277,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t32_bm25" -> 1.2,
     "t33_bigram_xent" -> 1.5,
     "x41_bradley_terry" -> 1.5,
+    "e25_dow_seasonality" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {
