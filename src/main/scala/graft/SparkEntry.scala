@@ -3494,6 +3494,61 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Theil–Sen robust trend slope of daily counts per event type
+    * (Theil 1950 / Sen 1968 — the ESTIMATOR beside w17's Mann–Kendall
+    * DETECTOR: MK says "there is a monotone trend", Theil–Sen says
+    * "this many events/day", and unlike OLS one bursty day cannot move
+    * it — 29% breakdown point). Median over all pairwise slopes
+    * (y_j−y_i)/(x_j−x_i), x strictly increasing so dx > 0.
+    *
+    * Engine-exact ordering contract: slopes are ordered by the total
+    * order (⌊2²⁴·dy/dx⌋, dy, dx) — the quantized key is one IEEE
+    * multiply+divide+floor over exact integers (identical in any
+    * engine); rationals within 2⁻²⁴ of each other tie on the key and
+    * resolve by the exact (dy, dx) pair, so both engines pick the SAME
+    * lower-median ELEMENT and the reported slope is one division over
+    * its exact integers. Per-key pair count is C(days,2), bounded by
+    * [[RelationalOps.capPerKey]] (the w17 discipline) riding the
+    * event_type repartition. */
+  private val w24TheilSen = (s: SparkSession, d: String) =>
+    theilSen(s, d)
+
+  /** w24's body with the per-type day cap exposed (the w17/mannKendall
+    * testability convention — the planted-key spec drives a small cap). */
+  private[graft] def theilSen(
+      s: SparkSession, d: String,
+      maxDaysPerKey: Int = defaultMaxPerKey): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = CachePool.register(RelationalOps.capPerKey(
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("_day"))
+        .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_y"))
+        .repartition(col("event_type")), "event_type", maxDaysPerKey)
+      .persist())
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val a = daily.select(col("event_type"), col("_day").as("_xa"), col("_y").as("_ya"))
+    val b = daily.select(col("event_type"), col("_day").as("_xb"), col("_y").as("_yb"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("_xa") < col("_xb"))
+      .select(col("event_type"),
+        (col("_yb") - col("_ya")).as("dy"), (col("_xb") - col("_xa")).as("dx"))
+      .withColumn("_q",
+        floor(col("dy").cast("double") * lit(16777216.0) /
+          col("dx").cast("double")).cast("long"))
+    val w = Window.partitionBy(col("event_type"))
+    val ranked = pairs
+      .withColumn("_rk", row_number().over(
+        w.orderBy(col("_q"), col("dy"), col("dx"))))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+    ranked.filter(col("_rk") === expr("(n_pairs + 1) div 2"))
+      .join(broadcast(nDays), Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("dy").as("med_dy"), col("dx").as("med_dx"),
+        (col("dy").cast("double") / col("dx").cast("double"))
+          .as("slope_per_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cross-source vocabulary overlap (the corpus-diversity audit
     * behind "are these two crawls the same text in different
     * wrappers?" — a set-similarity read on SOURCES where d3's LSH
@@ -5310,6 +5365,7 @@ object SparkEntry {
     "d24_prefix_pairs" -> d24PrefixPairs,
     "e24_holt" -> e24Holt,
     "e25_dow_seasonality" -> e25DowSeasonality,
+    "w24_theil_sen" -> w24TheilSen,
     "a38_mann_whitney" -> a38MannWhitney,
     "x36_effective_tokens" -> x36EffectiveTokens,
     "j25_q2_shape" -> j25Q2Shape,
@@ -7053,6 +7109,35 @@ object SparkEntry {
            CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS share
          FROM cells c JOIN tot t USING (event_type)
          ORDER BY c.event_type, c.hour_of_day""",
+    "w24_theil_sen" ->
+      // identical daily cells and pair set; the SAME (⌊2²⁴·dy/dx⌋,
+      // dy, dx) total order picks the same lower-median element; the
+      // reported slope is one division over its exact integers
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2
+         ), nd AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1
+         ), pairs AS (
+           SELECT a.event_type,
+             CAST(b.y - a.y AS BIGINT) AS dy, CAST(b.d - a.d AS BIGINT) AS dx,
+             CAST(floor(CAST(b.y - a.y AS DOUBLE) * 16777216.0 / CAST(b.d - a.d AS DOUBLE)) AS BIGINT) AS q
+           FROM daily a JOIN daily b
+             ON a.event_type = b.event_type AND a.d < b.d
+         ), ranked AS (
+           SELECT event_type, dy, dx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY q, dy, dx) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+           FROM pairs
+         )
+         SELECT r.event_type, nd.n_days, r.n_pairs,
+           r.dy AS med_dy, r.dx AS med_dx,
+           CAST(r.dy AS DOUBLE) / CAST(r.dx AS DOUBLE) AS slope_per_day
+         FROM ranked r JOIN nd USING (event_type)
+         WHERE r.rk = (r.n_pairs + 1) // 2
+         ORDER BY r.event_type""",
     "e25_dow_seasonality" ->
       // identical integer daily cells, dow = epoch_day % 7, index via
       // exact cross-products and ONE division

@@ -278,6 +278,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t33_bigram_xent" -> 1.5,
     "x41_bradley_terry" -> 1.5,
     "e25_dow_seasonality" -> 1.0,
+    "w24_theil_sen" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

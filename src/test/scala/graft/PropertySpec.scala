@@ -639,4 +639,30 @@ class PropertySpec extends SparkTestBase {
     // and with the cap at-or-above the busiest key, capPerKey is the identity
     assert(RelationalOps.capPerKey(staged, "user_id", 12).count() == staged.count())
   }
+
+  test("w24 Theil-Sen: hand-computed lower-median slope; hyperactive type capped whole") {
+    val dir = tmpDir("theilsen")
+    val day = 86400000000L
+    def burstRows(tpe: String, base: Long, countsByDay: Seq[Int]) =
+      countsByDay.zipWithIndex.flatMap { case (k, t) =>
+        (0 until k).map(i =>
+          (base + t * 100L + i, t * day + i, 7L, tpe, 1.0, "{}"))
+      }
+    writeEvents(dir,
+      // steady: 1,2,3 events on days 0,1,2 -> slopes {1/1, 1/1, 2/2}; lower
+      // median element under the (q, dy, dx) order is (dy=1, dx=1) -> 1.0
+      burstRows("steady", 1000L, Seq(1, 2, 3)) ++
+        // burst: 1,1,10 -> slopes {0/1, 9/2, 9/1}; median (9, 2) -> 4.5
+        burstRows("burst", 2000L, Seq(1, 1, 10)) ++
+        // noisy: 12 active days, past the planted cap of 10 -> dropped whole
+        burstRows("noisy", 3000L, Seq.fill(12)(1)))
+    val got = SparkEntry.theilSen(spark, dir, maxDaysPerKey = 10)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("med_dy"), r.getAs[Long]("med_dx"),
+          r.getAs[Double]("slope_per_day")))).toMap
+    assert(!got.contains("noisy"), s"hyperactive type leaked: $got")
+    assert(got("steady") == ((3L, 3L, 1L, 1L, 1.0)), s"steady: $got")
+    assert(got("burst") == ((3L, 3L, 9L, 2L, 4.5)), s"burst: $got")
+  }
 }
