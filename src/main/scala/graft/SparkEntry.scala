@@ -3770,6 +3770,77 @@ object SparkEntry {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Kruskal–Wallis H across ALL event types (Kruskal & Wallis 1952 —
+    * the k-sample extension of a38's two-sample Mann–Whitney: "do any
+    * of these k value distributions differ in location", rank-based so
+    * it survives the heavy tails that break a37's Welch t). Exact under
+    * ties via the doubled-average-rank trick on ONE global pooled
+    * ranking (a38 re-ranks per pair; here every group shares the same
+    * rank frame): 2·avgrank = 2r₀ + c − 1 per distinct value, so the
+    * per-type doubled rank sum 2R_t and the total fourth-moment cell
+    * S4 = Σc·(2avg)² are exact integers, and with r̄ = (N+1)/2,
+    * H = (N−1)·(Σ_t(2R_t)²/n_t − N(N+1)²) / (S4 − N(N+1)²)
+    * — the tie-corrected statistic with no separate Σ(t³−t) pass.
+    * Float work is ONE fixed sequence: k divisions folded in
+    * event-type order (the a33/x36 sorted-struct-array fold), one
+    * subtraction, one multiply, one division — bit-identical on any
+    * engine that mirrors the shape (the oracle does). Rank bases come
+    * from the a41 two-level grouped prefix discipline over the
+    * RUN-COLLAPSED distinct values — no corpus-width window, no
+    * per-row tie counting. */
+  private val a42KruskalWallis = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val tv = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("_ct"))
+      .persist()) // two consumers: the rank frame and the per-type cells
+    val vr = tv.groupBy(col("value")).agg(sum(col("_ct")).as("_c"))
+    val indexed = RelationalOps.withRowIndex(vr, "_pos", Seq(col("value")))
+      .withColumn("_bk", expr("_pos div 1048576L"))
+    val bw = Window.orderBy(col("_bk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk")).agg(sum(col("_c")).as("_bsum"))
+      .select(col("_bk"),
+        coalesce(sum(col("_bsum")).over(bw), lit(0L)).as("_boff"))
+    val ww = Window.partitionBy(col("_bk")).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = CachePool.register(indexed
+      .join(broadcast(offsets), Seq("_bk"))
+      .withColumn("_r0",
+        col("_boff") + coalesce(sum(col("_c")).over(ww), lit(0L)) + 1L)
+      .select(col("value"), col("_c"),
+        (col("_r0") * 2L + col("_c") - 1L).as("_2avg"))
+      .persist()) // two consumers: per-type join and the global cells
+    val perType = CachePool.register(tv.join(ranked, Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("_ct")).as("n_t"),
+        sum(col("_ct").cast(dec) * col("_2avg").cast(dec)).cast(dec).as("_rs2"))
+      .persist()) // two consumers: output rows and the fold
+    val folded = perType
+      .select(col("event_type"), col("n_t"),
+        (col("_rs2") * col("_rs2")).cast(dec).as("_sq"))
+      .agg(sort_array(collect_list(
+        struct(col("event_type"), col("_sq"), col("n_t")))).as("_b"))
+      .select(aggregate(col("_b"), lit(0.0),
+        (acc, e) => acc + e.getField("_sq").cast("double") /
+          e.getField("n_t").cast("double")).as("_fold"))
+    val glob = ranked.agg(
+      sum(col("_c")).as("_n"),
+      sum(col("_c").cast(dec) * col("_2avg").cast(dec) * col("_2avg").cast(dec))
+        .cast(dec).as("_s4"))
+    val nn1sq = (col("_n").cast(dec) * (col("_n").cast(dec) + 1) *
+      (col("_n").cast(dec) + 1)).cast(dec)
+    val h = glob.crossJoin(broadcast(folded))
+      .select(((col("_n") - 1).cast(dec).cast("double") *
+        (col("_fold") - nn1sq.cast("double")) /
+        (col("_s4") - nn1sq).cast(dec).cast("double")).as("h_stat"))
+    perType
+      .select(col("event_type"), col("n_t"), col("_rs2").cast("long").as("rank_sum2"))
+      .crossJoin(broadcast(h))
+      .orderBy(col("event_type"))
+  }
+
   /** TPC-H Q22 shape (global-positive-customers report) — the second
     * classic correlated-subquery stressor beside j28's Q21: a SCALAR
     * subquery gates the fact (balance above the positive-balance
@@ -5397,6 +5468,7 @@ object SparkEntry {
     "x40_skyline" -> x40Skyline,
     "x41_bradley_terry" -> x41BradleyTerry,
     "a39_group_mode" -> a39GroupMode,
+    "a42_kruskal_wallis" -> a42KruskalWallis,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6783,6 +6855,48 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "a42_kruskal_wallis" ->
+      // naive single-window rank form (independent shape from the
+      // engine's two-level prefix), HUGEINT doubled-rank cells, the
+      // per-type division terms folded in event-type order via
+      // list_reduce with a 0.0 seed (matches Spark's aggregate init;
+      // 0.0 + x is exact), varchar-hopped terminal casts (rs2² and S4
+      // exceed 2^53), then the same subtract-multiply-divide sequence
+      """WITH tv AS (
+           SELECT event_type, value, CAST(count(*) AS HUGEINT) AS ct
+           FROM events GROUP BY 1, 2
+         ), vr AS (
+           SELECT value, sum(ct) AS c FROM tv GROUP BY 1
+         ), ranked AS (
+           SELECT value, c,
+             sum(c) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS r0
+           FROM vr
+         ), r2 AS (
+           SELECT value, c, 2*r0 + c - 1 AS avg2 FROM ranked
+         ), pert AS (
+           SELECT tv.event_type, CAST(sum(tv.ct) AS HUGEINT) AS n_t,
+             sum(tv.ct * r2.avg2) AS rs2
+           FROM tv JOIN r2 USING (value) GROUP BY 1
+         ), tot AS (
+           SELECT CAST(sum(c) AS HUGEINT) AS n, sum(c * avg2 * avg2) AS s4
+           FROM r2
+         ), folded AS (
+           SELECT list_reduce(
+             list_prepend(0.0e0,
+               list(CAST(CAST(rs2*rs2 AS VARCHAR) AS DOUBLE) /
+                      CAST(CAST(n_t AS VARCHAR) AS DOUBLE)
+                    ORDER BY event_type)),
+             (acc, x) -> acc + x) AS fold
+           FROM pert
+         )
+         SELECT p.event_type, CAST(p.n_t AS BIGINT) AS n_t,
+           CAST(p.rs2 AS BIGINT) AS rank_sum2,
+           CAST(CAST(g.n - 1 AS VARCHAR) AS DOUBLE) *
+             (f.fold - CAST(CAST(g.n*(g.n+1)*(g.n+1) AS VARCHAR) AS DOUBLE)) /
+             CAST(CAST(g.s4 - g.n*(g.n+1)*(g.n+1) AS VARCHAR) AS DOUBLE) AS h_stat
+         FROM pert p CROSS JOIN tot g CROSS JOIN folded f
+         ORDER BY event_type""",
     "j25_q2_shape" ->
       // identical argmin: row_number over (price, suppkey) exact
       // decimal order, rank-1 pick, the same decorate joins

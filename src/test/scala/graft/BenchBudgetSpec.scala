@@ -279,6 +279,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x41_bradley_terry" -> 1.5,
     "e25_dow_seasonality" -> 1.0,
     "w24_theil_sen" -> 1.2,
+    "a42_kruskal_wallis" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -475,6 +475,30 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Double]("z_stat") == -3.0 / math.sqrt(6.0), s"z wrong: $r")
   }
 
+  test("a42 Kruskal-Wallis: hand-math doubled ranks under ties, exact H") {
+    val dir = tmpDir("kw")
+    // a = {1, 2}, b = {2, 3}, c = {3}: pooled avg ranks 1, 2.5, 2.5, 4.5, 4.5
+    // 2avg per distinct value: 1->2, 2->5, 3->9
+    // 2R: a = 2+5 = 7, b = 5+9 = 14, c = 9 (sum of R = 15 = N(N+1)/2 ok)
+    // S4 = 1*4 + 2*25 + 2*81 = 216; N(N+1)^2 = 5*36 = 180
+    // fold = 0 + 49/2 + 196/2 + 81/1 = 203.5 (exact halves, no rounding)
+    // H = (N-1)*(203.5 - 180)/(216 - 180) = 4*23.5/36 = 2.6111...
+    // cross-check vs the textbook form: 12/30*50.875 - 18 = 2.35,
+    // tie factor 1 - 12/120 = 0.9 -> 2.35/0.9 = same
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 1.00, "{}"), (2L, 2000L, 1L, "a", 2.00, "{}"),
+      (3L, 3000L, 1L, "b", 2.00, "{}"), (4L, 4000L, 1L, "b", 3.00, "{}"),
+      (5L, 5000L, 1L, "c", 3.00, "{}")))
+    val got = SparkEntry.queries("a42_kruskal_wallis")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.size == 3)
+    assert(got("a").getAs[Long]("n_t") == 2L && got("a").getAs[Long]("rank_sum2") == 7L)
+    assert(got("b").getAs[Long]("n_t") == 2L && got("b").getAs[Long]("rank_sum2") == 14L)
+    assert(got("c").getAs[Long]("n_t") == 1L && got("c").getAs[Long]("rank_sum2") == 9L)
+    val h = 4.0 * (203.5 - 180.0) / 36.0
+    for (r <- got.values) assert(r.getAs[Double]("h_stat") == h, s"H wrong: $r")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
