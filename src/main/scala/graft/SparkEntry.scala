@@ -3841,6 +3841,56 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** One-way ANOVA F across ALL event types (Fisher 1925) — the
+    * PARAMETRIC k-sample test beside a42's rank-based Kruskal–Wallis,
+    * completing the test-family square (Welch t ↔ Mann–Whitney for
+    * two samples, ANOVA ↔ KW for k). Cells are a37's exact decimal
+    * power sums per type (n, Σv at scale 2, Σv² at scale 4 — order
+    * cannot matter), and the only float work is the fixed sequence
+    * SSB = fold_t(Σv_t)²/n_t − S²/N, SSW = Q − fold,
+    * F = (SSB/(k−1)) / (SSW/(N−k)) — the per-type division terms
+    * folded in event-type order (the a42/a33 sorted-struct fold), so
+    * the statistic is bit-identical on any engine mirroring the DAG.
+    * ONE map-side-combined scan; everything after is |types| rows. */
+  private val a43Anova = (s: SparkSession, d: String) => {
+    val guardedCast = (c: Column, t: String) => {
+      val casted = c.cast(t)
+      when(assert_true(casted.isNotNull || c.isNull,
+        lit(s"a43_anova: decimal overflow casting sum to $t — " +
+          "widen the cell widths for this scale factor")).isNull, casted)
+    }
+    val cells = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("_v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"),
+        guardedCast(sum(col("_v")), "decimal(16,2)").as("_s1"),
+        guardedCast(sum(col("_v") * col("_v")), "decimal(24,4)").as("_s2"))
+      .persist()) // three consumers: output rows, the fold, global cells
+    val folded = cells
+      .select(col("event_type"), col("n_t"),
+        (col("_s1") * col("_s1")).as("_sq")) // (33,4): exact
+      .agg(sort_array(collect_list(
+        struct(col("event_type"), col("_sq"), col("n_t")))).as("_b"))
+      .select(aggregate(col("_b"), lit(0.0),
+        (acc, e) => acc + e.getField("_sq").cast("double") /
+          e.getField("n_t").cast("double")).as("_fold"))
+    val glob = cells.agg(
+      count(lit(1)).as("_k"), sum(col("n_t")).as("_n"),
+      guardedCast(sum(col("_s1")), "decimal(18,2)").as("_s"),
+      sum(col("_s2")).as("_q"))
+    val fStat = glob.crossJoin(broadcast(folded))
+      .select((((col("_fold") -
+        (col("_s") * col("_s")).cast("double") / col("_n").cast("double")) /
+          (col("_k") - 1L).cast("double")) /
+        ((col("_q").cast("double") - col("_fold")) /
+          (col("_n") - col("_k")).cast("double"))).as("f_stat"))
+    cells
+      .select(col("event_type"), col("n_t"),
+        (col("_s1").cast("double") / col("n_t").cast("double")).as("mean_v"))
+      .crossJoin(broadcast(fStat))
+      .orderBy(col("event_type"))
+  }
+
   /** TPC-H Q22 shape (global-positive-customers report) — the second
     * classic correlated-subquery stressor beside j28's Q21: a SCALAR
     * subquery gates the fact (balance above the positive-balance
@@ -5469,6 +5519,7 @@ object SparkEntry {
     "x41_bradley_terry" -> x41BradleyTerry,
     "a39_group_mode" -> a39GroupMode,
     "a42_kruskal_wallis" -> a42KruskalWallis,
+    "a43_anova" -> a43Anova,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6855,6 +6906,46 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "a43_anova" ->
+      // a37's HUGEINT ×100 cells and scale-splice varchar hops (one
+      // correctly-rounded parse = Spark's one correctly-rounded
+      // decimal->double), the per-type division terms folded in
+      // event-type order with a 0.0 seed, then the identical
+      // subtract/divide/divide F DAG
+      """WITH v AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v100
+           FROM events
+         ), cells AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(v100) AS s1i, sum(v100 * v100) AS s2i
+           FROM v GROUP BY 1
+         ), folded AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(s1i) AS si, sum(s2i) AS qi,
+             list_reduce(list_prepend(0.0e0,
+               list(CAST(CAST(s1i*s1i // 10000 AS VARCHAR) || '.' ||
+                      lpad(CAST(s1i*s1i % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+                    / CAST(n AS DOUBLE)
+                    ORDER BY event_type)),
+               (acc, x) -> acc + x) AS fold
+           FROM cells
+         ), fs AS (
+           SELECT ((fold - CAST(CAST(si*si // 10000 AS VARCHAR) || '.' ||
+                       lpad(CAST(si*si % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+                     / CAST(nn AS DOUBLE))
+                   / CAST(k - 1 AS DOUBLE))
+                  / ((CAST(CAST(qi // 10000 AS VARCHAR) || '.' ||
+                        lpad(CAST(qi % 10000 AS VARCHAR), 4, '0') AS DOUBLE) - fold)
+                     / CAST(nn - k AS DOUBLE)) AS f_stat
+           FROM folded
+         )
+         SELECT c.event_type, c.n AS n_t,
+           CAST(CAST(c.s1i // 100 AS VARCHAR) || '.' ||
+             lpad(CAST(c.s1i % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+             / CAST(c.n AS DOUBLE) AS mean_v,
+           fs.f_stat
+         FROM cells c CROSS JOIN fs ORDER BY c.event_type""",
     "a42_kruskal_wallis" ->
       // naive single-window rank form (independent shape from the
       // engine's two-level prefix), HUGEINT doubled-rank cells, the

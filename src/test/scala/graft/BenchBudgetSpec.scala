@@ -280,6 +280,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e25_dow_seasonality" -> 1.0,
     "w24_theil_sen" -> 1.2,
     "a42_kruskal_wallis" -> 1.5,
+    "a43_anova" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -499,6 +499,27 @@ class PropertySpec extends SparkTestBase {
     for (r <- got.values) assert(r.getAs[Double]("h_stat") == h, s"H wrong: $r")
   }
 
+  test("a43 ANOVA: hand-math power-sum cells, exact F DAG") {
+    val dir = tmpDir("anova")
+    // a = {1, 2}, b = {2, 3}, c = {3}: n = 2,2,1; S1 = 3,5,3; S2 = 5,13,9
+    // fold = 0 + 9/2 + 25/2 + 9/1 = 26; gterm = 121/5 = 24.2
+    // SSB = 26 - 24.2 = 1.8 (check: 2*.49 + 2*.09 + .64); SSW = 27 - 26 = 1
+    // F = (SSB/2)/(SSW/2) = 1.8
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 1.00, "{}"), (2L, 2000L, 1L, "a", 2.00, "{}"),
+      (3L, 3000L, 1L, "b", 2.00, "{}"), (4L, 4000L, 1L, "b", 3.00, "{}"),
+      (5L, 5000L, 1L, "c", 3.00, "{}")))
+    val got = SparkEntry.queries("a43_anova")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.size == 3)
+    assert(got("a").getAs[Long]("n_t") == 2L && got("a").getAs[Double]("mean_v") == 1.5)
+    assert(got("b").getAs[Double]("mean_v") == 2.5)
+    assert(got("c").getAs[Long]("n_t") == 1L && got("c").getAs[Double]("mean_v") == 3.0)
+    val fold = 0.0 + 9.0 / 2.0 + 25.0 / 2.0 + 9.0 / 1.0
+    val f = ((fold - 121.0 / 5.0) / 2.0) / ((27.0 - fold) / 2.0)
+    for (r <- got.values) assert(r.getAs[Double]("f_stat") == f, s"F wrong: $r")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
