@@ -3841,6 +3841,42 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Zipf log-log slope per source (Zipf 1949; natural language sits
+    * near −1 — a corpus whose slope drifts toward 0 is template/spam
+    * mass, toward −2 is vocabulary collapse; the third corpus-health
+    * lens beside t28's hapax share and t14's per-doc TTR). Top-64
+    * terms per source by (freq DESC, term) — a PARTITIONED window the
+    * optimizer runs as a group-limit, never a global sort — then OLS
+    * of ln(freq) on ln(rank) over the K points. Both logs are
+    * quantized ⌊65536·ln⌋ INTEGERS (the t32/t33 discipline), so all
+    * five OLS cells are exact and the slope is ONE IEEE division of
+    * exact integers (the 65536² factors cancel in the ratio). */
+  private val t34ZipfSlope = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextAnalysis.withTokens(t(s, d, "documents"), "text")
+      .select(col("source"), explode(col("_toks")).as("_term"))
+      .filter(col("_term") =!= "")
+      .groupBy(col("source"), col("_term")).agg(count(lit(1)).as("_f"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("_f").desc, col("_term"))
+    val q = tf.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 64)
+      .select(col("source"),
+        floor(lit(65536.0) * log(col("_rk").cast("double"))).cast("long").as("_x"),
+        floor(lit(65536.0) * log(col("_f").cast("double"))).cast("long").as("_y"))
+    q.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col("source"), col("n_terms"),
+        when(col("n_terms") * col("_sxx") - col("_sx") * col("_sx") =!= 0L,
+          (col("n_terms") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (col("n_terms") * col("_sxx") - col("_sx") * col("_sx")).cast("double"))
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   /** One-way ANOVA F across ALL event types (Fisher 1925) — the
     * PARAMETRIC k-sample test beside a42's rank-based Kruskal–Wallis,
     * completing the test-family square (Welch t ↔ Mann–Whitney for
@@ -5520,6 +5556,7 @@ object SparkEntry {
     "a39_group_mode" -> a39GroupMode,
     "a42_kruskal_wallis" -> a42KruskalWallis,
     "a43_anova" -> a43Anova,
+    "t34_zipf_slope" -> t34ZipfSlope,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6906,6 +6943,38 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "t34_zipf_slope" ->
+      // t1/t3's exact tokenizer, the same (freq DESC, term) rank
+      // tie-break, the same floor(65536*ln) integer quantization on
+      // BOTH axes, exact integer OLS cells, one terminal division
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS f
+           FROM tok WHERE term <> '' GROUP BY 1, 2
+         ), topk AS (
+           SELECT source, f,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY f DESC, term) AS rk
+           FROM tf QUALIFY rk <= 64
+         ), q AS (
+           SELECT source,
+             CAST(floor(65536.0 * ln(CAST(rk AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(65536.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+           FROM topk
+         ), cells AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+           FROM q GROUP BY 1
+         )
+         SELECT source, n_terms,
+           CASE WHEN n_terms * sxx - sx * sx <> 0
+             THEN CAST(n_terms * sxy - sx * sy AS DOUBLE)
+               / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+           END AS zipf_slope
+         FROM cells ORDER BY source""",
     "a43_anova" ->
       // a37's HUGEINT ×100 cells and scale-splice varchar hops (one
       // correctly-rounded parse = Spark's one correctly-rounded

@@ -281,6 +281,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w24_theil_sen" -> 1.2,
     "a42_kruskal_wallis" -> 1.5,
     "a43_anova" -> 1.2,
+    "t34_zipf_slope" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

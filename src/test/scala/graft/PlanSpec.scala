@@ -98,6 +98,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"), s"rank filter not pushed to WindowGroupLimit:\n$p")
   }
 
+  test("zipf top-64 rides WindowGroupLimit, never a full-vocab sort (t34)") {
+    val q = SparkEntry.queries("t34_zipf_slope")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=64 not pushed to WindowGroupLimit:\n$p")
+  }
+
   test("unpivot-mean runs ONE aggregation, not 14 unions (A7)") {
     val q = SparkEntry.queries("a7_unpivot_mean")(spark, dir)
     val p = plan(q)

@@ -520,6 +520,30 @@ class PropertySpec extends SparkTestBase {
     for (r <- got.values) assert(r.getAs[Double]("f_stat") == f, s"F wrong: $r")
   }
 
+  test("t34 Zipf slope: quantized-ln OLS over hand-ranked terms, single-term guard") {
+    val dir = tmpDir("zipf")
+    val txt = "aa aa aa aa bb bb cc" // freqs 4, 2, 1 -> ranks 1, 2, 3
+    Seq(
+      (1L, txt, "en", "s", txt.length.toLong),
+      (2L, "zz", "en", "t", 2L)) // one distinct term: denominator 0 -> null
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t34_zipf_slope")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    def q(v: Double) = math.floor(65536.0 * math.log(v))
+    val (x, y) = (Seq(1.0, 2.0, 3.0).map(q), Seq(4.0, 2.0, 1.0).map(q))
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(a => a * a).sum
+    val slope = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    val sRow = got("s")
+    assert(sRow.getAs[Long]("n_terms") == 3L)
+    assert(sRow.getAs[Double]("zipf_slope") == slope, s"slope: $sRow vs $slope")
+    assert(slope < -0.5 && slope > -1.5, s"sanity: $slope")
+    val tRow = got("t")
+    assert(tRow.getAs[Long]("n_terms") == 1L && tRow.isNullAt(tRow.fieldIndex("zipf_slope")))
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
