@@ -3841,6 +3841,54 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Binary-segmentation changepoint per event type (the CUSUM-family
+    * OFFLINE twin of e13's streaming statistic — "which day did this
+    * event stream change level"): over the per-type daily-count
+    * series, pick the split i that maximizes the between-segment sum
+    * of squares L²/i + (S−L)²/(D−i) (the S²/D constant cannot move
+    * the argmax and is subtracted only in the REPORTED between_ss).
+    * Every numerator is an exact decimal square of integer prefix
+    * sums, so each candidate's score is the same 2-division 1-add
+    * IEEE DAG on both engines — bit-identical doubles make the
+    * (score DESC, day ASC) argmax deterministic. Daily cells are ONE
+    * map-side-combined aggregate; the prefix sums and the argmax run
+    * PARTITIONED per type over bounded day frames, never corpus-wide.
+    * Types with a single observed day have no valid split and are
+    * absent by contract. */
+  private val w25Changepoint = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("_c")).as("_s"), count(lit(1)).as("_dd"))
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("_day"))
+    val scored = daily
+      .withColumn("_i", row_number().over(ord).cast("long"))
+      .withColumn("_l", sum(col("_c")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("_i") < col("_dd"))
+      .withColumn("_m", col("_s") - col("_l"))
+      .withColumn("_q",
+        (col("_l").cast(dec) * col("_l")).cast("double") / col("_i").cast("double") +
+          (col("_m").cast(dec) * col("_m")).cast("double") /
+            (col("_dd") - col("_i")).cast("double"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(col("_q").desc, col("_day"))
+    scored.withColumn("_rn", row_number().over(pick)).filter(col("_rn") === 1)
+      .select(col("event_type"), col("_day").as("split_day"),
+        col("_i").as("n_left"), (col("_dd") - col("_i")).as("n_right"),
+        (col("_l").cast("double") / col("_i").cast("double")).as("mean_left"),
+        (col("_m").cast("double") /
+          (col("_dd") - col("_i")).cast("double")).as("mean_right"),
+        (col("_q") - (col("_s").cast(dec) * col("_s")).cast("double") /
+          col("_dd").cast("double")).as("between_ss"))
+      .orderBy(col("event_type"))
+  }
+
   /** Zipf log-log slope per source (Zipf 1949; natural language sits
     * near −1 — a corpus whose slope drifts toward 0 is template/spam
     * mass, toward −2 is vocabulary collapse; the third corpus-health
@@ -5557,6 +5605,7 @@ object SparkEntry {
     "a42_kruskal_wallis" -> a42KruskalWallis,
     "a43_anova" -> a43Anova,
     "t34_zipf_slope" -> t34ZipfSlope,
+    "w25_changepoint" -> w25Changepoint,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6943,6 +6992,44 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "w25_changepoint" ->
+      // identical daily cells, the same 2-division 1-add score DAG on
+      // exact HUGEINT squares (varchar-hopped like a38 so the casts
+      // stay single-rounding at any magnitude), the same
+      // (score DESC, day ASC) argmax
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS HUGEINT) AS c
+           FROM events GROUP BY 1, 2
+         ), tot AS (
+           SELECT event_type, sum(c) AS s, CAST(count(*) AS HUGEINT) AS dd
+           FROM daily GROUP BY 1
+         ), cum AS (
+           SELECT event_type, d,
+             CAST(ROW_NUMBER() OVER w AS HUGEINT) AS i,
+             sum(c) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY d)
+         ), scored AS (
+           SELECT c.event_type, c.d, c.i, c.l, t.s - c.l AS m, t.s, t.dd,
+             CAST(CAST(c.l*c.l AS VARCHAR) AS DOUBLE) / CAST(c.i AS DOUBLE) +
+               CAST(CAST((t.s-c.l)*(t.s-c.l) AS VARCHAR) AS DOUBLE)
+                 / CAST(t.dd - c.i AS DOUBLE) AS q
+           FROM cum c JOIN tot t USING (event_type)
+           WHERE c.i < t.dd
+         ), picked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY q DESC, d) AS rn
+           FROM scored
+         )
+         SELECT event_type, CAST(d AS BIGINT) AS split_day,
+           CAST(i AS BIGINT) AS n_left, CAST(dd - i AS BIGINT) AS n_right,
+           CAST(l AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+           CAST(m AS DOUBLE) / CAST(dd - i AS DOUBLE) AS mean_right,
+           q - CAST(CAST(s*s AS VARCHAR) AS DOUBLE) / CAST(dd AS DOUBLE)
+             AS between_ss
+         FROM picked WHERE rn = 1 ORDER BY event_type""",
     "t34_zipf_slope" ->
       // t1/t3's exact tokenizer, the same (freq DESC, term) rank
       // tie-break, the same floor(65536*ln) integer quantization on

@@ -282,6 +282,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a42_kruskal_wallis" -> 1.5,
     "a43_anova" -> 1.2,
     "t34_zipf_slope" -> 2.0,
+    "w25_changepoint" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -544,6 +544,29 @@ class PropertySpec extends SparkTestBase {
     assert(tRow.getAs[Long]("n_terms") == 1L && tRow.isNullAt(tRow.fieldIndex("zipf_slope")))
   }
 
+  test("w25 changepoint: hand-math argmax split, single-day type absent") {
+    val dir = tmpDir("chgpt")
+    val day = 86400000000L
+    // type a: daily counts 2, 2, 8 over days 0, 1, 2
+    //   i=1: 4/1 + 100/2 = 54; i=2: 16/2 + 64/1 = 72 -> split day 1
+    //   between_ss = 72 - 144/3 = 24 (= 2*(2-4)^2 + 1*(8-4)^2)
+    // type b: one observed day -> no valid split, absent
+    val rows =
+      (0 until 2).map(i => (100L + i, 0 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 2).map(i => (200L + i, 1 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 8).map(i => (300L + i, 2 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      Seq((400L, 0L, 1L, "b", 1.0, "{}"))
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("w25_changepoint")(spark, dir).collect()
+    assert(got.length == 1, s"single-day type must be absent: ${got.mkString}")
+    val r = got(0)
+    assert(r.getAs[String]("event_type") == "a")
+    assert(r.getAs[Long]("split_day") == 1L)
+    assert(r.getAs[Long]("n_left") == 2L && r.getAs[Long]("n_right") == 1L)
+    assert(r.getAs[Double]("mean_left") == 2.0 && r.getAs[Double]("mean_right") == 8.0)
+    assert(r.getAs[Double]("between_ss") == (16.0 / 2.0 + 64.0 / 1.0) - 144.0 / 3.0)
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
