@@ -3841,6 +3841,58 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Maximal-Marginal-Relevance diversified top-8 (Carbonell &
+    * Goldstein 1998 — the de-duplicating re-rank every retrieval/
+    * few-shot-selection pipeline runs after s1's similarity top-k:
+    * pure top-k returns 8 near-copies of the best hit; MMR's greedy
+    * λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) trades relevance against
+    * redundancy). Query = vec 0's embedding; λ = 0.5 (dyadic — the
+    * 0.5· products are exact halvings). Greedy loop: 8 bounded
+    * driver-side steps (the codebook/centroid discipline), each ONE
+    * distributed argmax over the persisted candidate frame; the
+    * redundancy penalty is maintained INCREMENTALLY — step k adds
+    * only greatest(_maxs, cos(d, new pick)), never recomputing the
+    * full pairwise matrix, so total work is 8 narrow passes, not
+    * |corpus|·|corpus| (at 100 TB the same loop runs over an ANN-
+    * prefiltered candidate pool; the greedy core is unchanged).
+    * Scores are the native in-order double cosine (s1's bit-exact
+    * twin convention), so the (score DESC, vec_id) argmax is
+    * deterministic on any engine mirroring the DAG. */
+  private val x42MmrDiversify = (s: SparkSession, d: String) => {
+    import s.implicits._
+    val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val qe = emb.filter(col("vec_id") === 0L).select(col("embedding"))
+      .head().getAs[scala.collection.Seq[Float]](0) // bounded: ONE query vector
+    val base = CachePool.register(emb.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorOps.cosineSim(col("embedding"), typedlit(qe)).as("_simq"))
+      .persist()) // re-scanned once per greedy step (8 bounded passes)
+    var cands = base.withColumn("_maxs", lit(0.0))
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= 8 && !exhausted) {
+      val rows = cands
+        .select(col("vec_id"), col("embedding"),
+          (lit(0.5) * col("_simq") - lit(0.5) * col("_maxs")).as("_score"))
+        .orderBy(col("_score").desc, col("vec_id"))
+        .limit(1).collect() // bounded: one pick per greedy step
+      if (rows.isEmpty) exhausted = true
+      else {
+        val top = rows(0)
+        val pid = top.getAs[Long]("vec_id")
+        val pe = top.getAs[scala.collection.Seq[Float]]("embedding")
+        picks += ((step, pid))
+        val simNew = graft.functions.VectorOps.cosineSim(col("embedding"), typedlit(pe))
+        cands = cands.filter(col("vec_id") =!= pid)
+          .withColumn("_maxs",
+            if (step == 1) simNew else greatest(col("_maxs"), simNew))
+        step += 1
+      }
+    }
+    picks.toSeq.toDF("rank", "pick_id").orderBy(col("rank"))
+  }
+
   /** Binary-segmentation changepoint per event type (the CUSUM-family
     * OFFLINE twin of e13's streaming statistic — "which day did this
     * event stream change level"): over the per-type daily-count
@@ -5606,6 +5658,7 @@ object SparkEntry {
     "a43_anova" -> a43Anova,
     "t34_zipf_slope" -> t34ZipfSlope,
     "w25_changepoint" -> w25Changepoint,
+    "x42_mmr_diversify" -> x42MmrDiversify,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8873,6 +8926,7 @@ object SparkEntry {
            FROM scored
          ) WHERE rk <= 10 ORDER BY rk""",
     "x41_bradley_terry" -> x41OracleSql,
+    "x42_mmr_diversify" -> x42OracleSql,
     "x40_skyline" ->
       // the O(n²) NOT-EXISTS dominance form — an INDEPENDENT algorithm
       // from the two-level prefix-max the engine runs; exact integers
@@ -9777,6 +9831,44 @@ object SparkEntry {
     * identical fixed IEEE DAG ([[graft.operators.Preference]]): every
     * cross-item sum is over ⌊·⌋-quantized BIGINTs (order-free), every
     * double op correctly rounded, so strength_q matches bit-for-bit. */
+  /** x42's oracle: the same greedy loop unrolled as 8 MATERIALIZED
+    * single-row pick CTEs (the x41 convention). Step k orders by the
+    * identical 0.5·simq − 0.5·max-penalty DAG — greatest over the
+    * k−1 prior picks equals the engine's incremental greatest chain
+    * exactly (max is not a rounding op), and list_cosine_similarity
+    * is the native cosine's bit-exact twin (the s1 convention). */
+  private def x42OracleSql: String = {
+    val pickBlocks = (1 to 8).map { k =>
+      val notPicked = (1 until k).map(j => s"c.vec_id <> p$j.vec_id")
+      val fromPicks = (1 until k).map(j => s"p$j").mkString(", ", ", ", "") match {
+        case ", " => ""; case x => x
+      }
+      val where =
+        if (k == 1) "" else s"WHERE ${notPicked.mkString(" AND ")}\n           "
+      val score =
+        if (k == 1) "0.5 * c.simq - 0.5 * 0.0"
+        else {
+          val sims = (1 until k)
+            .map(j => s"list_cosine_similarity(c.embedding, p$j.embedding)")
+          val pen = if (k == 2) sims.head else s"greatest(${sims.mkString(", ")})"
+          s"0.5 * c.simq - 0.5 * $pen"
+        }
+      s"""p$k AS MATERIALIZED (
+           SELECT c.vec_id, c.embedding FROM c0 c$fromPicks
+           ${where}ORDER BY $score DESC, c.vec_id LIMIT 1
+         )"""
+    }.mkString(", ")
+    val sel = (1 to 8)
+      .map(k => s"SELECT CAST($k AS INTEGER) AS rank, vec_id AS pick_id FROM p$k")
+      .mkString("\n         UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         c0 AS MATERIALIZED (
+           SELECT vec_id, embedding, list_cosine_similarity(embedding, q.qe) AS simq
+           FROM embeddings, q WHERE vec_id <> 0
+         ), $pickBlocks
+         SELECT * FROM ($sel) ORDER BY rank"""
+  }
+
   private def x41OracleSql: String = {
     val iterBlocks = (1 to 8).map { k =>
       val p = k - 1

@@ -283,6 +283,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "a43_anova" -> 1.2,
     "t34_zipf_slope" -> 2.0,
     "w25_changepoint" -> 1.2,
+    "x42_mmr_diversify" -> 2.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -567,6 +567,22 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Double]("between_ss") == (16.0 / 2.0 + 64.0 / 1.0) - 144.0 / 3.0)
   }
 
+  test("x42 MMR: diversity beats raw similarity, exhaustion stops the loop") {
+    val dir = tmpDir("mmr")
+    def v(deg: Double) = Seq(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // q at 0 deg; candidates at 10, 20, -60 deg. Raw top-k order is
+    // 1, 2, 3 (cos 10 > cos 20 > cos 60). MMR: after picking 1, vec 2
+    // scores 0.5*cos20 - 0.5*cos10 < 0 while vec 3 scores
+    // 0.5*cos60 - 0.5*cos70 > 0 -> diversity reorders to 1, 3, 2.
+    Seq((0L, v(0), 0), (1L, v(10), 0), (2L, v(20), 0), (3L, v(-60), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = SparkEntry.queries("x42_mmr_diversify")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("pick_id"))).toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), s"picks: $got")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
