@@ -3841,6 +3841,58 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Daily-count burstiness per event type — the Fano factor
+    * (index of dispersion, var/mean; Fano 1947): 1 for a Poisson
+    * stream, >1 for bursty arrivals, <1 for rate-limited ones. The
+    * pre-check before alerting thresholds or e13's CUSUM makes sense
+    * for a stream. Population variance over the observed daily cells
+    * via exact integer power sums: fano = (D·Q − S²)/(D·S) — exact
+    * HUGEINT-class numerator and denominator under ONE division, and
+    * mean = S/D a second; nothing else floats. Single map-side-
+    * combined daily aggregate, |types|-row tail. */
+  private val e26Burstiness = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("_c")).as("_s"),
+        sum(col("_c").cast(dec) * col("_c")).cast(dec).as("_q"))
+      .select(col("event_type"), col("n_days"),
+        (col("_s").cast("double") / col("n_days").cast("double")).as("mean_daily"),
+        ((col("n_days").cast(dec) * col("_q") -
+          col("_s").cast(dec) * col("_s")).cast("double") /
+          (col("n_days").cast(dec) * col("_s")).cast("double")).as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Source-mix concentration per language — the "is my German data
+    * all one crawl" report a pretraining-mix owner reads beside x34's
+    * profiler: per lang, the Herfindahl–Hirschman index over source
+    * shares (HHI = Σsᵢ², the antitrust concentration number), its
+    * inverse (the EFFECTIVE number of sources — 4 equal sources → 4,
+    * one dominant → ~1), and the top source's share. All cells are
+    * exact integer cross-products (HHI = Σnᵢ²/N²), each reported
+    * number ONE division of exact integers. One (lang, source)
+    * aggregate — map-side combined — then a |langs|-row roll-up. */
+  private val x43MixDiversity = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    t(s, d, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("_n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("_n")).as("n_docs"),
+        sum(col("_n").cast(dec) * col("_n")).cast(dec).as("_sq"),
+        max(col("_n")).as("_top"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        (col("_sq").cast("double") /
+          (col("n_docs").cast(dec) * col("n_docs")).cast("double")).as("hhi"),
+        ((col("n_docs").cast(dec) * col("n_docs")).cast("double") /
+          col("_sq").cast("double")).as("effective_sources"),
+        (col("_top").cast("double") / col("n_docs").cast("double")).as("top_share"))
+      .orderBy(col("lang"))
+  }
+
   /** Maximal-Marginal-Relevance diversified top-8 (Carbonell &
     * Goldstein 1998 — the de-duplicating re-rank every retrieval/
     * few-shot-selection pipeline runs after s1's similarity top-k:
@@ -5659,6 +5711,8 @@ object SparkEntry {
     "t34_zipf_slope" -> t34ZipfSlope,
     "w25_changepoint" -> w25Changepoint,
     "x42_mmr_diversify" -> x42MmrDiversify,
+    "e26_burstiness" -> e26Burstiness,
+    "x43_mix_diversity" -> x43MixDiversity,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7045,6 +7099,40 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "e26_burstiness" ->
+      // identical daily cells, HUGEINT power sums, varchar-hopped
+      // single-division Fano and mean
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS HUGEINT) AS c
+           FROM events GROUP BY 1, 2
+         ), cells AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS dd,
+             sum(c) AS s, sum(c*c) AS q
+           FROM daily GROUP BY 1
+         )
+         SELECT event_type, CAST(dd AS BIGINT) AS n_days,
+           CAST(s AS DOUBLE) / CAST(dd AS DOUBLE) AS mean_daily,
+           CAST(CAST(dd*q - s*s AS VARCHAR) AS DOUBLE) /
+             CAST(CAST(dd*s AS VARCHAR) AS DOUBLE) AS fano
+         FROM cells ORDER BY event_type""",
+    "x43_mix_diversity" ->
+      // same integer cross-products, one division per reported number
+      """WITH cells AS (
+           SELECT lang, source, CAST(count(*) AS HUGEINT) AS n
+           FROM documents GROUP BY 1, 2
+         ), rolled AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+             sum(n) AS nd, sum(n*n) AS sq, max(n) AS top
+           FROM cells GROUP BY 1
+         )
+         SELECT lang, CAST(nd AS BIGINT) AS n_docs, n_sources,
+           CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+             CAST(CAST(nd*nd AS VARCHAR) AS DOUBLE) AS hhi,
+           CAST(CAST(nd*nd AS VARCHAR) AS DOUBLE) /
+             CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS effective_sources,
+           CAST(top AS DOUBLE) / CAST(nd AS DOUBLE) AS top_share
+         FROM rolled ORDER BY lang""",
     "w25_changepoint" ->
       // identical daily cells, the same 2-division 1-add score DAG on
       // exact HUGEINT squares (varchar-hopped like a38 so the casts

@@ -284,6 +284,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "t34_zipf_slope" -> 2.0,
     "w25_changepoint" -> 1.2,
     "x42_mmr_diversify" -> 2.5,
+    "e26_burstiness" -> 1.0,
+    "x43_mix_diversity" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

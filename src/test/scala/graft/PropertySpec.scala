@@ -583,6 +583,49 @@ class PropertySpec extends SparkTestBase {
     assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), s"picks: $got")
   }
 
+  test("e26 burstiness: hand-math Fano cells, degenerate single-day type") {
+    val dir = tmpDir("fano")
+    val day = 86400000000L
+    // type a: daily counts 2, 2, 8 -> S=12, Q=72, D=3
+    //   fano = (3*72 - 144)/(3*12) = 72/36 = 2.0; mean = 4.0
+    // type b: one day, one event -> fano 0, mean 1
+    val rows =
+      (0 until 2).map(i => (100L + i, 0 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 2).map(i => (200L + i, 1 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 8).map(i => (300L + i, 2 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      Seq((400L, 0L, 1L, "b", 1.0, "{}"))
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("e26_burstiness")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("a").getAs[Long]("n_days") == 3L)
+    assert(got("a").getAs[Double]("mean_daily") == 4.0)
+    assert(got("a").getAs[Double]("fano") == 2.0)
+    assert(got("b").getAs[Double]("fano") == 0.0 &&
+      got("b").getAs[Double]("mean_daily") == 1.0)
+  }
+
+  test("x43 mix diversity: hand-math HHI, effective sources, top share") {
+    val dir = tmpDir("mixdiv")
+    // en: sources A=3 docs, B=1 -> HHI = (9+1)/16, effective = 1.6, top = .75
+    // fr: one source -> HHI = 1, effective = 1, top = 1
+    Seq(
+      (1L, "x", "en", "A", 1L), (2L, "y", "en", "A", 1L), (3L, "z", "en", "A", 1L),
+      (4L, "w", "en", "B", 1L),
+      (5L, "u", "fr", "C", 1L), (6L, "v", "fr", "C", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x43_mix_diversity")(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_docs") == 4L && en.getAs[Long]("n_sources") == 2L)
+    assert(en.getAs[Double]("hhi") == 10.0 / 16.0)
+    assert(en.getAs[Double]("effective_sources") == 16.0 / 10.0)
+    assert(en.getAs[Double]("top_share") == 0.75)
+    val fr = got("fr")
+    assert(fr.getAs[Double]("hhi") == 1.0 && fr.getAs[Double]("effective_sources") == 1.0)
+    assert(fr.getAs[Double]("top_share") == 1.0)
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
