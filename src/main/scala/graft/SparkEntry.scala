@@ -3841,6 +3841,29 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Exact quantity-weighted price DECILES per return flag
+    * ([[RelationalOps.groupedExactQuantiles]]) — a41's weighted median
+    * generalized to all nine k/10 cut points in the SAME single
+    * grouped two-level prefix pass (one corpus-width shuffle, never
+    * nine): where a15's approx family carries a bounded error, every
+    * decile here is a VALUE FROM THE DATA picked by exact BIGINT
+    * cross-multiplication (10·cum ≥ k·tot), bit-identical on any
+    * engine. The k fan-out is a 9-element sequence explode on the
+    * |group × distinct-value| prefix frame — bounded, map-side
+    * combined back down to 9 rows per group. */
+  private val a44ExactDeciles = (s: SparkSession, d: String) => {
+    val staged = t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("_price_cents"),
+      col("l_quantity").cast("long").as("_qty"))
+    RelationalOps.groupedExactQuantiles(
+      staged, "l_returnflag", "_price_cents", "_qty", q = 10)
+      .select(col("l_returnflag"), col("quantile_k"),
+        col("q_value").as("decile_cents"))
+      .orderBy(col("l_returnflag"), col("quantile_k"))
+  }
+
   /** Daily-count burstiness per event type — the Fano factor
     * (index of dispersion, var/mean; Fano 1947): 1 for a Poisson
     * stream, >1 for bursty arrivals, <1 for rate-limited ones. The
@@ -5713,6 +5736,7 @@ object SparkEntry {
     "x42_mmr_diversify" -> x42MmrDiversify,
     "e26_burstiness" -> e26Burstiness,
     "x43_mix_diversity" -> x43MixDiversity,
+    "a44_exact_deciles" -> a44ExactDeciles,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7099,6 +7123,26 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "a44_exact_deciles" ->
+      // the naive windowed form (independent shape from the engine's
+      // two-level grouped prefix), the same 10*cum >= k*tot exact
+      // integer cut, the same lower-element pick
+      """WITH pv AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         agg AS (SELECT l_returnflag, v, sum(w) AS sw
+                 FROM pv GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v,
+                 sum(sw) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                 sum(sw) OVER (PARTITION BY l_returnflag) AS tot
+               FROM agg),
+         ks AS (SELECT unnest(range(1, 10)) AS k)
+         SELECT l_returnflag, CAST(k AS INTEGER) AS quantile_k,
+           CAST(min(v) AS BIGINT) AS decile_cents
+         FROM c, ks WHERE 10 * cum >= k * tot
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e26_burstiness" ->
       // identical daily cells, HUGEINT power sums, varchar-hopped
       // single-division Fano and mean

@@ -344,6 +344,48 @@ object RelationalOps {
       .drop("_maxy", "_strict")
   }
 
+  /** Exact per-group LOWER q-quantile elements — [[weightedMedianLower]]
+    * generalized to ALL of k/q for k = 1..q−1 in the SAME single pass:
+    * the k-th reported value is the smallest whose cumulative weight
+    * reaches k/q of the group total (`q·cum ≥ k·tot` cross-multiplied,
+    * so no boundary ever sits on a division). One grouped two-level
+    * prefix (identical plan shape to the median), then each prefix row
+    * fans out only to the quantile indices it satisfies via a 9-element
+    * sequence — bounded fan-out, and the min-per-(group, k) aggregate
+    * is map-side combined. Every compared number is a BIGINT; every
+    * reported value is FROM the data — bit-identical on any engine. */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, q: Int = 10, bucketSize: Long = 1 << 20): DataFrame = {
+    require(q >= 2 && q <= 1000, s"q must be in [2, 1000]: $q")
+    require(bucketSize > 0, "bucketSize must be positive")
+    require(!df.columns.exists(
+      Seq("_sw", "_pos", "_bk", "_boff", "_cum", "_tot", "_k").contains),
+      "groupedExactQuantiles: _sw/_pos/_bk/_boff/_cum/_tot/_k are internal names")
+    val agg = df.groupBy(col(groupCol), col(valCol))
+      .agg(sum(col(wCol)).as("_sw"))
+    val indexed = withRowIndex(agg, "_pos", Seq(col(groupCol), col(valCol)))
+      .withColumn("_bk", expr(s"_pos div ${bucketSize}L"))
+    val bw = Window.partitionBy(col(groupCol)).orderBy(col("_bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed.groupBy(col("_bk"), col(groupCol))
+      .agg(sum(col("_sw")).as("_bsum"))
+      .select(col("_bk"), col(groupCol),
+        coalesce(sum(col("_bsum")).over(bw), lit(0L)).as("_boff"))
+    val ww = Window.partitionBy(col("_bk"), col(groupCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = agg.groupBy(col(groupCol)).agg(sum(col("_sw")).as("_tot"))
+    indexed
+      .join(offsets, Seq("_bk", groupCol))
+      .withColumn("_cum", col("_boff") + sum(col("_sw")).over(ww))
+      .join(totals, Seq(groupCol))
+      .select(col(groupCol), col(valCol), col("_cum"), col("_tot"),
+        explode(sequence(lit(1), lit(q - 1))).as("_k"))
+      .filter(lit(q.toLong) * col("_cum") >= col("_k").cast("long") * col("_tot"))
+      .groupBy(col(groupCol), col("_k"))
+      .agg(min(col(valCol)).as("q_value"))
+      .withColumnRenamed("_k", "quantile_k")
+  }
+
   /** Exact per-group LOWER weighted median — the smallest value whose
     * cumulative weight reaches half the group's total (`2·cum ≥ W`,
     * cross-multiplied so no half-boundary ever sits on a division).

@@ -286,6 +286,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x42_mmr_diversify" -> 2.5,
     "e26_burstiness" -> 1.0,
     "x43_mix_diversity" -> 1.0,
+    "a44_exact_deciles" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

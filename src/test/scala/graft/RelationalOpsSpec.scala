@@ -341,4 +341,49 @@ class RelationalOpsSpec extends SparkTestBase {
     val want = wmModel(pts)
     for (bs <- Seq(1L, 7L, 64L)) assert(wmRun(pts, bs) == want, s"bucket=$bs")
   }
+
+  private def qModel(pts: Seq[(String, Long, Long)], q: Int): Map[(String, Int), Long] =
+    pts.groupBy(_._1).flatMap { case (g, rows) =>
+      val agg = rows.groupBy(_._2).map { case (v, rs) => (v, rs.map(_._3).sum) }
+        .toSeq.sortBy(_._1)
+      val tot = agg.map(_._2).sum
+      (1 until q).map { k =>
+        var cum = 0L
+        var ans = Option.empty[Long]
+        for ((v, w) <- agg if ans.isEmpty) {
+          cum += w
+          if (q.toLong * cum >= k.toLong * tot) ans = Some(v)
+        }
+        (g, k) -> ans.get
+      }
+    }.toMap
+
+  private def qRun(pts: Seq[(String, Long, Long)], q: Int, bs: Long) =
+    RelationalOps.groupedExactQuantiles(
+      pts.toDF("g", "v", "w"), "g", "v", "w", q, bs)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("groupedExactQuantiles: hand-math deciles, weighted skew, single-value group") {
+    // uniform 1..4: k=1,2 -> 1; k=3,4,5 -> 2; k=6,7 -> 3; k=8,9 -> 4
+    // skew b: w(10)=1, w(20)=9 over tot 10: k=1 -> 10, k>=2 -> 20
+    val pts = Seq(
+      ("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 1L), ("a", 4L, 1L),
+      ("b", 10L, 1L), ("b", 20L, 9L),
+      ("c", 7L, 5L))
+    val want = qModel(pts, 10)
+    assert(want(("a", 5)) == 2L && want(("b", 1)) == 10L && want(("b", 2)) == 20L)
+    assert((1 to 9).forall(k => want(("c", k)) == 7L))
+    for (bs <- Seq(1L, 2L, 1L << 20)) assert(qRun(pts, 10, bs) == want, s"bucket=$bs")
+  }
+
+  test("groupedExactQuantiles: k=q/2 equals weightedMedianLower, randomized parity") {
+    val rnd = new scala.util.Random(23)
+    val pts = (1 to 300).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(30).toLong, 1L + rnd.nextInt(9))
+    }
+    val deciles = qRun(pts, 10, 64L)
+    assert(qModel(pts, 10) == deciles)
+    val medians = wmRun(pts, 1L << 20)
+    for ((g, m) <- medians) assert(deciles((g, 5)) == m, s"median mismatch for $g")
+  }
 }
