@@ -3841,6 +3841,35 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Canonical-document selection per near-dup cluster — the KEEP
+    * LIST a dedup pipeline actually ships (d23 weights every member;
+    * real curation keeps ONE): within each d3-style component the
+    * survivor is the argmax by (n_chars DESC, doc_id ASC) — the
+    * longest member, deterministic tie to the smallest id — and every
+    * doc row reports its cluster's keep_id plus a kept flag. The
+    * argmax is ONE struct-min aggregate ((−n_chars, doc_id) — the j25
+    * argmin-decorate discipline, map-side combined), never a window
+    * over members; the decorate join is label-keyed. Components reuse
+    * the banded-LSH pair generation (capped buckets, never all-pairs)
+    * and the log-star label propagation. */
+  private val d25KeepBest = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, k = 3, numHashes = 32, bands = 8)
+    val comps = Dedup.nearDupComponents(docs, "doc_id", pairs)
+    val lbl = CachePool.register(docs.select(col("doc_id"), col("n_chars"))
+      .join(comps.select(col("id").as("doc_id"), col("label")), Seq("doc_id"))
+      .persist()) // two consumers: the per-label argmax and the decorate join
+    val keep = lbl.groupBy(col("label"))
+      .agg(min(struct((-col("n_chars")).as("_negc"),
+        col("doc_id").as("doc_id"))).as("_b"))
+      .select(col("label"), col("_b").getField("doc_id").as("keep_id"))
+    lbl.join(keep, Seq("label"))
+      .select(col("doc_id"), col("keep_id"),
+        when(col("doc_id") === col("keep_id"), 1).otherwise(0).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact quantity-weighted price DECILES per return flag
     * ([[RelationalOps.groupedExactQuantiles]]) — a41's weighted median
     * generalized to all nine k/10 cut points in the SAME single
@@ -5737,6 +5766,7 @@ object SparkEntry {
     "e26_burstiness" -> e26Burstiness,
     "x43_mix_diversity" -> x43MixDiversity,
     "a44_exact_deciles" -> a44ExactDeciles,
+    "d25_keep_best" -> d25KeepBest,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7946,6 +7976,7 @@ object SparkEntry {
     "d8_neardup_groups" -> d8OracleSql,
     "d19_dup_cluster_sizes" -> d19OracleSql,
     "d23_soft_dedup" -> d23OracleSql,
+    "d25_keep_best" -> d25OracleSql,
     "x29_curriculum" ->
       // decile bounds from quantile_cont (the a10 agreement), bucket =
       // count of cleared bounds (identical comparisons), md5 'cur:'
@@ -9900,6 +9931,37 @@ object SparkEntry {
           COALESCE(f.effective_tokens, 0.0e0) AS effective_tokens
         FROM per_source p LEFT JOIN folded f USING (source)
         ORDER BY p.source"""
+
+  /** d25's oracle: the d23 recursive closure, then the keep pick as a
+    * (n_chars DESC, doc_id) rank-1 window — an independent shape from
+    * the engine's struct-min argmax, same total order. */
+  private def d25OracleSql: String =
+    s"""WITH RECURSIVE $shingleCteSql,
+        pr AS (SELECT id_a, id_b FROM (${jaccardPairsSql("a.doc_id < b.doc_id")})),
+        edges AS (
+          SELECT id_a AS s, id_b AS t FROM pr
+          UNION ALL
+          SELECT id_b AS s, id_a AS t FROM pr),
+        reach AS (
+          SELECT s, t FROM edges
+          UNION
+          SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s),
+        lbl AS (
+          SELECT d.doc_id, d.n_chars,
+            LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS label
+          FROM documents d
+          LEFT JOIN (SELECT s, MIN(t) AS mn FROM reach GROUP BY s) m
+            ON d.doc_id = m.s),
+        keep AS (
+          SELECT label, doc_id AS keep_id FROM (
+            SELECT label, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM lbl) WHERE rn = 1)
+        SELECT l.doc_id, k.keep_id,
+          CAST(CASE WHEN l.doc_id = k.keep_id THEN 1 ELSE 0 END AS INTEGER) AS kept
+        FROM lbl l JOIN keep k USING (label)
+        ORDER BY l.doc_id"""
 
   private def d23OracleSql: String =
     s"""WITH RECURSIVE $shingleCteSql,

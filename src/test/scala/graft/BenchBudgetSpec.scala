@@ -287,6 +287,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e26_burstiness" -> 1.0,
     "x43_mix_diversity" -> 1.0,
     "a44_exact_deciles" -> 1.5,
+    "d25_keep_best" -> 6.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -626,6 +626,23 @@ class PropertySpec extends SparkTestBase {
     assert(fr.getAs[Double]("top_share") == 1.0)
   }
 
+  test("d25 keep-best: longest cluster member survives, singleton keeps itself") {
+    val dir = tmpDir("keepbest")
+    val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val long2 = long1 + " extrastuff" // near-dup, longer -> it wins
+    val uniq = ("one two three four five six seven eight " * 8).trim
+    Seq(
+      (1L, long1, "en", "srcA", long1.length.toLong),
+      (2L, long2, "en", "srcA", long2.length.toLong),
+      (3L, uniq, "en", "srcA", uniq.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d25_keep_best")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("keep_id"), r.getAs[Int]("kept"))).toSeq
+    assert(got == Seq((1L, 2L, 0), (2L, 2L, 1), (3L, 3L, 1)), s"got: $got")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
