@@ -3841,6 +3841,43 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Most-anomalous day per event type (the single-pass Grubbs/ESD
+    * read — "which day was weird, and how weird": the triage view
+    * over w25's changepoint and e26's dispersion). The argmax is
+    * EXACT: |c − mean| ordering is cross-multiplied to the integer
+    * |D·c − S| (ties to the earlier day), so no float ever picks the
+    * day; the reported peak z = (D·c* − S)/√(D·Q − S²) is then one
+    * fixed 3-op IEEE DAG over exact power-sum cells (signed — the
+    * direction of the anomaly is the point). Constant-daily-series
+    * types report a null z (zero variance) rather than a NaN. Daily
+    * cells: ONE map-side-combined aggregate; the argmax is a
+    * struct-min per type, never a window. */
+  private val a45OutlierDay = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("_dd"), sum(col("_c")).as("_s"),
+        sum(col("_c").cast(dec) * col("_c")).cast(dec).as("_q"))
+    val picked = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("_dev", col("_dd") * col("_c") - col("_s"))
+      .groupBy(col("event_type"))
+      .agg(min(struct((-abs(col("_dev"))).as("_nad"), col("_day").as("_day"),
+        col("_dev").as("_dev"))).as("_b"))
+      .select(col("event_type"), col("_b").getField("_day").as("outlier_day"),
+        col("_b").getField("_dev").as("_dev"))
+    picked.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("outlier_day"), col("_dd").as("n_days"),
+        when(col("_dd").cast(dec) * col("_q") -
+          col("_s").cast(dec) * col("_s") === 0, lit(null).cast("double"))
+          .otherwise(col("_dev").cast("double") /
+            sqrt((col("_dd").cast(dec) * col("_q") -
+              col("_s").cast(dec) * col("_s")).cast("double"))).as("z_peak"))
+      .orderBy(col("event_type"))
+  }
+
   /** Canonical-document selection per near-dup cluster — the KEEP
     * LIST a dedup pipeline actually ships (d23 weights every member;
     * real curation keeps ONE): within each d3-style component the
@@ -5767,6 +5804,7 @@ object SparkEntry {
     "x43_mix_diversity" -> x43MixDiversity,
     "a44_exact_deciles" -> a44ExactDeciles,
     "d25_keep_best" -> d25KeepBest,
+    "a45_outlier_day" -> a45OutlierDay,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7153,6 +7191,32 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "a45_outlier_day" ->
+      // the same integer |D*c - S| argmax (window rank-1 form — an
+      // independent shape from the engine's struct-min), the same
+      // hopped 3-op z DAG, the same zero-variance null guard
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+             CAST(count(*) AS HUGEINT) AS c
+           FROM events GROUP BY 1, 2
+         ), tot AS (
+           SELECT event_type, CAST(count(*) AS HUGEINT) AS dd,
+             sum(c) AS s, sum(c*c) AS q
+           FROM daily GROUP BY 1
+         ), ranked AS (
+           SELECT da.event_type, da.d, t.dd, t.s, t.q,
+             t.dd * da.c - t.s AS dev,
+             ROW_NUMBER() OVER (PARTITION BY da.event_type
+               ORDER BY abs(t.dd * da.c - t.s) DESC, da.d) AS rn
+           FROM daily da JOIN tot t USING (event_type)
+         )
+         SELECT event_type, CAST(d AS BIGINT) AS outlier_day,
+           CAST(dd AS BIGINT) AS n_days,
+           CASE WHEN dd*q - s*s = 0 THEN NULL
+             ELSE CAST(CAST(dev AS VARCHAR) AS DOUBLE) /
+               sqrt(CAST(CAST(dd*q - s*s AS VARCHAR) AS DOUBLE))
+           END AS z_peak
+         FROM ranked WHERE rn = 1 ORDER BY event_type""",
     "a44_exact_deciles" ->
       // the naive windowed form (independent shape from the engine's
       // two-level grouped prefix), the same 10*cum >= k*tot exact

@@ -288,6 +288,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x43_mix_diversity" -> 1.0,
     "a44_exact_deciles" -> 1.5,
     "d25_keep_best" -> 6.5,
+    "a45_outlier_day" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -643,6 +643,27 @@ class PropertySpec extends SparkTestBase {
     assert(got == Seq((1L, 2L, 0), (2L, 2L, 1), (3L, 3L, 1)), s"got: $got")
   }
 
+  test("a45 outlier day: integer argmax picks the burst day, zero-variance null") {
+    val dir = tmpDir("outday")
+    val day = 86400000000L
+    // type a: daily 2, 2, 8 -> dev = D*c - S = -6, -6, 12 -> day 2;
+    //   z = 12 / sqrt(3*72 - 144) = 12/sqrt(72)
+    // type b: one day -> zero variance -> null z
+    val rows =
+      (0 until 2).map(i => (100L + i, 0 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 2).map(i => (200L + i, 1 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      (0 until 8).map(i => (300L + i, 2 * day + i * 1000L, 1L, "a", 1.0, "{}")) ++
+      Seq((400L, 0L, 1L, "b", 1.0, "{}"))
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("a45_outlier_day")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("outlier_day") == 2L && a.getAs[Long]("n_days") == 3L)
+    assert(a.getAs[Double]("z_peak") == 12.0 / math.sqrt(72.0), s"z: $a")
+    val b = got("b")
+    assert(b.getAs[Long]("outlier_day") == 0L && b.isNullAt(b.fieldIndex("z_peak")))
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
