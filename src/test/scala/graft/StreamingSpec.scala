@@ -1099,6 +1099,45 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.map(_._7).sum > 100, "parity over a trivial panel proves nothing")
   }
 
+  test("streaming burstiness: additive daily cells converge to batch e26 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingBurstiness
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("sfano")
+    // newest-first quartile drain: every type's daily panel is built
+    // out of order and duplicated across merges only via the additive
+    // CRDT — parity proves commutativity, not arrival luck
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val empty = StreamingBurstiness.fanoTable(spark, store)
+    assert(empty.columns.toSeq == Seq("event_type", "n_days", "mean_daily", "fano")
+      && empty.count() == 0, "pre-first-batch poll is an empty panel, not an error")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingBurstiness.start(spark, stream, store, s"$base/cp")
+      .awaitTermination()
+
+    def rows(df: DataFrame): Seq[(String, Long, Double, Double)] =
+      df.collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Double]("mean_daily"), r.getAs[Double]("fano"))).toSeq
+    val got = rows(StreamingBurstiness.fanoTable(spark, store))
+    val want = rows(SparkEntry.queries("e26_burstiness")(spark, dir))
+    assert(got == want, s"streaming Fano diverged from batch e26:\n got=$got\nwant=$want")
+    assert(got.nonEmpty && got.map(_._2).sum > 10, "parity over a trivial panel proves nothing")
+  }
+
   test("streaming CUSUM: resumed left fold converges to batch e18 bit-for-bit under reverse drain") {
     import graft.streaming.StreamingCusum
     val dir = "/root/testdata/sf0.001"
