@@ -3841,6 +3841,70 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Winsorized mean price per return flag (Winsor/Tukey — the robust
+    * location estimate a revenue dashboard wants when a fat-finger
+    * price would swing the plain mean; clamping at P5/P95 keeps the
+    * mass, unlike trimming which drops it). Composes
+    * [[RelationalOps.groupedExactQuantiles]] end-to-end: the clamp
+    * bounds are the EXACT k=1 and k=19 vigintile ELEMENTS (q=20, data
+    * values — no interpolation float can sit near a boundary), the
+    * clamped cents sum is exact integer, and the mean is ONE terminal
+    * division. Two passes over the staged fact (quantiles, then
+    * clamp+sum) — both map-side combined, the bounds broadcast. */
+  private val a46WinsorizedMean = (s: SparkSession, d: String) => {
+    val staged = CachePool.register(t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("_price_cents"))
+      .withColumn("_one", lit(1L))
+      .persist()) // two consumers: the quantile pass and the clamp pass
+    val bounds = RelationalOps.groupedExactQuantiles(
+      staged, "l_returnflag", "_price_cents", "_one", q = 20)
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("quantile_k") === 1, col("q_value"))).as("p05_cents"),
+        min(when(col("quantile_k") === 19, col("q_value"))).as("p95_cents"))
+    staged.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
+        greatest(col("p05_cents"), least(col("p95_cents"), col("_price_cents")))
+          .as("_w"))
+      .groupBy(col("l_returnflag"), col("p05_cents"), col("p95_cents"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("_sw"))
+      .select(col("l_returnflag"), col("n_rows"), col("p05_cents"),
+        col("p95_cents"),
+        (col("_sw").cast("double") / col("n_rows").cast("double"))
+          .as("winsorized_mean_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Median inter-arrival time per event type — the rate-
+    * characterization number (the robust twin of "events per day";
+    * e26's Fano says HOW bursty, this says at WHAT typical spacing).
+    * Consecutive gaps under the total (ts, event_id) order via ONE
+    * per-type lag window — linear in per-type volume, riding the
+    * type repartition (a 100 TB deployment splits hyperactive types
+    * by day first; the gap frame is unchanged) — then the EXACT
+    * lower-median gap through the a41 grouped two-level prefix: a
+    * data value in integer microseconds, bit-identical anywhere. */
+  private val e27InterarrivalMedian = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("_tus"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("_tus"))
+      .withColumn("_gap", col("_tus") - lag(col("_tus"), 1).over(w))
+      .filter(col("_gap").isNotNull)
+      .withColumn("_one", lit(1L))
+    val med = RelationalOps.weightedMedianLower(
+      gaps.select(col("event_type"), col("_gap"), col("_one")),
+      "event_type", "_gap", "_one")
+    gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+      .join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_gaps"),
+        col("w_median").as("median_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Most-anomalous day per event type (the single-pass Grubbs/ESD
     * read — "which day was weird, and how weird": the triage view
     * over w25's changepoint and e26's dispersion). The argmax is
@@ -5805,6 +5869,8 @@ object SparkEntry {
     "a44_exact_deciles" -> a44ExactDeciles,
     "d25_keep_best" -> d25KeepBest,
     "a45_outlier_day" -> a45OutlierDay,
+    "a46_winsorized_mean" -> a46WinsorizedMean,
+    "e27_interarrival_median" -> e27InterarrivalMedian,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7191,6 +7257,54 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "a46_winsorized_mean" ->
+      // naive windowed vigintiles (independent shape), identical
+      // 20*cum >= k*tot lower-element bounds, exact clamped BIGINT
+      // sum, one terminal division
+      """WITH pv AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM lineitem),
+         agg AS (SELECT l_returnflag, v, count(*) AS sw FROM pv GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v,
+                 sum(sw) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                 sum(sw) OVER (PARTITION BY l_returnflag) AS tot
+               FROM agg),
+         b AS (SELECT l_returnflag,
+                 min(CASE WHEN 20 * cum >= 1 * tot THEN v END) AS p05_cents,
+                 min(CASE WHEN 20 * cum >= 19 * tot THEN v END) AS p95_cents
+               FROM c GROUP BY 1)
+         SELECT pv.l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+           b.p05_cents, b.p95_cents,
+           CAST(sum(greatest(b.p05_cents, least(b.p95_cents, pv.v))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS winsorized_mean_cents
+         FROM pv JOIN b USING (l_returnflag)
+         GROUP BY 1, 3, 4 ORDER BY 1""",
+    "e27_interarrival_median" ->
+      // identical total (ts, event_id) order, lag gaps, the naive
+      // windowed lower-median form on integer microseconds
+      """WITH g AS (
+           SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events
+         ), gv AS (
+           SELECT event_type, gap FROM g WHERE gap IS NOT NULL
+         ), agg AS (
+           SELECT event_type, gap, count(*) AS sw FROM gv GROUP BY 1, 2
+         ), c AS (
+           SELECT event_type, gap,
+             sum(sw) OVER (PARTITION BY event_type ORDER BY gap) AS cum,
+             sum(sw) OVER (PARTITION BY event_type) AS tot
+           FROM agg
+         ), med AS (
+           SELECT event_type, CAST(min(gap) AS BIGINT) AS median_gap_us
+           FROM c WHERE 2 * cum >= tot GROUP BY 1
+         )
+         SELECT gv.event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+           med.median_gap_us
+         FROM gv JOIN med USING (event_type)
+         GROUP BY 1, 3 ORDER BY 1""",
     "a45_outlier_day" ->
       // the same integer |D*c - S| argmax (window rank-1 form — an
       // independent shape from the engine's struct-min), the same

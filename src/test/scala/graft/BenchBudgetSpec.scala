@@ -289,6 +289,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "a44_exact_deciles" -> 1.5,
     "d25_keep_best" -> 6.5,
     "a45_outlier_day" -> 1.0,
+    "a46_winsorized_mean" -> 1.5,
+    "e27_interarrival_median" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

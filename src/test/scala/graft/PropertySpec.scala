@@ -664,6 +664,41 @@ class PropertySpec extends SparkTestBase {
     assert(b.getAs[Long]("outlier_day") == 0L && b.isNullAt(b.fieldIndex("z_peak")))
   }
 
+  test("a46 winsorized mean: exact vigintile clamp bounds, hand-math mean") {
+    val dir = tmpDir("winsor")
+    // prices 0.01..0.20 (cents 1..20, one row each): p05 = 1 (20*1 >= 20),
+    // p95 = 19 (20*19 >= 380); clamp sends only 20 -> 19:
+    // sum = 190 + 19 = 209, mean = 209/20
+    (1 to 20).map(c => (c.toLong, 100L, 1L, 1, 1.0, c / 100.0, 0.0, 0.0,
+        "A", "O", new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("a46_winsorized_mean")(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_rows") == 20L)
+    assert(r.getAs[Long]("p05_cents") == 1L && r.getAs[Long]("p95_cents") == 19L)
+    assert(r.getAs[Double]("winsorized_mean_cents") == 209.0 / 20.0, s"mean: $r")
+  }
+
+  test("e27 inter-arrival median: exact lower-median gap, tie order by event_id") {
+    val dir = tmpDir("gapmed")
+    // type a at micros 0, 10, 30, 100 -> gaps 10, 20, 70:
+    //   cum(10)=1, tot=3 -> 2*1 < 3; cum(20)=2 -> 4 >= 3 -> median 20
+    // type b: single event -> no gaps, absent
+    writeEvents(dir, Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 10L, 1L, "a", 1.0, "{}"),
+      (3L, 30L, 1L, "a", 1.0, "{}"), (4L, 100L, 1L, "a", 1.0, "{}"),
+      (5L, 0L, 1L, "b", 1.0, "{}")))
+    val got = SparkEntry.queries("e27_interarrival_median")(spark, dir).collect()
+    assert(got.length == 1, s"gap-less type must be absent: ${got.mkString}")
+    val r = got(0)
+    assert(r.getAs[String]("event_type") == "a" && r.getAs[Long]("n_gaps") == 3L)
+    assert(r.getAs[Long]("median_gap_us") == 20L, s"median: $r")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
