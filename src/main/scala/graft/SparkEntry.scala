@@ -3841,6 +3841,36 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Median absolute deviation of price per return flag — the robust
+    * SCALE estimate completing a41/a46's robust-location family
+    * (mean/sd lie under one fat-fingered price; median/MAD don't:
+    * 50% breakdown point). Two grouped two-level prefix passes, both
+    * exact: the per-flag lower median, then the lower median of
+    * |v − med| — every compared number a BIGINT, both reported
+    * numbers VALUES FROM THE DATA (cents), bit-identical anywhere.
+    * The median decorates back by broadcast (|flags| rows). */
+  private val a47Mad = (s: SparkSession, d: String) => {
+    val staged = CachePool.register(t(s, d, "lineitem").select(
+      col("l_returnflag"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("_price_cents"))
+      .withColumn("_one", lit(1L))
+      .persist()) // two consumers: the median pass and the deviation pass
+    val med = RelationalOps.weightedMedianLower(
+      staged, "l_returnflag", "_price_cents", "_one")
+      .withColumnRenamed("w_median", "median_cents")
+    val mad = RelationalOps.weightedMedianLower(
+      staged.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          abs(col("_price_cents") - col("median_cents")).as("_dev"),
+          col("_one")),
+      "l_returnflag", "_dev", "_one")
+      .withColumnRenamed("w_median", "mad_cents")
+    med.join(mad, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Winsorized mean price per return flag (Winsor/Tukey — the robust
     * location estimate a revenue dashboard wants when a fat-finger
     * price would swing the plain mean; clamping at P5/P95 keeps the
@@ -4020,6 +4050,35 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Empirical-Bayes shrunk quality rate per source (the
+    * rank-small-sources-fairly primitive: a 3-doc source with 3 long
+    * docs is NOT better than a 10k-doc source at 90% — shrinking
+    * toward the corpus prior with pseudo-count m=50 makes the
+    * comparison honest; the same estimator curation uses for
+    * per-domain quality before x3's quotas). Quality = n_chars ≥ 200
+    * (x36's admission gate). shrunk = (hits + m·prior)/(n + m) with
+    * prior = corpus rate — a fixed 5-op IEEE DAG over exact integer
+    * cells (m dyadic), deterministic anywhere. ONE source aggregate,
+    * prior broadcast. */
+  private val x44EbShrink = (s: SparkSession, d: String) => {
+    val m = 50.0
+    val cells = CachePool.register(t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= 200L, 1L).otherwise(0L)).as("n_quality"))
+      .persist()) // two consumers: the prior and the per-source report
+    val prior = cells.agg(
+      (sum(col("n_quality")).cast("double") /
+        sum(col("n_docs")).cast("double")).as("_prior"))
+    cells.crossJoin(broadcast(prior))
+      .select(col("source"), col("n_docs"), col("n_quality"),
+        (col("n_quality").cast("double") / col("n_docs").cast("double"))
+          .as("raw_rate"),
+        ((col("n_quality").cast("double") + lit(m) * col("_prior")) /
+          (col("n_docs").cast("double") + lit(m))).as("shrunk_rate"))
+      .orderBy(col("source"))
+  }
+
   /** Source-mix concentration per language — the "is my German data
     * all one crawl" report a pretraining-mix owner reads beside x34's
     * profiler: per lang, the Herfindahl–Hirschman index over source
@@ -4144,6 +4203,71 @@ object SparkEntry {
         (col("_q") - (col("_s").cast(dec) * col("_s")).cast("double") /
           col("_dd").cast("double")).as("between_ss"))
       .orderBy(col("event_type"))
+  }
+
+  /** Term burstiness for the top-32 corpus terms (Church & Gale 1995
+    * — "Poisson mixtures": a term's mean within-document frequency
+    * GIVEN it appears, E[tf | tf>0] = ctot/df. Function words sit
+    * near uniform (≈1 per doc); topical/template terms CLUMP — the
+    * signal behind stopword lists, boilerplate suspicion and t15's
+    * rarity weighting). ONE (term, doc) aggregate → per-term (ctot,
+    * df) cells — both exact integers, burstiness ONE division — and
+    * the top-32-by-frequency cut rides the t34 WindowGroupLimit
+    * discipline (rank over a single global partition is fine HERE:
+    * the ranked frame is the |vocab| aggregate, and the limit runs
+    * below the final sort; tie-break lexicographic). */
+  private val t36TermBurstiness = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val td = TextAnalysis.withTokens(t(s, d, "documents"), "text")
+      .select(col("doc_id"), explode(col("_toks")).as("_term"))
+      .filter(col("_term") =!= "")
+      .groupBy(col("_term"), col("doc_id")).agg(count(lit(1)).as("_tf"))
+    val cells = td.groupBy(col("_term"))
+      .agg(sum(col("_tf")).as("ctot"), count(lit(1)).as("df"))
+    val w = Window.orderBy(col("ctot").desc, col("_term"))
+    cells.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 32)
+      .select(col("_term").as("term"), col("ctot"), col("df"),
+        (col("ctot").cast("double") / col("df").cast("double")).as("burstiness"))
+      .orderBy(col("term"))
+  }
+
+  /** Per-source KL divergence from the corpus unigram distribution —
+    * the "how far from the mix is this source" number a data-mix
+    * owner reads beside t34's slope and x43's concentration (DSIR's
+    * x21 scores DOCUMENTS against hashed n-gram models; this is the
+    * SOURCE-level distributional distance on exact term counts).
+    * KL(P_s ‖ P_corpus) = Σ_t (c_st/N_s)·ln(c_st·N_g / (c_gt·N_s)):
+    * the log argument is ONE division of exact integer cross-products
+    * (< 2^53 — both casts exact), the log is quantized ⌊65536·ln⌋
+    * (the t32/t33 discipline) so the weighted sum Σ c_st·q is an
+    * order-free INTEGER, and the reported nats are two fixed terminal
+    * divisions. Source terms are a subset of corpus terms, so no
+    * zero denominator exists by construction. One (source, term)
+    * aggregate + one term-total join — both map-side combined. */
+  private val t35KlDivergence = (s: SparkSession, d: String) => {
+    val tf = CachePool.register(
+      TextAnalysis.withTokens(t(s, d, "documents"), "text")
+        .select(col("source"), explode(col("_toks")).as("_term"))
+        .filter(col("_term") =!= "")
+        .groupBy(col("source"), col("_term")).agg(count(lit(1)).as("_c"))
+        .persist()) // three consumers: term totals, source totals, the join
+    val termTot = tf.groupBy(col("_term")).agg(sum(col("_c")).as("_cg"))
+    val srcTot = tf.groupBy(col("source")).agg(sum(col("_c")).as("_ns"))
+    val ng = tf.agg(sum(col("_c")).as("_ng"))
+    tf.join(termTot, Seq("_term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(ng))
+      .select(col("source"), col("_ns"), col("_c"),
+        floor(lit(65536.0) * log(
+          (col("_c") * col("_ng")).cast("double") /
+            (col("_cg") * col("_ns")).cast("double"))).cast("long").as("_q"))
+      .groupBy(col("source"), col("_ns"))
+      .agg(sum(col("_c") * col("_q")).as("_klq"))
+      .select(col("source"), col("_ns").as("n_tokens"),
+        (col("_klq").cast("double") / 65536.0 / col("_ns").cast("double"))
+          .as("kl_nats"))
+      .orderBy(col("source"))
   }
 
   /** Zipf log-log slope per source (Zipf 1949; natural language sits
@@ -5871,6 +5995,10 @@ object SparkEntry {
     "a45_outlier_day" -> a45OutlierDay,
     "a46_winsorized_mean" -> a46WinsorizedMean,
     "e27_interarrival_median" -> e27InterarrivalMedian,
+    "a47_mad" -> a47Mad,
+    "t35_kl_divergence" -> t35KlDivergence,
+    "t36_term_burstiness" -> t36TermBurstiness,
+    "x44_eb_shrink" -> x44EbShrink,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7257,6 +7385,100 @@ object SparkEntry {
                / CAST((na+nb)*(na+nb-1)*3 AS DOUBLE)) AS z_stat
          FROM cells ORDER BY type_a, type_b""",
     "x36_effective_tokens" -> x36OracleSql,
+    "t36_term_burstiness" ->
+      // t1/t3's exact tokenizer, the same (ctot DESC, term) cut,
+      // integer cells, one division
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), td AS (
+           SELECT term, doc_id, count(*) AS tf
+           FROM tok WHERE term <> '' GROUP BY 1, 2
+         ), cells AS (
+           SELECT term, CAST(sum(tf) AS BIGINT) AS ctot,
+             CAST(count(*) AS BIGINT) AS df
+           FROM td GROUP BY 1
+         ), topk AS (
+           SELECT term, ctot, df,
+             ROW_NUMBER() OVER (ORDER BY ctot DESC, term) AS rk
+           FROM cells QUALIFY rk <= 32
+         )
+         SELECT term, ctot, df,
+           CAST(ctot AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+         FROM topk ORDER BY term""",
+    "x44_eb_shrink" ->
+      // identical integer cells, the same 5-op shrinkage DAG
+      // (dyadic 50 pseudo-count, double literals via e-notation)
+      """WITH cells AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality
+           FROM documents GROUP BY 1
+         ), p AS (
+           SELECT CAST(sum(n_quality) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE)
+             AS prior
+           FROM cells
+         )
+         SELECT source, n_docs, n_quality,
+           CAST(n_quality AS DOUBLE) / CAST(n_docs AS DOUBLE) AS raw_rate,
+           (CAST(n_quality AS DOUBLE) + 50.0e0 * p.prior)
+             / (CAST(n_docs AS DOUBLE) + 50.0e0) AS shrunk_rate
+         FROM cells, p ORDER BY source""",
+    "a47_mad" ->
+      // two naive windowed lower medians (independent shape from the
+      // engine's grouped two-level prefixes), same exact cents
+      """WITH pv AS (
+           SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM lineitem),
+         agg AS (SELECT l_returnflag, v, count(*) AS sw FROM pv GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, v,
+                 sum(sw) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+                 sum(sw) OVER (PARTITION BY l_returnflag) AS tot
+               FROM agg),
+         med AS (SELECT l_returnflag, CAST(min(v) AS BIGINT) AS median_cents
+                 FROM c WHERE 2 * cum >= tot GROUP BY 1),
+         dv AS (SELECT pv.l_returnflag, abs(pv.v - med.median_cents) AS dev
+                FROM pv JOIN med USING (l_returnflag)),
+         dagg AS (SELECT l_returnflag, dev, count(*) AS sw FROM dv GROUP BY 1, 2),
+         dc AS (SELECT l_returnflag, dev,
+                  sum(sw) OVER (PARTITION BY l_returnflag ORDER BY dev) AS cum,
+                  sum(sw) OVER (PARTITION BY l_returnflag) AS tot
+                FROM dagg),
+         mad AS (SELECT l_returnflag, CAST(min(dev) AS BIGINT) AS mad_cents
+                 FROM dc WHERE 2 * cum >= tot GROUP BY 1)
+         SELECT med.l_returnflag, med.median_cents, mad.mad_cents
+         FROM med JOIN mad USING (l_returnflag) ORDER BY 1""",
+    "t35_kl_divergence" ->
+      // t1/t3's exact tokenizer, the same integer cross-product log
+      // argument, the same floor(65536*ln) quantization, order-free
+      // integer weighted sum, two terminal divisions
+      """WITH tok AS (
+           SELECT source,
+             unnest(regexp_split_to_array(
+               trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+')) AS term
+           FROM documents
+         ), tf AS (
+           SELECT source, term, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE term <> '' GROUP BY 1, 2
+         ), tt AS (
+           SELECT term, CAST(sum(c) AS BIGINT) AS cg FROM tf GROUP BY 1
+         ), st AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM tf GROUP BY 1
+         ), ng AS (
+           SELECT CAST(sum(c) AS BIGINT) AS ngt FROM tf
+         ), q AS (
+           SELECT tf.source, st.ns, tf.c,
+             CAST(floor(65536.0 * ln(
+               CAST(tf.c * ng.ngt AS DOUBLE) /
+                 CAST(tt.cg * st.ns AS DOUBLE))) AS BIGINT) AS qln
+           FROM tf JOIN tt USING (term) JOIN st USING (source) CROSS JOIN ng
+         )
+         SELECT source, ns AS n_tokens,
+           CAST(sum(c * qln) AS DOUBLE) / 65536.0 / CAST(ns AS DOUBLE) AS kl_nats
+         FROM q GROUP BY 1, 2 ORDER BY 1""",
     "a46_winsorized_mean" ->
       // naive windowed vigintiles (independent shape), identical
       // 20*cum >= k*tot lower-element bounds, exact clamped BIGINT

@@ -279,7 +279,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x41_bradley_terry" -> 1.5,
     "e25_dow_seasonality" -> 1.0,
     "w24_theil_sen" -> 1.2,
-    "a42_kruskal_wallis" -> 1.5,
+    "a42_kruskal_wallis" -> 2.0,
     "a43_anova" -> 1.2,
     "t34_zipf_slope" -> 2.0,
     "w25_changepoint" -> 1.2,
@@ -291,6 +291,10 @@ class BenchBudgetSpec extends SparkTestBase {
     "a45_outlier_day" -> 1.0,
     "a46_winsorized_mean" -> 1.5,
     "e27_interarrival_median" -> 1.5,
+    "a47_mad" -> 1.5,
+    "t35_kl_divergence" -> 2.0,
+    "t36_term_burstiness" -> 2.0,
+    "x44_eb_shrink" -> 1.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -699,6 +699,74 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Long]("median_gap_us") == 20L, s"median: $r")
   }
 
+  test("a47 MAD: two exact median passes, hand-math cents") {
+    val dir = tmpDir("mad")
+    // cents 1..5: median 3 (cum 3 >= 2.5); |v-3| = 2,1,0,1,2 -> MAD 1
+    (1 to 5).map(c => (c.toLong, 100L, 1L, 1, 1.0, c / 100.0, 0.0, 0.0,
+        "A", "O", new java.sql.Timestamp(0L)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("a47_mad")(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("median_cents") == 3L)
+    assert(got(0).getAs[Long]("mad_cents") == 1L)
+  }
+
+  test("t35 KL divergence: hand-math quantized cells over a tiny two-source corpus") {
+    val dir = tmpDir("klsrc")
+    // A = "x x y", B = "y z": corpus x:2 y:2 z:1, Ng=5
+    Seq((1L, "x x y", "en", "A", 5L), (2L, "y z", "en", "B", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def q(num: Double, den: Double) = math.floor(65536.0 * math.log(num / den))
+    val klA = 2.0 * q(2.0 * 5, 2.0 * 3) + 1.0 * q(1.0 * 5, 2.0 * 3)
+    val klB = 1.0 * q(1.0 * 5, 2.0 * 2) + 1.0 * q(1.0 * 5, 1.0 * 2)
+    val got = SparkEntry.queries("t35_kl_divergence")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got("A").getAs[Long]("n_tokens") == 3L)
+    assert(got("A").getAs[Double]("kl_nats") == klA / 65536.0 / 3.0, s"A: ${got("A")}")
+    assert(got("B").getAs[Long]("n_tokens") == 2L)
+    assert(got("B").getAs[Double]("kl_nats") == klB / 65536.0 / 2.0, s"B: ${got("B")}")
+    assert(got("B").getAs[Double]("kl_nats") > 0.0, "B diverges from the mix")
+  }
+
+  test("t36 term burstiness: clumping term scores above uniform ones") {
+    val dir = tmpDir("burstterm")
+    Seq((1L, "the the cat", "en", "A", 11L), (2L, "the dog", "en", "A", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t36_term_burstiness")(spark, dir).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("ctot"),
+        r.getAs[Long]("df"), r.getAs[Double]("burstiness"))).toSeq
+    assert(got == Seq(("cat", 1L, 1L, 1.0), ("dog", 1L, 1L, 1.0),
+      ("the", 3L, 2L, 1.5)), s"got: $got")
+  }
+
+  test("x44 EB shrink: small perfect source pulled toward the prior, exact DAG") {
+    val dir = tmpDir("ebshrink")
+    val longTxt = "x" * 250
+    // A: 2 docs, both quality (raw 1.0); B: 8 docs, 2 quality (raw .25)
+    // prior = 4/10; shrunk_A = (2 + 50*prior)/52, shrunk_B = (2 + 50*prior)/58
+    val rows =
+      (1 to 2).map(i => (i.toLong, longTxt, "en", "A", 250L)) ++
+      (3 to 4).map(i => (i.toLong, longTxt, "en", "B", 250L)) ++
+      (5 to 10).map(i => (i.toLong, "tiny", "en", "B", 4L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x44_eb_shrink")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val prior = 4.0 / 10.0
+    val a = got("A")
+    assert(a.getAs[Double]("raw_rate") == 1.0)
+    assert(a.getAs[Double]("shrunk_rate") == (2.0 + 50.0 * prior) / (2.0 + 50.0))
+    assert(a.getAs[Double]("shrunk_rate") < 0.5, "tiny perfect source must collapse toward prior")
+    val b = got("B")
+    assert(b.getAs[Double]("raw_rate") == 0.25)
+    assert(b.getAs[Double]("shrunk_rate") == (2.0 + 50.0 * prior) / (8.0 + 50.0))
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
