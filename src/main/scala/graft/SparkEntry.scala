@@ -3850,21 +3850,25 @@ object SparkEntry {
     * numbers VALUES FROM THE DATA (cents), bit-identical anywhere.
     * The median decorates back by broadcast (|flags| rows). */
   private val a47Mad = (s: SparkSession, d: String) => {
-    val staged = CachePool.register(t(s, d, "lineitem").select(
+    // ONE corpus-width shuffle: run-collapse to (flag, cents, weight)
+    // first; both median passes and the deviation re-key run over the
+    // |distinct| frame, never raw rows again (8.4 -> ~3 s at sf0.1)
+    val agg = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
-      .withColumn("_one", lit(1L))
+      .groupBy(col("l_returnflag"), col("_price_cents"))
+      .agg(count(lit(1)).as("_w"))
       .persist()) // two consumers: the median pass and the deviation pass
     val med = RelationalOps.weightedMedianLower(
-      staged, "l_returnflag", "_price_cents", "_one")
+      agg, "l_returnflag", "_price_cents", "_w")
       .withColumnRenamed("w_median", "median_cents")
     val mad = RelationalOps.weightedMedianLower(
-      staged.join(broadcast(med), Seq("l_returnflag"))
+      agg.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           abs(col("_price_cents") - col("median_cents")).as("_dev"),
-          col("_one")),
-      "l_returnflag", "_dev", "_one")
+          col("_w")),
+      "l_returnflag", "_dev", "_w")
       .withColumnRenamed("w_median", "mad_cents")
     med.join(mad, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
@@ -3882,23 +3886,27 @@ object SparkEntry {
     * division. Two passes over the staged fact (quantiles, then
     * clamp+sum) — both map-side combined, the bounds broadcast. */
   private val a46WinsorizedMean = (s: SparkSession, d: String) => {
-    val staged = CachePool.register(t(s, d, "lineitem").select(
+    // ONE corpus-width shuffle: run-collapse to (flag, cents, count)
+    // first; the quantile pass and the clamp-sum both run over the
+    // |distinct| frame (Σ clamped = Σ w·clamp(v)), never raw rows twice
+    val agg = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
-      .withColumn("_one", lit(1L))
+      .groupBy(col("l_returnflag"), col("_price_cents"))
+      .agg(count(lit(1)).as("_w"))
       .persist()) // two consumers: the quantile pass and the clamp pass
     val bounds = RelationalOps.groupedExactQuantiles(
-      staged, "l_returnflag", "_price_cents", "_one", q = 20)
+      agg, "l_returnflag", "_price_cents", "_w", q = 20)
       .groupBy(col("l_returnflag"))
       .agg(min(when(col("quantile_k") === 1, col("q_value"))).as("p05_cents"),
         min(when(col("quantile_k") === 19, col("q_value"))).as("p95_cents"))
-    staged.join(broadcast(bounds), Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
+    agg.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"), col("_w"),
         greatest(col("p05_cents"), least(col("p95_cents"), col("_price_cents")))
-          .as("_w"))
+          .as("_cl"))
       .groupBy(col("l_returnflag"), col("p05_cents"), col("p95_cents"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("_sw"))
+      .agg(sum(col("_w")).as("n_rows"), sum(col("_w") * col("_cl")).as("_sw"))
       .select(col("l_returnflag"), col("n_rows"), col("p05_cents"),
         col("p95_cents"),
         (col("_sw").cast("double") / col("n_rows").cast("double"))
