@@ -3850,9 +3850,12 @@ object SparkEntry {
     * numbers VALUES FROM THE DATA (cents), bit-identical anywhere.
     * The median decorates back by broadcast (|flags| rows). */
   private val a47Mad = (s: SparkSession, d: String) => {
-    // ONE corpus-width shuffle: run-collapse to (flag, cents, weight)
-    // first; both median passes and the deviation re-key run over the
-    // |distinct| frame, never raw rows again (8.4 -> ~3 s at sf0.1)
+    // Run-collapse to (flag, cents, weight) first so both median
+    // passes and the deviation re-key see the |distinct| frame —
+    // prices in THIS fixture are near-unique so the collapse is
+    // ~free, but on a real corpus with repeated prices it bounds
+    // pass-2 input by |distinct|. The measured cost (≈8 s at sf0.1)
+    // is the two global sorted-index passes, inherent to exact MAD.
     val agg = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
