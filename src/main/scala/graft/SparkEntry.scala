@@ -3850,28 +3850,27 @@ object SparkEntry {
     * numbers VALUES FROM THE DATA (cents), bit-identical anywhere.
     * The median decorates back by broadcast (|flags| rows). */
   private val a47Mad = (s: SparkSession, d: String) => {
-    // Run-collapse to (flag, cents, weight) first so both median
-    // passes and the deviation re-key see the |distinct| frame —
-    // prices in THIS fixture are near-unique so the collapse is
-    // ~free, but on a real corpus with repeated prices it bounds
-    // pass-2 input by |distinct|. The measured cost (≈8 s at sf0.1)
-    // is the two global sorted-index passes, inherent to exact MAD.
-    val agg = CachePool.register(t(s, d, "lineitem").select(
+    // Raw rows feed both passes directly: weightedMedianLower
+    // run-collapses INTERNALLY, so a pre-aggregation here would
+    // double-shuffle the same (flag, cents) keys (the e12 smell —
+    // ShuffleAudit caught exactly that in an earlier revision). The
+    // measured cost (≈8 s at sf0.1) is the two global sorted-index
+    // passes, inherent to exact MAD on near-unique prices.
+    val staged = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
-      .groupBy(col("l_returnflag"), col("_price_cents"))
-      .agg(count(lit(1)).as("_w"))
+      .withColumn("_one", lit(1L))
       .persist()) // two consumers: the median pass and the deviation pass
     val med = RelationalOps.weightedMedianLower(
-      agg, "l_returnflag", "_price_cents", "_w")
+      staged, "l_returnflag", "_price_cents", "_one")
       .withColumnRenamed("w_median", "median_cents")
     val mad = RelationalOps.weightedMedianLower(
-      agg.join(broadcast(med), Seq("l_returnflag"))
+      staged.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           abs(col("_price_cents") - col("median_cents")).as("_dev"),
-          col("_w")),
-      "l_returnflag", "_dev", "_w")
+          col("_one")),
+      "l_returnflag", "_dev", "_one")
       .withColumnRenamed("w_median", "mad_cents")
     med.join(mad, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
@@ -3889,27 +3888,27 @@ object SparkEntry {
     * division. Two passes over the staged fact (quantiles, then
     * clamp+sum) — both map-side combined, the bounds broadcast. */
   private val a46WinsorizedMean = (s: SparkSession, d: String) => {
-    // ONE corpus-width shuffle: run-collapse to (flag, cents, count)
-    // first; the quantile pass and the clamp-sum both run over the
-    // |distinct| frame (Σ clamped = Σ w·clamp(v)), never raw rows twice
-    val agg = CachePool.register(t(s, d, "lineitem").select(
+    // Raw rows feed both passes: groupedExactQuantiles run-collapses
+    // INTERNALLY (a pre-aggregation here double-shuffles the same
+    // keys — the e12 smell), and the clamp-sum is one map-side-
+    // combined pass over the staged fact.
+    val staged = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
-      .groupBy(col("l_returnflag"), col("_price_cents"))
-      .agg(count(lit(1)).as("_w"))
+      .withColumn("_one", lit(1L))
       .persist()) // two consumers: the quantile pass and the clamp pass
     val bounds = RelationalOps.groupedExactQuantiles(
-      agg, "l_returnflag", "_price_cents", "_w", q = 20)
+      staged, "l_returnflag", "_price_cents", "_one", q = 20)
       .groupBy(col("l_returnflag"))
       .agg(min(when(col("quantile_k") === 1, col("q_value"))).as("p05_cents"),
         min(when(col("quantile_k") === 19, col("q_value"))).as("p95_cents"))
-    agg.join(broadcast(bounds), Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"), col("_w"),
+    staged.join(broadcast(bounds), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("p05_cents"), col("p95_cents"),
         greatest(col("p05_cents"), least(col("p95_cents"), col("_price_cents")))
           .as("_cl"))
       .groupBy(col("l_returnflag"), col("p05_cents"), col("p95_cents"))
-      .agg(sum(col("_w")).as("n_rows"), sum(col("_w") * col("_cl")).as("_sw"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_cl")).as("_sw"))
       .select(col("l_returnflag"), col("n_rows"), col("p05_cents"),
         col("p95_cents"),
         (col("_sw").cast("double") / col("n_rows").cast("double"))
