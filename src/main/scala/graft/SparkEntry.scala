@@ -1320,6 +1320,16 @@ object SparkEntry {
   /** Maximum-inner-product top-k ([[Similarity.mipsTopK]]): the
     * recommender scoring — unnormalized dot rewards large-norm items,
     * ranking differently from s1's cosine on the same corpus. */
+  /** Corpus-wide bucketed k-NN join ([[Similarity.knnJoinBucketed]]):
+    * every vector's top-3 in-bucket cosine neighbors — the neighbor-
+    * list precursor to d20's SemDeDup and s16's hard negatives, and
+    * the shape s1 cannot take (probes = the whole corpus, so nothing
+    * broadcasts; the signature co-partitions instead). */
+  private val s17KnnJoin = (s: SparkSession, d: String) =>
+    Similarity.knnJoinBucketed(
+      t(s, d, "embeddings"), "vec_id", "embedding", k = 3)
+      .orderBy(col("probe_id"), col("rank"))
+
   private val s13MipsTopK = (s: SparkSession, d: String) =>
     Similarity.mipsTopK(
       t(s, d, "embeddings"), "vec_id", "embedding",
@@ -6009,6 +6019,7 @@ object SparkEntry {
     "t35_kl_divergence" -> t35KlDivergence,
     "t36_term_burstiness" -> t36TermBurstiness,
     "x44_eb_shrink" -> x44EbShrink,
+    "s17_knn_join" -> s17KnnJoin,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8804,6 +8815,7 @@ object SparkEntry {
           ORDER BY doc_id"""
     },
     "s2_lsh_topk" -> s2OracleSql,
+    "s17_knn_join" -> s17OracleSql,
     "s5_lsh_multiprobe" -> s5OracleSql,
     "s9_lsh_banded" -> bandedLshOracleSql(bands = 2),
     "s10_random_projection" -> s10OracleSql,
@@ -9902,6 +9914,32 @@ object SparkEntry {
          FROM embeddings p CROSS JOIN embeddings c
          WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
        ) WHERE rank <= 5 ORDER BY probe_id, rank"""
+
+  /** s17: the same exported-plane bucket table as s2, the same
+    * bucket-size cap as the engine (never triggers at fixture scale —
+    * but the contract replays), every vector as its own probe. */
+  private def s17OracleSql: String = {
+    val planes = graft.operators.Similarity.planeComponents(dim = 64, h = 4)
+    val sig = planes.zipWithIndex.map { case (p, i) =>
+      val arr = doubleArraySql(p)
+      s"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), $arr) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sig AS (
+          SELECT vec_id, embedding, ($sig) AS s FROM embeddings
+        ), sz AS (
+          SELECT s, count(*) AS n FROM sig GROUP BY 1
+        ), ok AS (
+          SELECT sig.* FROM sig JOIN sz USING (s) WHERE sz.n <= 4096
+        )
+        SELECT probe_id, neighbor_id, rank FROM (
+          SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+              ORDER BY list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) DESC,
+                       c.vec_id ASC) AS INTEGER) AS rank
+          FROM ok p JOIN ok c ON p.s = c.s AND p.vec_id <> c.vec_id
+        ) WHERE rank <= 3 ORDER BY probe_id, rank"""
+  }
 
   private def s2OracleSql: String = lshOracleSql(maxHamming = 0)
 

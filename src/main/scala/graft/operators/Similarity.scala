@@ -142,6 +142,46 @@ object Similarity {
         col("neighbor_label"), col("rank").cast("int").as("rank"))
   }
 
+  /** Bucketed k-NN self-JOIN — every vector's top-k cosine neighbors
+    * WITHIN its h-bit sign-LSH bucket: the all-corpus neighbor-list
+    * operator behind SemDeDup-style clustering and offline
+    * recommendation candidates ([[cosineTopK]] serves a bounded probe
+    * SET against the corpus; this serves the WHOLE corpus, which a
+    * broadcast-probes plan cannot). The bucket key co-partitions the
+    * self-join — ONE shuffle on the signature — and per-bucket work
+    * is |bucket|², so buckets are CAPPED (the d3 `maxBucketSize`
+    * discipline): an oversize bucket drops entirely rather than
+    * detonating one task; a 100 TB run raises `h` (expected bucket
+    * size halves per bit) before it raises the cap. Bucketing is
+    * reproducible anywhere from the exported [[planeComponents]];
+    * ranks use the native in-order double cosine with neighbor-id
+    * tie-break, so the full output is deterministic. */
+  def knnJoinBucketed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int = 64,
+      h: Int = 4,
+      seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
+    require(k >= 1 && maxBucketSize >= 2, s"bad k=$k / cap=$maxBucketSize")
+    val sig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"),
+      signSignature(col(vecCol), dim, h, seed).as("_s"))
+    val sizes = sig.groupBy(col("_s")).agg(count(lit(1)).as("_bsize"))
+    val ok = sig.join(sizes, Seq("_s")).filter(col("_bsize") <= maxBucketSize)
+    val a = ok.select(col("_s"), col("_id").as("probe_id"), col("_v").as("_pv"))
+    val b = ok.select(col("_s"), col("_id").as("neighbor_id"), col("_v").as("_cv"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, Seq("_s"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosineSim(col("_pv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").cast("int").as("rank"))
+  }
+
   /** Full hyperplane matrix as plain doubles — lets an oracle inline the
     * identical constants (the planes are a pure function of (h, dim,
     * seed), so the "engine-specific" signature is reproducible anywhere

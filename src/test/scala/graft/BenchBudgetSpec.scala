@@ -295,6 +295,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t35_kl_divergence" -> 2.0,
     "t36_term_burstiness" -> 2.0,
     "x44_eb_shrink" -> 1.0,
+    "s17_knn_join" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -60,6 +60,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(gotN == expect)
   }
 
+  test("knnJoinBucketed: neighbors stay in-bucket, ranks match brute force per bucket") {
+    val df = vecs(60, 8).toDF("vec_id", "embedding")
+    val got = Similarity.knnJoinBucketed(df, "vec_id", "embedding", k = 3, dim = 8, h = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // replay the signature model: bit i = sign(v . plane_i)
+    val all = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val planes = Similarity.planeComponents(dim = 8, h = 2)
+    def sig(v: Seq[Float]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        val d = v.zip(p).map { case (x, w) => x.toDouble * w }.sum
+        if (d >= 0) 1L << i else 0L
+      }.sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val bySig = all.keys.groupBy(id => sig(all(id)))
+    val expect = bySig.values.flatMap { ids =>
+      ids.flatMap { p =>
+        ids.filter(_ != p).toSeq
+          .map(c => (c, cos(all(p), all(c))))
+          .sortBy { case (id, cv) => (-cv, id) }.take(3).zipWithIndex
+          .map { case ((c, _), i) => (p, c, i + 1) }
+      }
+    }.toSet
+    assert(got.toSet == expect, s"got ${got.length} rows, expect ${expect.size}")
+  }
+
+  test("knnJoinBucketed: oversize buckets drop under the cap, small ones survive") {
+    // three copies of (1,0) share a bucket; (-1,0) pair shares the
+    // complementary bucket. cap=2 kills the triple, keeps the pair.
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(1f, 0f)),
+      (4L, Seq(-1f, 0f)), (5L, Seq(-1f, -0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnJoinBucketed(
+      df, "vec_id", "embedding", k = 3, dim = 2, h = 2, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((4L, 5L), (5L, 4L)), s"got: $got")
+  }
+
   test("mipsTopK ranks by inner product — diverges from cosine exactly where norms differ") {
     // probe (1,0): item 1 = (3,4) has ip 3 but cosine 0.6; item 2 =
     // (1,0) has ip 1 but cosine 1.0 — MIPS and cosine must order them
