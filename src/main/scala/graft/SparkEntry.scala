@@ -5433,6 +5433,66 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Additive Holt–Winters per event type (Winters 1960) — the full
+    * seasonal forecaster completing the smoothing ladder e16 (EWMA:
+    * level) → e24 (Holt: +trend) → here (+dow seasonality, period 7;
+    * e25 showed the weekly profile is real in this data). Textbook
+    * init on the first two seasons (l₀ = mean of season 1, b₀ =
+    * (S₂−S₁)/49, sᵢ = xᵢ−l₀), then the classic three-equation
+    * recurrence (α=½, β=γ=¼ — dyadic, every product an exact
+    * halving/quartering) folded left over the remaining days: the
+    * same sorted-array fold as e24, with the accumulator carrying
+    * the rotating 7-slot seasonal array. Per-type series are bounded
+    * (days, not events); the only corpus-width work is the daily
+    * aggregate. Types with under two full seasons + 1 are absent by
+    * contract. */
+  private val e28HoltWinters = (s: SparkSession, d: String) => {
+    val m = 7
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("event_type"), col("_day")).agg(count(lit(1)).as("_x"))
+    val seq = sort_array(collect_list(struct(col("_day"), col("_x"))))
+    val s1 = aggregate(slice(col("_xs"), lit(1), lit(m)), lit(0.0), (a, v) => a + v)
+    val s2 = aggregate(slice(col("_xs"), lit(m + 1), lit(m)), lit(0.0), (a, v) => a + v)
+    val staged = daily.groupBy(col("event_type")).agg(seq.as("_seq"))
+      .filter(size(col("_seq")) >= 2 * m + 1)
+      .withColumn("_xs",
+        transform(col("_seq"), e => e.getField("_x").cast("double")))
+      .withColumn("_l0", s1 / lit(7.0))
+      .withColumn("_b0", (s2 - s1) / lit(49.0))
+      .withColumn("_sinit",
+        transform(slice(col("_xs"), lit(1), lit(m)), v => v - col("_l0")))
+    val folded = staged.select(col("event_type"),
+      size(col("_xs")).cast("long").as("n_days"),
+      aggregate(
+        slice(col("_xs"), lit(m + 1), size(col("_xs")) - m),
+        struct(col("_l0").as("l"), col("_b0").as("b"),
+          col("_sinit").as("s"), lit(m + 1).cast("int").as("i")),
+        (acc, v) => {
+          val pos = (((acc.getField("i") - 1) % m) + 1).cast("int")
+          val sPrev = element_at(acc.getField("s"), pos)
+          val lNew = (v - sPrev) * lit(0.5) +
+            (acc.getField("l") + acc.getField("b")) * lit(0.5)
+          val bNew = (lNew - acc.getField("l")) * lit(0.25) +
+            acc.getField("b") * lit(0.75)
+          val sNew = (v - lNew) * lit(0.25) + sPrev * lit(0.75)
+          struct(lNew.as("l"), bNew.as("b"),
+            concat(
+              slice(acc.getField("s"), lit(1), pos - 1),
+              array(sNew),
+              slice(acc.getField("s"), pos + 1, lit(m) - pos)).as("s"),
+            (acc.getField("i") + 1).cast("int").as("i"))
+        }).as("_st"))
+    val nextSlot = ((col("n_days") % m) + 1).cast("int")
+    folded.select(col("event_type"), col("n_days"),
+      col("_st.l").as("level"), col("_st.b").as("trend"),
+      element_at(col("_st.s"), nextSlot).as("seasonal_next"),
+      (col("_st.l") + col("_st.b") +
+        element_at(col("_st.s"), nextSlot)).as("forecast_1"))
+      .orderBy(col("event_type"))
+  }
+
   /** Day-of-week seasonality profile per event type (the weekly twin
     * of e23's diurnal panel — the classic pre-forecasting decomposition
     * read: "is Saturday traffic really 2× Tuesday, or is the window
@@ -6020,6 +6080,7 @@ object SparkEntry {
     "t36_term_burstiness" -> t36TermBurstiness,
     "x44_eb_shrink" -> x44EbShrink,
     "s17_knn_join" -> s17KnnJoin,
+    "e28_holt_winters" -> e28HoltWinters,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9512,6 +9573,7 @@ object SparkEntry {
          ) WHERE rk <= 10 ORDER BY rk""",
     "x41_bradley_terry" -> x41OracleSql,
     "x42_mmr_diversify" -> x42OracleSql,
+    "e28_holt_winters" -> e28OracleSql,
     "x40_skyline" ->
       // the O(n²) NOT-EXISTS dominance form — an INDEPENDENT algorithm
       // from the two-level prefix-max the engine runs; exact integers
@@ -10509,6 +10571,59 @@ object SparkEntry {
            FROM embeddings, q WHERE vec_id <> 0
          ), $pickBlocks
          SELECT * FROM ($sel) ORDER BY rank"""
+  }
+
+  /** e28's oracle: the e24 recursive-CTE discipline extended to carry
+    * the 7 rotating seasonal columns; every repeated textual instance
+    * of the level expression evaluates the identical IEEE sequence. */
+  private def e28OracleSql: String = {
+    val sPrev = "(CASE ((r.t % 7) + 1) " +
+      (1 to 7).map(k => s"WHEN $k THEN r.s$k").mkString(" ") + " END)"
+    val lNew = s"(d.x - $sPrev) * 0.5e0 + (r.l + r.b) * 0.5e0"
+    val sNew = s"(d.x - ($lNew)) * 0.25e0 + $sPrev * 0.75e0"
+    val sCols = (1 to 7).map(k =>
+      s"CASE WHEN ((r.t % 7) + 1) = $k THEN ($sNew) ELSE r.s$k END AS s$k")
+      .mkString(",\n             ")
+    val xInit = (1 to 7).map(k => s"max(CASE WHEN t = $k THEN x END) AS x$k")
+      .mkString(",\n             ")
+    val sInit = (1 to 7).map(k => s"x$k - sum1 / 7.0e0 AS s$k")
+      .mkString(",\n             ")
+    val nextCase = "CASE ((n % 7) + 1) " +
+      (1 to 7).map(k => s"WHEN $k THEN s$k").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS x
+           FROM events GROUP BY 1, 2
+         ), rn AS (
+           SELECT event_type, CAST(x AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM daily
+         ), ok AS (
+           SELECT * FROM rn WHERE n >= 15
+         ), init AS (
+           SELECT event_type, n,
+             sum(CASE WHEN t <= 7 THEN x END) AS sum1,
+             sum(CASE WHEN t BETWEEN 8 AND 14 THEN x END) AS sum2,
+             $xInit
+           FROM ok GROUP BY 1, 2
+         ), rec AS (
+           SELECT event_type, n, CAST(7 AS BIGINT) AS t,
+             sum1 / 7.0e0 AS l,
+             (sum2 - sum1) / 49.0e0 AS b,
+             $sInit
+           FROM init
+           UNION ALL
+           SELECT r.event_type, r.n, r.t + 1,
+             $lNew AS l,
+             (($lNew) - r.l) * 0.25e0 + r.b * 0.75e0 AS b,
+             $sCols
+           FROM rec r JOIN ok d ON d.event_type = r.event_type AND d.t = r.t + 1
+           WHERE r.t < r.n
+         )
+         SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+           $nextCase AS seasonal_next,
+           l + b + $nextCase AS forecast_1
+         FROM rec WHERE t = n ORDER BY event_type"""
   }
 
   private def x41OracleSql: String = {

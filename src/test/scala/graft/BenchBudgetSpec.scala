@@ -296,6 +296,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "t36_term_burstiness" -> 2.0,
     "x44_eb_shrink" -> 1.0,
     "s17_knn_join" -> 2.0,
+    "e28_holt_winters" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -767,6 +767,31 @@ class PropertySpec extends SparkTestBase {
     assert(b.getAs[Double]("shrunk_rate") == (2.0 + 50.0 * prior) / (8.0 + 50.0))
   }
 
+  test("e28 Holt-Winters: periodic series is a fixed point; short series absent") {
+    val dir = tmpDir("hw")
+    val day = 86400000000L
+    // type a: 21 days, count on day d = (d%7)+1 — two identical init
+    // seasons make b0 = 0, l0 = mean = 4, s_i = p_i - 4, and the
+    // recurrence is then a FIXED POINT (v - mean = sPrev at every
+    // step), all values exact dyadics:
+    //   level = 4, trend = 0, next slot = (21%7)+1 = 1 ->
+    //   seasonal_next = 1 - 4 = -3, forecast_1 = 1
+    // type b: 5 days < 15 -> absent
+    var eid = 1000L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String, Double, String)]
+    for (d0 <- 0 until 21; i <- 0 until (d0 % 7) + 1) {
+      rows += ((eid, d0 * day + i * 1000L, 1L, "a", 1.0, "{}")); eid += 1
+    }
+    for (d0 <- 0 until 5) { rows += ((eid, d0 * day, 1L, "b", 1.0, "{}")); eid += 1 }
+    writeEvents(dir, rows.toSeq)
+    val got = SparkEntry.queries("e28_holt_winters")(spark, dir).collect()
+    assert(got.length == 1, s"short series must be absent: ${got.mkString}")
+    val r = got(0)
+    assert(r.getAs[String]("event_type") == "a" && r.getAs[Long]("n_days") == 21L)
+    assert(r.getAs[Double]("level") == 4.0 && r.getAs[Double]("trend") == 0.0, s"$r")
+    assert(r.getAs[Double]("seasonal_next") == -3.0 && r.getAs[Double]("forecast_1") == 1.0, s"$r")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
