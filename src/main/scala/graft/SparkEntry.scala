@@ -5433,6 +5433,47 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Kaplan–Meier survival curve over user LIFETIMES (Kaplan & Meier
+    * 1958 — the churn estimator every retention team reads; w11's
+    * cohort retention counts fixed-window returns, KM handles the
+    * right-censoring those windows get wrong: a user still active on
+    * the corpus horizon hasn't churned, they're CENSORED). Lifetime =
+    * last−first active day; censored iff last = global horizon. Per
+    * distinct lifetime t: exact integer cells d_t (churn events) and
+    * n_t (at risk, T ≥ t — ONE suffix-sum window over the BOUNDED
+    * distinct-lifetime frame, the a20/a35 bounded-frame exemption);
+    * S(t) = Π_{t'≤t}(1 − d/n) is a PREFIX of a fixed-order float
+    * fold, computed per row by folding the sorted cell array up to
+    * its own index (the e16 per-index slice fold) — bit-identical on
+    * any engine replaying the same sequence. */
+  private val w27SurvivalKm = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val spans = Tables.events(s, d)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000L").as("_day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("_day")).as("_first"), max(col("_day")).as("_last"))
+    val horizon = spans.agg(max(col("_last")).as("_h"))
+    val cells = spans.crossJoin(broadcast(horizon))
+      .select((col("_last") - col("_first")).as("_t"),
+        when(col("_last") === col("_h"), 0L).otherwise(1L).as("_e"))
+      .groupBy(col("_t")).agg(sum(col("_e")).as("_d"), count(lit(1)).as("_c"))
+    val atRisk = Window.orderBy(col("_t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val arr = cells
+      .withColumn("_n", sum(col("_c")).over(atRisk))
+      .filter(col("_d") > 0)
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"), col("_n")))).as("_a"))
+    val term = (e: Column) => lit(1.0) -
+      e.getField("_d").cast("double") / e.getField("_n").cast("double")
+    arr.select(col("_a"), posexplode(col("_a")))
+      .select(col("col").getField("_t").as("lifetime_days"),
+        col("col").getField("_n").as("n_at_risk"),
+        col("col").getField("_d").as("n_churned"),
+        aggregate(slice(col("_a"), lit(1), col("pos") + 1), lit(1.0),
+          (acc, e) => acc * term(e)).as("survival"))
+      .orderBy(col("lifetime_days"))
+  }
+
   /** Additive Holt–Winters per event type (Winters 1960) — the full
     * seasonal forecaster completing the smoothing ladder e16 (EWMA:
     * level) → e24 (Holt: +trend) → here (+dow seasonality, period 7;
@@ -6081,6 +6122,7 @@ object SparkEntry {
     "x44_eb_shrink" -> x44EbShrink,
     "s17_knn_join" -> s17KnnJoin,
     "e28_holt_winters" -> e28HoltWinters,
+    "w27_survival_km" -> w27SurvivalKm,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9574,6 +9616,44 @@ object SparkEntry {
     "x41_bradley_terry" -> x41OracleSql,
     "x42_mmr_diversify" -> x42OracleSql,
     "e28_holt_winters" -> e28OracleSql,
+    "w27_survival_km" ->
+      // identical lifetime/censor cells, the same suffix-sum at-risk
+      // window, the same prefix fold of (1 - d/n) terms in t order
+      // with a 1.0 seed via per-index list slices
+      """WITH spans AS (
+           SELECT user_id,
+             min(epoch_us(ts) // 86400000000) AS f,
+             max(epoch_us(ts) // 86400000000) AS l
+           FROM events GROUP BY 1
+         ), h AS (SELECT max(l) AS h FROM spans),
+         users AS (
+           SELECT s.l - s.f AS t,
+             CASE WHEN s.l = h.h THEN 0 ELSE 1 END AS e
+           FROM spans s CROSS JOIN h
+         ), cells AS (
+           SELECT t, CAST(sum(e) AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS c
+           FROM users GROUP BY 1
+         ), risk AS (
+           SELECT t, d,
+             sum(c) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+           FROM cells
+         ), ev AS (
+           SELECT t, d, n FROM risk WHERE d > 0
+         ), lst AS (
+           SELECT list(1.0e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+                       ORDER BY t) AS terms,
+             list(t ORDER BY t) AS ts
+           FROM ev
+         )
+         SELECT e.t AS lifetime_days, CAST(e.n AS BIGINT) AS n_at_risk,
+           e.d AS n_churned,
+           list_reduce(
+             list_prepend(1.0e0,
+               list_slice(l.terms, 1, list_position(l.ts, e.t))),
+             (acc, x) -> acc * x) AS survival
+         FROM ev e CROSS JOIN lst l
+         ORDER BY e.t""",
     "x40_skyline" ->
       // the O(n²) NOT-EXISTS dominance form — an INDEPENDENT algorithm
       // from the two-level prefix-max the engine runs; exact integers

@@ -297,6 +297,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "x44_eb_shrink" -> 1.0,
     "s17_knn_join" -> 2.0,
     "e28_holt_winters" -> 1.5,
+    "w27_survival_km" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -792,6 +792,26 @@ class PropertySpec extends SparkTestBase {
     assert(r.getAs[Double]("seasonal_next") == -3.0 && r.getAs[Double]("forecast_1") == 1.0, s"$r")
   }
 
+  test("w27 Kaplan-Meier: hand-math censoring, exact prefix products") {
+    val dir = tmpDir("km")
+    val day = 86400000000L
+    // u1 t=2 event, u2 t=2 event, u3 t=4 event,
+    // u4 last=10=horizon -> t=4 censored, u5 t=0 censored
+    // cells: t0 (d0,c1), t2 (d2,c2), t4 (d1,c2); n: t0->5, t2->4, t4->2
+    // S(2) = 1 - 2/4 = .5; S(4) = .5 * (1 - 1/2) = .25
+    def ev(id: Long, u: Long, d0: Long) = (id, d0 * day, u, "a", 1.0, "{}")
+    writeEvents(dir, Seq(
+      ev(1, 1, 0), ev(2, 1, 2),
+      ev(3, 2, 1), ev(4, 2, 3),
+      ev(5, 3, 0), ev(6, 3, 4),
+      ev(7, 4, 6), ev(8, 4, 10),
+      ev(9, 5, 10)))
+    val got = SparkEntry.queries("w27_survival_km")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("lifetime_days"), r.getAs[Long]("n_at_risk"),
+        r.getAs[Long]("n_churned"), r.getAs[Double]("survival"))).toSeq
+    assert(got == Seq((2L, 4L, 2L, 0.5), (4L, 2L, 1L, 0.25)), s"got: $got")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
