@@ -5433,6 +5433,32 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Period-over-period change panel per (event type, day) — the
+    * dashboard primitive every daily metric renders: day-over-day and
+    * week-over-week deltas, CALENDAR-aligned (a lag over observed
+    * rows silently compares across gaps; these joins compare day d to
+    * exactly d−1 and d−7 or report null). One daily aggregate, two
+    * self-joins on the SHRUNK cell frame; each pct is ONE division of
+    * exact integers. */
+  private val w26PeriodOverPeriod = (s: SparkSession, d: String) => {
+    val daily = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day_idx"))
+      .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("n"))
+      .persist()) // three consumers: base, day-1 side, day-7 side
+    val prev = (off: Int, name: String) => daily.select(col("event_type"),
+      (col("day_idx") + off).as("day_idx"), col("n").as(name))
+    daily
+      .join(prev(1, "_p1"), Seq("event_type", "day_idx"), "left")
+      .join(prev(7, "_p7"), Seq("event_type", "day_idx"), "left")
+      .select(col("event_type"), col("day_idx"), col("n"),
+        ((col("n") - col("_p1")).cast("double") / col("_p1").cast("double"))
+          .as("dod_pct"),
+        ((col("n") - col("_p7")).cast("double") / col("_p7").cast("double"))
+          .as("wow_pct"))
+      .orderBy(col("event_type"), col("day_idx"))
+  }
+
   /** Kaplan–Meier survival curve over user LIFETIMES (Kaplan & Meier
     * 1958 — the churn estimator every retention team reads; w11's
     * cohort retention counts fixed-window returns, KM handles the
@@ -6123,6 +6149,7 @@ object SparkEntry {
     "s17_knn_join" -> s17KnnJoin,
     "e28_holt_winters" -> e28HoltWinters,
     "w27_survival_km" -> w27SurvivalKm,
+    "w26_period_over_period" -> w26PeriodOverPeriod,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -9616,6 +9643,23 @@ object SparkEntry {
     "x41_bradley_terry" -> x41OracleSql,
     "x42_mmr_diversify" -> x42OracleSql,
     "e28_holt_winters" -> e28OracleSql,
+    "w26_period_over_period" ->
+      // identical daily cells, calendar-aligned self-joins, one
+      // division per pct, nulls where the aligned day is absent
+      """WITH daily AS (
+           SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2
+         )
+         SELECT d.event_type, CAST(d.day_idx AS BIGINT) AS day_idx, d.n,
+           CAST(d.n - p1.n AS DOUBLE) / CAST(p1.n AS DOUBLE) AS dod_pct,
+           CAST(d.n - p7.n AS DOUBLE) / CAST(p7.n AS DOUBLE) AS wow_pct
+         FROM daily d
+         LEFT JOIN daily p1
+           ON p1.event_type = d.event_type AND p1.day_idx = d.day_idx - 1
+         LEFT JOIN daily p7
+           ON p7.event_type = d.event_type AND p7.day_idx = d.day_idx - 7
+         ORDER BY d.event_type, day_idx""",
     "w27_survival_km" ->
       // identical lifetime/censor cells, the same suffix-sum at-risk
       // window, the same prefix fold of (1 - d/n) terms in t order

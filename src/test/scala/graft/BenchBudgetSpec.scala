@@ -298,6 +298,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "s17_knn_join" -> 2.0,
     "e28_holt_winters" -> 1.5,
     "w27_survival_km" -> 1.2,
+    "w26_period_over_period" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

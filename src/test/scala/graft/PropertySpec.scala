@@ -812,6 +812,27 @@ class PropertySpec extends SparkTestBase {
     assert(got == Seq((2L, 4L, 2L, 0.5), (4L, 2L, 1L, 0.25)), s"got: $got")
   }
 
+  test("w26 period-over-period: calendar alignment nulls across gaps") {
+    val dir = tmpDir("pop")
+    val day = 86400000000L
+    // type a: days 0 (n=2), 1 (n=3), 3 (n=6), 8 (n=9):
+    //   day1 dod = (3-2)/2 = .5; day3 dod null (day2 absent);
+    //   day8 dod null, wow = (9-3)/3 = 2.0 (day1 present)
+    val rows =
+      (0 until 2).map(i => (100L + i, 0 * day + i, 1L, "a", 1.0, "{}")) ++
+      (0 until 3).map(i => (200L + i, 1 * day + i, 1L, "a", 1.0, "{}")) ++
+      (0 until 6).map(i => (300L + i, 3 * day + i, 1L, "a", 1.0, "{}")) ++
+      (0 until 9).map(i => (400L + i, 8 * day + i, 1L, "a", 1.0, "{}"))
+    writeEvents(dir, rows)
+    val got = SparkEntry.queries("w26_period_over_period")(spark, dir).collect()
+      .map(r => r.getAs[Long]("day_idx") -> r).toMap
+    assert(got(0L).isNullAt(got(0L).fieldIndex("dod_pct")))
+    assert(got(1L).getAs[Double]("dod_pct") == 0.5)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("dod_pct")), "gap day must null dod")
+    assert(got(8L).isNullAt(got(8L).fieldIndex("dod_pct")))
+    assert(got(8L).getAs[Double]("wow_pct") == 2.0)
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
