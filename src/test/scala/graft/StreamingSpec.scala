@@ -1138,6 +1138,85 @@ class StreamingSpec extends SparkTestBase {
     assert(got.nonEmpty && got.map(_._2).sum > 10, "parity over a trivial panel proves nothing")
   }
 
+  test("streaming Holt-Winters: resumed seasonal fold converges to batch e28 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingHoltWinters
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("shw")
+    // newest-first quartile drain with unbounded lateness: every
+    // day's count accretes across out-of-order batches in the
+    // revisable tail; nothing ever freezes, so every emission re-folds —
+    // parity proves the fold equals batch e28's exactly
+    val ev = sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"))
+      .withColumn("_tus", expr("unix_micros(ts)"))
+    val (tMin, tMax) = {
+      val r = ev.agg(min("_tus"), max("_tus")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(tMax - tMin, 1L)
+    ev.withColumn("_seg",
+        least(lit(3), ((lit(tMax) - col("_tus")) * 4 / (span + 1)).cast("int")))
+      .drop("_tus")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val empty = StreamingHoltWinters.hwTable(spark, store)
+    assert(empty.columns.toSeq == Seq("event_type", "n_days", "level", "trend",
+      "seasonal_next", "forecast_1") && empty.count() == 0)
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingHoltWinters.start(spark, stream, store, s"$base/cp",
+      latenessDays = Long.MaxValue / 4)
+      .awaitTermination()
+
+    def rows(df: DataFrame): Seq[(String, Long, Double, Double, Double, Double)] =
+      df.collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_days"),
+        r.getAs[Double]("level"), r.getAs[Double]("trend"),
+        r.getAs[Double]("seasonal_next"), r.getAs[Double]("forecast_1"))).toSeq
+    val got = rows(StreamingHoltWinters.hwTable(spark, store))
+    val want = rows(SparkEntry.queries("e28_holt_winters")(spark, dir))
+    assert(want.nonEmpty, "fixture must span two full seasons for this spec to bite")
+    assert(got == want, s"streaming HW diverged from batch e28:\n got=$got\nwant=$want")
+  }
+
+  test("streaming Holt-Winters processType: compaction resumes the fold exactly, late days drop loudly") {
+    import graft.streaming.StreamingHoltWinters
+    import graft.streaming.StreamingHoltWinters.HwBuf
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def freshState() = TestGroupState.create[HwBuf](
+      optionalState = Optional.empty[HwBuf](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[java.lang.Long]()
+        .asInstanceOf[Optional[Long]],
+      hasTimedOut = false)
+    // 20 days, count on day d = (d % 7) + 1 + d (trend + seasonality)
+    val counts = (0 until 20).map(d0 => (d0.toLong, (d0 % 7) + 1L + d0))
+    def arrivals(ds: Seq[(Long, Long)]): Iterator[(String, Long)] =
+      ds.iterator.flatMap { case (d0, c) => Seq.fill(c.toInt)(("a", d0)) }
+    // one-shot fold with unbounded lateness = the reference
+    val ref = StreamingHoltWinters.processType(Long.MaxValue / 4)(
+      "a", arrivals(counts), freshState()).toSeq
+    assert(ref.length == 1 && ref.head.nDays == 20L)
+    // two-chunk run with lateness 3: the first chunk (days 0..16)
+    // freezes days <= 13 — 14 days, crossing the init phase — and the
+    // second resumes from the collapsed accumulator; results must be
+    // identical
+    val st2 = freshState()
+    StreamingHoltWinters.processType(3L)("a", arrivals(counts.take(17)), st2).toSeq
+    assert(st2.get.nFrozen >= 14L, s"init must have crossed: ${st2.get.nFrozen}")
+    assert(st2.get.init.isEmpty, "init values must be discarded after the accumulator takes over")
+    val out2 = StreamingHoltWinters.processType(3L)("a", arrivals(counts.drop(17)), st2).toSeq
+    assert(out2.length == 1 && out2.head == ref.head,
+      s"compacted fold diverged:\n two-chunk=$out2\n one-shot=${ref.head}")
+    // a day at-or-below the frozen boundary drops and is counted
+    val late = StreamingHoltWinters.processType(3L)(
+      "a", Iterator(("a", 0L)), st2).toSeq
+    assert(late.length == 1 && late.head.drops == 1L)
+  }
+
   test("streaming CUSUM: resumed left fold converges to batch e18 bit-for-bit under reverse drain") {
     import graft.streaming.StreamingCusum
     val dir = "/root/testdata/sf0.001"
