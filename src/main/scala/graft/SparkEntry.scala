@@ -4326,6 +4326,61 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Brown–Forsythe / Levene variance-homogeneity test across event
+    * types (Levene 1960; Brown & Forsythe 1974's MEDIAN centering —
+    * robust where mean-centering isn't) — the prerequisite check
+    * before trusting a43's equal-variance pooling: W is literally the
+    * one-way F statistic computed on zᵢ = |vᵢ − median(group)|.
+    * Composes two established disciplines end-to-end: the per-type
+    * EXACT lower median (cents-staged longs through the a41 grouped
+    * prefix — a value FROM the data, so every z is an exact integer)
+    * and a43's fixed F DAG over exact power-sum cells (the ×100
+    * staging scales numerator and denominator identically; the
+    * oracle replays the same scaled integers, so no cancellation
+    * argument is ever needed). Two passes over the staged fact, both
+    * map-side combined; medians broadcast. */
+  private val a48Levene = (s: SparkSession, d: String) => {
+    val dec = "decimal(38,0)"
+    val staged = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("_v100"))
+      .withColumn("_one", lit(1L))
+      .persist()) // two consumers: the median pass and the z cells
+    val med = RelationalOps.weightedMedianLower(
+      staged, "event_type", "_v100", "_one")
+    val cells = CachePool.register(staged
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("_v100") - col("w_median")).as("_z"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(col("_z").cast(dec)).cast(dec).as("_s1"),
+        sum(col("_z").cast(dec) * col("_z")).cast(dec).as("_s2"))
+      .persist()) // three consumers: output rows, the fold, global cells
+    val folded = cells
+      .select(col("event_type"), col("n_t"),
+        (col("_s1") * col("_s1")).cast(dec).as("_sq"))
+      .agg(sort_array(collect_list(
+        struct(col("event_type"), col("_sq"), col("n_t")))).as("_b"))
+      .select(aggregate(col("_b"), lit(0.0),
+        (acc, e) => acc + e.getField("_sq").cast("double") /
+          e.getField("n_t").cast("double")).as("_fold"))
+    val glob = cells.agg(
+      count(lit(1)).as("_k"), sum(col("n_t")).as("_n"),
+      sum(col("_s1")).cast(dec).as("_s"), sum(col("_s2")).cast(dec).as("_q"))
+    val wStat = glob.crossJoin(broadcast(folded))
+      .select((((col("_fold") -
+        (col("_s") * col("_s")).cast("double") / col("_n").cast("double")) /
+          (col("_k") - 1L).cast("double")) /
+        ((col("_q").cast("double") - col("_fold")) /
+          (col("_n") - col("_k")).cast("double"))).as("w_stat"))
+    cells
+      .select(col("event_type"), col("n_t"),
+        (col("_s1").cast("double") / col("n_t").cast("double") / 100.0)
+          .as("mean_absdev"))
+      .crossJoin(broadcast(wStat))
+      .orderBy(col("event_type"))
+  }
+
   /** One-way ANOVA F across ALL event types (Fisher 1925) — the
     * PARAMETRIC k-sample test beside a42's rank-based Kruskal–Wallis,
     * completing the test-family square (Welch t ↔ Mann–Whitney for
@@ -6150,6 +6205,7 @@ object SparkEntry {
     "e28_holt_winters" -> e28HoltWinters,
     "w27_survival_km" -> w27SurvivalKm,
     "w26_period_over_period" -> w26PeriodOverPeriod,
+    "a48_levene" -> a48Levene,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7828,6 +7884,52 @@ object SparkEntry {
                / CAST(n_terms * sxx - sx * sx AS DOUBLE)
            END AS zipf_slope
          FROM cells ORDER BY source""",
+    "a48_levene" ->
+      // naive windowed per-type lower medians, exact integer |v-med|
+      // cells, then a43's identical F DAG (hopped casts, 0.0-seeded
+      // type-ordered fold), two terminal divisions for mean_absdev
+      """WITH pv AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+           FROM events
+         ), agg AS (
+           SELECT event_type, v, count(*) AS sw FROM pv GROUP BY 1, 2
+         ), c AS (
+           SELECT event_type, v,
+             sum(sw) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+             sum(sw) OVER (PARTITION BY event_type) AS tot
+           FROM agg
+         ), med AS (
+           SELECT event_type, CAST(min(v) AS BIGINT) AS m
+           FROM c WHERE 2 * cum >= tot GROUP BY 1
+         ), z AS (
+           SELECT pv.event_type, CAST(abs(pv.v - med.m) AS HUGEINT) AS z
+           FROM pv JOIN med USING (event_type)
+         ), cells AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(z) AS s1i, sum(z*z) AS s2i
+           FROM z GROUP BY 1
+         ), folded AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(s1i) AS si, sum(s2i) AS qi,
+             list_reduce(list_prepend(0.0e0,
+               list(CAST(CAST(s1i*s1i AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)
+                    ORDER BY event_type)),
+               (acc, x) -> acc + x) AS fold
+           FROM cells
+         ), fs AS (
+           SELECT ((fold - CAST(CAST(si*si AS VARCHAR) AS DOUBLE)
+                     / CAST(nn AS DOUBLE))
+                   / CAST(k - 1 AS DOUBLE))
+                  / ((CAST(CAST(qi AS VARCHAR) AS DOUBLE) - fold)
+                     / CAST(nn - k AS DOUBLE)) AS w_stat
+           FROM folded
+         )
+         SELECT c2.event_type, c2.n AS n_t,
+           CAST(CAST(c2.s1i AS VARCHAR) AS DOUBLE) / CAST(c2.n AS DOUBLE)
+             / 100.0e0 AS mean_absdev,
+           fs.w_stat
+         FROM cells c2 CROSS JOIN fs ORDER BY c2.event_type""",
     "a43_anova" ->
       // a37's HUGEINT ×100 cells and scale-splice varchar hops (one
       // correctly-rounded parse = Spark's one correctly-rounded

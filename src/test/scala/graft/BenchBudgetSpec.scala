@@ -299,6 +299,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "e28_holt_winters" -> 1.5,
     "w27_survival_km" -> 1.2,
     "w26_period_over_period" -> 1.2,
+    "a48_levene" -> 2.0,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

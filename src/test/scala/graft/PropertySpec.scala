@@ -833,6 +833,26 @@ class PropertySpec extends SparkTestBase {
     assert(got(8L).getAs[Double]("wow_pct") == 2.0)
   }
 
+  test("a48 Levene: hand-math median-centered cells, exact W DAG") {
+    val dir = tmpDir("levene")
+    // a = {1, 2}, b = {2, 3}, c = {3} (cents 100x): lower medians
+    // 100, 200, 300 -> z cells: a s1=100 s2=1e4; b same; c zeros
+    // fold = 5000 + 5000 + 0; gterm = 200^2/5 = 8000
+    // W = ((10000-8000)/2) / ((20000-10000)/2) = 0.2
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 1.00, "{}"), (2L, 2000L, 1L, "a", 2.00, "{}"),
+      (3L, 3000L, 1L, "b", 2.00, "{}"), (4L, 4000L, 1L, "b", 3.00, "{}"),
+      (5L, 5000L, 1L, "c", 3.00, "{}")))
+    val got = SparkEntry.queries("a48_levene")(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got.size == 3)
+    assert(got("a").getAs[Double]("mean_absdev") == 0.5)
+    assert(got("c").getAs[Double]("mean_absdev") == 0.0)
+    val fold = 0.0 + 10000.0 / 2.0 + 10000.0 / 2.0 + 0.0 / 1.0
+    val w = ((fold - 40000.0 / 5.0) / 2.0) / ((20000.0 - fold) / 2.0)
+    for (r <- got.values) assert(r.getAs[Double]("w_stat") == w, s"W wrong: $r")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
