@@ -269,7 +269,8 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("skyline + weighted median: every window is bucket-scoped, never corpus-ordered (X40/A41)") {
-    for (name <- Seq("x40_skyline", "a41_weighted_median")) {
+    for (name <- Seq("x40_skyline", "a41_weighted_median",
+        "a44_exact_deciles", "a47_mad", "a48_levene")) {
       val p = plan(SparkEntry.queries(name)(spark, dir))
       // the two-level prefix discipline: every Window's partition/order
       // spec involves the bucket id — a Window line WITHOUT _bk would
