@@ -4326,6 +4326,58 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Tukey–Kramer post-hoc pairwise comparisons (Tukey 1949; Kramer
+    * 1956 for unequal n) — the follow-up a43's omnibus F demands:
+    * "different" is not an answer until you know WHICH pairs differ.
+    * q_ab = (m_a − m_b) / √(MSW/2 · (1/n_a + 1/n_b)) with the pooled
+    * within-group MSW from a43's exact power-sum cells (the same
+    * type-ordered fold); every reported number is a fixed IEEE DAG
+    * over exact decimal cells. |types|² pairs — bounded — decorate by
+    * broadcast against the scalar MSW. */
+  private val a49TukeyPosthoc = (s: SparkSession, d: String) => {
+    val guardedCast = (c: Column, t: String) => {
+      val casted = c.cast(t)
+      when(assert_true(casted.isNotNull || c.isNull,
+        lit(s"a49_tukey_posthoc: decimal overflow casting sum to $t — " +
+          "widen the cell widths for this scale factor")).isNull, casted)
+    }
+    val cells = CachePool.register(Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(18,2)").as("_v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_t"),
+        guardedCast(sum(col("_v")), "decimal(16,2)").as("_s1"),
+        guardedCast(sum(col("_v") * col("_v")), "decimal(24,4)").as("_s2"))
+      .persist()) // three consumers: the fold, global cells, the pair join
+    val folded = cells
+      .select(col("event_type"), col("n_t"),
+        (col("_s1") * col("_s1")).as("_sq"))
+      .agg(sort_array(collect_list(
+        struct(col("event_type"), col("_sq"), col("n_t")))).as("_b"))
+      .select(aggregate(col("_b"), lit(0.0),
+        (acc, e) => acc + e.getField("_sq").cast("double") /
+          e.getField("n_t").cast("double")).as("_fold"))
+    val msw = cells.agg(count(lit(1)).as("_k"), sum(col("n_t")).as("_n"),
+        sum(col("_s2")).as("_q"))
+      .crossJoin(broadcast(folded))
+      .select(((col("_q").cast("double") - col("_fold")) /
+        (col("_n") - col("_k")).cast("double")).as("_msw"))
+    val a = cells.select(col("event_type").as("type_a"), col("n_t").as("n_a"),
+      col("_s1").as("_s1a"))
+    val b = cells.select(col("event_type").as("type_b"), col("n_t").as("n_b"),
+      col("_s1").as("_s1b"))
+    val mean = (s1: Column, n: Column) => s1.cast("double") / n.cast("double")
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .crossJoin(broadcast(msw))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (mean(col("_s1a"), col("n_a")) - mean(col("_s1b"), col("n_b")))
+          .as("mean_diff"),
+        ((mean(col("_s1a"), col("n_a")) - mean(col("_s1b"), col("n_b"))) /
+          sqrt(col("_msw") * lit(0.5) *
+            (lit(1.0) / col("n_a").cast("double") +
+              lit(1.0) / col("n_b").cast("double")))).as("q_stat"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Brown–Forsythe / Levene variance-homogeneity test across event
     * types (Levene 1960; Brown & Forsythe 1974's MEDIAN centering —
     * robust where mean-centering isn't) — the prerequisite check
@@ -6206,6 +6258,7 @@ object SparkEntry {
     "w27_survival_km" -> w27SurvivalKm,
     "w26_period_over_period" -> w26PeriodOverPeriod,
     "a48_levene" -> a48Levene,
+    "a49_tukey_posthoc" -> a49TukeyPosthoc,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7884,6 +7937,47 @@ object SparkEntry {
                / CAST(n_terms * sxx - sx * sx AS DOUBLE)
            END AS zipf_slope
          FROM cells ORDER BY source""",
+    "a49_tukey_posthoc" ->
+      // a43's HUGEINT ×100 cells and fold for MSW, the a37 scale-
+      // splice means, the identical Tukey–Kramer SE DAG per pair
+      """WITH v AS (
+           SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS v100
+           FROM events
+         ), cells AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             sum(v100) AS s1i, sum(v100 * v100) AS s2i
+           FROM v GROUP BY 1
+         ), folded AS (
+           SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+             sum(s2i) AS qi,
+             list_reduce(list_prepend(0.0e0,
+               list(CAST(CAST(s1i*s1i // 10000 AS VARCHAR) || '.' ||
+                      lpad(CAST(s1i*s1i % 10000 AS VARCHAR), 4, '0') AS DOUBLE)
+                    / CAST(n AS DOUBLE)
+                    ORDER BY event_type)),
+               (acc, x) -> acc + x) AS fold
+           FROM cells
+         ), ms AS (
+           SELECT (CAST(CAST(qi // 10000 AS VARCHAR) || '.' ||
+                     lpad(CAST(qi % 10000 AS VARCHAR), 4, '0') AS DOUBLE) - fold)
+                  / CAST(nn - k AS DOUBLE) AS msw
+           FROM folded
+         ), m AS (
+           SELECT event_type, n,
+             CAST(CAST(s1i // 100 AS VARCHAR) || '.' ||
+               lpad(CAST(s1i % 100 AS VARCHAR), 2, '0') AS DOUBLE)
+               / CAST(n AS DOUBLE) AS mn
+           FROM cells
+         )
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           a.mn - b.mn AS mean_diff,
+           (a.mn - b.mn) / sqrt(ms.msw * 0.5e0 *
+             (1.0e0 / CAST(a.n AS DOUBLE) + 1.0e0 / CAST(b.n AS DOUBLE)))
+             AS q_stat
+         FROM m a JOIN m b ON a.event_type < b.event_type CROSS JOIN ms
+         ORDER BY type_a, type_b""",
     "a48_levene" ->
       // naive windowed per-type lower medians, exact integer |v-med|
       // cells, then a43's identical F DAG (hopped casts, 0.0-seeded

@@ -300,6 +300,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w27_survival_km" -> 1.2,
     "w26_period_over_period" -> 1.2,
     "a48_levene" -> 2.0,
+    "a49_tukey_posthoc" -> 1.2,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

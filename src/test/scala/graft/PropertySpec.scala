@@ -853,6 +853,25 @@ class PropertySpec extends SparkTestBase {
     for (r <- got.values) assert(r.getAs[Double]("w_stat") == w, s"W wrong: $r")
   }
 
+  test("a49 Tukey posthoc: hand-math MSW and pairwise q, exact DAG") {
+    val dir = tmpDir("tukey")
+    // a = {1, 2}, b = {2, 3}, c = {3}: means 1.5, 2.5, 3.0;
+    // SSW = 27 - 26 = 1, msw = 1/2 = .5
+    // q_ab = -1 / sqrt(.5*.5*1) = -2; q_ac = -1.5/sqrt(.375); q_bc = -.5/sqrt(.375)
+    writeEvents(dir, Seq(
+      (1L, 1000L, 1L, "a", 1.00, "{}"), (2L, 2000L, 1L, "a", 2.00, "{}"),
+      (3L, 3000L, 1L, "b", 2.00, "{}"), (4L, 4000L, 1L, "b", 3.00, "{}"),
+      (5L, 5000L, 1L, "c", 3.00, "{}")))
+    val got = SparkEntry.queries("a49_tukey_posthoc")(spark, dir).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    assert(got.size == 3)
+    val ab = got(("a", "b"))
+    assert(ab.getAs[Double]("mean_diff") == -1.0 && ab.getAs[Double]("q_stat") == -2.0)
+    val se2 = math.sqrt(0.5 * 0.5 * (1.0 / 2.0 + 1.0 / 1.0))
+    assert(got(("a", "c")).getAs[Double]("q_stat") == -1.5 / se2)
+    assert(got(("b", "c")).getAs[Double]("q_stat") == -0.5 / se2)
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
