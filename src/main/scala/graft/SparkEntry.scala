@@ -767,6 +767,26 @@ object SparkEntry {
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  /** Language-ID confusion panel — t6's stopword classifier EVALUATED
+    * against the fixture's labeled `lang` column (a heuristic you
+    * haven't scored is a rumor; this is the per-(true, predicted)
+    * cell count plus row share every classifier report starts with —
+    * x26's kappa measures rater agreement, this measures the
+    * heuristic against ground truth). Exact integer cells, row share
+    * ONE division; the classifier itself is byte-for-byte t6. */
+  private val t37LangConfusion = (s: SparkSession, d: String) => {
+    val cells = CachePool.register(
+      TextAnalysis.langId(t(s, d, "documents"), "text", "lang_pred")
+        .groupBy(col("lang").as("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .persist()) // two consumers: the cells and the per-true totals
+    val tot = cells.groupBy(col("lang_true")).agg(sum(col("n")).as("_t"))
+    cells.join(broadcast(tot), Seq("lang_true"))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        (col("n").cast("double") / col("_t").cast("double")).as("row_share"))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
+
   private val t10Repetition = (s: SparkSession, d: String) =>
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
@@ -6259,6 +6279,7 @@ object SparkEntry {
     "w26_period_over_period" -> w26PeriodOverPeriod,
     "a48_levene" -> a48Levene,
     "a49_tukey_posthoc" -> a49TukeyPosthoc,
+    "t37_lang_confusion" -> t37LangConfusion,
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -8910,6 +8931,7 @@ object SparkEntry {
       """SELECT l_returnflag, TRUE AS med_rank_ok, TRUE AS p90_rank_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "t6_lang_id" -> t6OracleSql,
+    "t37_lang_confusion" -> t37OracleSql,
     "t11_admission" -> t11OracleSql,
     "t10_repetition" ->
       // independent formulation: unnest + group + max (the Spark side
@@ -11192,6 +11214,40 @@ object SparkEntry {
     * ties broken by language code DESCENDING (the struct-max rule), zero
     * hits → "und". Generated from the same stopword map so the lists can
     * never drift. */
+  /** t37's oracle: t6's generated classifier SQL carrying the labeled
+    * lang through, then the cell/share roll-up. */
+  private def t37OracleSql: String = {
+    val sw = graft.operators.TextAnalysis.stopwords
+    def hits(lang: String) =
+      s"len(list_filter(tk, t -> t IN (${sw(lang).map(w => s"'$w'").mkString(", ")})))"
+    val langsDesc = sw.keys.toSeq.sorted.reverse
+    val cases = langsDesc.dropRight(1)
+      .map(l => s"WHEN h_$l = m THEN '$l'")
+      .mkString(" ")
+    val hitCols = sw.keys.toSeq.sorted.map(l => s"${hits(l)} AS h_$l").mkString(", ")
+    s"""WITH toks AS (
+          SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, lang, $hitCols FROM toks
+        ), best AS (
+          SELECT doc_id, lang, greatest(${sw.keys.toSeq.sorted.map("h_" + _).mkString(", ")}) AS m, * FROM scored
+        ), pred AS (
+          SELECT lang AS lang_true,
+            CASE WHEN m = 0 THEN 'und' $cases ELSE '${langsDesc.last}' END AS lang_pred
+          FROM best
+        ), cells AS (
+          SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+          FROM pred GROUP BY 1, 2
+        ), tot AS (
+          SELECT lang_true, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1
+        )
+        SELECT c.lang_true, c.lang_pred, c.n,
+          CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS row_share
+        FROM cells c JOIN tot t USING (lang_true)
+        ORDER BY 1, 2"""
+  }
+
   private def t6OracleSql: String = {
     val sw = graft.operators.TextAnalysis.stopwords
     def hits(lang: String) =

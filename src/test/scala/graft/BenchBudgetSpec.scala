@@ -301,6 +301,7 @@ class BenchBudgetSpec extends SparkTestBase {
     "w26_period_over_period" -> 1.2,
     "a48_levene" -> 2.0,
     "a49_tukey_posthoc" -> 1.2,
+    "t37_lang_confusion" -> 1.5,
   )
 
   test("scale probes run cache-isolated and stay within committed budgets") {

@@ -872,6 +872,21 @@ class PropertySpec extends SparkTestBase {
     assert(got(("b", "c")).getAs[Double]("q_stat") == -0.5 / se2)
   }
 
+  test("t37 lang confusion: misclassified and und cells land in the right rows") {
+    val dir = tmpDir("langconf")
+    Seq(
+      (1L, "the and of", "en", "A", 10L),  // correctly en
+      (2L, "the and of", "fr", "A", 10L),  // labeled fr, reads en
+      (3L, "zzz qqq", "fr", "A", 7L))      // no stopwords -> und
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("t37_lang_confusion")(spark, dir).collect()
+      .map(r => (r.getAs[String]("lang_true"), r.getAs[String]("lang_pred"),
+        r.getAs[Long]("n"), r.getAs[Double]("row_share"))).toSeq
+    assert(got == Seq(("en", "en", 1L, 1.0),
+      ("fr", "en", 1L, 0.5), ("fr", "und", 1L, 0.5)), s"got: $got")
+  }
+
   test("x36 effective tokens: duplicate cluster mass splits, gate cuts, fold is exact") {
     val dir = tmpDir("efftok")
     val long1 = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim // 64 tokens
