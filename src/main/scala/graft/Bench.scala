@@ -144,7 +144,15 @@ object Bench {
     val streamingDedupGrowth = benchStreamingDedupGrowth(spark, sfDir)
     val streamingTransitions = benchStreamingTransitions(spark, sfDir)
     val streamingGrowth = benchStreamingGrowth(spark, sfDir)
-    val scale = benchScale(spark, sfDir)
+    // drift-gated (r11 verdict item 2): one retry when the section's
+    // own sentinel bracket says a host-speed shift landed inside it
+    var scale = benchScale(spark, sfDir)
+    if (scale.contains("\"drift_gate\":\"fail\"")) {
+      System.err.println("[bench] scale section sentinel drift outside " +
+        "[0.77, 1.3] — host burst suspected; re-running the section once")
+      scale = benchScale(spark, sfDir)
+    }
+    val scaleGateOk = !scale.contains("\"drift_gate\":\"fail\"")
     val ann = benchAnnQuality(spark)
     // sentinels again at the very end: post/pre = within-run drift
     val sentinelPost = timeSentinels(spark, sfDir)
@@ -162,7 +170,15 @@ object Bench {
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    if (!scaleGateOk)
+      // the r11 lesson: a noise-corrupted scale section (negative kcore
+      // exponent, 3×-inflated prefix 1x) was committed and poisoned the
+      // round-over-round trend. The stdout line above still carries the
+      // full data (self-describing via drift_gate:"fail"), but the
+      // artifact FILE — the thing that gets committed — is refused.
+      System.err.println(s"[bench] scale drift gate still failing after " +
+        s"retry — NOT writing $out; re-run on a quiet host")
+    else try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
@@ -412,24 +428,66 @@ object Bench {
         val b = one()
         (math.min(a._1, b._1), a._2)
       }
-      docs5.count(); embs5.count() // materialize outside the timed region
-      val (ndT1, cand1) = time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count())
-      val (ndT5, cand5) = time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count())
+      // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
+      def fitExp(t1: Double, t5: Double, t25: Double): Double = {
+        val xs = Seq(0.0, math.log(5.0), math.log(25.0))
+        val ys = Seq(t1, t5, t25).map(t => math.log(math.max(t, 1e-3)))
+        val xm = xs.sum / 3; val ym = ys.sum / 3
+        val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
+          xs.map(x => (x - xm) * (x - xm)).sum
+        math.rint(slope * 1000) / 1000
+      }
+      // round-12 noise gate (r11 verdict item 2): the committed r11
+      // artifact carried kcore_growth_exp −0.349 — 1× (13.7 s) SLOWER
+      // than 25× (4.5 s), physically nonsensical — because a documented
+      // intermittent ~2× host burst landed inside one axis and the
+      // artifact shipped anyway. A growth axis whose 1×/5×/25× points
+      // are non-monotone beyond tolerance (ratio 1.3 + 0.2 s absolute
+      // slack — sub-second axes like embdup legitimately jitter), or
+      // whose fitted exponent is negative, is re-measured ONCE and the
+      // two attempts merge POINTWISE-MIN: noise only ever inflates a
+      // min-of-2 reading, so the min across attempts is the honest one.
+      // Counts are deterministic; the first attempt's are kept.
+      def gatedAxis(name: String)(
+          probe: => ((Double, Long), (Double, Long), (Double, Long)))
+        : ((Double, Long), (Double, Long), (Double, Long)) = {
+        def suspect(t: ((Double, Long), (Double, Long), (Double, Long))): Boolean =
+          t._1._1 > t._2._1 * 1.3 + 0.2 || t._2._1 > t._3._1 * 1.3 + 0.2 ||
+            fitExp(t._1._1, t._2._1, t._3._1) < 0
+        val a = probe
+        if (!suspect(a)) a
+        else {
+          System.err.println(s"[bench] $name growth axis failed the noise " +
+            s"gate (${r3(a._1._1)}/${r3(a._2._1)}/${r3(a._3._1)} s, exp " +
+            s"${fitExp(a._1._1, a._2._1, a._3._1)}) — re-measuring the axis once")
+          val b = probe
+          ((math.min(a._1._1, b._1._1), a._1._2),
+            (math.min(a._2._1, b._2._1), a._2._2),
+            (math.min(a._3._1, b._3._1), a._3._2))
+        }
+      }
+      // all three corpus fixtures persist up front so every growth axis
+      // runs CONTIGUOUSLY (the gate's retry needs the axis re-runnable
+      // in place); 5x and 25x coexisted in memory before this too
+      val docs25 = ScaleFixture.scaleDocuments(docs1, 25).persist()
+      docs5.count(); docs25.count(); embs5.count() // materialize outside the timed region
+      val ((ndT1, cand1), (ndT5, cand5), (ndT25, cand25)) = gatedAxis("neardup")((
+        time(Dedup.lshCandidatePairs(docs1, "doc_id", "text").count()),
+        time(Dedup.lshCandidatePairs(docs5, "doc_id", "text").count()),
+        time(Dedup.lshCandidatePairs(docs25, "doc_id", "text").count())))
       // boilerplate growth on the corpus axis: the passage-hash-keyed
       // agg+join chain (d15/d16) should track corpus size ~linearly —
       // the shuffle carries 8-byte passage keys, never passage text.
       // fullCount: a count() would prune the reassembly fold (the
-      // expensive per-doc stage) right out of the timed plan
-      val (bpT1, _) = time(fullCount(Dedup.stripBoilerplate(docs1, "doc_id", "text")))
-      val (bpT5, _) = time(fullCount(Dedup.stripBoilerplate(docs5, "doc_id", "text")))
-      // third corpus-axis point: one 1x→5x step cannot tell linear from
-      // n·log n from quadratic — 1x/5x/25x can. The fitted log-log slope
-      // is the growth exponent the 100 TB claim actually rests on
-      // (healthy bucketing ⇒ ~1.0; quadratic candidate blow-up ⇒ ~2.0).
-      val docs25 = ScaleFixture.scaleDocuments(docs1, 25).persist()
-      docs25.count()
-      val (ndT25, cand25) = time(Dedup.lshCandidatePairs(docs25, "doc_id", "text").count())
-      val (bpT25, _) = time(fullCount(Dedup.stripBoilerplate(docs25, "doc_id", "text")))
+      // expensive per-doc stage) right out of the timed plan.
+      // 1x/5x/25x: one 1x→5x step cannot tell linear from n·log n from
+      // quadratic — the fitted log-log slope is the growth exponent the
+      // 100 TB claim actually rests on (healthy bucketing ⇒ ~1.0;
+      // quadratic candidate blow-up ⇒ ~2.0).
+      val ((bpT1, _), (bpT5, _), (bpT25, _)) = gatedAxis("boilerplate")((
+        time(fullCount(Dedup.stripBoilerplate(docs1, "doc_id", "text"))),
+        time(fullCount(Dedup.stripBoilerplate(docs5, "doc_id", "text"))),
+        time(fullCount(Dedup.stripBoilerplate(docs25, "doc_id", "text")))))
       // DSIR importance-scoring growth on the corpus axis (x21's shape,
       // the registry's hottest family): tokenize+md5 narrow pass →
       // ≤256-row bucket aggregate (map-side combined) → broadcast ratio
@@ -442,9 +500,11 @@ object Bench {
         try fullCount(graft.operators.Importance.scoreAgainstTarget(
           docs, "doc_id", "text", pmod(col("doc_id"), lit(17L)) === 0L))
         finally CachePool.releaseAll()
-      val (dsT1, _) = time(dsirCount(docs1)) // min-of-2: run 1 is the warmup
-      val (dsT5, _) = time(dsirCount(docs5))
-      val (dsT25, _) = time(dsirCount(docs25))
+      // min-of-2: run 1 is the warmup
+      val ((dsT1, _), (dsT5, _), (dsT25, _)) = gatedAxis("dsir")((
+        time(dsirCount(docs1)),
+        time(dsirCount(docs5)),
+        time(dsirCount(docs25))))
       // containment growth on the corpus axis (d21's shape, rewritten
       // round 10): candidate volume is Σ_h df² over rare shingles —
       // perturbed replicas translate tokens, so shingle df stays
@@ -455,9 +515,10 @@ object Bench {
       def contCount(docs: org.apache.spark.sql.DataFrame): Long =
         try fullCount(Dedup.containmentPairs(docs, "doc_id", "text"))
         finally CachePool.releaseAll()
-      val (ctT1, _) = time(contCount(docs1))
-      val (ctT5, _) = time(contCount(docs5))
-      val (ctT25, _) = time(contCount(docs25))
+      val ((ctT1, _), (ctT5, _), (ctT25, _)) = gatedAxis("containment")((
+        time(contCount(docs1)),
+        time(contCount(docs5)),
+        time(contCount(docs25))))
       // prefix-filter growth on the corpus axis (d24's shape, new in
       // round 10): candidate volume is Σ_g |prefix inverted list|² over
       // the rarest-first prefixes — perturbed replicas translate
@@ -468,20 +529,12 @@ object Bench {
         try fullCount(Dedup.prefixFilterPairs(docs, "doc_id", "text",
           tNum = 4, tDen = 5))
         finally CachePool.releaseAll()
-      val (pfT1, _) = time(pfxCount(docs1))
-      val (pfT5, _) = time(pfxCount(docs5))
-      val (pfT25, _) = time(pfxCount(docs25))
+      val ((pfT1, _), (pfT5, _), (pfT25, _)) = gatedAxis("prefix")((
+        time(pfxCount(docs1)),
+        time(pfxCount(docs5)),
+        time(pfxCount(docs25))))
       docs5.unpersist()
       docs25.unpersist()
-      // least-squares slope of log(sec) vs log(scale) over {1, 5, 25}
-      def fitExp(t1: Double, t5: Double, t25: Double): Double = {
-        val xs = Seq(0.0, math.log(5.0), math.log(25.0))
-        val ys = Seq(t1, t5, t25).map(t => math.log(math.max(t, 1e-3)))
-        val xm = xs.sum / 3; val ym = ys.sum / 3
-        val slope = xs.zip(ys).map { case (x, y) => (x - xm) * (y - ym) }.sum /
-          xs.map(x => (x - xm) * (x - xm)).sum
-        math.rint(slope * 1000) / 1000
-      }
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       // the FIRST ivf / embedding-near-dup execution pays Janino
@@ -489,31 +542,33 @@ object Bench {
       // timed that into ivf_sec_1x (4.92 s vs ivf_sec_5x 2.74 s — the
       // growth probe read as shrinkage and was unusable); min-of-2's
       // first run now absorbs it.
-      var iv1 = Set.empty[(Long, Long)]
-      val (ivT1, _) = time {
-        iv1 = pairs(Similarity.ivfTopK(
-          embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4)
-          .select(col("probe_id"), col("neighbor_id")))
-        iv1.size.toLong
-      }
-      val (ivT5, _) = time(Similarity.ivfTopK(
-        embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
       // third embedding-axis point (the text probes had one since r7;
       // the ANN tier stopped at 5x): 1x/5x/25x + a fitted exponent is
       // what the 100 TB growth claim actually rests on
       val embs25 = ScaleFixture.scaleEmbeddings(embs1, 25).persist()
       embs25.count()
-      val (ivT25, _) = time(Similarity.ivfTopK(
-        embs25, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())
+      var iv1 = Set.empty[(Long, Long)]
+      val ((ivT1, _), (ivT5, _), (ivT25, _)) = gatedAxis("ivf")((
+        time {
+          iv1 = pairs(Similarity.ivfTopK(
+            embs1, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4)
+            .select(col("probe_id"), col("neighbor_id")))
+          iv1.size.toLong
+        },
+        time(Similarity.ivfTopK(
+          embs5, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count()),
+        time(Similarity.ivfTopK(
+          embs25, "vec_id", "embedding", col("vec_id") < 5, 5, nlist = 16, nprobe = 4).count())))
       // embedding near-dup growth on the corpus axis (d5's shape):
       // bounded probes broadcast against ONE corpus scan — wall should
       // track corpus size, never probes × corpus
-      val (edT1, _) = time(Dedup.embeddingNearDupExact(
-        embs1, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())
-      val (edT5, _) = time(Dedup.embeddingNearDupExact(
-        embs5, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())
-      val (edT25, _) = time(Dedup.embeddingNearDupExact(
-        embs25, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())
+      val ((edT1, _), (edT5, _), (edT25, _)) = gatedAxis("embdup")((
+        time(Dedup.embeddingNearDupExact(
+          embs1, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count()),
+        time(Dedup.embeddingNearDupExact(
+          embs5, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count()),
+        time(Dedup.embeddingNearDupExact(
+          embs25, "vec_id", "embedding", col("vec_id") < 5, threshold = 0.3).count())))
       embs25.unpersist()
       embs5.unpersist()
       // measured approximation quality: recall@5 vs exact brute force on
@@ -642,12 +697,14 @@ object Bench {
         try fullCount(graft.operators.Graph.kCorePeel(
           circulantEdges(n), "_gs", "_gd", 4, 2))
         finally CachePool.releaseAll()
-      val (prT1, _) = time(prCount(graphN / 25))
-      val (prT5, _) = time(prCount(graphN / 5))
-      val (prT25, _) = time(prCount(graphN))
-      val (kcT1, _) = time(coreCount(graphN / 25))
-      val (kcT5, _) = time(coreCount(graphN / 5))
-      val (kcT25, _) = time(coreCount(graphN))
+      val ((prT1, _), (prT5, _), (prT25, _)) = gatedAxis("pagerank")((
+        time(prCount(graphN / 25)),
+        time(prCount(graphN / 5)),
+        time(prCount(graphN))))
+      val ((kcT1, _), (kcT5, _), (kcT25, _)) = gatedAxis("kcore")((
+        time(coreCount(graphN / 25)),
+        time(coreCount(graphN / 5)),
+        time(coreCount(graphN))))
       // banded (OR-amplification) vs multi-probe at comparable search
       // effort: 5 independent 4-bit tables vs 5 probed buckets of one
       def bandedRecallAndCands(bands: Int): (Double, Long) = {
@@ -741,9 +798,19 @@ object Bench {
         if (scaleSentinelPre._1 > 0)
           math.rint(scaleSentinelPost._1 / scaleSentinelPre._1 * 1000) / 1000
         else -1.0
+      // section drift gate (r11 verdict item 2): a sentinel bracket
+      // whose post/pre ratio leaves [1/1.3, 1.3] means a host-speed
+      // shift landed INSIDE the section — the r11 artifact (drift 0.84,
+      // prefix 1x 3× inflated) shipped exactly that. main() re-runs the
+      // section once on "fail" and refuses the artifact-file write if
+      // the retry still fails.
+      val driftGate =
+        if (scaleDrift > 0 && scaleDrift <= 1.3 && scaleDrift >= 1.0 / 1.3) "pass"
+        else "fail"
       s"""{"sentinel_pre_sec":${r3(scaleSentinelPre._1)},""" +
         s""""sentinel_post_sec":${r3(scaleSentinelPost._1)},""" +
         s""""sentinel_drift":$scaleDrift,""" +
+        s""""drift_gate":"$driftGate",""" +
         s""""neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,"neardup_cand_25x":$cand25,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""neardup_sec_25x":${r3(ndT25)},""" +

@@ -3733,13 +3733,16 @@ object SparkEntry {
   /** FULL BPE tokenizer training ([[TextAnalysis.bpeTrain]], 10
     * merges) over the documents corpus — the loop t22 is one step of,
     * producing the learned merge table (which IS the tokenizer).
-    * Rows-only at the driver gate (ten coupled argmax-and-rewrite
-    * rounds do not unroll into DuckDB SQL); the exactness evidence is
-    * the spec suite: Sennrich's worked vocabulary replayed by hand,
-    * the "aaa" greedy-overlap rule, and step-1 equality against the
+    * Oracled since round 12: [[bpeOracleRounds]] unrolls the ten
+    * coupled argmax-and-rewrite rounds as generated DuckDB CTEs (the
+    * x42 discipline), with the greedy merge fold expressed via the
+    * run-offset-parity rule. The spec suite additionally pins
+    * Sennrich's worked vocabulary replayed by hand, the "aaa"
+    * greedy-overlap rule, and step-1 equality against the
     * independently-oracled t22 pair counts. */
   private val t30BpeTrain = (s: SparkSession, d: String) =>
     TextAnalysis.bpeTrain(t(s, d, "documents"), "text", merges = 10)
+      .orderBy(col("step"))
 
   /** Train-then-encode tokenizer pipeline ([[TextAnalysis.bpeTrain]] →
     * [[TextAnalysis.bpeEncode]]): learn 10 merges on the corpus, then
@@ -3747,10 +3750,11 @@ object SparkEntry {
     * learned order as a literal plan — never a join) and report the
     * per-doc BPE token count. The standard two-job shape: train once
     * over the vocabulary, encode as an embarrassingly-parallel narrow
-    * map. Rows-only at the driver gate (same reason as t30); the
-    * spec suite pins encode against a hand-replayed table AND
-    * train/encode consistency (encoding the training corpus must
-    * reproduce the loop's own final symbol arrays). */
+    * map. Oracled since round 12: encoding the TRAINING corpus equals
+    * the training loop's final vocabulary state (the consistency the
+    * spec suite pins), so the oracle reuses [[bpeOracleRounds]] and
+    * sums final symbol-array lengths per doc; the spec suite also
+    * pins encode against a hand-replayed table. */
   private val t31BpeEncode = (s: SparkSession, d: String) => {
     val docs = t(s, d, "documents")
     val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
@@ -3874,28 +3878,41 @@ object SparkEntry {
   /** Median absolute deviation of price per return flag — the robust
     * SCALE estimate completing a41/a46's robust-location family
     * (mean/sd lie under one fat-fingered price; median/MAD don't:
-    * 50% breakdown point). Two grouped two-level prefix passes, both
-    * exact: the per-flag lower median, then the lower median of
-    * |v − med| — every compared number a BIGINT, both reported
-    * numbers VALUES FROM THE DATA (cents), bit-identical anywhere.
-    * The median decorates back by broadcast (|flags| rows). */
+    * 50% breakdown point). Both medians exact and VALUES FROM THE
+    * DATA (cents), bit-identical anywhere: the per-flag lower
+    * median, then the lower median of |v − med|.
+    *
+    * Selection is [[RelationalOps.groupedMedianShift]] — a fixed
+    * two-level decomposition on the integer cents domain — NOT the
+    * sorted-index path: prices are near-unique, so
+    * weightedMedianLower's two global orderBy+rowIndex passes over
+    * |distinct| rows were the registry's #1 cost (11.8 s at sf0.1,
+    * round-11 verdict). Per median: one map-side-combined coarse
+    * histogram of `cents >> 12` (~2.4k buckets/flag for the ~10^7
+    * cents span — metadata-width windows only), then one refine
+    * pass inside the single target bucket (≤ 4096 values). No
+    * global sort, no row index, no driver round-trip. The first
+    * median persists (|flags| rows) so the deviation pass's scans
+    * don't re-run its selection DAG.
+    *
+    * Cost note (round 12): 4.4 s at sf0.1 / 3.3 s at sf0.01 — the
+    * sf-insensitive part is AQE scheduling ~22 small stage-jobs for
+    * the 4 scans + 2 broadcast builds two SEQUENTIAL selections
+    * need; the data-dependent part is two map-side-combined
+    * histogram scans per median. The r11 sorted-index path cost
+    * 11.8 s at sf0.1 and grew with |distinct prices|. */
   private val a47Mad = (s: SparkSession, d: String) => {
-    // Raw rows feed both passes directly: weightedMedianLower
-    // run-collapses INTERNALLY, so a pre-aggregation here would
-    // double-shuffle the same (flag, cents) keys (the e12 smell —
-    // ShuffleAudit caught exactly that in an earlier revision). The
-    // measured cost (≈8 s at sf0.1) is the two global sorted-index
-    // passes, inherent to exact MAD on near-unique prices.
     val staged = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
       .withColumn("_one", lit(1L))
-      .persist()) // two consumers: the median pass and the deviation pass
-    val med = RelationalOps.weightedMedianLower(
+      .persist()) // consumers: both medians' coarse and refine passes
+    val med = CachePool.register(RelationalOps.groupedMedianShift(
       staged, "l_returnflag", "_price_cents", "_one")
       .withColumnRenamed("w_median", "median_cents")
-    val mad = RelationalOps.weightedMedianLower(
+      .persist()) // |flags| rows; keeps the mad passes off med's DAG
+    val mad = RelationalOps.groupedMedianShift(
       staged.join(broadcast(med), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           abs(col("_price_cents") - col("median_cents")).as("_dev"),
@@ -6282,7 +6299,88 @@ object SparkEntry {
     "t37_lang_confusion" -> t37LangConfusion,
   )
 
+  /** DuckDB CTE chain replaying [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * `rounds` coupled argmax-and-rewrite rounds — the t30/t31 oracle the
+    * round-11 verdict asked for (the x42 unroll discipline, generated by
+    * a loop like a31's Benford cases). Round r = pair-count CTE (adjacent
+    * symbol pairs weighted by word frequency) → argmax CTE (count desc,
+    * then lexicographic — bpeTrain's struct-min) → rewrite CTEs. The
+    * greedy left-to-right merge fold is expressed DECLARATIVELY: two
+    * occurrences of (a,b) can only overlap when a = b (an occurrence at
+    * i and i+1 needs syms[i+1] = b AND = a), so for a ≠ b simultaneous
+    * replacement IS the greedy fold, and for a = b greedy pairing from
+    * each run's left edge is the run-offset-parity rule — match at p iff
+    * (p − run_start) is even (gaps-and-islands grp + a per-run min).
+    * Every v/p/win CTE is MATERIALIZED: each round reads the previous
+    * vocab twice, so default inlining would expand v0 2^rounds times. */
+  private def bpeOracleRounds(rounds: Int): String = {
+    val head =
+      """WITH tok AS MATERIALIZED (
+           SELECT doc_id, unnest(list_filter(
+             regexp_split_to_array(trim(lower(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))), '\s+'),
+             t -> t <> '')) AS w
+           FROM documents
+         ), v0 AS MATERIALIZED (
+           SELECT w, count(*) AS f,
+             list_append(list_transform(range(1, CAST(length(w)+1 AS BIGINT)),
+               i -> substr(w, CAST(i AS INT), 1)), '_') AS syms
+           FROM tok GROUP BY w
+         )"""
+    val rs = (1 to rounds).map { r =>
+      s""", p$r AS MATERIALIZED (
+           SELECT u.l AS l, u.r AS r, CAST(sum(f) AS BIGINT) AS cnt
+           FROM v${r - 1}, unnest(list_transform(range(1, CAST(len(syms) AS BIGINT)),
+             i -> struct_pack(l := syms[i], r := syms[i+1]))) AS t(u)
+           GROUP BY 1, 2
+         ), win$r AS MATERIALIZED (
+           SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1
+         ), x$r AS (
+           SELECT w, f, i AS p, syms[i] AS sym, win.l AS a, win.r AS b
+           FROM v${r - 1}, win$r AS win, unnest(range(1, CAST(len(syms)+1 AS BIGINT))) AS t(i)
+         ), r$r AS (
+           SELECT w, f, p, sym, a, b,
+             p - row_number() OVER (PARTITION BY w, (sym = a) ORDER BY p) AS grp
+           FROM x$r
+         ), m$r AS (
+           SELECT w, f, p, sym, a, b,
+             CASE WHEN sym = a
+                   AND lead(sym) OVER (PARTITION BY w ORDER BY p) = b
+                   AND (a <> b OR (p - min(p) OVER (PARTITION BY w, (sym = a), grp)) % 2 = 0)
+                  THEN 1 ELSE 0 END AS is_l
+           FROM r$r
+         ), n$r AS (
+           SELECT w, f, p,
+             CASE WHEN is_l = 1 THEN a || b ELSE sym END AS sym,
+             lag(is_l) OVER (PARTITION BY w ORDER BY p) AS was_r
+           FROM m$r
+         ), v$r AS MATERIALIZED (
+           SELECT w, min(f) AS f, list(sym ORDER BY p) AS syms
+           FROM n$r WHERE was_r IS NULL OR was_r = 0
+           GROUP BY w
+         )"""
+    }.mkString
+    head + rs
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "t30_bpe_train" -> {
+      // the learned merge table: one argmax row per round, in order
+      val unions = (1 to 10).map(r =>
+        s"""SELECT CAST($r AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count FROM win$r""")
+        .mkString("\n  UNION ALL ")
+      bpeOracleRounds(10) + s"\nSELECT * FROM (\n  $unions\n) ORDER BY step"
+    },
+    "t31_bpe_encode" -> {
+      // encoding the TRAINING corpus with the learned table reproduces
+      // the loop's own final vocabulary state (the train/encode
+      // consistency the spec suite pins), so each doc's BPE token count
+      // is the sum of its word instances' final symbol-array lengths
+      bpeOracleRounds(10) +
+        """
+SELECT tok.doc_id, CAST(sum(len(v10.syms)) AS BIGINT) AS n_bpe_tokens
+FROM tok JOIN v10 USING (w)
+GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+    },
     "a1_group_count_segment" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "a2_group_count_status" ->

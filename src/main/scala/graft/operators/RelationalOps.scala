@@ -435,4 +435,162 @@ object RelationalOps {
       .groupBy(col(groupCol))
       .agg(min(col(valCol)).as("w_median"))
   }
+
+  /** Exact per-group LOWER weighted median via iterative radix
+    * selection on the integer value domain — the bisection alternative
+    * to [[weightedMedianLower]] for NEAR-UNIQUE value distributions,
+    * where the sorted-index plan pays a global `orderBy` + row-index
+    * pass over |distinct values| rows (the a47 cost the round-11
+    * verdict flagged: two such passes ≈ 11.8 s at sf0.1). Here no
+    * global sort and no row index ever happen. Each round is:
+    *   1. ONE map-side-combined histogram aggregate over the rows
+    *      still inside each group's candidate interval — at most
+    *      |groups| × `buckets` output keys;
+    *   2. a cumulative window over that METADATA-width bucket list
+    *      (partitioned by group, never spanning data-width frames);
+    *   3. a struct-min argmin picking the first bucket whose
+    *      cumulative weight crosses half the total, which becomes the
+    *      group's narrowed interval (broadcast back to the scan).
+    * Rounds = ⌈log_buckets(max group span)⌉, fixed up front from one
+    * min/max/total pre-pass — 2 rounds for a cents domain at 2^16
+    * buckets, ≤ 4 for the full long range. Every comparison is
+    * cross-multiplied BIGINT (`2·cum ≥ W` — no half-boundary ever
+    * sits on a division) and the result is a VALUE FROM THE DATA,
+    * bit-identical to [[weightedMedianLower]] on any engine
+    * (randomized parity spec in RelationalOpsSpec).
+    *
+    * Scale shape: `rounds + 1` scans of `df` (callers persist their
+    * staged frame), each a narrow conditional aggregate; the only
+    * shuffles are the histogram hash exchanges whose key space is
+    * capped at |groups| × buckets. Intervals ride a broadcast join —
+    * |groups| rows — so no data-width frame is ever re-partitioned.
+    * Values and weights must be integral longs (callers stage money
+    * as cents); weights must be positive. */
+  def groupedMedianRadix(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, buckets: Int = 1 << 16): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20]: $buckets")
+    require(!df.columns.exists(
+      Seq("_g", "_v", "_w", "_lo", "_hi", "_tot", "_cumb", "_bk", "_bw",
+        "_hw", "_cum", "_s").contains),
+      "groupedMedianRadix: _g/_v/_w/_lo/_hi/_tot/_cumb/_bk/_bw/_hw/_cum/_s are internal names")
+    val base = df.select(col(groupCol).as("_g"),
+      col(valCol).cast(LongType).as("_v"), col(wCol).cast(LongType).as("_w"))
+    // round 0: per-group candidate interval + total, ONE map-side-
+    // combined aggregate; _cumb = exact weight strictly below _lo
+    var state = base.groupBy(col("_g")).agg(
+      min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      sum(col("_w")).as("_tot"))
+      .withColumn("_cumb", lit(0L))
+    // the round count is a FUNCTION OF THE SPAN, not the data volume:
+    // one 2-value collect fixes it up front (empty input → 0 rounds)
+    val spanRow = state.agg(max(col("_hi") - col("_lo"))).collect()(0)
+    var rounds = 0
+    if (!spanRow.isNullAt(0)) {
+      // width after a round with interval width w is floor((w-1)/B)+1
+      // (the _bw formula below) — simulate until it reaches 1
+      var w = BigInt(spanRow.getLong(0)) + 1
+      while (w > 1) { w = (w - 1) / buckets + 1; rounds += 1 }
+    }
+    for (_ <- 1 to rounds) {
+      // _bw = floor((hi - lo)/B) + 1 covers [lo, hi] with ≤ B buckets
+      // and never overflows (hi - lo is a valid long by construction)
+      val hist = base.join(broadcast(state), Seq("_g"))
+        .filter(col("_v") >= col("_lo") && col("_v") <= col("_hi"))
+        .withColumn("_bw",
+          expr(s"(_hi - _lo) div ${buckets}L") + lit(1L))
+        .groupBy(col("_g"), expr("(_v - _lo) div _bw").as("_bk"))
+        .agg(sum(col("_w")).as("_hw"),
+          // interval metadata is constant per group: carry it through
+          // the aggregate instead of re-joining the state frame
+          min(col("_lo")).as("_lo"), min(col("_hi")).as("_hi"),
+          min(col("_bw")).as("_bw"), min(col("_tot")).as("_tot"),
+          min(col("_cumb")).as("_cumb"))
+      val ws = Window.partitionBy(col("_g")).orderBy(col("_bk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // first bucket whose cumulative crosses half the total; struct
+      // min orders by _bk (the leading field) — an exact argmin
+      state = hist
+        .withColumn("_cum", col("_cumb") + sum(col("_hw")).over(ws))
+        .filter(lit(2L) * col("_cum") >= col("_tot"))
+        .groupBy(col("_g"))
+        .agg(min(struct(col("_bk"), col("_lo"), col("_hi"), col("_bw"),
+          col("_tot"), col("_cum"), col("_hw"))).as("_s"))
+        .select(col("_g"),
+          (col("_s._lo") + col("_s._bk") * col("_s._bw")).as("_lo"),
+          least(col("_s._hi"),
+            col("_s._lo") + (col("_s._bk") + 1L) * col("_s._bw") - 1L)
+            .as("_hi"),
+          col("_s._tot").as("_tot"),
+          (col("_s._cum") - col("_s._hw")).as("_cumb"))
+    }
+    // termination invariant: after `rounds` narrowings every group's
+    // interval is a single value that crossed the half-total boundary
+    // when it was selected — groups whose span collapsed early are
+    // fixed points of later rounds (one width-1 bucket re-selects)
+    state.select(col("_g").as(groupCol), col("_lo").as("w_median"))
+  }
+
+  /** Exact per-group LOWER weighted median for BOUNDED-SPAN integer
+    * domains — the cheapest member of the median family: ONE fixed
+    * two-level decomposition, no global sort, no row index, no driver
+    * round-trip (unlike [[groupedMedianRadix]]'s span pre-pass the
+    * whole thing is a single lazy plan).
+    *
+    *   1. Coarse pass: histogram of `v >> shift` per group (one
+    *      map-side-combined aggregate — the only corpus-width work);
+    *      a metadata-width window picks the first coarse bucket whose
+    *      cumulative weight crosses half the group total, carrying
+    *      the exact weight below it.
+    *   2. Refine pass: rows inside each group's ONE target bucket
+    *      (broadcast join, |groups| rows) aggregate per exact value;
+    *      a window over ≤ 2^shift values picks the answer.
+    *
+    * Same contract as [[weightedMedianLower]]: smallest value whose
+    * cumulative weight reaches half the total (`2·cum ≥ W`
+    * cross-multiplied), integral long values/weights, result a VALUE
+    * FROM THE DATA. `shiftright` is an arithmetic shift, so negative
+    * values bucket by floor division and order correctly.
+    *
+    * Scale precondition — what the caller buys with `shift`: the
+    * coarse pass's per-group window spans (value span >> shift)
+    * buckets and the refine window ≤ 2^shift distinct values; pick
+    * shift so BOTH are metadata-scale (a money-cents domain at the
+    * default 12: ~10^7/4096 ≈ 2.4k coarse buckets, ≤ 4096 refine
+    * values). For unbounded spans use [[groupedMedianRadix]]; for
+    * bounded |distinct| with huge spans, [[weightedMedianLower]]. */
+  def groupedMedianShift(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, shift: Int = 12): DataFrame = {
+    require(shift >= 1 && shift <= 40, s"shift must be in [1, 40]: $shift")
+    require(!df.columns.exists(
+      Seq("_g", "_v", "_w", "_hb", "_hw", "_cum", "_tot", "_off", "_sw", "_t").contains),
+      "groupedMedianShift: _g/_v/_w/_hb/_hw/_cum/_tot/_off/_sw/_t are internal names")
+    val base = df.select(col(groupCol).as("_g"),
+      col(valCol).cast(LongType).as("_v"), col(wCol).cast(LongType).as("_w"))
+    val wcum = Window.partitionBy(col("_g")).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = base
+      .groupBy(col("_g"), shiftright(col("_v"), shift).as("_hb"))
+      .agg(sum(col("_w")).as("_hw"))
+      .withColumn("_cum", sum(col("_hw")).over(wcum))
+      .withColumn("_tot", sum(col("_hw")).over(Window.partitionBy(col("_g"))))
+      .filter(lit(2L) * col("_cum") >= col("_tot"))
+      .groupBy(col("_g"))
+      // struct min orders by _hb (leading field): the FIRST crossing
+      // bucket; _off = exact weight strictly below it
+      .agg(min(struct(col("_hb"), col("_cum"), col("_hw"), col("_tot"))).as("_t"))
+      .select(col("_g"), col("_t._hb").as("_hb"),
+        (col("_t._cum") - col("_t._hw")).as("_off"), col("_t._tot").as("_tot"))
+    val wv = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(target), Seq("_g"))
+      .filter(shiftright(col("_v"), shift) === col("_hb"))
+      .groupBy(col("_g"), col("_v"), col("_off"), col("_tot"))
+      .agg(sum(col("_w")).as("_sw"))
+      .withColumn("_cum", col("_off") + sum(col("_sw")).over(wv))
+      .filter(lit(2L) * col("_cum") >= col("_tot"))
+      .groupBy(col("_g"))
+      .agg(min(col("_v")).as("w_median"))
+      .select(col("_g").as(groupCol), col("w_median"))
+  }
 }

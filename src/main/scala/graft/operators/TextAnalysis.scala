@@ -788,8 +788,17 @@ object TextAnalysis {
         .select(col("f"), charSyms(col("_w0"), marker).as("syms"))
         .persist())
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (step <- 1 to merges) {
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
       val best = vocab
+        // a fully-merged word (ONE symbol — e.g. a single-char word
+        // whose (char, marker) pair won an earlier round) has no
+        // adjacent pairs; without this filter sequence(0, size-2)
+        // becomes sequence(0, -1) = [0, -1] (default step -1) and
+        // element_at(syms, 0) throws (SQL arrays are 1-based) —
+        // round-11 ADVICE
+        .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(
           transform(sequence(lit(0), size(col("syms")) - 2),
             j => struct(element_at(col("syms"), j + 1).as("l"),
@@ -800,13 +809,21 @@ object TextAnalysis {
         .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("b"))
         .select(col("b.l"), col("b.r"), (-col("b.nc")).as("cnt"))
         .head() // bounded: ONE winner row per round (the centroid-loop discipline)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      learned += ((step, a, b, cnt))
-      val prev = vocab
-      vocab = graft.CachePool.register(prev.select(col("f"),
-        applyMerge(col("syms"), a, b).as("syms")).persist())
-      vocab.count() // materialize before releasing the parent
-      prev.unpersist()
+      if (best.isNullAt(0)) {
+        // every word fully merged — the global argmin over an empty
+        // pair frame is one all-NULL row; the learned table simply
+        // stops early (the encode side replays whatever was learned)
+        exhausted = true
+      } else {
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        learned += ((step, a, b, cnt))
+        val prev = vocab
+        vocab = graft.CachePool.register(prev.select(col("f"),
+          applyMerge(col("syms"), a, b).as("syms")).persist())
+        vocab.count() // materialize before releasing the parent
+        prev.unpersist()
+        step += 1
+      }
     }
     vocab.unpersist()
     learned.toSeq.toDF("step", "left", "right", "pair_count")

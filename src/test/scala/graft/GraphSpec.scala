@@ -108,6 +108,24 @@ class GraphSpec extends SparkTestBase {
     assert(got == coreModel(g, 4, 2))
   }
 
+  test("kCorePeel plans no forced broadcast: induce joins are hint-free anti-joins on the dropped delta") {
+    // round-11 verdict item 3: the old broadcast(survivors) hint forced
+    // a ~|V|-wide broadcast in round 1 (where survivors ≈ the whole
+    // node set — a multi-GB executor OOM at 10^9 nodes). The peel now
+    // anti-joins the NEWLY-dropped delta with NO hint, so AQE picks
+    // the strategy from the delta's actual runtime size. Pin both
+    // facts in the analyzed plan: no ResolvedHint anywhere, and the
+    // induce step is anti-join-shaped.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val g = k5 ++ Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val df = Graph.kCorePeel(g.toDF("s", "d"), "s", "d", 4, 2)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"kCorePeel must not force a join strategy:\n$analyzed")
+    assert(analyzed.contains("LeftAnti"),
+      s"induce step should anti-join the dropped delta:\n$analyzed")
+  }
+
   test("kCorePeel: fixed depth peels exactly `rounds` cascade steps, not to fixpoint") {
     // triangle + 3-node tail, k=2: each round exposes ONE new tail
     // node below k, so depth controls how far the cascade runs.

@@ -342,6 +342,71 @@ class RelationalOpsSpec extends SparkTestBase {
     for (bs <- Seq(1L, 7L, 64L)) assert(wmRun(pts, bs) == want, s"bucket=$bs")
   }
 
+  private def radixRun(pts: Seq[(String, Long, Long)], buckets: Int): Map[String, Long] =
+    RelationalOps.groupedMedianRadix(
+      pts.toDF("g", "v", "w"), "g", "v", "w", buckets)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("groupedMedianRadix: hand-math boundaries, negative values, single-value group") {
+    val pts = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 2L), // 2·cum(20)=4=tot → 20
+      ("b", -50L, 9L), ("b", 100L, 1L),               // heavy negative value
+      ("c", 7L, 3L))                                  // span 0 → zero rounds narrow it
+    val want = Map("a" -> 20L, "b" -> -50L, "c" -> 7L)
+    assert(wmModel(pts) == want)
+    // buckets=2 forces the max round count (pure bisection); 2^16 is
+    // the production default (all spans here resolve in one round)
+    for (b <- Seq(2, 3, 16, 1 << 16)) assert(radixRun(pts, b) == want, s"buckets=$b")
+  }
+
+  test("groupedMedianRadix: randomized parity with weightedMedianLower incl. wide sparse domains") {
+    val rnd = new scala.util.Random(47)
+    // mixed-span groups: g0/g1 dense small domain (ties, duplicate
+    // weights), g2/g3 sparse wide domain (near-unique — the a47 shape
+    // the radix path exists for), plus negative values
+    val pts = (1 to 400).map { i =>
+      val g = rnd.nextInt(4)
+      val v = if (g < 2) rnd.nextInt(30).toLong - 10L
+      else rnd.nextLong() % 1000000000L
+      (s"g$g", v, 1L + rnd.nextInt(9))
+    }
+    val want = wmModel(pts)
+    assert(wmRun(pts, 1L << 20) == want, "sorted-index reference disagrees with the model")
+    for (b <- Seq(2, 7, 256, 1 << 16)) assert(radixRun(pts, b) == want, s"buckets=$b")
+  }
+
+  private def shiftRun(pts: Seq[(String, Long, Long)], shift: Int): Map[String, Long] =
+    RelationalOps.groupedMedianShift(
+      pts.toDF("g", "v", "w"), "g", "v", "w", shift)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("groupedMedianShift: hand-math boundaries, negatives across bucket edges, single-value group") {
+    val pts = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), ("a", 30L, 2L), // 2·cum(20)=4=tot → 20
+      ("b", -50L, 9L), ("b", 100L, 1L),               // negative floor-div bucketing
+      ("c", 7L, 3L))
+    val want = Map("a" -> 20L, "b" -> -50L, "c" -> 7L)
+    assert(wmModel(pts) == want)
+    // shift=1 puts every value in its own-ish bucket (coarse pass does
+    // the work); shift=12 is the production default (refine pass does)
+    for (sh <- Seq(1, 3, 12, 20)) assert(shiftRun(pts, sh) == want, s"shift=$sh")
+  }
+
+  test("groupedMedianShift: randomized parity with the model and both median siblings") {
+    val rnd = new scala.util.Random(83)
+    val pts = (1 to 400).map { _ =>
+      val g = rnd.nextInt(4)
+      // dense ties and sparse near-unique values, signed
+      val v = if (g < 2) rnd.nextInt(50).toLong - 25L
+      else rnd.nextInt(1 << 24).toLong - (1 << 23)
+      (s"g$g", v, 1L + rnd.nextInt(9))
+    }
+    val want = wmModel(pts)
+    assert(wmRun(pts, 1L << 20) == want)
+    assert(radixRun(pts, 1 << 16) == want)
+    for (sh <- Seq(1, 5, 12)) assert(shiftRun(pts, sh) == want, s"shift=$sh")
+  }
+
   private def qModel(pts: Seq[(String, Long, Long)], q: Int): Map[(String, Int), Long] =
     pts.groupBy(_._1).flatMap { case (g, rows) =>
       val agg = rows.groupBy(_._2).map { case (v, rs) => (v, rs.map(_._3).sum) }

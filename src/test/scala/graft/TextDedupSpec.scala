@@ -676,6 +676,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == bpeModel(Map("aaaa" -> 1L), 2))
   }
 
+  test("bpeTrain: fully-merged words survive later rounds; an exhausted vocabulary stops early") {
+    // round-11 ADVICE crash shape: the single-char word "a" is
+    // ["a","_"]; once (a,_) wins a round the word is ONE symbol and
+    // the next round's pair explode walked sequence(0,-1) = [0,-1]
+    // into element_at(syms, 0) — a 1-based-array exception.
+    // (a,_) dominates round 1 here (count 10); rounds 2–3 must then
+    // count pairs from the surviving "bc_" word alone.
+    val got = bpeRun(Seq.fill(10)("a") :+ "bc", 10)
+    assert(got == Seq(
+      (1L, "a", "_", 10L),   // collapses every "a" to one symbol
+      (2L, "b", "c", 1L),    // lex-min among (b,c)/(c,_) at count 1
+      (3L, "bc", "_", 1L)),  // whole vocabulary now fully merged
+      s"got $got")
+    // merges=10 was requested but only 3 are learnable: the table
+    // stops early instead of exploding or emitting null rules
+    assert(got.size == 3)
+  }
+
   test("bpeEncode replays a hand-checked table and reproduces training's final vocab") {
     import graft.operators.TextAnalysis
     // hand-replayed: "test_" under (e,s) then (es,t):
