@@ -2538,7 +2538,15 @@ object SparkEntry {
       * doc_id%4 except doc_id%7 rows declare the NEXT modality. */
     def modality(docs: DataFrame): DataFrame = {
       val mimes = Multimodal.magicBytes.map(_._1) :+ "application/octet-stream"
-      val magicFor = Multimodal.magicBytes.map { case (_, m) => m } :+ Array.empty[Byte]
+      val magicFor = Multimodal.magicBytes.map {
+        // the RIFF signature alone is just the container: plant the
+        // full form header (signature + dummy size + WAVE tag) so the
+        // r12 form-type disambiguation actually sniffs audio/wav here
+        case ("audio/wav", _) =>
+          "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 16, 16, 16) ++
+            "WAVE".getBytes("US-ASCII")
+        case (_, m) => m
+      } :+ Array.empty[Byte]
       val idx = pmod(col("doc_id"), lit(4)).cast("int")
       val declIdx = when(pmod(col("doc_id"), lit(7)) === 0,
         pmod(col("doc_id") + 1, lit(4)).cast("int")).otherwise(idx)
@@ -2653,7 +2661,15 @@ object SparkEntry {
       val docs = docs0.select(col("doc_id"), col("text"))
       val header = "GRAFT-COMMON-LICENSE-BLOCK-0001 " * 4
       val mimes = Multimodal.magicBytes.map(_._1) :+ "application/octet-stream"
-      val magicFor = Multimodal.magicBytes.map { case (_, m) => m } :+ Array.empty[Byte]
+      val magicFor = Multimodal.magicBytes.map {
+        // the RIFF signature alone is just the container: plant the
+        // full form header (signature + dummy size + WAVE tag) so the
+        // r12 form-type disambiguation actually sniffs audio/wav here
+        case ("audio/wav", _) =>
+          "RIFF".getBytes("US-ASCII") ++ Array[Byte](16, 16, 16, 16) ++
+            "WAVE".getBytes("US-ASCII")
+        case (_, m) => m
+      } :+ Array.empty[Byte]
       val idx = pmod(col("doc_id"), lit(4)).cast("int")
       val declIdx = when(pmod(col("doc_id"), lit(7)) === 0,
         pmod(col("doc_id") + 1, lit(4)).cast("int")).otherwise(idx)
@@ -7090,7 +7106,7 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id"""
              (CASE doc_id % 4
                 WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
                 WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
-                WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+                WHEN 2 THEN '\x52\x49\x46\x46\x10\x10\x10\x10\x57\x41\x56\x45'::BLOB
                 ELSE ''::BLOB END ||
               encode(CASE WHEN doc_id % 3 = 0
                  THEN repeat('GRAFT-COMMON-LICENSE-BLOCK-0001 ', 4) || text
@@ -7103,7 +7119,10 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id"""
            SELECT doc_id, media, declared_mime,
              CASE WHEN substr(hex(media), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
                   WHEN substr(hex(media), 1, 8) = '89504E47' THEN 'image/png'
-                  WHEN substr(hex(media), 1, 8) = '52494646' THEN 'audio/wav'
+                  WHEN substr(hex(media), 1, 8) = '52494646' THEN
+                    CASE WHEN substr(hex(media), 17, 8) = '57415645' THEN 'audio/wav'
+                         WHEN substr(hex(media), 17, 8) = '41564920' THEN 'video/avi'
+                         ELSE 'application/octet-stream' END
                   ELSE 'application/octet-stream' END AS sniffed_mime
            FROM m
          ), adm AS (
@@ -8758,7 +8777,7 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id"""
              (CASE doc_id % 4
                 WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
                 WHEN 1 THEN '\x89\x50\x4E\x47'::BLOB
-                WHEN 2 THEN '\x52\x49\x46\x46'::BLOB
+                WHEN 2 THEN '\x52\x49\x46\x46\x10\x10\x10\x10\x57\x41\x56\x45'::BLOB
                 ELSE ''::BLOB END || encode(text)) AS media,
              CASE (CASE WHEN doc_id % 7 = 0 THEN (doc_id + 1) % 4 ELSE doc_id % 4 END)
                WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
@@ -8768,7 +8787,10 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id"""
            SELECT doc_id, declared_mime,
              CASE WHEN substr(hex(media), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
                   WHEN substr(hex(media), 1, 8) = '89504E47' THEN 'image/png'
-                  WHEN substr(hex(media), 1, 8) = '52494646' THEN 'audio/wav'
+                  WHEN substr(hex(media), 1, 8) = '52494646' THEN
+                    CASE WHEN substr(hex(media), 17, 8) = '57415645' THEN 'audio/wav'
+                         WHEN substr(hex(media), 17, 8) = '41564920' THEN 'video/avi'
+                         ELSE 'application/octet-stream' END
                   ELSE 'application/octet-stream' END AS sniffed_mime
            FROM m
          )

@@ -148,26 +148,48 @@ object StreamingHoltWinters {
         processType(latenessDays))
   }
 
+  private[streaming] val group = "holt_winters"
   private[streaming] val table = "holt_winters_type"
   private val dropsTable = "holt_winters_drops"
 
+  /** One GROUP commit for both tables (round-11 ADVICE): the previous
+    * two per-table commits (mergeReplace, then merge) could expose a
+    * reader to forecast at batch n beside drops at n−1 after a crash
+    * between them — exactly the mixed-generation inconsistency
+    * [[ParquetKpiStore.commitGroup]] exists to eliminate. Each
+    * member's FULL next state is computed against the group's current
+    * generation (replace-by-key for the forecast, additive fold for
+    * the drops counter) and ONE manifest swap publishes both; the
+    * group-level idempotence watermark makes replays exactly-once
+    * across the pair. */
   private def applyBatch(store: ParquetKpiStore)(
       batch: Dataset[HwRow], batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (batchId <= store.appliedGroupBatch(spark, group)) return // replayed
     val staged = batch.persist()
     try {
-      store.mergeReplace(spark, table, Seq("event_type"),
-        staged.filter(col("drops") === 0L)
-          .select(col("eventType").as("event_type"), col("nDays").as("n_days"),
-            col("level"), col("trend"),
-            col("seasonalNext").as("seasonal_next"),
-            col("forecast1").as("forecast_1")),
-        batchId)
-      store.merge(spark, dropsTable, Seq("k"),
-        staged.filter(col("drops") > 0L)
-          .groupBy(lit("late").as("k"))
-          .agg(sum(col("drops")).as("n_dropped")),
-        batchId)
+      val forecastUpd = staged.filter(col("drops") === 0L)
+        .select(col("eventType").as("event_type"), col("nDays").as("n_days"),
+          col("level"), col("trend"),
+          col("seasonalNext").as("seasonal_next"),
+          col("forecast1").as("forecast_1"))
+      val nextForecast = store.readGrouped(spark, group, table) match {
+        case None => forecastUpd
+        case Some(cur) => // mergeReplace semantics, group-read based
+          cur.join(forecastUpd, Seq("event_type"), "left_anti")
+            .unionByName(forecastUpd)
+      }
+      val dropsUpd = staged.filter(col("drops") > 0L)
+        .groupBy(lit("late").as("k"))
+        .agg(sum(col("drops")).as("n_dropped"))
+      val nextDrops = store.readGrouped(spark, group, dropsTable) match {
+        case None => dropsUpd
+        case Some(cur) => // additive merge semantics, group-read based
+          cur.unionByName(dropsUpd)
+            .groupBy(col("k")).agg(sum(col("n_dropped")).as("n_dropped"))
+      }
+      store.commitGroup(spark, group,
+        Seq(table -> nextForecast, dropsTable -> nextDrops), batchId)
     } finally { staged.unpersist(); () }
   }
 
@@ -191,7 +213,7 @@ object StreamingHoltWinters {
   /** Everything that has arrived, in the batch `e28_holt_winters`
     * shape. */
   def hwTable(spark: SparkSession, store: ParquetKpiStore): DataFrame =
-    store.read(spark, table)
+    store.readGrouped(spark, group, table)
       .map(_.select(col("event_type"), col("n_days"), col("level"),
         col("trend"), col("seasonal_next"), col("forecast_1"))
         .orderBy(col("event_type")))

@@ -55,14 +55,29 @@ object StreamingSkyline {
   private[streaming] val totalsTable = "sky_totals"
   private[streaming] val frontierTable = "sky_frontier"
 
-  /** Exact per-user (value_cents, n_events) partials for one batch. */
-  private def partials(batch: DataFrame): DataFrame =
+  /** Exact per-user (value_cents, n_events) partials for one batch.
+    *
+    * value ≥ 0 is a HARD precondition (round-11 ADVICE): the
+    * no-retraction frontier argument requires per-user totals to move
+    * monotonically up-right, and ONE negative value (a refund) leaves
+    * a stale frontier entry no longer dominated by its user's current
+    * point — wrong frontiers then persist silently. A violating batch
+    * fails LOUDLY here (the a37 assert_true idiom — the guard rides
+    * the projected value, so pruning can't drop it) before anything
+    * is committed; model refunds upstream as separate compensation
+    * events, not negative values on this stream. */
+  private def partials(batch: DataFrame): DataFrame = {
+    val vc = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val guarded = when(assert_true(vc >= 0 || vc.isNull,
+      lit("StreamingSkyline: negative event value — the no-retraction " +
+        "frontier invariant requires value >= 0; handle refunds upstream"))
+      .isNull, vc)
     batch
-      .select(col("user_id").cast("long").as("user_id"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("_vc"))
+      .select(col("user_id").cast("long").as("user_id"), guarded.as("_vc"))
       .groupBy(col("user_id"))
       .agg(sum(col("_vc")).as("value_cents"),
         count(lit(1)).as("n_events"))
+  }
 
   private def applyBatch(store: ParquetKpiStore)(
       batch: DataFrame, batchId: Long): Unit = {

@@ -73,14 +73,20 @@ class MultimodalSpec extends SparkTestBase {
       magic ++ body.getBytes("UTF-8")
     val jpeg = Multimodal.magicBytes.toMap.apply("image/jpeg")
     val png = Multimodal.magicBytes.toMap.apply("image/png")
-    val wav = Multimodal.magicBytes.toMap.apply("audio/wav")
+    // RIFF is a CONTAINER signature: the form type at bytes 8-11
+    // decides WAV vs AVI (bytes 4-7 are the chunk size — arbitrary)
+    def riff(form: String): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4) ++
+        form.getBytes("US-ASCII")
     val rows = Seq(
       (1L, payload(jpeg, "pic"), "image/jpeg"),
       (2L, payload(png, "pic"), "image/png"),
-      (3L, payload(wav, "aud"), "audio/wav"),
+      (3L, payload(riff("WAVE"), "aud"), "audio/wav"),
       (4L, payload(Array.empty[Byte], "plain text"), "application/octet-stream"),
       (5L, payload(jpeg.take(2), "truncated magic"), "application/octet-stream"),
-      (6L, payload(wav, "lied about"), "image/jpeg")) // declared jpeg, is RIFF
+      (6L, payload(riff("WAVE"), "lied about"), "image/jpeg"), // declared jpeg, is RIFF
+      (7L, payload(riff("AVI "), "vid"), "video/avi"),
+      (8L, payload(riff("XFIL"), "other container"), "application/octet-stream"))
       .toDF("id", "media", "declared_mime")
     val got = Multimodal.validateModality(rows, "media", "declared_mime")
       .select("id", "sniffed_mime", "modality_ok")
@@ -91,7 +97,10 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(4L) == ("application/octet-stream", true))
     assert(got(5L) == ("application/octet-stream", true),
       "a 2-byte JPEG prefix is NOT a JPEG — truncated magic must fall through to octet-stream")
-    assert(got(6L) == ("audio/wav", false), "declared jpeg but RIFF bytes — must flag")
+    assert(got(6L) == ("audio/wav", false), "declared jpeg but RIFF/WAVE bytes — must flag")
+    assert(got(7L) == ("video/avi", true), "RIFF/AVI must sniff as video, not audio")
+    assert(got(8L) == ("application/octet-stream", true),
+      "an unknown RIFF form is neither audio nor video")
   }
 
   test("chunkFingerprints/chunkSharing: aligned blocks collapse, tails hash alone, empty is chunkless") {
@@ -343,13 +352,105 @@ class MultimodalSpec extends SparkTestBase {
     val wav = wavBytes(Array.fill(64)(500.toShort))
     assert(Multimodal.AutoDecoder.decode(wav, 4).toSeq ==
       Multimodal.WavDecoder.decode(wav, 4).toSeq)
-    // RIFF but not WAVE (an AVI-ish container) is NOT audio — falls to
-    // the fake twin instead of crashing the wave parser
-    val avi = "RIFF    AVI LIST".getBytes("US-ASCII")
-    assert(Multimodal.AutoDecoder.decode(avi, 4).toSeq ==
-      Multimodal.FakeDecoder.decode(avi, 4).toSeq)
+    // RIFF with an unknown form type is neither audio nor video —
+    // falls to the fake twin instead of crashing either real parser
+    val riffOther = "RIFF    XXXXLIST".getBytes("US-ASCII")
+    assert(Multimodal.AutoDecoder.decode(riffOther, 4).toSeq ==
+      Multimodal.FakeDecoder.decode(riffOther, 4).toSeq)
+    // a RIFF/AVI payload routes to the REAL demux — and a frameless
+    // one fails loudly rather than producing fake features
+    intercept[Exception](Multimodal.AutoDecoder.decode(aviBytes(Seq.empty), 4))
     // undecodable bytes through the real path fail loudly, not silently
     val bad = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 1, 2, 3)
     intercept[Exception](Multimodal.ImageIoDecoder.decode(bad, 64))
+  }
+
+  /** Minimal MJPEG-in-AVI: RIFF("AVI ") wrapping LIST("movi") of 00dc
+    * chunks, one JPEG per frame — the real container layout, word-
+    * aligned like a production muxer emits. */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      frames.flatMap(f => chunk("00dc", f))
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi))
+  }
+
+  /** Gray JPEG of the given size with per-pixel luma v(x, y). */
+  private def grayJpeg(size: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val g = v(x, y)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  test("AviDemux + frameSampleAvi: real JPEG frames out of the RIFF walk, loud on corruption") {
+    val j1 = grayJpeg(16)((x, _) => if (x < 8) 0 else 255)
+    val j2 = grayJpeg(16)((x, _) => if (x < 8) 255 else 0)
+    val avi = aviBytes(Seq(j1, j2))
+    // the container sniffs as video, not as its WAV sibling
+    val sniffed = Seq(Tuple1(avi)).toDF("media")
+      .select(Multimodal.sniffMime(col("media"))).head().getString(0)
+    assert(sniffed == "video/avi", sniffed)
+    val frames = Multimodal.AviDemux.frames(avi)
+    assert(frames.size == 2)
+    assert(frames(0).toSeq == j1.toSeq && frames(1).toSeq == j2.toSeq,
+      "frame payloads must be byte-identical to the muxed JPEGs")
+    // the DataFrame shape: one row per frame, stub-compatible columns
+    val rows = Multimodal.frameSampleAvi(
+      Seq((7L, avi)).toDF("doc_id", "media"), "media")
+      .select(col("doc_id"), col("frame_idx"), col("frame_payload"))
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((7L, 0), (7L, 1)))
+    assert(rows(1).getAs[Array[Byte]](2).toSeq == j2.toSeq)
+    // a chunk whose declared size overruns the payload fails loudly:
+    // layout is RIFF hdr (12) + LIST hdr (8) + "movi" (4) + chunk 1
+    // (8 + j1 + pad) + chunk 2 — inflate chunk 2's LE size high byte
+    val corrupt = avi.clone()
+    val secondHdr = 24 + 8 + j1.length + (j1.length & 1)
+    corrupt(secondHdr + 7) = 0x7f
+    intercept[Exception](Multimodal.AviDemux.frames(corrupt))
+    // WAV payloads are NOT AVIs: the demux refuses the sibling form
+    intercept[Exception](
+      Multimodal.AviDemux.frames(wavBytes(Array.fill(8)(100.toShort))))
+  }
+
+  test("real MJPEG AVI through the scene-cut tail: repeated frame holds, inverted frame cuts") {
+    import org.apache.spark.sql.expressions.Window
+    val a = grayJpeg(16)((x, _) => if (x < 8) 20 else 235)
+    val b = grayJpeg(16)((x, _) => if (x < 8) 235 else 20) // a's inverse
+    // frames A, A, B: hamming(A,A) = 0 (identical bytes → identical
+    // decode), hamming(A,B) ≈ 64 (every aHash bit flips — JPEG ringing
+    // cannot move a 20-vs-235 cell across the ~127 mean)
+    val avi = aviBytes(Seq(a, a, b))
+    val hashed = Multimodal.perceptualHash(
+      Multimodal.frameSampleAvi(Seq((1L, avi)).toDF("doc_id", "media"), "media")
+        .select(col("doc_id"), col("frame_idx"), col("frame_payload")),
+      "frame_payload", decoder = Multimodal.ImageIoDecoder)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val ham = bit_count(col("phash").bitwiseXOR(col("_prev"))).cast("int")
+    val got = hashed.withColumn("_prev", lag(col("phash"), 1).over(w))
+      .select(col("frame_idx"),
+        when(col("_prev").isNotNull, ham).as("hamming"),
+        when(col("_prev").isNotNull, ham > 32).as("scene_cut"))
+      .collect().sortBy(_.getInt(0))
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2),
+      "frame 0 has no predecessor")
+    assert(got(1).getInt(1) == 0 && !got(1).getBoolean(2),
+      s"repeated frame must not cut: hamming ${got(1).getInt(1)}")
+    assert(got(2).getInt(1) > 32 && got(2).getBoolean(2),
+      s"inverted frame must cut: hamming ${got(2).getInt(1)}")
+    // the thumbnail contract: AutoDecoder on the AVI = first frame's decode
+    assert(Multimodal.AutoDecoder.decode(avi, 64).toSeq ==
+      Multimodal.ImageIoDecoder.decode(a, 64).toSeq)
   }
 }

@@ -270,7 +270,7 @@ class PlanSpec extends SparkTestBase {
 
   test("skyline + weighted median: every window is bucket-scoped, never corpus-ordered (X40/A41)") {
     for (name <- Seq("x40_skyline", "a41_weighted_median",
-        "a44_exact_deciles", "a47_mad", "a48_levene")) {
+        "a44_exact_deciles", "a48_levene")) {
       val p = plan(SparkEntry.queries(name)(spark, dir))
       // the two-level prefix discipline: every Window's partition/order
       // spec involves the bucket id — a Window line WITHOUT _bk would
@@ -281,6 +281,22 @@ class PlanSpec extends SparkTestBase {
         assert(w.contains("_bk"), s"$name has a non-bucketed window: $w"))
       CachePool.releaseAll()
     }
+  }
+
+  test("a47 shift-median: every window is group-partitioned and metadata-width, never corpus-ordered") {
+    // r12: a47 moved off the two-level prefix (sorted-index) plan onto
+    // groupedMedianShift, whose windows are partitioned by the GROUP
+    // and bounded by the shift contract (coarse pass ≤ span>>12 bucket
+    // rows per group, refine pass ≤ 2^12 distinct values) — so the pin
+    // here is "every Window has a non-empty partition spec on _g", the
+    // guard against the corpus-width single-task total order
+    val p = plan(SparkEntry.queries("a47_mad")(spark, dir))
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"a47_mad lost its selection windows:\n$p")
+    windows.foreach(w =>
+      assert(w.contains("windowspecdefinition(_g#"),
+        s"a47_mad has a window not partitioned by the group: $w"))
+    CachePool.releaseAll()
   }
 
   test("pagerank: the decorated edge list is persisted and reused across iterations (X38)") {

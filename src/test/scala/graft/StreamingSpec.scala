@@ -733,6 +733,30 @@ class StreamingSpec extends SparkTestBase {
       "expected at least the four staged segments to commit")
   }
 
+  test("streaming skyline: a negative event value fails LOUDLY, never a silently wrong frontier") {
+    // round-11 ADVICE: the no-retraction invariant needs value >= 0 —
+    // a refund would strand a stale frontier entry undominated. The
+    // precondition is enforced, not assumed: the violating batch
+    // throws before anything commits.
+    import graft.streaming.StreamingSkyline
+    import spark.implicits._
+    val base = tmpDir("sskyneg")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -5.0d))
+      .toDF("user_id", "ts", "value")
+      .write.parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      StreamingSkyline.start(spark, stream, store, s"$base/cp").awaitTermination())
+    assert(ex.getMessage.contains("value >= 0") ||
+      Option(ex.getCause).exists(_.getMessage != null) &&
+        ex.getCause.getMessage.contains("value >= 0"),
+      s"expected the precondition message, got: ${ex.getMessage}")
+    // nothing was committed for the poisoned batch
+    assert(store.readGrouped(spark, "skyline", "sky_frontier").isEmpty)
+  }
+
   test("commitGroup: a crash while staging the second member never exposes mixed generations") {
     import spark.implicits._
     val store = new ParquetKpiStore(s"${tmpDir("cgroup")}/store")
