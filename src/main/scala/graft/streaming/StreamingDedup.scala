@@ -27,16 +27,22 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Batch cost scales with batch size × bucket occupancy, independent
   * of corpus length.
   *
-  * `indexParts` DEFAULTS TO 1 (single partition ≡ the flat layout):
-  * partition pruning pays when the accumulated index dwarfs per-batch
-  * bucket coverage — the 100 TB regime, where hundreds of partitions
-  * against small batches cut the scan by orders of magnitude. At the
-  * local bench scale it strictly costs: 16-way partitioning measured
-  * ~35% throughput loss on the sf0.1 8-batch drain (16× the files per
-  * append, footer/listing overhead, zero pruning because a 5000-doc
-  * batch's 8 bands hash into every partition). Size it like shuffle
-  * partitions: target batch-bucket coverage ≪ indexParts ≪ file-count
-  * budget.
+  * `indexParts` DEFAULTS TO 1 (single partition ≡ the flat layout),
+  * and the MEASURED contract (r12, settling the r11 open question) is
+  * that the flat layout wins at every locally constructible scale —
+  * including the friendliest case for pruning (8-doc batch covering
+  * ~22% of 256 partitions against a 100× index: flat 2.53 s vs
+  * pruned 4.69 s, BENCH `tiny_*` keys). The cost model: pruning
+  * saves `readFraction × scan bytes` but pays a per-partition
+  * planning/listing/small-file cost × indexParts, so partitioning
+  * pays only once each partition holds a parquet-sized chunk of
+  * index (≳128 MB) — partition count must follow INDEX BYTES, never
+  * batch shape. [[StreamingLshDedup.autoIndexParts]] encodes exactly
+  * that (flat below ~256 MB of index; then bytes/128 MB, capped),
+  * and the batch-coverage pruning fraction (1 − e^(−coverage/P))
+  * then falls out of whatever P the bytes justify — at the 100 TB
+  * regime, ~10^5 partitions of 128 MB against a 40k-bucket batch
+  * read well under 1% of the index.
   *
   * Exactly-once: batchId-named marker files make the append idempotent
   * under micro-batch replay (same contract as ParquetKpiStore). */
@@ -131,6 +137,21 @@ class StreamingLshDedup(
     } finally newBuckets.unpersist()
   }
 
+  /** Bootstrap the index from an ALREADY-DEDUPED corpus: append its
+    * bucket rows WITHOUT the within-batch self-join or match output.
+    * A deployment migrating an existing cleaned corpus into the
+    * streaming path does exactly this — re-deduping known-clean data
+    * would be pure quadratic waste before the stream even starts.
+    * Same idempotence marker as [[processBatch]]; the usual pattern
+    * is seedIndex(…, batchId = 0) then streaming batches from 1. */
+  def seedIndex(spark: SparkSession, docs: DataFrame, batchId: Long = 0L): Unit = {
+    val f = fs(spark)
+    if (f.exists(marker(batchId))) return // replay after recovery: no-op
+    bucketed(docs).write.mode(SaveMode.Append)
+      .partitionBy("_bp").parquet(s"$indexDir/data")
+    f.create(marker(batchId), true).close()
+  }
+
   /** Hook a text-document stream (columns doc_id, text) into the
     * incremental dedup. */
   def start(
@@ -147,5 +168,28 @@ class StreamingLshDedup(
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow())
      else w.trigger(Trigger.ProcessingTime("1 second"))).start()
+  }
+}
+
+object StreamingLshDedup {
+
+  /** The r12-measured crossover contract as code: partition the index
+    * only when each partition can hold a parquet-sized chunk
+    * (`targetPartitionBytes`, default 128 MB — the scan sweet spot),
+    * because pruning saves `readFraction × scan bytes` but pays a
+    * per-partition planning/listing/small-file cost that DOMINATED at
+    * every locally constructible scale (flat 2.53 s vs pruned-256
+    * 4.69 s on a 100× index with an 8-doc batch — the friendliest
+    * pruning case, BENCH `tiny_*` keys). Below ~2 partitions' worth
+    * of bytes the flat layout is simply correct; above it, partition
+    * count follows index bytes (capped at 4096 — a file-count budget,
+    * not a tuning knob), and the batch's pruning fraction
+    * (1 − e^(−coverage/P)) falls out of whatever P the bytes justify. */
+  def autoIndexParts(
+      expectedIndexBytes: Long,
+      targetPartitionBytes: Long = 128L << 20): Int = {
+    require(targetPartitionBytes > 0, "targetPartitionBytes must be positive")
+    if (expectedIndexBytes < 2 * targetPartitionBytes) 1
+    else math.min(4096L, expectedIndexBytes / targetPartitionBytes).toInt
   }
 }

@@ -210,6 +210,44 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
+  test("seedIndex bootstraps the index without self-dedup; later batches match against it; autoIndexParts follows bytes") {
+    import spark.implicits._
+    import graft.streaming.StreamingLshDedup
+    val base = tmpDir("sdedup-seed")
+    val dedup = new StreamingLshDedup(s"$base/index", s"$base/matches")
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    // the seed corpus CONTAINS a near-dup pair — seedIndex must NOT
+    // emit it (already-deduped-corpus contract: no self-join, no
+    // matches output), only index it
+    val seed = Seq(
+      (1L, doc), (2L, doc.replace("quick", "speedy")),
+      (3L, "completely unrelated words about cooking pasta tonight with sauce and basil")
+    ).toDF("doc_id", "text")
+    dedup.seedIndex(spark, seed, 0L)
+    dedup.seedIndex(spark, seed, 0L) // idempotent replay
+    assert(!new java.io.File(s"$base/matches").exists(),
+      "seedIndex must not run the within-batch self-dedup")
+    assert(spark.read.parquet(s"$base/index/data")
+      .select("doc_id").distinct().count() == 3)
+    // a streaming batch against the seeded index behaves exactly as if
+    // the seed had arrived as batch 0
+    val batch1 = Seq((10L, doc.replace("today", "tonight"))).toDF("doc_id", "text")
+    dedup.processBatch(spark, batch1, 1L)
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches.contains((10L, 1L)), s"seeded-index dup missed: $matches")
+    // the measured layout contract: flat until partitions hold parquet-
+    // sized chunks, then count follows bytes (never batch shape)
+    val mb = 1L << 20
+    assert(StreamingLshDedup.autoIndexParts(100 * mb) == 1,
+      "a sub-256MB index stays flat — pruning measured strictly slower there")
+    assert(StreamingLshDedup.autoIndexParts(255 * mb) == 1)
+    assert(StreamingLshDedup.autoIndexParts(10L * 1024 * mb) == 80,
+      "10 GB / 128 MB = 80 partitions")
+    assert(StreamingLshDedup.autoIndexParts(Long.MaxValue / 4) == 4096,
+      "file-count budget cap")
+  }
+
   test("streaming LSH dedup index is bucket-partitioned and the per-batch read prunes to the batch's partitions") {
     import spark.implicits._
     val base = tmpDir("sdedup-prune")
