@@ -373,32 +373,45 @@ object Multimodal {
     * the image-near-dup primitive (the classic 8×8-luma mean-threshold
     * hash; pHash's DCT refinement swaps the grid, not the plumbing):
     * bit i of `phash` = feature(i) ≥ mean(features). Adds `phash`
-    * (64-bit long). With the real codec behind [[decodeFeatures]] the
-    * features are the downscaled luma grid; under [[FakeDecoder]] the
-    * machinery is identical and fully SQL-replayable — every feature
-    * is an exact 24-bit dyadic rational, so the sum of `dim` of them
-    * is EXACT in double (numerators total < 2^53) and the threshold
+    * (64-bit long). With the real codec the features are the
+    * downscaled luma grid; under [[FakeDecoder]] every feature is an
+    * exact 24-bit dyadic rational, so the sum of `dim` of them is
+    * EXACT in double (numerators total < 2^53) and the threshold
     * compare `f_i ≥ mean` equals the integer predicate
     * `k_i·dim ≥ Σk` on any engine: no summation-order hazard, the
     * oracle replays the hash bit-for-bit.
     *
-    * Narrow map after the decode stage — no shuffle; the mean is
-    * staged as a column so the per-bit lambda reads a materialized
-    * scalar. */
+    * FUSED into the decode's own mapPartitions pass (round 12): the
+    * original formulation staged `features` and packed bits through
+    * interpreted higher-order lambdas — measured 160 µs/frame, 6.4 s
+    * of m8's 11 s at sf0.1 for arithmetic worth microseconds. The
+    * plain-loop mean/threshold/pack here is IEEE-identical (same
+    * array-order double sum, same `≥` compare, same shift-or fold),
+    * so every oracle value is unchanged — only the interpreted
+    * expression stage is gone. Narrow map, no shuffle, one decode
+    * per row. */
   def perceptualHash(
       df: DataFrame, mediaCol: String, dim: Int = 64,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(dim >= 1 && dim <= 64, s"phash needs 1..64 bits, got $dim")
-    val f = col("features")
-    decodeFeatures(df, mediaCol, dim, decoder = decoder)
-      .withColumn("_fmean",
-        aggregate(f, lit(0.0), (a, x) => a + x.cast("double")) / lit(dim.toDouble))
-      .withColumn("phash", aggregate(
-        zip_with(f, sequence(lit(0), lit(dim - 1)), (x, i) =>
-          when(x.cast("double") >= col("_fmean"),
-            call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-        lit(0L), (a, b) => a.bitwiseOR(b)))
-      .drop("features", "_fmean")
+    val outSchema = df.schema.add("phash", LongType, nullable = false)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = decoder.decode(r.getAs[Array[Byte]](mediaIdx), dim)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += feats(i).toDouble; i += 1 }
+        val mean = s / dim
+        var h = 0L
+        i = 0
+        while (i < dim) {
+          if (feats(i).toDouble >= mean) h |= 1L << i
+          i += 1
+        }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** 16-bit band `b` of a phash — logical shift + mask, so band 3 is
