@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructType}
 
 /** Text-analysis operators for the documents pipeline — all built from
   * Catalyst expressions (no Scala UDFs in any hot path).
@@ -769,6 +770,27 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** [[applyMerge]]'s greedy left-to-right fold as a plain loop —
+    * byte-identical output (TextDedupSpec's sequential model IS this
+    * loop), used by the mapPartitions training/encode passes where the
+    * HOF form paid interpreted-lambda cost per symbol (the r12 phash
+    * lesson applied to BPE: Spark array HOFs are CodegenFallback). */
+  private[operators] def mergeSeqScala(
+      syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toIndexedSeq
+  }
+
+  /** [[charSyms]] as a plain loop — positions 1..len(w)+1 of
+    * w ++ marker, i.e. the word's characters plus the marker's FIRST
+    * character (identical to the Column form's substr windows). */
+  private def charSymsScala(w: String, marker: String): IndexedSeq[String] =
+    (w + marker).substring(0, w.length + 1).map(_.toString)
+
   /** Per-word initial symbol array: characters plus the end-of-word
     * marker ([[bpePairCounts]]'s boundary argument). */
   private def charSyms(word: Column, marker: String): Column =
@@ -787,28 +809,46 @@ object TextAnalysis {
         .groupBy(col("_w0")).agg(count(lit(1)).as("f"))
         .select(col("f"), charSyms(col("_w0"), marker).as("syms"))
         .persist())
+    val vocabSchema = new StructType()
+      .add("f", LongType).add("syms", ArrayType(StringType))
+    // per-round narrow passes in plain Scala (r12): the HOF explode /
+    // fold forms were interpreted per symbol per word per round —
+    // mapPartitions keeps the identical distributed shape (the pair
+    // SUM below is still the map-side-combined aggregate) at loop cost
+    val pairSchema = new StructType()
+      .add("l", StringType).add("r", StringType).add("f", LongType)
+    def pairFrame(v: DataFrame): DataFrame = v.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val f = row.getLong(0)
+        val syms = row.getSeq[String](1)
+        // a fully-merged word (ONE symbol — e.g. a single-char word
+        // whose (char, marker) pair won an earlier round) has no
+        // adjacent pairs (round-11 ADVICE: the HOF form crashed here)
+        if (syms.length < 2) Iterator.empty
+        else (0 until syms.length - 1).iterator
+          .map(j => Row(syms(j), syms(j + 1), f))
+      }
+    }(Encoders.row(pairSchema))
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
+    // ONE job per round (r12): the round's own argmax job is the
+    // action that fills the current vocab's cache (its plan reads the
+    // PARENT's still-live cache), so the former per-round count()
+    // materialization job is pure scheduling latency — the parent
+    // unpersists only AFTER the argmax lands, which preserves the
+    // no-2^merges-lineage guarantee the per-round persists exist for
+    var parent: Option[DataFrame] = None
     while (step <= merges && !exhausted) {
-      val best = vocab
-        // a fully-merged word (ONE symbol — e.g. a single-char word
-        // whose (char, marker) pair won an earlier round) has no
-        // adjacent pairs; without this filter sequence(0, size-2)
-        // becomes sequence(0, -1) = [0, -1] (default step -1) and
-        // element_at(syms, 0) throws (SQL arrays are 1-based) —
-        // round-11 ADVICE
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(
-          transform(sequence(lit(0), size(col("syms")) - 2),
-            j => struct(element_at(col("syms"), j + 1).as("l"),
-              element_at(col("syms"), j + 2).as("r")))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      val best = pairFrame(vocab)
+        .groupBy(col("l"), col("r"))
         .agg(sum(col("f")).as("cnt"))
         // deterministic argmax: min over (−count, left, right)
         .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r"))).as("b"))
         .select(col("b.l"), col("b.r"), (-col("b.nc")).as("cnt"))
         .head() // bounded: ONE winner row per round (the centroid-loop discipline)
+      parent.foreach(_.unpersist()) // vocab's cache is live past here
+      parent = Some(vocab)
       if (best.isNullAt(0)) {
         // every word fully merged — the global argmin over an empty
         // pair frame is one all-NULL row; the learned table simply
@@ -817,14 +857,14 @@ object TextAnalysis {
       } else {
         val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
         learned += ((step, a, b, cnt))
-        val prev = vocab
-        vocab = graft.CachePool.register(prev.select(col("f"),
-          applyMerge(col("syms"), a, b).as("syms")).persist())
-        vocab.count() // materialize before releasing the parent
-        prev.unpersist()
+        vocab = graft.CachePool.register(vocab.mapPartitions { rows =>
+          rows.map(row =>
+            Row(row.getLong(0), mergeSeqScala(row.getSeq[String](1).toIndexedSeq, a, b)))
+        }(Encoders.row(vocabSchema)).toDF().persist())
         step += 1
       }
     }
+    parent.foreach(_.unpersist())
     vocab.unpersist()
     learned.toSeq.toDF("step", "left", "right", "pair_count")
       .select(col("step").cast("long").as("step"), col("left"),
@@ -881,14 +921,23 @@ object TextAnalysis {
     require(!df.columns.exists(
       Seq("_toks", "_pos", "_w", "_syms", "bpe_tokens", "n_bpe_tokens").contains),
       "bpeEncodeByVocab: _toks/_pos/_w/_syms/bpe_tokens/n_bpe_tokens are internal names")
-    val encodedWord = merges.foldLeft[Column => Column](w => charSyms(w, marker)) {
-      case (enc, (a, b)) => w => applyMerge(enc(w), a, b)
-    }
     val toks = withTokens(df, textCol)
       .select(col(idCol), posexplode(filter(col("_toks"), w => w =!= ""))
         .as(Seq("_pos", "_w")))
-    val vocabEnc = toks.select(col("_w")).distinct()
-      .withColumn("_syms", encodedWord(col("_w")))
+    // each distinct word folds once through the merge table as PLAIN
+    // LOOPS (r12): the chained applyMerge HOFs were interpreted per
+    // symbol per rule — mergeSeqScala is byte-identical (spec-pinned
+    // against bpeEncode and the sequential model) at loop cost
+    val encSchema = new StructType()
+      .add("_w", StringType).add("_syms", ArrayType(StringType))
+    val vocabEnc = toks.select(col("_w")).distinct().mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getString(0)
+        var syms = charSymsScala(w, marker)
+        merges.foreach { case (a, b) => syms = mergeSeqScala(syms, a, b) }
+        Row(w, syms)
+      }
+    }(Encoders.row(encSchema)).toDF()
     val perDoc = toks.join(vocabEnc, Seq("_w"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
