@@ -771,6 +771,46 @@ class StreamingSpec extends SparkTestBase {
       "expected at least the four staged segments to commit")
   }
 
+  test("streaming median/MAD: additive histogram state converges to batch a47 bit-for-bit under reverse drain") {
+    import graft.streaming.StreamingMedianMad
+    val dir = "/root/testdata/sf0.001"
+    val base = tmpDir("smm")
+    // hostile reverse-key staging: the median is a pure function of
+    // the commutative count histogram, so arrival order must not
+    // matter even though every batch's median can JUMP anywhere
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"))
+    val (kMin, kMax) = {
+      val r = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(kMax - kMin, 1L)
+    li.withColumn("_seg",
+        least(lit(3), ((lit(kMax) - col("l_orderkey")) * 4 / (span + 1)).cast("int")))
+      .drop("l_orderkey")
+      .repartition(1)
+      .write.partitionBy("_seg").parquet(s"$base/in")
+    val store = new ParquetKpiStore(s"$base/store")
+    val schema = spark.read.parquet(s"$base/in/_seg=0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in/_seg=*")
+    StreamingMedianMad.start(spark, stream, store, s"$base/cp").awaitTermination()
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[Long]("median_cents"), r.getAs[Long]("mad_cents"))).toSeq
+    val got = rows(StreamingMedianMad.medianMad(spark, store))
+    val want = rows(SparkEntry.queries("a47_mad")(spark, dir))
+    assert(want.nonEmpty && got == want,
+      s"streaming median/MAD diverged from batch a47:\n got=$got\nwant=$want")
+    // the histogram twin reads at the SAME generation and re-derives
+    // the result (cross-table consistency through the group manifest)
+    val cnt = StreamingMedianMad.counts(spark, store)
+    assert(cnt.agg(sum("n")).head().getLong(0) == li.count())
+    assert(store.appliedGroupBatch(spark, "median_mad") >= 3L,
+      "expected all four staged segments to commit")
+  }
+
   test("streaming skyline: a negative event value fails LOUDLY, never a silently wrong frontier") {
     // round-11 ADVICE: the no-retraction invariant needs value >= 0 —
     // a refund would strand a stale frontier entry undominated. The
