@@ -3943,25 +3943,26 @@ object SparkEntry {
   /** Winsorized mean price per return flag (Winsor/Tukey — the robust
     * location estimate a revenue dashboard wants when a fat-finger
     * price would swing the plain mean; clamping at P5/P95 keeps the
-    * mass, unlike trimming which drops it). Composes
-    * [[RelationalOps.groupedExactQuantiles]] end-to-end: the clamp
-    * bounds are the EXACT k=1 and k=19 vigintile ELEMENTS (q=20, data
-    * values — no interpolation float can sit near a boundary), the
-    * clamped cents sum is exact integer, and the mean is ONE terminal
-    * division. Two passes over the staged fact (quantiles, then
-    * clamp+sum) — both map-side combined, the bounds broadcast. */
+    * mass, unlike trimming which drops it). The clamp bounds are the
+    * EXACT k=1 and k=19 vigintile ELEMENTS (q=20, data values — no
+    * interpolation float can sit near a boundary) via
+    * [[RelationalOps.groupedQuantilesShift]] (the a47/a44 shift
+    * family since r12 — near-unique cents made the sorted-index
+    * prefix the avoidable cost); the clamped cents sum is exact
+    * integer, the mean ONE terminal division. Passes over the staged
+    * fact are all map-side combined, the bounds broadcast. */
   private val a46WinsorizedMean = (s: SparkSession, d: String) => {
-    // Raw rows feed both passes: groupedExactQuantiles run-collapses
-    // INTERNALLY (a pre-aggregation here double-shuffles the same
-    // keys — the e12 smell), and the clamp-sum is one map-side-
-    // combined pass over the staged fact.
+    // Raw rows feed the selection directly: groupedQuantilesShift
+    // histogram-collapses INTERNALLY (a pre-aggregation here
+    // double-shuffles the same keys — the e12 smell), and the
+    // clamp-sum is one map-side-combined pass over the staged fact.
     val staged = CachePool.register(t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"))
       .withColumn("_one", lit(1L))
-      .persist()) // two consumers: the quantile pass and the clamp pass
-    val bounds = RelationalOps.groupedExactQuantiles(
+      .persist()) // consumers: the quantile passes and the clamp pass
+    val bounds = RelationalOps.groupedQuantilesShift(
       staged, "l_returnflag", "_price_cents", "_one", q = 20)
       .groupBy(col("l_returnflag"))
       .agg(min(when(col("quantile_k") === 1, col("q_value"))).as("p05_cents"),
@@ -4075,22 +4076,23 @@ object SparkEntry {
   }
 
   /** Exact quantity-weighted price DECILES per return flag
-    * ([[RelationalOps.groupedExactQuantiles]]) — a41's weighted median
-    * generalized to all nine k/10 cut points in the SAME single
-    * grouped two-level prefix pass (one corpus-width shuffle, never
-    * nine): where a15's approx family carries a bounded error, every
-    * decile here is a VALUE FROM THE DATA picked by exact BIGINT
-    * cross-multiplication (10·cum ≥ k·tot), bit-identical on any
-    * engine. The k fan-out is a 9-element sequence explode on the
-    * |group × distinct-value| prefix frame — bounded, map-side
-    * combined back down to 9 rows per group. */
+    * ([[RelationalOps.groupedQuantilesShift]]) — a41's weighted
+    * median generalized to all nine k/10 cut points: every decile a
+    * VALUE FROM THE DATA picked by exact BIGINT cross-multiplication
+    * (10·cum ≥ k·tot), bit-identical on any engine. Since r12 this
+    * rides the a47 shift family (one coarse `cents >> 12` histogram
+    * + one refine pass inside the ≤ 9 target buckets — metadata-width
+    * windows only) instead of the sorted-index prefix: prices are
+    * near-unique, so the global orderBy+rowIndex over |distinct| rows
+    * was the avoidable cost (2.7 → ~1.5 s at sf0.1; values
+    * unchanged, the oracle pins them). */
   private val a44ExactDeciles = (s: SparkSession, d: String) => {
     val staged = t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"),
       col("l_quantity").cast("long").as("_qty"))
-    RelationalOps.groupedExactQuantiles(
+    RelationalOps.groupedQuantilesShift(
       staged, "l_returnflag", "_price_cents", "_qty", q = 10)
       .select(col("l_returnflag"), col("quantile_k"),
         col("q_value").as("decile_cents"))

@@ -593,4 +593,65 @@ object RelationalOps {
       .agg(min(col("_v")).as("w_median"))
       .select(col("_g").as(groupCol), col("w_median"))
   }
+
+  /** Exact per-group LOWER q-quantile elements for BOUNDED-SPAN
+    * integer domains — [[groupedMedianShift]] generalized to ALL of
+    * k/q in the SAME two passes (the shift counterpart of
+    * [[groupedExactQuantiles]]'s sorted-index form, and identical
+    * output: the k-th value is the smallest whose cumulative weight
+    * reaches k/q of the group total, `q·cum ≥ k·tot`
+    * cross-multiplied).
+    *
+    *   1. Coarse pass: ONE `v >> shift` histogram; each coarse row
+    *      fans out only to the quantile indices it satisfies
+    *      (bounded q−1 explode over metadata rows) and a struct-min
+    *      argmin picks each k's target bucket with the exact weight
+    *      below it.
+    *   2. Refine pass: rows inside the ≤ q−1 target buckets per
+    *      group (broadcast join on (group, bucket)) aggregate per
+    *      exact value; bucket rows replicate only to the ks they
+    *      serve, and a per-(group, k) window over ≤ 2^shift values
+    *      picks each answer.
+    *
+    * Same scale precondition as [[groupedMedianShift]] (choose shift
+    * so span>>shift and 2^shift are both metadata-scale); both
+    * passes' corpus-width work is one map-side-combined aggregate. */
+  def groupedQuantilesShift(df: DataFrame, groupCol: String, valCol: String,
+      wCol: String, q: Int = 10, shift: Int = 12): DataFrame = {
+    require(q >= 2 && q <= 1000, s"q must be in [2, 1000]: $q")
+    require(shift >= 1 && shift <= 40, s"shift must be in [1, 40]: $shift")
+    require(!df.columns.exists(
+      Seq("_g", "_v", "_w", "_hb", "_hw", "_cum", "_tot", "_off", "_sw",
+        "_t", "_k").contains),
+      "groupedQuantilesShift: _g/_v/_w/_hb/_hw/_cum/_tot/_off/_sw/_t/_k are internal names")
+    val base = df.select(col(groupCol).as("_g"),
+      col(valCol).cast(LongType).as("_v"), col(wCol).cast(LongType).as("_w"))
+    val wcum = Window.partitionBy(col("_g")).orderBy(col("_hb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val targets = base
+      .groupBy(col("_g"), shiftright(col("_v"), shift).as("_hb"))
+      .agg(sum(col("_w")).as("_hw"))
+      .withColumn("_cum", sum(col("_hw")).over(wcum))
+      .withColumn("_tot", sum(col("_hw")).over(Window.partitionBy(col("_g"))))
+      .select(col("_g"), col("_hb"), col("_cum"), col("_hw"), col("_tot"),
+        explode(sequence(lit(1), lit(q - 1))).as("_k"))
+      .filter(lit(q.toLong) * col("_cum") >= col("_k").cast(LongType) * col("_tot"))
+      .groupBy(col("_g"), col("_k"))
+      .agg(min(struct(col("_hb"), col("_cum"), col("_hw"), col("_tot"))).as("_t"))
+      .select(col("_g"), col("_k"), col("_t._hb").as("_hb"),
+        (col("_t._cum") - col("_t._hw")).as("_off"), col("_t._tot").as("_tot"))
+    val wv = Window.partitionBy(col("_g"), col("_k")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("_hb", shiftright(col("_v"), shift))
+      .join(broadcast(targets.select(col("_g"), col("_hb")).distinct()),
+        Seq("_g", "_hb"))
+      .groupBy(col("_g"), col("_hb"), col("_v"))
+      .agg(sum(col("_w")).as("_sw"))
+      .join(broadcast(targets), Seq("_g", "_hb"))
+      .withColumn("_cum", col("_off") + sum(col("_sw")).over(wv))
+      .filter(lit(q.toLong) * col("_cum") >= col("_k").cast(LongType) * col("_tot"))
+      .groupBy(col("_g"), col("_k"))
+      .agg(min(col("_v")).as("q_value"))
+      .select(col("_g").as(groupCol), col("_k").as("quantile_k"), col("q_value"))
+  }
 }

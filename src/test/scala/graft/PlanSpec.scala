@@ -269,8 +269,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("skyline + weighted median: every window is bucket-scoped, never corpus-ordered (X40/A41)") {
-    for (name <- Seq("x40_skyline", "a41_weighted_median",
-        "a44_exact_deciles", "a48_levene")) {
+    for (name <- Seq("x40_skyline", "a41_weighted_median", "a48_levene")) {
       val p = plan(SparkEntry.queries(name)(spark, dir))
       // the two-level prefix discipline: every Window's partition/order
       // spec involves the bucket id — a Window line WITHOUT _bk would
@@ -283,20 +282,23 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("a47 shift-median: every window is group-partitioned and metadata-width, never corpus-ordered") {
-    // r12: a47 moved off the two-level prefix (sorted-index) plan onto
-    // groupedMedianShift, whose windows are partitioned by the GROUP
+  test("shift-selection family: every window is group-partitioned and metadata-width, never corpus-ordered") {
+    // r12: a47/a44/a46 moved off the two-level prefix (sorted-index)
+    // plan onto the groupedMedianShift/groupedQuantilesShift family,
+    // whose windows are partitioned by the GROUP (and quantile index)
     // and bounded by the shift contract (coarse pass ≤ span>>12 bucket
     // rows per group, refine pass ≤ 2^12 distinct values) — so the pin
-    // here is "every Window has a non-empty partition spec on _g", the
+    // here is "every Window has a partition spec leading with _g", the
     // guard against the corpus-width single-task total order
-    val p = plan(SparkEntry.queries("a47_mad")(spark, dir))
-    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.nonEmpty, s"a47_mad lost its selection windows:\n$p")
-    windows.foreach(w =>
-      assert(w.contains("windowspecdefinition(_g#"),
-        s"a47_mad has a window not partitioned by the group: $w"))
-    CachePool.releaseAll()
+    for (name <- Seq("a47_mad", "a44_exact_deciles", "a46_winsorized_mean")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(windows.nonEmpty, s"$name lost its selection windows:\n$p")
+      windows.foreach(w =>
+        assert(w.contains("windowspecdefinition(_g#"),
+          s"$name has a window not partitioned by the group: $w"))
+      CachePool.releaseAll()
+    }
   }
 
   test("pagerank: the decorated edge list is persisted and reused across iterations (X38)") {

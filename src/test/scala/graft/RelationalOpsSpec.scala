@@ -451,4 +451,27 @@ class RelationalOpsSpec extends SparkTestBase {
     val medians = wmRun(pts, 1L << 20)
     for ((g, m) <- medians) assert(deciles((g, 5)) == m, s"median mismatch for $g")
   }
+
+  private def qShiftRun(pts: Seq[(String, Long, Long)], q: Int, shift: Int) =
+    RelationalOps.groupedQuantilesShift(
+      pts.toDF("g", "v", "w"), "g", "v", "w", q, shift)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("groupedQuantilesShift: parity with the model and the sorted-index form, negatives, mixed spans") {
+    val rnd = new scala.util.Random(59)
+    // dense-tie and sparse near-unique groups, signed values across
+    // shift-bucket edges — the a46 vigintile shape
+    val pts = (1 to 400).map { _ =>
+      val g = rnd.nextInt(4)
+      val v = if (g < 2) rnd.nextInt(40).toLong - 20L
+      else rnd.nextInt(1 << 22).toLong - (1 << 21)
+      (s"g$g", v, 1L + rnd.nextInt(9))
+    }
+    for (q <- Seq(4, 10, 20)) {
+      val want = qModel(pts, q)
+      assert(qRun(pts, q, 64L) == want, s"sorted-index form diverged at q=$q")
+      for (sh <- Seq(1, 5, 12)) assert(qShiftRun(pts, q, sh) == want,
+        s"shift form diverged at q=$q shift=$sh")
+    }
+  }
 }
