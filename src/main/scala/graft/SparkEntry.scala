@@ -5177,7 +5177,7 @@ object SparkEntry {
     val u = conv(substring(hx, 1, 8), 16, 10).cast("long").cast("double") /
       lit(4294967296.0)
     val reps = docs.withColumn("b", explode(sequence(lit(0), lit(B - 1))))
-      .withColumn("_w", Evaluation.psiBinOf(u, typedLit(bootThresholds)).cast("long"))
+      .withColumn("_w", Evaluation.psiBinOfLiteral(u, bootThresholds).cast("long"))
     val means = reps.groupBy(col("b"))
       .agg(sum(col("_w") * col("n_chars")).as("_sw"), sum(col("_w")).as("_nw"))
       .withColumn("_m", col("_sw").cast("double") / col("_nw").cast("double"))

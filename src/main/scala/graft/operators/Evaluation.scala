@@ -264,6 +264,20 @@ object Evaluation {
     aggregate(boundsArr, lit(0),
       (acc, b) => acc + when(v > b, 1).otherwise(0)).cast("int")
 
+  /** [[psiBinOf]] for PLAN-TIME literal bounds — the identical
+    * comparison fold unrolled into a codegen'd when-chain sum. The
+    * array-HOF form is CodegenFallback (interpreted per element per
+    * row — the a35 audit found it carrying ~60% of a 100×-replicate
+    * explode's cost); with literal bounds the unroll is free and
+    * value-identical: same `v > bound` compares, same integer sum.
+    * Keep the HOF form for DATA-carried bounds arrays (streaming
+    * drift's per-batch reference bounds). */
+  def psiBinOfLiteral(v: Column, bounds: Seq[Double]): Column = {
+    require(bounds.nonEmpty, "psiBinOfLiteral needs at least one bound")
+    bounds.map(b => when(v > lit(b), 1).otherwise(0))
+      .reduceLeft(_ + _).cast("int")
+  }
+
   /** Gini concentration index per group — the inequality statistic a
     * corpus curator reads to answer "is this language's token mass
     * concentrated in a few giant documents?" (high Gini → a handful of

@@ -172,4 +172,23 @@ class EvaluationSpec extends SparkTestBase {
     val g = gini(Seq("z" -> 0L, "z" -> 0L))
     assert(g("z") == ((2L, None)))
   }
+
+  test("psiBinOfLiteral equals the HOF fold on and around every bound") {
+    import org.apache.spark.sql.functions.typedLit
+    val bounds = Seq(0.1, 0.25, 0.5, 0.9)
+    // probe exactly AT each bound (strict > must not count it), just
+    // above, just below, and outside both ends
+    val vs = bounds.flatMap(b => Seq(b, b + 1e-9, b - 1e-9)) ++ Seq(-1.0, 0.0, 2.0)
+    val df = vs.map(Tuple1(_)).toDF("v")
+    val got = df.select(col("v"),
+        Evaluation.psiBinOf(col("v"), typedLit(bounds)).as("hof"),
+        Evaluation.psiBinOfLiteral(col("v"), bounds).as("lit"))
+      .collect()
+    got.foreach(r => assert(r.getInt(1) == r.getInt(2),
+      s"fold forms diverged at v=${r.getDouble(0)}: hof=${r.getInt(1)} lit=${r.getInt(2)}"))
+    // and the fold itself is the cleared-bounds count
+    val byV = got.map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(byV(-1.0) == 0 && byV(0.0) == 0 && byV(2.0) == 4)
+    assert(byV(0.5) == 2, "a value equal to a bound does not clear it")
+  }
 }
