@@ -3761,22 +3761,24 @@ object SparkEntry {
       .orderBy(col("step"))
 
   /** Train-then-encode tokenizer pipeline ([[TextAnalysis.bpeTrain]] →
-    * [[TextAnalysis.bpeEncode]]): learn 10 merges on the corpus, then
-    * tokenize every document with the learned table (replayed in
-    * learned order as a literal plan — never a join) and report the
-    * per-doc BPE token count. The standard two-job shape: train once
-    * over the vocabulary, encode as an embarrassingly-parallel narrow
-    * map. Oracled since round 12: encoding the TRAINING corpus equals
-    * the training loop's final vocabulary state (the consistency the
-    * spec suite pins), so the oracle reuses [[bpeOracleRounds]] and
-    * sums final symbol-array lengths per doc; the spec suite also
-    * pins encode against a hand-replayed table. */
+    * [[TextAnalysis.bpeEncodeGreedy]]): learn 10 merges on the corpus,
+    * then tokenize every document with the learned table and report
+    * the per-doc BPE token count. The standard two-job shape: train
+    * once over the vocabulary, then encode as ONE embarrassingly-
+    * parallel mapPartitions pass with the table riding a broadcast
+    * rank map — constant plan size at ANY vocabulary (r12 verdict's
+    * top ask: the fold form planned one HOF layer per rule, the vocab
+    * form looped every rule per distinct word; both are parity-pinned
+    * against this path in the spec suite). Oracled since round 12:
+    * encoding the TRAINING corpus equals the training loop's final
+    * vocabulary state, so the oracle reuses [[bpeOracleRounds]] and
+    * sums final symbol-array lengths per doc. */
   private val t31BpeEncode = (s: SparkSession, d: String) => {
     val docs = t(s, d, "documents")
     val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
-    TextAnalysis.bpeEncodeByVocab(docs, "doc_id", "text", table)
+    TextAnalysis.bpeEncodeGreedy(docs, "text", table)
       .select(col("doc_id"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }
@@ -6351,7 +6353,16 @@ object SparkEntry {
              i -> struct_pack(l := syms[i], r := syms[i+1]))) AS t(u)
            GROUP BY 1, 2
          ), win$r AS MATERIALIZED (
-           SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1
+           -- ALWAYS exactly one row: an all-NULL sentinel when the pair
+           -- frame is exhausted (every word fully merged before round
+           -- `rounds`), so x$r's cross join passes the vocab through
+           -- unchanged (sym = NULL is never true) instead of emptying
+           -- v$r and silently diverging from bpeTrain's early stop
+           (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1)
+           UNION ALL
+           (SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+                   CAST(NULL AS BIGINT)
+            WHERE NOT EXISTS (SELECT 1 FROM p$r))
          ), x$r AS (
            SELECT w, f, i AS p, syms[i] AS sym, win.l AS a, win.r AS b
            FROM v${r - 1}, win$r AS win, unnest(range(1, CAST(len(syms)+1 AS BIGINT))) AS t(i)
@@ -6382,9 +6393,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "t30_bpe_train" -> {
-      // the learned merge table: one argmax row per round, in order
+      // the learned merge table: one argmax row per round, in order;
+      // exhausted rounds carry win$r's NULL sentinel — filtered here,
+      // matching bpeTrain's early stop (shorter learned table)
       val unions = (1 to 10).map(r =>
-        s"""SELECT CAST($r AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count FROM win$r""")
+        s"""SELECT CAST($r AS BIGINT) AS step, l AS "left", r AS "right", cnt AS pair_count FROM win$r WHERE l IS NOT NULL""")
         .mkString("\n  UNION ALL ")
       bpeOracleRounds(10) + s"\nSELECT * FROM (\n  $unions\n) ORDER BY step"
     },

@@ -166,7 +166,9 @@ object Multimodal {
       while (pos + 8 <= payload.length) {
         val id = tag(payload, pos)
         val sz = le32(payload, pos + 4)
-        require(sz >= 0 && pos + 8 + sz <= payload.length,
+        // long arithmetic: a crafted near-Int.MaxValue size must fail
+        // HERE, not wrap negative and crash downstream (r12 ADVICE)
+        require(sz >= 0 && pos.toLong + 8L + sz <= payload.length.toLong,
           s"WavDecoder: chunk $id overruns the payload")
         if (id == "fmt ") {
           val audioFormat = le16(payload, pos + 8)
@@ -236,7 +238,11 @@ object Multimodal {
         while (pos + 8 <= end) {
           val id = tag(payload, pos)
           val sz = le32(payload, pos + 4)
-          require(sz >= 0 && pos + 8 + sz <= end,
+          // bound check in LONG arithmetic: a crafted size near
+          // Int.MaxValue would wrap `pos + 8 + sz` negative, pass an
+          // int-typed require, and surface as a confusing
+          // copyOfRange/negative-index crash instead of this message
+          require(sz >= 0 && pos.toLong + 8L + sz <= end.toLong,
             s"AviDemux: chunk $id overruns the payload")
           if (id == "LIST") walk(pos + 12, pos + 8 + sz) // skip the list type
           else if (isFrameId(id) && sz > 0)

@@ -453,7 +453,10 @@ object RelationalOps {
     *      group's narrowed interval (broadcast back to the scan).
     * Rounds = ⌈log_buckets(max group span)⌉, fixed up front from one
     * min/max/total pre-pass — 2 rounds for a cents domain at 2^16
-    * buckets, ≤ 4 for the full long range. Every comparison is
+    * buckets, ≤ 4 for any span up to Long.MaxValue (a group spanning
+    * MORE — both long extremes at once — is rejected LOUDLY at the
+    * pre-pass: the interval arithmetic would overflow; sign-split such
+    * a domain upstream). Every comparison is
     * cross-multiplied BIGINT (`2·cum ≥ W` — no half-boundary ever
     * sits on a division) and the result is a VALUE FROM THE DATA,
     * bit-identical to [[weightedMedianLower]] on any engine
@@ -483,18 +486,32 @@ object RelationalOps {
       sum(col("_w")).as("_tot"))
       .withColumn("_cumb", lit(0L))
     // the round count is a FUNCTION OF THE SPAN, not the data volume:
-    // one 2-value collect fixes it up front (empty input → 0 rounds)
-    val spanRow = state.agg(max(col("_hi") - col("_lo"))).collect()(0)
+    // one 2-value collect fixes it up front (empty input → 0 rounds).
+    // The span is computed in DECIMAL: a group spanning more than
+    // Long.MaxValue (both long extremes at once) would overflow the
+    // long subtraction to a NEGATIVE span, read as rounds = 0, and
+    // silently return the group MIN (r12 ADVICE) — such domains are
+    // REJECTED loudly instead; sign-split upstream if yours does.
+    val spanRow = state.agg(max(
+      col("_hi").cast("decimal(38,0)") - col("_lo").cast("decimal(38,0)")))
+      .collect()(0)
     var rounds = 0
-    if (!spanRow.isNullAt(0)) {
+    if (spanRow.get(0) != null) {
+      val span = BigInt(spanRow.getDecimal(0).toBigInteger)
+      require(span <= BigInt(Long.MaxValue),
+        s"groupedMedianRadix: a group's value span ($span) exceeds " +
+          "Long.MaxValue — the in-round interval arithmetic would " +
+          "overflow. Split such a domain on its sign bit upstream " +
+          "(two calls, one per sign) or rescale the values.")
       // width after a round with interval width w is floor((w-1)/B)+1
       // (the _bw formula below) — simulate until it reaches 1
-      var w = BigInt(spanRow.getLong(0)) + 1
+      var w = span + 1
       while (w > 1) { w = (w - 1) / buckets + 1; rounds += 1 }
     }
     for (_ <- 1 to rounds) {
       // _bw = floor((hi - lo)/B) + 1 covers [lo, hi] with ≤ B buckets
-      // and never overflows (hi - lo is a valid long by construction)
+      // and never overflows (the span pre-pass REQUIRED hi - lo to be
+      // a valid long, and intervals only shrink)
       val hist = base.join(broadcast(state), Seq("_g"))
         .filter(col("_v") >= col("_lo") && col("_v") <= col("_hi"))
         .withColumn("_bw",
@@ -518,8 +535,15 @@ object RelationalOps {
           col("_tot"), col("_cum"), col("_hw"))).as("_s"))
         .select(col("_g"),
           (col("_s._lo") + col("_s._bk") * col("_s._bw")).as("_lo"),
-          least(col("_s._hi"),
-            col("_s._lo") + (col("_s._bk") + 1L) * col("_s._bw") - 1L)
+          // new hi = min(hi, newLo + bw − 1), written as a guarded
+          // subtraction: the naive `lo + (bk+1)·bw − 1` overflows for
+          // intervals hugging Long.MaxValue even when the SPAN is a
+          // valid long (newLo ≤ hi always holds — the selected bucket
+          // contains data — so `hi − newLo` is safe)
+          when(col("_s._hi") - (col("_s._lo") + col("_s._bk") * col("_s._bw"))
+            < col("_s._bw"), col("_s._hi"))
+            .otherwise(col("_s._lo") + col("_s._bk") * col("_s._bw")
+              + col("_s._bw") - 1L)
             .as("_hi"),
           col("_s._tot").as("_tot"),
           (col("_s._cum") - col("_s._hw")).as("_cumb"))

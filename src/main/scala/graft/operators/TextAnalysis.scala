@@ -787,9 +787,24 @@ object TextAnalysis {
 
   /** [[charSyms]] as a plain loop — positions 1..len(w)+1 of
     * w ++ marker, i.e. the word's characters plus the marker's FIRST
-    * character (identical to the Column form's substr windows). */
-  private def charSymsScala(w: String, marker: String): IndexedSeq[String] =
-    (w + marker).substring(0, w.length + 1).map(_.toString)
+    * character (identical to the Column form's substr windows).
+    * Iterates CODE POINTS, not UTF-16 units: Spark's `length`/`substr`
+    * count code points, so a `.length`-based split would break
+    * supplementary-plane characters into lone surrogate halves and
+    * diverge from the Column side (r12 ADVICE). */
+  private[graft] def charSymsScala(
+      w: String, marker: String): IndexedSeq[String] = {
+    val s = w + marker
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val wanted = w.codePointCount(0, w.length) + 1
+    var i = 0
+    while (out.length < wanted) {
+      val cp = s.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toIndexedSeq
+  }
 
   /** Per-word initial symbol array: characters plus the end-of-word
     * marker ([[bpePairCounts]]'s boundary argument). */
@@ -879,14 +894,15 @@ object TextAnalysis {
     * symbol array, per-word arrays flattened in word order) and
     * `n_bpe_tokens`.
     *
-    * Scale shape: the merge table is a LITERAL folded into the plan
-    * (it is the model, ≤ a few thousand rules — never a join), and
-    * encoding runs as one narrow per-row pass: tokenize, per-word
-    * char split, then `merges.length` chained [[applyMerge]] folds —
-    * all whole-stage-codegen HOFs over each row's own arrays, no
-    * shuffle anywhere. The train→encode pair is the standard
-    * two-job pipeline: train once (vocabulary-bounded loop), encode
-    * anywhere (embarrassingly parallel map). */
+    * Scale shape — FIXTURE-SIZED TABLES ONLY: the merge table is a
+    * LITERAL folded into the plan, one chained [[applyMerge]] HOF
+    * layer PER RULE, so plan size (and Catalyst analysis/codegen
+    * time) is linear in the table — fine at tens of rules, and
+    * structurally unable to plan a real tokenizer's ~32k merges.
+    * This form is kept as the executable spec the other two encodes
+    * parity-pin against; production encoding is
+    * [[bpeEncodeGreedy]] (broadcast rank map, constant plan,
+    * O(len · rules-applied) per word). */
   def bpeEncode(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], marker: String = "_"): DataFrame = {
     require(merges.nonEmpty, "bpeEncode needs a non-empty merge table")
@@ -912,9 +928,13 @@ object TextAnalysis {
     * (vocabulary-bounded interpreted work), then joins the encoded
     * word table back onto position-indexed tokens and reassembles
     * per-doc arrays under one doc-keyed shuffle. Identical output to
-    * [[bpeEncode]] (spec-pinned); choose the narrow twin only for
-    * corpora whose vocabulary approaches the corpus (random strings),
-    * where the join buys nothing. */
+    * [[bpeEncode]] (spec-pinned). Per-distinct-word cost is still the
+    * FULL O(|table|) rule loop, so for real-size tables prefer
+    * [[bpeEncodeGreedy]] (O(len · rules-applied) per word, no
+    * reassembly shuffle); the vocab route only wins when per-word
+    * work is so expensive that deduplicating word instances pays for
+    * the join — true for the interpreted HOF chain it replaced, not
+    * for the greedy loop. */
   def bpeEncodeByVocab(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], marker: String = "_"): DataFrame = {
     require(merges.nonEmpty, "bpeEncodeByVocab needs a non-empty merge table")
@@ -948,6 +968,106 @@ object TextAnalysis {
       .withColumn("bpe_tokens",
         coalesce(col("bpe_tokens"), array().cast("array<string>")))
       .withColumn("n_bpe_tokens", coalesce(col("n_bpe_tokens"), lit(0L)))
+  }
+
+  /** One word through the merge table, replay-exact at
+    * O(len · rules-applied) instead of [[bpeEncodeByVocab]]'s
+    * O(len · |table|): rule indices whose pair is PRESENT in the
+    * current symbol sequence sit in a min-heap; pop ascending, apply
+    * each popped rule as one [[mergeSeqScala]] left-to-right pass, and
+    * after an applied merge re-scan the (word-length) sequence pushing
+    * pair indices GREATER than the applied one (a table is ordered —
+    * rules before the current one already had their turn, exactly the
+    * fold's semantics; HuggingFace-style lowest-rank-first greedy IS
+    * this discipline). Byte-identical to [[bpeEncode]]'s fold by
+    * construction: a rule fires iff its pair is present when its turn
+    * comes, stale heap entries (pair merged away, or re-pushed
+    * duplicates) no-op through the same guarded pass. `rank` maps a
+    * pair to ALL its table indices so even a duplicated table entry
+    * replays faithfully. */
+  private[graft] def greedyEncodeWord(
+      w: String, marker: String,
+      rank: scala.collection.Map[(String, String), List[Int]],
+      rules: IndexedSeq[(String, String)]): IndexedSeq[String] = {
+    var syms = charSymsScala(w, marker)
+    if (syms.length < 2) return syms
+    val heap = scala.collection.mutable.PriorityQueue.empty[Int](Ordering[Int].reverse)
+    var i = 0
+    while (i < syms.length - 1) {
+      rank.getOrElse((syms(i), syms(i + 1)), Nil).foreach(heap.enqueue(_))
+      i += 1
+    }
+    var last = -1
+    while (heap.nonEmpty) {
+      val r = heap.dequeue()
+      if (r > last) {
+        last = r
+        val (a, b) = rules(r)
+        val merged = mergeSeqScala(syms, a, b)
+        if (merged.length != syms.length) {
+          syms = merged
+          var j = 0
+          while (j < syms.length - 1) {
+            rank.getOrElse((syms(j), syms(j + 1)), Nil)
+              .foreach(idx => if (idx > r) heap.enqueue(idx))
+            j += 1
+          }
+        }
+      }
+    }
+    syms
+  }
+
+  /** CONSTANT-PLAN encode for real-size merge tables — the scale form
+    * of the [[bpeTrain]]→encode pair (a production tokenizer carries
+    * ~32k merges): the learned table rides a BROADCAST rank map (pair
+    * → merge priorities) into ONE mapPartitions pass that encodes each
+    * word with the standard greedy lowest-rank-first merge loop
+    * ([[greedyEncodeWord]] — replay-exact vs [[bpeEncode]], parity-
+    * pinned in the spec suite).
+    *
+    * Why a third encode form exists: [[bpeEncode]] folds one chained
+    * HOF layer into the expression tree PER RULE — plan size (and
+    * Catalyst analysis/codegen time) linear in the table, structurally
+    * unable to plan a 32k-merge vocabulary — and [[bpeEncodeByVocab]]
+    * keeps the plan constant but pays the full O(|table|) rule loop
+    * per DISTINCT WORD plus a doc-keyed reassembly shuffle. Here the
+    * plan is constant at ANY table size, per-word cost is
+    * O(len · rules-applied) ≤ O(len²) independent of the table, and
+    * the pass is embarrassingly parallel — no shuffle, no join, the
+    * model ships once per executor via the broadcast (the Spark
+    * idiom for serving a trained model to a map). Same output columns
+    * and values as the other two forms. */
+  def bpeEncodeGreedy(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "_"): DataFrame = {
+    require(merges.nonEmpty, "bpeEncodeGreedy needs a non-empty merge table")
+    require(!df.columns.exists(Seq("_toks", "bpe_tokens", "n_bpe_tokens").contains),
+      "bpeEncodeGreedy: _toks/bpe_tokens/n_bpe_tokens are output column names")
+    val spark = df.sparkSession
+    val rules = merges.toIndexedSeq
+    val rankMap: Map[(String, String), List[Int]] =
+      rules.zipWithIndex.groupBy(_._1).map { case (p, xs) =>
+        p -> xs.map(_._2).sorted.toList
+      }
+    val bRank = spark.sparkContext.broadcast(rankMap)
+    val bRules = spark.sparkContext.broadcast(rules)
+    val staged = withTokens(df, textCol)
+    val toksIdx = staged.schema.fieldIndex("_toks")
+    val outSchema = staged.schema
+      .add("bpe_tokens", ArrayType(StringType, containsNull = false))
+      .add("n_bpe_tokens", LongType, nullable = false)
+    staged.mapPartitions { rows =>
+      val rank = bRank.value
+      val rs = bRules.value
+      rows.map { r =>
+        val toks = r.getSeq[String](toksIdx)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { w =>
+          if (w.nonEmpty) out ++= greedyEncodeWord(w, marker, rank, rs)
+        }
+        Row.fromSeq(r.toSeq :+ out.toSeq :+ out.length.toLong)
+      }
+    }(Encoders.row(outSchema)).drop("_toks")
   }
 
   /** Okapi BM25 top-`topK` document retrieval for a fixed query-term

@@ -142,14 +142,20 @@ class StreamingLshDedup(
     * A deployment migrating an existing cleaned corpus into the
     * streaming path does exactly this — re-deduping known-clean data
     * would be pure quadratic waste before the stream even starts.
-    * Same idempotence marker as [[processBatch]]; the usual pattern
-    * is seedIndex(…, batchId = 0) then streaming batches from 1. */
+    *
+    * Seed markers live in their OWN namespace (`_seeded_<id>`), never
+    * [[processBatch]]'s `_applied_<id>`: structured streaming assigns
+    * batchId 0 to the FIRST micro-batch of a fresh checkpoint, so a
+    * shared namespace would make that batch see the seed's marker and
+    * silently no-op — its documents never deduped and never indexed.
+    * `seedIndex(…)` then `start(…)` on a fresh checkpoint is safe. */
   def seedIndex(spark: SparkSession, docs: DataFrame, batchId: Long = 0L): Unit = {
     val f = fs(spark)
-    if (f.exists(marker(batchId))) return // replay after recovery: no-op
+    val seedMarker = new Path(s"$indexDir/_seeded_$batchId")
+    if (f.exists(seedMarker)) return // replay after recovery: no-op
     bucketed(docs).write.mode(SaveMode.Append)
       .partitionBy("_bp").parquet(s"$indexDir/data")
-    f.create(marker(batchId), true).close()
+    f.create(seedMarker, true).close()
   }
 
   /** Hook a text-document stream (columns doc_id, text) into the

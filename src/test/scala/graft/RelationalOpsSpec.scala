@@ -375,6 +375,24 @@ class RelationalOpsSpec extends SparkTestBase {
     for (b <- Seq(2, 7, 256, 1 << 16)) assert(radixRun(pts, b) == want, s"buckets=$b")
   }
 
+  test("groupedMedianRadix: intervals hugging Long.MaxValue stay exact; over-long spans fail LOUDLY (r12 advice)") {
+    // span ≈ Long.MaxValue but still a valid long: the hi-update's
+    // naive `lo + (bk+1)·bw − 1` would overflow here — the guarded
+    // subtraction form must not (median lower of {5, M−3, M} = M−3)
+    val m = Long.MaxValue
+    val pts = Seq(("a", 5L, 1L), ("a", m - 3L, 1L), ("a", m, 1L))
+    assert(wmModel(pts) == Map("a" -> (m - 3L)))
+    // buckets=2 would mean 63 bisection rounds (63 Spark jobs) — test
+    // the production-ish sizes (7 and 4 rounds) instead
+    for (b <- Seq(1 << 10, 1 << 16)) assert(radixRun(pts, b) == Map("a" -> (m - 3L)), s"buckets=$b")
+    // a group spanning MORE than Long.MaxValue (both extremes at once)
+    // previously overflowed the span negative and silently returned the
+    // group MIN — it must now be rejected with the sign-split hint
+    val bad = Seq(("a", Long.MinValue, 1L), ("a", Long.MaxValue, 2L))
+    val e = intercept[IllegalArgumentException] { radixRun(bad, 1 << 16) }
+    assert(e.getMessage.contains("span"), e.getMessage)
+  }
+
   private def shiftRun(pts: Seq[(String, Long, Long)], shift: Int): Map[String, Long] =
     RelationalOps.groupedMedianShift(
       pts.toDF("g", "v", "w"), "g", "v", "w", shift)

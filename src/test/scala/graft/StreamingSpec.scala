@@ -230,9 +230,12 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$base/index/data")
       .select("doc_id").distinct().count() == 3)
     // a streaming batch against the seeded index behaves exactly as if
-    // the seed had arrived as batch 0
+    // the seed had arrived before the stream — INCLUDING batchId 0:
+    // structured streaming numbers a fresh checkpoint's first batch 0,
+    // so the seed marker must live in its own namespace (`_seeded_`) or
+    // this batch would see it and silently no-op (r12 ADVICE)
     val batch1 = Seq((10L, doc.replace("today", "tonight"))).toDF("doc_id", "text")
-    dedup.processBatch(spark, batch1, 1L)
+    dedup.processBatch(spark, batch1, 0L)
     val matches = spark.read.parquet(s"$base/matches")
       .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(matches.contains((10L, 1L)), s"seeded-index dup missed: $matches")

@@ -761,6 +761,74 @@ class TextDedupSpec extends SparkTestBase {
     assert(narrow(1L).nonEmpty)
   }
 
+  test("bpeEncodeGreedy equals the fold form on the fixture (incl. overlap runs, duplicate rules, empty docs)") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "banana bandana"),
+      (3L, ""), (4L, "aaaa aab"), (5L, "the the the"),
+      (6L, "test lowest newest widest"))
+    val df = docs.toDF("doc_id", "text")
+    // (a,a) exercises the run-parity overlap rule; the duplicated
+    // (t,h) entry pins replay fidelity for pathological tables (the
+    // fold applies it twice; greedy must too)
+    val table = Seq(("a", "a"), ("t", "h"), ("th", "e"), ("aa", "_"),
+      ("e", "s"), ("es", "t"), ("t", "h"))
+    val narrow = TextAnalysis.bpeEncode(df, "text", table)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val greedy = TextAnalysis.bpeEncodeGreedy(df, "text", table)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(greedy == narrow, s"paths diverged:\n greedy=$greedy\nnarrow=$narrow")
+    assert(greedy(3L).isEmpty)
+  }
+
+  test("bpeEncodeGreedy: 1k-rule table the fold form cannot plan cheaply — constant plan, parity vs the vocab form") {
+    import graft.operators.TextAnalysis
+    // a real-size-ish generated table: a doubling chain a^2^k (deep
+    // per-word application) + 990 never-firing noise rules (table size
+    // without application work — the fold form still plans ALL of them)
+    val chain = (1 to 10).map(k => ("a" * (1 << (k - 1)), "a" * (1 << (k - 1))))
+    val noise = (0 until 990).map(i => (s"q$i", s"q$i"))
+    val table = chain ++ noise
+    val docs = Seq((1L, ("a" * 1400) + " " + ("a" * 7) + " cat"),
+      (2L, "aa aaa a"), (3L, "qq bb")).toDF("doc_id", "text")
+    val greedyDf = TextAnalysis.bpeEncodeGreedy(docs, "text", table)
+      .select(col("doc_id"), col("bpe_tokens"))
+    val greedy = greedyDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val byVocab = TextAnalysis.bpeEncodeByVocab(docs, "doc_id", "text", table)
+      .select(col("doc_id"), col("bpe_tokens")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(greedy == byVocab, "greedy diverged from the replay-exact vocab form")
+    // chain semantics check: 1400 a's double left-to-right through the
+    // chain — head symbol is a^1024, leftovers trail in binary order
+    assert(greedy(1L).head == "a" * 1024, s"got head len ${greedy(1L).head.length}")
+    // THE structural claim: plan size is independent of the table
+    // (the fold form pays one HOF layer per rule — linear)
+    val smallPlan = TextAnalysis.bpeEncodeGreedy(docs, "text", table.take(10))
+      .queryExecution.optimizedPlan.toString.length
+    val bigPlan = greedyDf.queryExecution.optimizedPlan.toString.length
+    assert(bigPlan < smallPlan * 2 + 2000,
+      s"greedy plan grew with the merge table: 10 rules → $smallPlan chars, " +
+        s"1000 rules → $bigPlan chars")
+  }
+
+  test("charSymsScala iterates code points — supplementary-plane chars stay whole and match the Column splitter (r12 advice)") {
+    import graft.operators.TextAnalysis
+    val w = "a𝄞b" // a, 𝄞 (U+1D11E, a surrogate pair), b
+    val got = TextAnalysis.charSymsScala(w, "_")
+    assert(got == Seq("a", "𝄞", "b", "_"), s"got $got")
+    // parity with the Spark-side splitter bpeTrain's initial vocab uses
+    // (length/substr count CODE POINTS in Spark SQL)
+    val sparkSide = spark.sql(
+      s"SELECT transform(sequence(1, length('$w') + 1), " +
+        s"i -> substr('$w' || '_', i, 1))")
+      .head().getSeq[String](0)
+    assert(got == sparkSide, s"scala=$got spark=$sparkSide")
+    // multi-char marker: only its FIRST code point is the boundary
+    assert(TextAnalysis.charSymsScala("ab", "<w>") == Seq("a", "b", "<"))
+  }
+
   test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
     val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
     val df = docs.map(Tuple1(_)).toDF("text")
