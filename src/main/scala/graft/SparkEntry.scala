@@ -3803,20 +3803,25 @@ object SparkEntry {
       .orderBy(col("rk"))
 
   /** Exact per-group lower weighted median
-    * ([[RelationalOps.weightedMedianLower]]): the price point at
+    * ([[RelationalOps.groupedMedianShift]]): the price point at
     * which half of each return-flag's shipped QUANTITY sits at or
     * below — the quantity-weighted counterpart of a13's unweighted
     * quantiles, exact where a15's approx family is bounded-error.
     * Money staged to cents, weights are integral quantities, the
     * half-threshold cross-multiplied — every compared number is a
-    * BIGINT, so the picked value is bit-identical on any engine. */
+    * BIGINT, so the picked value is bit-identical on any engine.
+    * Selection rides the a47 shift discipline (cents are a BOUNDED
+    * span: ~10^7/2^12 ≈ 2.5k coarse buckets, ≤ 4096 refine values —
+    * both metadata-scale), replacing the sorted-index two-pass whose
+    * global orderBy+rowIndex made this the costlier of the two
+    * (r12 verdict: a41's ONE median cost more than a47's TWO). */
   private val a41WeightedMedian = (s: SparkSession, d: String) => {
     val staged = t(s, d, "lineitem").select(
       col("l_returnflag"),
       (col("l_extendedprice").cast("decimal(18,2)") * 100)
         .cast("long").as("_price_cents"),
       col("l_quantity").cast("long").as("_qty"))
-    RelationalOps.weightedMedianLower(
+    RelationalOps.groupedMedianShift(
       staged, "l_returnflag", "_price_cents", "_qty")
       .select(col("l_returnflag"), col("w_median").as("wmedian_cents"))
       .orderBy(col("l_returnflag"))
@@ -4441,8 +4446,8 @@ object SparkEntry {
     * before trusting a43's equal-variance pooling: W is literally the
     * one-way F statistic computed on zᵢ = |vᵢ − median(group)|.
     * Composes two established disciplines end-to-end: the per-type
-    * EXACT lower median (cents-staged longs through the a41 grouped
-    * prefix — a value FROM the data, so every z is an exact integer)
+    * EXACT lower median (cents-staged longs through the a47 shift
+    * selection — a value FROM the data, so every z is an exact integer)
     * and a43's fixed F DAG over exact power-sum cells (the ×100
     * staging scales numerator and denominator identically; the
     * oracle replays the same scaled integers, so no cancellation
@@ -4455,7 +4460,9 @@ object SparkEntry {
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("_v100"))
       .withColumn("_one", lit(1L))
       .persist()) // two consumers: the median pass and the z cells
-    val med = RelationalOps.weightedMedianLower(
+    // cents of a bounded metric domain → the a47 shift selection (no
+    // global sort, no row index; r12 verdict item 2)
+    val med = RelationalOps.groupedMedianShift(
       staged, "event_type", "_v100", "_one")
     val cells = CachePool.register(staged
       .join(broadcast(med), Seq("event_type"))
