@@ -348,10 +348,86 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** STUB resize: a real implementation decodes, scales to (w, h), and
-    * re-encodes; the stand-in deterministically re-hashes the payload
-    * with the target dims so tests can assert the (payload, w, h) →
-    * payload' contract and the metadata update. Narrow op, no shuffle. */
+  /** REAL image resize — decode (JDK ImageIO, PNG/JPEG), integer
+    * area-average scale onto the (w, h) target grid per RGB channel,
+    * PNG re-encode. The grid discipline is [[ImageIoDecoder]]'s
+    * proportional split (⌊c·extent/g⌋ boundaries) applied per channel
+    * instead of to the luma: downscale cells average their source
+    * block with integer sums and one terminal division (deterministic
+    * — a spec hand-computes a 4×4→2×2 golden image through it);
+    * upscale cells clamp to ≥ 1 source pixel (nearest-neighbor
+    * replication — the degenerate case of area averaging). PNG
+    * re-encode is lossless, so the emitted payload's pixels ARE the
+    * computed averages on any JVM. Undecodable payloads fail LOUDLY
+    * (gate with [[validateModality]]). */
+  object ImageResizer extends Serializable {
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"ImageResizer: target ${w}x$h must be positive")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        "ImageResizer: payload is not a decodable image — gate with validateModality")
+      val (sw, sh) = (img.getWidth, img.getHeight)
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var cy = 0
+      while (cy < h) {
+        val y0 = cy * sh / h; val y1 = math.max(y0 + 1, (cy + 1) * sh / h)
+        var cx = 0
+        while (cx < w) {
+          val x0 = cx * sw / w; val x1 = math.max(x0 + 1, (cx + 1) * sw / w)
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (y1 - y0).toLong * (x1 - x0).toLong
+          out.setRGB(cx, cy,
+            (((rs / n).toInt & 0xff) << 16) | (((gs / n).toInt & 0xff) << 8) |
+              ((bs / n).toInt & 0xff))
+          cx += 1
+        }
+        cy += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** [[resizeStub]]'s contract with REAL pixels: replace the media
+    * column with the [[ImageResizer]] area-average rescale of each
+    * payload (PNG re-encoded), refresh `media_meta`, and record
+    * `resize_dims`. One narrow mapPartitions pass — rows never shuffle
+    * to be resized, the standard thumbnail/normalize stage of an image
+    * training pipeline. The stub twin stays for the m3 oracle (a PNG
+    * encoder's byte stream is not a cross-engine replay contract;
+    * these pixels ARE spec'd against hand-computed goldens). */
+  def resizeImage(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val resized = df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = ImageResizer.resize(r.getAs[Array[Byte]](mediaIdx), w, h)
+        Row.fromSeq(r.toSeq.updated(mediaIdx, p))
+      }
+    }(Encoders.row(df.schema))
+    resized
+      .withColumn("media_meta", struct(
+        lit("image/png").as("mime"),
+        octet_length(col(mediaCol)).cast("long").as("n_bytes"),
+        xxhash64(col(mediaCol)).as("checksum")))
+      .withColumn("resize_dims", struct(lit(w).as("w"), lit(h).as("h")))
+  }
+
+  /** STUB resize twin — kept ONLY as the m3 oracle's deterministic
+    * replay contract (the real path is [[resizeImage]]): re-hashes the
+    * payload with the target dims so a SQL engine can reproduce the
+    * (payload, w, h) → payload' mapping exactly. Narrow op, no shuffle. */
   def resizeStub(df: DataFrame, mediaCol: String, w: Int, h: Int): DataFrame = {
     val payload = col(mediaCol)
     val resized = sha2(concat(payload, lit(s"${w}x$h").cast("binary")), 256).cast("binary")

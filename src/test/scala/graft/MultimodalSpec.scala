@@ -53,6 +53,50 @@ class MultimodalSpec extends SparkTestBase {
     assert(r1.select("resize_dims.w").head().getInt(0) == 224)
   }
 
+  test("resizeImage: hand-computed 4x4->2x2 area averages per RGB channel, PNG round-trip, meta + upscale + loud garbage") {
+    // 4x4 PNG with per-channel gradients: pixel (x,y) = RGB(16(y*4+x),
+    // 8(y*4+x), y*4+x) — each 2x2 output pixel must be the exact
+    // integer mean of its source block, channel by channel
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val i = y * 4 + x
+      img.setRGB(x, y, ((16 * i) << 16) | ((8 * i) << 8) | i)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val out = Multimodal.resizeImage(
+      Seq((1L, png)).toDF("id", "media"), "media", 2, 2)
+    assert(out.select("media_meta.mime").head().getString(0) == "image/png")
+    assert(out.select("resize_dims.w").head().getInt(0) == 2)
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.select("media").head().getAs[Array[Byte]](0)))
+    assert(resized.getWidth == 2 && resized.getHeight == 2)
+    for (cy <- 0 until 2; cx <- 0 until 2) {
+      // source block {(2cx+dx, 2cy+dy)}: indices i = (2cy+dy)*4 + 2cx+dx
+      val idx = for (dy <- 0 to 1; dx <- 0 to 1) yield (2 * cy + dy) * 4 + 2 * cx + dx
+      val (wr, wg, wb) = (16 * idx.sum / 4, 8 * idx.sum / 4, idx.sum / 4)
+      val rgb = resized.getRGB(cx, cy)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) == ((wr, wg, wb)),
+        s"cell ($cx,$cy): got ${(rgb >> 16) & 0xff},${(rgb >> 8) & 0xff},${rgb & 0xff} want $wr,$wg,$wb")
+    }
+    // upscale clamps to >= 1 source pixel: 4x4 -> 8x8 replicates
+    // nearest pixels (corner (0,0) keeps source (0,0)'s exact color)
+    val up = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(Seq((1L, png)).toDF("id", "media"), "media", 8, 8)
+        .select("media").head().getAs[Array[Byte]](0)))
+    assert(up.getWidth == 8 && (up.getRGB(0, 0) & 0xffffff) == (img.getRGB(0, 0) & 0xffffff))
+    // undecodable payloads fail loudly, not as silent pseudo-pixels
+    val err = intercept[Exception] {
+      Multimodal.resizeImage(
+        Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "media"), "media", 2, 2)
+        .select("media").collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("decodable")), msgs.mkString(" | "))
+  }
+
   test("frameSampleStub explodes to nFrames rows per input with distinct payloads") {
     val df = Multimodal.attachFakeMedia(Seq((1L, "vid")).toDF("id", "text"), "text")
     val frames = Multimodal.frameSampleStub(df, "media", 5)
