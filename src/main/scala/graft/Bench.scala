@@ -167,6 +167,21 @@ object Bench {
     // recorded in the artifact itself
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"streaming_growth":$streamingGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
     println(line)
+    // the round-capture harness keeps only the TAIL of stdout (r12: the
+    // full line's head fell off the 2000-char window and the artifact's
+    // "parsed" came back null) — so a COMPACT summary (totals + gates,
+    // no per-query map) is printed LAST, guaranteeing one complete
+    // parseable JSON line inside any tail window; the full line above
+    // and the artifact file keep the per-query detail
+    def rps(section: String): String =
+      """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(section)
+        .map(_.group(1)).getOrElse("-1")
+    val driftStr = sentinelPre match {
+      case Some((preT, _)) if preT > 0 =>
+        (math.rint(sentinelPost._1 / preT * 1000) / 1000).toString
+      case _ => "-1"
+    }
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"sentinel_drift":$driftStr,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")

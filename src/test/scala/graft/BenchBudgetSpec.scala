@@ -290,7 +290,10 @@ class BenchBudgetSpec extends SparkTestBase {
     "d25_keep_best" -> 6.5,
     "a45_outlier_day" -> 1.0,
     "a46_winsorized_mean" -> 1.5,
-    "e27_interarrival_median" -> 1.5,
+    // r13: gaps ride the day-sliced two-pass (slicedGaps) — two bounded
+    // window branches + a stitch union instead of one bare per-type lag
+    // whose single-task sort was the 100 TB hazard; worth ~+1 s locally
+    "e27_interarrival_median" -> 2.5,
     // two sequential exact selections (median, then MAD of deviations
     // FROM it) = 4 scan-stages + 2 broadcast builds that AQE runs as
     // ~22 small jobs — a scheduling-latency floor of ~3 s at local[32]

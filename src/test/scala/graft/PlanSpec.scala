@@ -305,6 +305,26 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("per-type gap machinery is day-sliced: no window sorts a whole type's history in one task (E27)") {
+    // r13 (verdict item 4): the per-TYPE lag moved onto slicedGaps — a
+    // raw-width window partitioned by a LOW-CARDINALITY key alone
+    // would put an event type's entire 100 TB history into one task's
+    // sort. Pin: every window spec in this plan carries the slice
+    // column (raw lag + boundary stitch) or the median machinery's
+    // bucket id — never a bare type over raw rows. (e14's per-USER lag
+    // keeps the plain window: user_id is high-cardinality, the e7/w9
+    // family shape.)
+    for (name <- Seq("e27_interarrival_median")) {
+      val p = plan(SparkEntry.queries(name)(spark, dir))
+      val windows = p.linesIterator.filter(_.contains("windowspecdefinition(")).toSeq
+      assert(windows.nonEmpty, s"$name lost its gap windows:\n$p")
+      windows.foreach(w =>
+        assert(w.contains("_slice") || w.contains("_bk"),
+          s"$name has a bare-key window (whole-key single-task sort): $w"))
+      CachePool.releaseAll()
+    }
+  }
+
   test("pagerank: the decorated edge list is persisted and reused across iterations (X38)") {
     val q = SparkEntry.queries("x38_pagerank")(spark, dir)
     val p = plan(q)

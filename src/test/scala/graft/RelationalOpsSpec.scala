@@ -425,6 +425,30 @@ class RelationalOpsSpec extends SparkTestBase {
     for (sh <- Seq(1, 5, 12)) assert(shiftRun(pts, sh) == want, s"shift=$sh")
   }
 
+  test("slicedGaps equals the plain per-key lag pair multiset across slice widths (empty slices, ties, negatives)") {
+    val rnd = new scala.util.Random(7)
+    // clustered timestamps with long dead stretches (many empty slices
+    // between bursts), duplicate timestamps (tie column decides), and
+    // negative values (slice ids stay monotone under integral div)
+    val rows = (1 to 400).map { i =>
+      val k = s"k${rnd.nextInt(3)}"
+      val burst = rnd.nextInt(4).toLong * 100000L - 150000L
+      (k, burst + rnd.nextInt(30), i.toLong)
+    }
+    val df = rows.toDF("k", "ts", "id")
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+      rs.sortBy(r => (r._2, r._3)).toList.sliding(2)
+        .collect { case List(a, b) => (k, a._2, b._2, b._2 - a._2) }
+    }.sorted
+    for (width <- Seq(1L, 7L, 997L, 100000L, 10000000L)) {
+      val got = RelationalOps.slicedGaps(df, "k", "ts", "id", width)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      assert(got == model, s"width=$width: got ${got.size} pairs, want ${model.size}")
+    }
+  }
+
   private def qModel(pts: Seq[(String, Long, Long)], q: Int): Map[(String, Int), Long] =
     pts.groupBy(_._1).flatMap { case (g, rows) =>
       val agg = rows.groupBy(_._2).map { case (v, rs) => (v, rs.map(_._3).sum) }
