@@ -980,7 +980,20 @@ object Bench {
     * arriving mid-run moves multi-second drains ~±15% and min-of-2
     * inside one run cannot mask it. Round-over-round deltas inside
     * that band are noise by default; the BenchBudgetSpec floor (~½
-    * median) is the regression gate, not this number's wiggle. */
+    * median) is the regression gate, not this number's wiggle.
+    *
+    * WHAT BOUNDS rows/s here (r13, settling the r12 verdict's ask):
+    * per-TRIGGER fixed latency, not per-row work. The split probe
+    * attributes each 625-doc batch's ~0.7 s evenly across its ~7
+    * small jobs (staging, candidate join, verify, three appends,
+    * commit) — scheduling/commit floor, data costs microseconds. The
+    * artifact carries the measured decomposition: a second min-of-2
+    * drain at 2 segments isolates `fixed_sec_per_trigger` ((t₈−t₂)/6)
+    * and `marginal_rows_per_sec` (rows over the residual after fixed
+    * costs — the per-row bound, ~6k rows/s at sf0.1). A deployment
+    * that wants throughput uses bigger triggers; 8×625-doc triggers
+    * measure the LATENCY floor, which is why the headline number
+    * sits near 750 regardless of operator work. */
   private[graft] def benchStreamingDedup(
       spark: SparkSession,
       sfDir: String,
@@ -990,12 +1003,12 @@ object Bench {
         .select(org.apache.spark.sql.functions.col("doc_id"),
           org.apache.spark.sql.functions.col("text"))
       val rows = docs.count()
-      def drain(): Double = {
+      def drain(segs: Int): Double = {
         val base = java.nio.file.Files.createTempDirectory("graft-sdedup-bench").toString
-        // nSegments files in doc-id range order → nSegments micro-batches
+        // segs files in doc-id range order → segs micro-batches
         import org.apache.spark.sql.functions.{col, floor, lit}
         docs.withColumn("_seg",
-            floor(col("doc_id") * nSegments / (rows + 1)).cast("int"))
+            floor(col("doc_id") * segs / (rows + 1)).cast("int"))
           .repartition(1)
           .write.partitionBy("_seg").parquet(s"$base/in")
         val dedup = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
@@ -1007,10 +1020,19 @@ object Bench {
         dedup.start(spark, stream, s"$base/cp").awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }
-      val first = drain()
-      val sec = math.min(first, drain())
+      val first = drain(nSegments)
+      val sec = math.min(first, drain(nSegments))
+      // fixed-vs-marginal decomposition: same rows through 2 triggers;
+      // the delta per dropped trigger is the fixed per-trigger cost
+      val secBig = math.min(drain(2), drain(2))
+      val fixedPerTrigger =
+        math.max(0.0, (sec - secBig) / math.max(1, nSegments - 2))
+      val marginalSec = math.max(1e-3, secBig - 2 * fixedPerTrigger)
       s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},""" +
-        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)}}"""
+        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)},""" +
+        s""""seconds_2seg":${r3(secBig)},"rows_per_sec_2seg":${r3(rows / secBig)},""" +
+        s""""fixed_sec_per_trigger":${r3(fixedPerTrigger)},""" +
+        s""""marginal_rows_per_sec":${r3(rows / marginalSec)}}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] streaming dedup failed: ${e.getMessage}")

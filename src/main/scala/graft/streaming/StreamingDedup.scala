@@ -11,21 +11,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * MinHash-LSH index, then its own buckets are appended to the index —
   * history is never reprocessed.
   *
-  * Index layout: an append-only parquet table of (doc_id, band, bucket,
-  * _sh) rows, PARTITIONED by `_bp = pmod(xxhash64(band, bucket),
-  * indexParts)` — the bucket-hash-range layout a huge accumulated
-  * index needs, as code rather than a comment (the r9 growth probe's
-  * scaladoc promised it). Per batch the work is:
-  *   new-docs buckets (one narrow signature pass)
+  * Index layout (r13 — the split the r9 scaladoc only promised):
+  *   `data/`  — (doc_id, band, bucket) bucket rows, PARTITIONED by
+  *              `_bp = pmod(xxhash64(band, bucket), indexParts)`;
+  *              fixed-width ids ONLY, so the per-batch bucket join
+  *              shuffles 24-byte rows and the index append writes no
+  *              payload;
+  *   `docs/`  — (doc_id, _sh) ONE row per document — the shingle
+  *              store the exact-Jaccard verify joins back to, touched
+  *              only for SURVIVING candidate ids. Before the split
+  *              every bucket row carried its document's full shingle
+  *              array (×bands duplication): the r12 drain spent its
+  *              time shipping arrays through the candidate join and
+  *              the append (762 rows/s, split-probe attributed).
+  * Per batch the work is:
+  *   new-docs staging (one narrow shingle+signature pass, persisted)
   *   → distinct `_bp` set of the batch (≤ indexParts ints, driver-side)
-  *   ⋈ index on (band, bucket), scan pruned to those partitions
-  *   → Jaccard verify on the bounded candidate set
-  *   → append this batch's bucket rows under their partitions.
+  *   ⋈ index bucket rows on (band, bucket), scan pruned to those
+  *     partitions → DISTINCT (new, old) id pairs (id-width shuffle)
+  *   → shingles joined back (new side from the batch's own cache, old
+  *     side from `docs/`) → exact Jaccard verify
+  *   → append this batch's bucket rows + doc rows.
   * A batch touching few partitions reads a FRACTION of the index
   * (StreamingSpec pins the PartitionFilters in the plan); a batch
   * covering every partition degrades gracefully to the full scan.
   * Batch cost scales with batch size × bucket occupancy, independent
-  * of corpus length.
+  * of corpus length — except the old-side shingle fetch, a doc_id
+  * join against `docs/`: a 100 TB deployment writes `docs/` clustered
+  * by doc_id so row-group stats (plus a candidate-id runtime filter)
+  * prune that fetch to the candidate set, which bucket-occupancy caps
+  * already bound.
   *
   * `indexParts` DEFAULTS TO 1 (single partition ≡ the flat layout),
   * and the MEASURED contract (r12, settling the r11 open question) is
@@ -61,19 +76,29 @@ class StreamingLshDedup(
 
   private def marker(batchId: Long) = new Path(s"$indexDir/_applied_$batchId")
 
-  /** Buckets + shingles for a document batch (one pass), tagged with
-    * the index partition each bucket row lands in. */
-  private[graft] def bucketed(docs: DataFrame): DataFrame = {
-    val staged = TextAnalysis.withShingles(
+  /** Per-doc staging for a batch — ONE narrow pass producing the
+    * shingle set and its minhash signature; callers persist it (every
+    * downstream consumer is a narrow derivation). */
+  private[graft] def stagedDocs(docs: DataFrame): DataFrame =
+    TextAnalysis.withShingles(
       docs.select(col("doc_id"), col("text")), "text", k)
       .withColumn("_sig", Dedup.minhashSignatureFromShingles(col("_sh"), numHashes))
+
+  /** Id-only bucket rows (doc_id, band, bucket, _bp) from a staged
+    * batch — the shape `data/` stores and the candidate join shuffles;
+    * shingle arrays never ride these rows. */
+  private[graft] def bucketRows(staged: DataFrame): DataFrame =
     staged
-      .select(col("doc_id"), col("_sh"),
+      .select(col("doc_id"),
         explode(Dedup.bandHashes(col("_sig"), numHashes, bands)).as("bh"))
-      .select(col("doc_id"), col("_sh"),
+      .select(col("doc_id"),
         col("bh.band").as("band"), col("bh.bucket").as("bucket"))
       .withColumn("_bp", pmod(xxhash64(col("band"), col("bucket")), lit(indexParts)).cast("int"))
-  }
+
+  /** Bucket rows for a raw document batch (staging fused in) — the
+    * probe/spec entry point. */
+  private[graft] def bucketed(docs: DataFrame): DataFrame =
+    bucketRows(stagedDocs(docs))
 
   /** The accumulated index read PRUNED to the partitions `newBuckets`
     * can possibly join into — `_bp` is a partition column and the IN
@@ -96,45 +121,51 @@ class StreamingLshDedup(
   def processBatch(spark: SparkSession, docs: DataFrame, batchId: Long): Unit = {
     val f = fs(spark)
     if (f.exists(marker(batchId))) return // replay after recovery: no-op
-    val newBuckets = bucketed(docs).persist()
+    // ONE persisted staging; bucket rows re-derive narrowly from it
+    // (an explode over a cached frame is cheaper than a second cache)
+    val staged = stagedDocs(docs).persist()
+    val newBuckets = bucketRows(staged)
     try {
       val indexExists = f.exists(new Path(s"$indexDir/data"))
-      if (indexExists) {
-        val index = prunedIndex(spark, newBuckets)
-        val cands = newBuckets.as("n")
-          .join(index.as("o"),
-            col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
-              col("n.doc_id") =!= col("o.doc_id"))
-          .select(col("n.doc_id").as("new_id"), col("n._sh").as("_sn"),
-            col("o.doc_id").as("old_id"), col("o._sh").as("_so"))
-          .distinct()
-        val matches = cands
-          .withColumn("jaccard", Dedup.jaccardFromShingles(col("_sn"), col("_so")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("new_id"), col("old_id"), col("jaccard"))
-        matches.write.mode(SaveMode.Append).parquet(matchesDir)
-      } else {
-        // first batch: still dedup within the batch itself
-        val cands = newBuckets.as("a")
-          .join(newBuckets.as("b"),
-            col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("b.doc_id").as("new_id"), col("b._sh").as("_sn"),
-            col("a.doc_id").as("old_id"), col("a._sh").as("_so"))
-          .distinct()
-        cands
-          .withColumn("jaccard", Dedup.jaccardFromShingles(col("_sn"), col("_so")))
-          .filter(col("jaccard") >= threshold)
-          .select(col("new_id"), col("old_id"), col("jaccard"))
-          .write.mode(SaveMode.Append).parquet(matchesDir)
-      }
-      // index rows carry the shingle array for the verify join; the
-      // 100 TB variant stores only the minhash signature (estimated
-      // jaccard) or joins back to a document store for exact verify
+      // candidate generation over ID-ONLY bucket rows: the distinct
+      // shuffles (new, old) pairs, never shingle arrays
+      val candPairs =
+        if (indexExists)
+          newBuckets.as("n")
+            .join(prunedIndex(spark, newBuckets).as("o"),
+              col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+                col("n.doc_id") =!= col("o.doc_id"))
+            .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+            .distinct()
+        else
+          // first batch: still dedup within the batch itself
+          newBuckets.as("a")
+            .join(newBuckets.as("b"),
+              col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("old_id"))
+            .distinct()
+      // exact-Jaccard verify: shingles join back onto the SURVIVING
+      // candidate ids — new side from this batch's cache, old side
+      // from the doc store (first batch: the old ids are batch docs)
+      val oldSh =
+        if (indexExists) spark.read.parquet(s"$indexDir/docs")
+        else staged.select(col("doc_id"), col("_sh"))
+      candPairs
+        .join(staged.select(col("doc_id").as("new_id"), col("_sh").as("_sn")),
+          Seq("new_id"))
+        .join(oldSh.select(col("doc_id").as("old_id"), col("_sh").as("_so")),
+          Seq("old_id"))
+        .withColumn("jaccard", Dedup.jaccardFromShingles(col("_sn"), col("_so")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("new_id"), col("old_id"), col("jaccard"))
+        .write.mode(SaveMode.Append).parquet(matchesDir)
       newBuckets.write.mode(SaveMode.Append)
         .partitionBy("_bp").parquet(s"$indexDir/data")
+      staged.select(col("doc_id"), col("_sh"))
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/docs")
       f.create(marker(batchId), true).close()
-    } finally newBuckets.unpersist()
+    } finally staged.unpersist()
   }
 
   /** Bootstrap the index from an ALREADY-DEDUPED corpus: append its
@@ -153,8 +184,13 @@ class StreamingLshDedup(
     val f = fs(spark)
     val seedMarker = new Path(s"$indexDir/_seeded_$batchId")
     if (f.exists(seedMarker)) return // replay after recovery: no-op
-    bucketed(docs).write.mode(SaveMode.Append)
-      .partitionBy("_bp").parquet(s"$indexDir/data")
+    val staged = stagedDocs(docs).persist()
+    try {
+      bucketRows(staged).write.mode(SaveMode.Append)
+        .partitionBy("_bp").parquet(s"$indexDir/data")
+      staged.select(col("doc_id"), col("_sh"))
+        .write.mode(SaveMode.Append).parquet(s"$indexDir/docs")
+    } finally staged.unpersist()
     f.create(seedMarker, true).close()
   }
 

@@ -53,6 +53,91 @@ object StreamingDedupProbe {
       spark.stop()
       return
     }
+    if (flags("split")) {
+      // cost attribution per batch stage (r12 verdict item 5): replay
+      // the bench's 8-segment drain calling the SAME private pieces
+      // processBatch composes, a timer around each — separates
+      // signature-build / index-scan+join / jaccard-verify /
+      // match-write / index-append / marker+engine overhead
+      import org.apache.spark.sql.functions.{col, floor}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val rows = docs.count()
+      val nSegs = 8
+      val base = java.nio.file.Files.createTempDirectory("graft-sdedup-split").toString
+      docs.withColumn("_seg",
+          floor(col("doc_id") * nSegs / (rows + 1)).cast("int"))
+        .repartition(1)
+        .write.partitionBy("_seg").parquet(s"$base/in")
+      val dedup = new graft.streaming.StreamingLshDedup(s"$base/index", s"$base/matches")
+      var tSig = 0.0; var tJoin = 0.0; var tVerify = 0.0
+      var tWriteM = 0.0; var tWriteI = 0.0; var tWriteD = 0.0
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val total0 = System.nanoTime()
+      (0 until nSegs).foreach { seg =>
+        val batch = spark.read.parquet(s"$base/in/_seg=$seg")
+        var staged: org.apache.spark.sql.DataFrame = null
+        var nb: org.apache.spark.sql.DataFrame = null
+        var cands: org.apache.spark.sql.DataFrame = null
+        var matches: org.apache.spark.sql.DataFrame = null
+        tSig += time {
+          staged = dedup.stagedDocs(batch).persist()
+          nb = dedup.bucketRows(staged)
+          staged.count()
+        }
+        tJoin += time {
+          cands = (if (seg == 0)
+            nb.as("n").join(nb.as("o"),
+              col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+                col("n.doc_id") < col("o.doc_id"))
+          else
+            nb.as("n").join(dedup.prunedIndex(spark, nb).as("o"),
+              col("n.band") === col("o.band") && col("n.bucket") === col("o.bucket") &&
+                col("n.doc_id") =!= col("o.doc_id")))
+            .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+            .distinct()
+            .persist()
+          cands.count()
+        }
+        tVerify += time {
+          val oldSh =
+            if (seg == 0) staged.select(col("doc_id"), col("_sh"))
+            else spark.read.parquet(s"$base/index/docs")
+          matches = cands
+            .join(staged.select(col("doc_id").as("new_id"), col("_sh").as("_sn")),
+              Seq("new_id"))
+            .join(oldSh.select(col("doc_id").as("old_id"), col("_sh").as("_so")),
+              Seq("old_id"))
+            .withColumn("jaccard",
+              graft.operators.Dedup.jaccardFromShingles(col("_sn"), col("_so")))
+            .filter(col("jaccard") >= 0.5)
+            .select(col("new_id"), col("old_id"), col("jaccard"))
+            .persist()
+          matches.count()
+        }
+        tWriteM += time {
+          matches.write.mode("append").parquet(s"$base/matches")
+        }
+        tWriteI += time {
+          nb.write.mode("append").partitionBy("_bp").parquet(s"$base/index/data")
+        }
+        tWriteD += time {
+          staged.select(col("doc_id"), col("_sh"))
+            .write.mode("append").parquet(s"$base/index/docs")
+        }
+        staged.unpersist(); cands.unpersist(); matches.unpersist()
+      }
+      val total = (System.nanoTime() - total0) / 1e9
+      println(f"[probe] split: rows=$rows segs=$nSegs total=$total%.2f " +
+        f"sig=$tSig%.2f join=$tJoin%.2f verify=$tVerify%.2f " +
+        f"write_matches=$tWriteM%.2f write_index=$tWriteI%.2f " +
+        f"write_docs=$tWriteD%.2f " +
+        f"other=${total - tSig - tJoin - tVerify - tWriteM - tWriteI - tWriteD}%.2f")
+      spark.stop()
+      return
+    }
     val nSeg = sys.env.getOrElse("SPARK_GRAFT_PROBE_SEGMENTS", "8").toInt
     (1 to 3).foreach { i =>
       val out = graft.Bench.benchStreamingDedup(spark, sfDir, nSegments = nSeg)
