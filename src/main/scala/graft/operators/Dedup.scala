@@ -657,7 +657,27 @@ object Dedup {
     * final pairs; measured A/B 25.1 s → 3.1 s min-of-2 with the
     * staging persists below, identical output), so emitted
     * containment values stay exact and the cap still affects
-    * candidate recall only. */
+    * candidate recall only.
+    *
+    * Why this does NOT ride d24's rarest-first prefix discipline
+    * (r12 verdict item 6, audited with graft.tools.ContainmentProbe —
+    * steady-state split at sf0.1: staging 0.6 s, dfreq 0.5 s, pair
+    * join+count 1.5 s over 2.26 M distinct pairs, bound filter 0.3 s
+    * → 512, recount 0.8 s): containment DOES admit a prefix bound
+    * (Chaudhuri et al. 2006 — a qualifying pair must intersect a's
+    * ⌊(1−t)·|a|⌋+1 rarest shingles), and restricting the join's
+    * a-side to that prefix would cut candidate GENERATION ~2.5× at
+    * t = 0.6. But generation here is fused with the intersection
+    * COUNT that powers the survivor bound, and a prefix-restricted
+    * count can only support the bound `inter ≤ pref_inter + (|a| −
+    * prefix_len)`, which at the prefix's defining length degrades to
+    * "pref_inter ≥ 1" — satisfied by EVERY generated candidate, i.e.
+    * vacuous. Every prefix candidate (~1 M pairs here) would then hit
+    * the exact recount the 512-survivor bound exists to protect —
+    * re-creating the round-10 quadratic recount for a ~0.6 s
+    * generation saving. The pair volume itself (Σ df²_capped) is the
+    * honest cost, linear-ish under the cap (committed growth exp
+    * 0.70). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
