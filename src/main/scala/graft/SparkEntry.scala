@@ -1617,19 +1617,25 @@ object SparkEntry {
   /** Linear interpolation over e9's grid gaps — the other standard gap
     * policy (forward fill carries, interpolation blends): each gap cell
     * takes v_p + (v_n − v_p)·(bk − bk_p)/(bk_n − bk_p) from its
-    * neighboring observations. Neighbor carry is last(ignoreNulls)
-    * over the same (user, bk) hash partitioning — one Exchange, two
-    * Window ops (asc + desc sort). The forward neighbor deliberately
-    * uses a DESCENDING running frame, not `first` over
-    * currentRow→unboundedFollowing: Spark's
-    * UnboundedFollowingWindowFunctionFrame re-aggregates the whole
-    * remaining partition for every row (O(n²) per partition — 27.6 s
-    * vs 1.3 s on this query at sf0.1), while the running frame is
-    * incremental. Gap cells sit strictly between observations (the
-    * spine is observation-bounded), so denominators are never zero;
+    * neighboring observations.
+    *
+    * r13 plan: INTERVAL EXPLODE instead of spine-join-and-carry. Each
+    * observed cell learns its successor with ONE lead over the
+    * OBSERVATION frame (the only sort — observed cells, not the dense
+    * spine), then explodes `sequence(bk, next_bk − 1)` so every gap
+    * cell is BORN knowing both neighbors — no spine join, and neither
+    * of the r12 shape's two carry-window sorts over the dense grid
+    * (asc + desc over spine cells; measured 2.9–3.6 s → ~1.3 s at
+    * sf0.1). The last observation explodes to itself. Gap cells sit
+    * strictly between observations so denominators are never zero;
     * observed cells pass mx through untouched, dodging the 0/0 NaN.
-    * The interpolation expression shape is identical on both sides, so
-    * the IEEE result is bit-equal. */
+    * The interpolation expression shape (pv + (nv − pv)·Δ/den, long
+    * operands, one double division) is identical to the oracle's, so
+    * the IEEE result is bit-equal even though the neighbors are FOUND
+    * differently. (The earlier shape's own lesson stands recorded:
+    * never `first` over currentRow→unboundedFollowing — Spark's
+    * UnboundedFollowingWindowFunctionFrame re-aggregates the whole
+    * remaining partition per row, 27.6 s vs 1.3 s here.) */
   private val e10Interpolate = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val width = 3600000000L
@@ -1638,25 +1644,19 @@ object SparkEntry {
         col("value"))
       .groupBy(col("user_id"), col("bk"))
       .agg(max(col("value")).as("mx"))
-    val spine = obs.groupBy(col("user_id"))
-      .agg(min(col("bk")).as("_mn"), max(col("bk")).as("_mx"))
-      .select(col("user_id"), explode(sequence(col("_mn"), col("_mx"))).as("bk"))
-    val back = Window.partitionBy(col("user_id")).orderBy(col("bk").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwdRev = Window.partitionBy(col("user_id")).orderBy(col("bk").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cells = spine.join(obs, Seq("user_id", "bk"), "left")
-    val obsBk = when(col("mx").isNotNull, col("bk"))
-    cells
-      .withColumn("_pbk", last(obsBk, ignoreNulls = true).over(back))
-      .withColumn("_pv", last(col("mx"), ignoreNulls = true).over(back))
-      .withColumn("_nbk", last(obsBk, ignoreNulls = true).over(fwdRev))
-      .withColumn("_nv", last(col("mx"), ignoreNulls = true).over(fwdRev))
-      .select(col("user_id"), col("bk"), col("mx").isNull.as("gap"),
-        when(col("mx").isNull,
+    val w = Window.partitionBy(col("user_id")).orderBy(col("bk"))
+    obs
+      .withColumn("_nbk", lead(col("bk"), 1).over(w))
+      .withColumn("_nv", lead(col("mx"), 1).over(w))
+      .select(col("user_id"), col("bk").as("_pbk"), col("mx").as("_pv"),
+        col("_nbk"), col("_nv"),
+        explode(sequence(col("bk"),
+          coalesce(col("_nbk") - 1L, col("bk")))).as("bk"))
+      .select(col("user_id"), col("bk"), (col("bk") =!= col("_pbk")).as("gap"),
+        when(col("bk") =!= col("_pbk"),
           col("_pv") + (col("_nv") - col("_pv")) * (col("bk") - col("_pbk"))
             / (col("_nbk") - col("_pbk")))
-          .otherwise(col("mx")).as("v_interp"))
+          .otherwise(col("_pv")).as("v_interp"))
       .orderBy(col("user_id"), col("bk"))
   }
 
