@@ -205,6 +205,103 @@ object Multimodal {
     }
   }
 
+  /** REAL audio resample — integer-factor downsample of RIFF/WAVE mono
+    * 16-bit PCM, parsed and re-emitted directly from the bytes (the
+    * voice-pipeline standardization step before transcription — models
+    * want one sample rate): output sample i is the MEAN of input
+    * samples [i·f, (i+1)·f) (a box filter — the same integer
+    * area-average discipline as [[ImageResizer]]; sums are exact, one
+    * truncating division per output sample, so a spec hand-computes
+    * the bytes), the trailing n mod f samples are dropped, and the
+    * payload is re-emitted as a canonical 44-byte-header WAV with the
+    * sample rate divided by f. Off-contract payloads (stereo,
+    * compressed, truncated) fail LOUDLY via the same chunk-walk rules
+    * as [[WavDecoder]]. */
+  object WavResampler extends Serializable {
+    private def le16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], off: Int): Int =
+      le16(b, off) | (le16(b, off + 2) << 16)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    def resample(payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, s"WavResampler: factor must be >= 1, got $factor")
+      require(payload.length >= 12 && tag(payload, 0) == "RIFF" &&
+        tag(payload, 8) == "WAVE", "WavResampler: not a RIFF/WAVE payload")
+      var pos = 12
+      var pcmOk = false
+      var sampleRate = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= payload.length) {
+        val id = tag(payload, pos)
+        val sz = le32(payload, pos + 4)
+        require(sz >= 0 && pos.toLong + 8L + sz <= payload.length.toLong,
+          s"WavResampler: chunk $id overruns the payload")
+        if (id == "fmt ") {
+          val audioFormat = le16(payload, pos + 8)
+          val channels = le16(payload, pos + 10)
+          val bits = le16(payload, pos + 22)
+          require(audioFormat == 1 && bits == 16 && channels == 1,
+            s"WavResampler: need mono 16-bit PCM, got format=$audioFormat " +
+              s"channels=$channels bits=$bits — transcode upstream")
+          sampleRate = le32(payload, pos + 12)
+          pcmOk = true
+        } else if (id == "data") {
+          dataOff = pos + 8; dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(pcmOk && dataOff >= 0, "WavResampler: missing fmt/data chunk")
+      require(sampleRate % factor == 0,
+        s"WavResampler: sample rate $sampleRate not divisible by $factor")
+      val n = dataLen / 2
+      val outN = n / factor
+      val outRate = sampleRate / factor
+      val outLen = outN * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + outLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + outLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(outRate).putInt(outRate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(outLen)
+      var i = 0
+      while (i < outN) {
+        var s = 0L
+        var j = 0
+        while (j < factor) {
+          s += le16(payload, dataOff + 2 * (i * factor + j)).toShort
+          j += 1
+        }
+        bb.putShort((s / factor).toShort) // exact sum, one truncating division
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  /** [[resizeImage]]'s audio sibling: replace the media column with the
+    * [[WavResampler]] integer-decimated payload, refresh `media_meta`,
+    * record `resample_factor`. One narrow mapPartitions pass. */
+  def resampleAudio(df: DataFrame, mediaCol: String, factor: Int): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val resampled = df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = WavResampler.resample(r.getAs[Array[Byte]](mediaIdx), factor)
+        Row.fromSeq(r.toSeq.updated(mediaIdx, p))
+      }
+    }(Encoders.row(df.schema))
+    resampled
+      .withColumn("media_meta", struct(
+        lit("audio/wav").as("mime"),
+        octet_length(col(mediaCol)).cast("long").as("n_bytes"),
+        xxhash64(col(mediaCol)).as("checksum")))
+      .withColumn("resample_factor", lit(factor))
+  }
+
   /** REAL video demux — MJPEG-in-AVI parsed directly from the bytes,
     * reusing the same length-prefixed RIFF chunk discipline as
     * [[WavDecoder]] (AVI and WAV are the SAME container; only the

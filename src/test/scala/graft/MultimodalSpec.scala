@@ -352,6 +352,41 @@ class MultimodalSpec extends SparkTestBase {
     bb.array()
   }
 
+  test("WavResampler/resampleAudio: hand-computed box-filter bytes, header rewrite, tail drop, loud off-contract") {
+    // factor 2 over [100, 300, -5, -6, 7]: means (200, -5) — the -11/2
+    // sum truncates toward zero — and the odd tail sample drops
+    val in = wavBytes(Array[Short](100, 300, -5, -6, 7))
+    val out = Multimodal.WavResampler.resample(in, 2)
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(new String(out, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(out, 8, 4, "US-ASCII") == "WAVE")
+    assert(bb.getInt(24) == 4000, "sample rate must divide by the factor")
+    assert(bb.getInt(40) == 4, "data chunk: 2 samples x 2 bytes")
+    assert((bb.getShort(44), bb.getShort(46)) == ((200.toShort, (-5).toShort)),
+      s"samples: ${bb.getShort(44)}, ${bb.getShort(46)}")
+    // the output is itself a valid decoder input (round-trip contract)
+    val f = Multimodal.WavDecoder.decode(out, 2)
+    assert(f.toSeq == Seq(200 / 32768.0f, 5 / 32768.0f))
+    // factor 1 is the identity on samples (header canonicalized)
+    val id1 = Multimodal.WavResampler.resample(in, 1)
+    assert(java.nio.ByteBuffer.wrap(id1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .getShort(44) == 100)
+    // DataFrame plumbing: payload replaced, meta refreshed, factor recorded
+    val df = Multimodal.resampleAudio(Seq((1L, in)).toDF("id", "media"), "media", 2)
+    assert(df.select("media_meta.mime").head().getString(0) == "audio/wav")
+    assert(df.select("resample_factor").head().getInt(0) == 2)
+    assert(df.select("media").head().getAs[Array[Byte]](0).toSeq == out.toSeq)
+    // off-contract: non-divisible rate and garbage fail loudly
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.WavResampler.resample(in, 3) // 8000 % 3 != 0
+    }
+    assert(e1.getMessage.contains("divisible"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.WavResampler.resample(Array[Byte](1, 2, 3), 2)
+    }
+    assert(e2.getMessage.contains("RIFF"), e2.getMessage)
+  }
+
   test("WavDecoder: hand-computed window energies from raw PCM, loud failure off-contract") {
     // 8 samples at |1000| then 8 at |4000|: dim=2 windows of 8 — the
     // mean-|sample|/2^15 features are exact rationals
