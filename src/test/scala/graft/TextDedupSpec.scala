@@ -829,6 +829,30 @@ class TextDedupSpec extends SparkTestBase {
     assert(TextAnalysis.charSymsScala("ab", "<w>") == Seq("a", "b", "<"))
   }
 
+  test("bpeTrain: driver-vocab fast path equals the forced-distributed rounds (incl. ties, exhaustion, overlap runs)") {
+    import graft.operators.TextAnalysis
+    // worked vocabulary + overlap runs + an exhausting tiny corpus +
+    // count ties that exercise the lexicographic (l, r) tie-break
+    val corpora = Seq(
+      Seq("low low low low low", "lower lower", "newest newest newest",
+        "newest newest newest", "widest widest widest"),
+      Seq("aaa aab", "ab"),
+      Seq("ab"), // exhausts after 2 merges — both paths must stop early
+      Seq("xy zw xy zw") // (x,y) ties (z,w) and both tie the markers
+    )
+    corpora.foreach { docs =>
+      val df = docs.map(Tuple1(_)).toDF("text")
+      def run(maxDriverVocab: Int) =
+        TextAnalysis.bpeTrain(df, "text", merges = 6,
+          maxDriverVocab = maxDriverVocab)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+      val driver = run(1 << 20)
+      val dist = run(0) // forces the distributed rounds
+      assert(driver == dist, s"paths diverged on $docs:\n driver=$driver\n dist=$dist")
+    }
+  }
+
   test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
     val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
     val df = docs.map(Tuple1(_)).toDF("text")
