@@ -5105,12 +5105,18 @@ object SparkEntry {
     * grid, ordered by their (deterministic IEEE) quotient with a full
     * (num, den) tie-break, median = (lo + hi)/2 picks — pair volume
     * is quadratic in DAYS per type (30 → 435), never in events; the
-    * corpus-width work is ONE daily-count aggregate. */
+    * corpus-width work is ONE daily-count aggregate. Days per type
+    * ride the w24/w17 [[RelationalOps.capPerKey]] guard (r13 — a
+    * decade-long type would otherwise pair 3650² ≈ 6.6 M rows into
+    * one ranking task; the default cap is ~20× the fixture's span so
+    * oracle rows stay bit-identical with the guard ACTIVE). */
   private val e20TheilSen = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
-    val daily = CachePool.register(Tables.events(s, d)
-      .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
-      .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("x"))
+    val daily = CachePool.register(RelationalOps.capPerKey(
+      Tables.events(s, d)
+        .select(col("event_type"), expr("unix_micros(ts) div 86400000000L").as("day_idx"))
+        .groupBy(col("event_type"), col("day_idx")).agg(count(lit(1)).as("x"))
+        .repartition(col("event_type")), "event_type", defaultMaxPerKey)
       .persist())
     val pairs = daily.select(col("event_type"), col("day_idx").as("_da"), col("x").as("_xa"))
       .join(daily.select(col("event_type"), col("day_idx").as("_db"), col("x").as("_xb")),
