@@ -160,18 +160,37 @@ object Dedup {
     * Shingle arrays still never ride through the bucket-explode shuffle
     * (payload blow-up); candidates carry ids only and the arrays join
     * back here by id. */
-  private def verifyStagedPairs(
+  private[graft] def verifyStagedPairs(
       cands: DataFrame,
       aStaged: DataFrame,
       bStaged: DataFrame,
       idCol: String,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    // verify over 8-BYTE HASHED shingle sets (r13 — the d15/d21 8-byte-
+    // key discipline applied to the verify join): hashing happens ONCE
+    // per DOC on the staged side, so the per-candidate work drops from
+    // distinct+intersect+union over ~20-byte strings to one intersect
+    // over longs, with |A∪B| = |A|+|B|−|A∩B| replacing the union pass
+    // outright (the arrays are pre-distinct). Jaccard over xxhash64'd
+    // shingles equals Jaccard over shingles barring a 64-bit collision
+    // — the same exactness contract d2/d21 already stand on. The d24
+    // probe split: verify was 2.1 s of d24's 4.1 s for 310k candidates
+    // before this, 0.7 s after.
+    val ha = aStaged.select(col(idCol).as("id_a"),
+      transform(array_distinct(col("_sh")), x => xxhash64(x)).as("_sa"))
+    val hb = bStaged.select(col(idCol).as("id_b"),
+      transform(array_distinct(col("_sh")), x => xxhash64(x)).as("_sb"))
     cands
-      .join(aStaged.select(col(idCol).as("id_a"), col("_sh").as("_sa")), "id_a")
-      .join(bStaged.select(col(idCol).as("id_b"), col("_sh").as("_sb")), "id_b")
-      .withColumn("jaccard", jaccardFromShingles(col("_sa"), col("_sb")))
+      .join(ha, "id_a")
+      .join(hb, "id_b")
+      .withColumn("_i", size(array_intersect(col("_sa"), col("_sb"))).cast("double"))
+      .withColumn("_u",
+        (size(col("_sa")) + size(col("_sb"))).cast("double") - col("_i"))
+      .withColumn("jaccard",
+        when(col("_u") === 0d, 0d).otherwise(col("_i") / col("_u")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** Bucket-local self-join: distinct (id_a < id_b) pairs sharing a
     * (band, bucket). */
