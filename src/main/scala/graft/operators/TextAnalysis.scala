@@ -837,41 +837,114 @@ object TextAnalysis {
     * semantics identical to the distributed rounds (same per-adjacency
     * frequency-weighted pair counts, same deterministic argmax: count
     * desc then UTF-8-lexicographic (l, r), same [[mergeSeqScala]]
-    * left-to-right rewrite, same early-exhaustion stop), at in-memory
-    * loop cost. This is Sennrich's own reference algorithm; the
-    * distributed twin exists for vocabularies that don't fit a driver. */
+    * left-to-right rewrite, same early-exhaustion stop) with
+    * INCREMENTAL pair-count maintenance (the trick Sennrich's own
+    * learn_bpe uses): the pair→count table and a pair→word occurrence
+    * index are built once, and each merge round updates ONLY the words
+    * that actually contain the winning pair — per round
+    * O(affected words · their length), not O(Σ|w|) over the whole
+    * vocabulary. The winner comes off a lazily-invalidated max-heap
+    * (every count change pushes a fresh (count, l, r) entry; popped
+    * entries whose count no longer matches the live table are
+    * discarded), so argmax is O(log heap) amortized instead of a full
+    * table scan per round. Net: a real 32k-merge budget over a
+    * ~10⁶-word vocabulary is minutes of driver work where the full
+    * re-count form was O(Σ|w| · merges) ≈ 10¹¹ operations.
+    *
+    * Exact parity with the full-re-count loop (spec-pinned, incl. a
+    * 500-merge randomized run against the sequential model): the
+    * deltas are per-adjacency and the occurrence index drops entries
+    * at zero, so the live table after round r is bit-identical to a
+    * fresh count over the rewritten vocabulary; identical counts +
+    * identical tie-break ⇒ identical winner every round. */
   private def bpeTrainDriver(
       words: Array[(String, Long)], merges: Int,
       marker: String): Seq[(Int, String, String, Long)] = {
-    var vocab: Array[(Long, IndexedSeq[String])] =
-      words.map { case (w, f) => (f, charSymsScala(w, marker)) }
+    val n = words.length
+    val freqs = new Array[Long](n)
+    val vocab = new Array[IndexedSeq[String]](n)
+    var i = 0
+    while (i < n) {
+      freqs(i) = words(i)._2
+      vocab(i) = charSymsScala(words(i)._1, marker)
+      i += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // pair → (word index → occurrence count); exact — entries removed
+    // at zero, so `where(p).keys` is precisely the words containing p
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.HashMap[Int, Int]]
+    // one adjacency's delta: freq-weighted count and per-word occurrence
+    // move together (+f/+1 on add, −f/−1 on remove)
+    def bump(p: (String, String), idx: Int, df: Long, docc: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + df
+      if (c == 0L) counts.remove(p) else counts(p) = c
+      val m = where.getOrElseUpdate(
+        p, scala.collection.mutable.HashMap.empty[Int, Int])
+      val o = m.getOrElse(idx, 0) + docc
+      if (o == 0) { m.remove(idx); if (m.isEmpty) where.remove(p) }
+      else m(idx) = o
+    }
+    i = 0
+    while (i < n) {
+      val syms = vocab(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        bump((syms(j), syms(j + 1)), i, freqs(i), 1); j += 1
+      }
+      i += 1
+    }
+    // max-heap: larger count wins; ties prefer the UTF-8-smaller
+    // (left, right) — the same order the distributed struct-min uses
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int =
+          if (x._1 != y._1) java.lang.Long.compare(x._1, y._1)
+          else if (x._2 != y._2) { if (utf8Less(x._2, y._2)) 1 else -1 }
+          else if (x._3 != y._3) { if (utf8Less(x._3, y._3)) 1 else -1 }
+          else 0
+      }
+    val heap = scala.collection.mutable.PriorityQueue
+      .empty[(Long, String, String)](heapOrd)
+    counts.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
-      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (f, syms) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          val p = (syms(j), syms(j + 1))
-          counts.update(p, counts.getOrElse(p, 0L) + f)
-          j += 1
-        }
+      // pop past stale entries (count no longer matches the live table);
+      // every live count was pushed at its last change, so an empty pop
+      // stream ⟺ the pair table is empty (the re-count loop's stop)
+      var bestP: (String, String) = null
+      var bestC = 0L
+      while (bestP == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) { bestP = (l, r); bestC = c }
       }
-      if (counts.isEmpty) exhausted = true
+      if (bestP == null) exhausted = true
       else {
-        var bestP: (String, String) = null
-        var bestC = Long.MinValue
-        counts.foreach { case (p, c) =>
-          if (c > bestC || (c == bestC &&
-            (utf8Less(p._1, bestP._1) ||
-              (p._1 == bestP._1 && utf8Less(p._2, bestP._2))))) {
-            bestP = p; bestC = c
-          }
-        }
         learned += ((step, bestP._1, bestP._2, bestC))
-        vocab = vocab.map { case (f, syms) =>
-          (f, mergeSeqScala(syms, bestP._1, bestP._2))
+        val affected = where(bestP).keysIterator.toArray
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        affected.foreach { idx =>
+          val old = vocab(idx)
+          val nw = mergeSeqScala(old, bestP._1, bestP._2)
+          val f = freqs(idx)
+          var j = 0
+          while (j < old.length - 1) {
+            val p = (old(j), old(j + 1))
+            bump(p, idx, -f, -1); touched += p; j += 1
+          }
+          j = 0
+          while (j < nw.length - 1) {
+            val p = (nw(j), nw(j + 1))
+            bump(p, idx, f, 1); touched += p; j += 1
+          }
+          vocab(idx) = nw
+        }
+        // re-push once per touched pair at its FINAL round-end count
+        // (intermediate values were superseded within the round)
+        touched.foreach { p =>
+          counts.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
         }
         step += 1
       }
@@ -1151,17 +1224,23 @@ object TextAnalysis {
     val toksIdx = staged.schema.fieldIndex("_toks")
     val outSchema = staged.schema
       .add("bpe_tokens", ArrayType(StringType, containsNull = false))
-      .add("n_bpe_tokens", LongType, nullable = false)
+      .add("n_bpe_tokens", LongType)
     staged.mapPartitions { rows =>
       val rank = bRank.value
       val rs = bRules.value
       rows.map { r =>
         val toks = r.getSeq[String](toksIdx)
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        toks.foreach { w =>
-          if (w.nonEmpty) out ++= greedyEncodeWord(w, marker, rank, rs)
+        // null text tokenizes to a null _toks array; propagate null
+        // output columns exactly like bpeEncode's HOF fold does
+        // (aggregate(null) → null, size(null) → null)
+        if (toks == null) Row.fromSeq(r.toSeq :+ null :+ null)
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          toks.foreach { w =>
+            if (w.nonEmpty) out ++= greedyEncodeWord(w, marker, rank, rs)
+          }
+          Row.fromSeq(r.toSeq :+ out.toSeq :+ out.length.toLong)
         }
-        Row.fromSeq(r.toSeq :+ out.toSeq :+ out.length.toLong)
       }
     }(Encoders.row(outSchema)).drop("_toks")
   }

@@ -853,6 +853,72 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("bpeTrain incremental driver loop: 500-merge randomized parity vs the sequential re-count model") {
+    import graft.operators.TextAnalysis
+    // randomized corpus wide enough that 500 merges exercise the
+    // incremental bookkeeping deeply (pair counts rising AND falling,
+    // stale heap entries, words leaving/entering the occurrence index)
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = "abcdefghijk"
+    val words = (0 until 800).map { _ =>
+      val len = 8 + rnd.nextInt(9)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(20))).toMap
+    val docs = words.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    val want = bpeModel(words, 500)
+    val got = bpeRun(rnd.shuffle(docs), 500)
+    assert(got.size == 500, s"expected 500 merges, got ${got.size}")
+    assert(got == want,
+      s"incremental trainer diverged from the re-count model; first diff at " +
+        s"${got.zip(want).indexWhere { case (a, b) => a != b }}")
+  }
+
+  test("bpeTrain: an 8k-merge budget trains in seconds on the incremental driver tier") {
+    import graft.operators.TextAnalysis
+    // a real tokenizer budget is ~32k merges; the old full-re-count
+    // loop was O(vocab-width x merges) and the distributed twin one
+    // Spark job per round — both unusable there. The incremental
+    // trainer touches only pair-containing words per round, so a
+    // 5k+ budget is sub-second driver work once the vocabulary is
+    // aggregated. This pins the scale contract with a measured run.
+    val rnd = new scala.util.Random(42L)
+    val words = (0 until 3000).map { _ =>
+      val len = 10 + rnd.nextInt(9)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val df = words.map(Tuple1(_)).toDF("text")
+    val t0 = System.nanoTime()
+    val table = TextAnalysis.bpeTrain(df, "text", merges = 8000)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"8000 merges over ${words.size} distinct words in $secs%.1f s")
+    assert(table.length == 8000, s"expected 8000 merges, got ${table.length}")
+    assert(table.map(_._1).toSeq == (1L to 8000L), "steps must be 1..8000")
+    assert(table.forall(_._4 > 0L), "every learned pair_count is positive")
+    // generous noise-proof wall bound; the driver loop itself is ~100x
+    // under this (the bound exists to catch an accidental return to
+    // the re-count form, which takes minutes here)
+    assert(secs < 60.0, f"8k merges took $secs%.1f s — incremental loop regressed")
+  }
+
+  test("bpeEncodeGreedy: null text propagates null bpe_tokens/n_bpe_tokens like the fold form") {
+    import graft.operators.TextAnalysis
+    val df = Seq((1L, "aa ab"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text")
+    val table = Seq(("a", "a"), ("a", "_"))
+    def shape(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("doc_id").collect().map { r =>
+        (r.getLong(0), Option(r.getSeq[String](r.fieldIndex("bpe_tokens"))),
+          if (r.isNullAt(r.fieldIndex("n_bpe_tokens"))) -1L
+          else r.getLong(r.fieldIndex("n_bpe_tokens")))
+      }.toSeq
+    val fold = shape(TextAnalysis.bpeEncode(df, "text", table))
+    val greedy = shape(TextAnalysis.bpeEncodeGreedy(df, "text", table))
+    assert(fold == greedy, s"null-row handling diverged:\n fold=$fold\n greedy=$greedy")
+    assert(fold(1) == ((2L, None, -1L)), s"null text must yield null outputs, got ${fold(1)}")
+  }
+
   test("bpeTrain step 1 equals the independently-oracled t22 pair-count winner") {
     val docs = Seq("aa ab", "ab", "aaa", "banana bandana")
     val df = docs.map(Tuple1(_)).toDF("text")
