@@ -48,6 +48,71 @@ object Bench {
     "a1_group_count_segment", "p1_range_slice", "w6_lag",
     "j2_sortmerge_fact", "t3_token_count")
 
+  /** Numeric key→value pairs of the previous committed artifact's
+    * "scale" object, for the per-probe level gate below. Returns empty
+    * (gate inert) when the file is missing, unparsable, or was measured
+    * at a DIFFERENT sf than the current run (a committed sf0.1 artifact
+    * must not flag an sf0.001 smoke, and vice versa). */
+  private[graft] def priorScaleValues(json: String, sfDir: String): Map[String, Double] = {
+    val sfRe = """"sf":"([^"]*)"""".r
+    val recordedSf = sfRe.findFirstMatchIn(json).map(_.group(1))
+    if (!recordedSf.contains(sfDir)) return Map.empty
+    val start = json.indexOf(""""scale":{""")
+    if (start < 0) return Map.empty
+    val open = start + 8
+    val close = json.indexOf('}', open)
+    if (close < 0) return Map.empty
+    val body = json.substring(open, close + 1)
+    """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Per-probe level gate (r13 verdict item 1): the section drift gate
+    * brackets the WHOLE scale block, so a host burst landing inside one
+    * long probe (the r13 driver rerun's pagerank_sec_25x = 27.96 s vs
+    * five same-code committed runs at 3.5–5.1 s) sails through a passing
+    * sentinel pair and ships a 7×-wrong scaling number. Every probe now
+    * ALSO compares against the previous committed artifact: > 2.5× prior
+    * (+0.2 s absolute slack for sub-second jitter) marks the probe
+    * suspect. A suspect probe set (or a suspect axis per the r12
+    * monotonicity gate, passed in as `axisSuspect`) re-measures ONCE and
+    * merges pointwise-min (noise only inflates a min-of-2 reading);
+    * probes still over the prior bar after the retry are recorded in the
+    * artifact's "noise_suspect" array instead of silently certifying a
+    * level shift. A REAL regression shows up as a retried-but-still-slow
+    * probe + a noise_suspect entry — loud, with both numbers on record. */
+  private[graft] def priorSuspect(
+      prior: Map[String, Double], key: String, v: Double): Boolean =
+    prior.get(key).exists(p => p > 0 && v > p * 2.5 + 0.2)
+
+  /** One gated measurement of `keys.length` probes — see [[priorSuspect]].
+    * `probe()` must be re-runnable in place (fixtures still persisted). */
+  private[graft] def gatedProbes(
+      name: String, keys: Seq[String], prior: Map[String, Double],
+      noiseSuspect: scala.collection.mutable.Buffer[String],
+      axisSuspect: Seq[Double] => Boolean = _ => false,
+      log: String => Unit = System.err.println)(
+      probe: () => IndexedSeq[(Double, Long)]): IndexedSeq[(Double, Long)] = {
+    def overPrior(vs: IndexedSeq[(Double, Long)]): Seq[String] =
+      keys.zip(vs).collect {
+        case (k, (v, _)) if priorSuspect(prior, k, v) => k
+      }
+    val a = probe()
+    val firstBad = overPrior(a)
+    if (!axisSuspect(a.map(_._1)) && firstBad.isEmpty) a
+    else {
+      log(s"[bench] $name probes failed the noise gate " +
+        s"(${a.map(x => r3(x._1)).mkString("/")} s" +
+        (if (firstBad.nonEmpty) s"; over 2.5x prior: ${firstBad.mkString(",")}"
+         else "") + ") — re-measuring once")
+      val b = probe()
+      // counts are deterministic; keep attempt 1's
+      val merged = a.zip(b).map { case ((va, na), (vb, _)) => (math.min(va, vb), na) }
+      noiseSuspect ++= overPrior(merged)
+      merged
+    }
+  }
+
   /** Time the sentinel set under the registry discipline (min-of-2,
     * cache-dropped); returns a JSON object of per-query seconds. */
   private def timeSentinels(spark: SparkSession, sfDir: String): (Double, String) = {
@@ -506,24 +571,35 @@ object Bench {
       // two attempts merge POINTWISE-MIN: noise only ever inflates a
       // min-of-2 reading, so the min across attempts is the honest one.
       // Counts are deterministic; the first attempt's are kept.
+      // r14 extends this with the PER-PROBE level gate ([[priorSuspect]]):
+      // each probe also compares against the previous committed
+      // artifact's value; > 2.5× prior retries the axis and, if still
+      // over, lands in the artifact's "noise_suspect" array.
+      val prior: Map[String, Double] = {
+        val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LATEST.json")
+        try {
+          val f = java.nio.file.Paths.get(p)
+          if (java.nio.file.Files.exists(f))
+            priorScaleValues(java.nio.file.Files.readString(f), sfDir)
+          else Map.empty
+        } catch { case _: Throwable => Map.empty }
+      }
+      val noiseSuspect = scala.collection.mutable.ArrayBuffer.empty[String]
       def gatedAxis(name: String)(
           probe: => ((Double, Long), (Double, Long), (Double, Long)))
         : ((Double, Long), (Double, Long), (Double, Long)) = {
-        def suspect(t: ((Double, Long), (Double, Long), (Double, Long))): Boolean =
-          t._1._1 > t._2._1 * 1.3 + 0.2 || t._2._1 > t._3._1 * 1.3 + 0.2 ||
-            fitExp(t._1._1, t._2._1, t._3._1) < 0
-        val a = probe
-        if (!suspect(a)) a
-        else {
-          System.err.println(s"[bench] $name growth axis failed the noise " +
-            s"gate (${r3(a._1._1)}/${r3(a._2._1)}/${r3(a._3._1)} s, exp " +
-            s"${fitExp(a._1._1, a._2._1, a._3._1)}) — re-measuring the axis once")
-          val b = probe
-          ((math.min(a._1._1, b._1._1), a._1._2),
-            (math.min(a._2._1, b._2._1), a._2._2),
-            (math.min(a._3._1, b._3._1), a._3._2))
+        val keys = Seq(s"${name}_sec_1x", s"${name}_sec_5x", s"${name}_sec_25x")
+        def axisSuspect(ts: Seq[Double]): Boolean =
+          ts(0) > ts(1) * 1.3 + 0.2 || ts(1) > ts(2) * 1.3 + 0.2 ||
+            fitExp(ts(0), ts(1), ts(2)) < 0
+        val r = gatedProbes(name, keys, prior, noiseSuspect, axisSuspect) { () =>
+          val t = probe
+          IndexedSeq(t._1, t._2, t._3)
         }
+        (r(0), r(1), r(2))
       }
+      def gatedProbe(key: String)(probe: => (Double, Long)): (Double, Long) =
+        gatedProbes(key, Seq(key), prior, noiseSuspect)(() => IndexedSeq(probe)).head
       // all three corpus fixtures persist up front so every growth axis
       // runs CONTIGUOUSLY (the gate's retry needs the axis re-runnable
       // in place); 5x and 25x coexisted in memory before this too
@@ -681,8 +757,8 @@ object Bench {
         fullCount(graft.operators.TemporalJoin
           .asofJoin(purchases, clicks, Seq("user_id"), "tus", "tus"))
       }
-      val (asofT1, _) = time(asofCount(ev1))
-      val (asofT5, _) = time(asofCount(ev5))
+      val (asofT1, _) = gatedProbe("asof_sec_1x")(time(asofCount(ev1)))
+      val (asofT5, _) = gatedProbe("asof_sec_5x")(time(asofCount(ev5)))
       ev5.unpersist()
       // hot-key DEPTH axis — the complement of the key-count axis above:
       // one key absorbs ~50% of all events, so the plain window
@@ -692,13 +768,13 @@ object Bench {
         when(pmod(col("event_id"), lit(2)) === 0, lit(-1L))
           .otherwise(col("user_id"))).persist()
       evHot.count()
-      val (asofHotT, _) = time(asofCount(evHot))
-      val (asofHotSplitT, _) = time {
+      val (asofHotT, _) = gatedProbe("asof_hot_sec_plain")(time(asofCount(evHot)))
+      val (asofHotSplitT, _) = gatedProbe("asof_hot_sec_split")(time {
         val (purchases, clicks) = asofSides(evHot)
         fullCount(graft.operators.TemporalJoin
           .asofJoinSkew(purchases, clicks, Seq("user_id"), "tus", "tus",
             bucketWidth = 3600L * 1000000L)) // 1 h of epoch micros per range
-      }
+      })
       evHot.unpersist()
       // hot-key DEPTH at the scale the mitigation exists for: the sf0.1
       // hot key holds only ~50k rows — trivial for one task's sort, so
@@ -724,8 +800,9 @@ object Bench {
           .asofJoin(purchD, clicksD, Seq("user_id"), "tus", "tus"))
         def splitRun() = fullCount(graft.operators.TemporalJoin
           .asofJoinSkew(purchD, clicksD, Seq("user_id"), "tus", "tus", width))
-        val (tp, _) = time(plainRun()) // min-of-2: run 1 is the warmup
-        val (ts, _) = time(splitRun())
+        val (tp, _) = gatedProbe("asof_deep_sec_plain")(
+          time(plainRun())) // min-of-2: run 1 is the warmup
+        val (ts, _) = gatedProbe("asof_deep_sec_split")(time(splitRun()))
         clicksD.unpersist(); purchD.unpersist()
         (tp, ts)
       }
@@ -869,6 +946,11 @@ object Bench {
         s""""sentinel_post_sec":${r3(scaleSentinelPost._1)},""" +
         s""""sentinel_drift":$scaleDrift,""" +
         s""""drift_gate":"$driftGate",""" +
+        // probes still > 2.5x the previous committed artifact AFTER
+        // their one retry (see priorSuspect) — the reader must treat
+        // these values as level-shift-or-noise, not certified scaling
+        s""""noise_suspect":${noiseSuspect.distinct
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""neardup_cand_1x":$cand1,"neardup_cand_5x":$cand5,"neardup_cand_25x":$cand25,""" +
         s""""neardup_sec_1x":${r3(ndT1)},"neardup_sec_5x":${r3(ndT5)},""" +
         s""""neardup_sec_25x":${r3(ndT25)},""" +
@@ -990,10 +1072,13 @@ object Bench {
     * artifact carries the measured decomposition: a second min-of-2
     * drain at 2 segments isolates `fixed_sec_per_trigger` ((t₈−t₂)/6)
     * and `marginal_rows_per_sec` (rows over the residual after fixed
-    * costs — the per-row bound, ~6k rows/s at sf0.1). A deployment
-    * that wants throughput uses bigger triggers; 8×625-doc triggers
-    * measure the LATENCY floor, which is why the headline number
-    * sits near 750 regardless of operator work. */
+    * costs — the per-row bound, ~6k rows/s at sf0.1). Since r14 the
+    * HEADLINE `rows_per_sec` IS the 2-segment throughput-shaped drain
+    * (how a deployment chasing rows/s configures the source — bigger
+    * triggers amortize the fixed cost); the many-small-trigger drain
+    * ships as `latency_floor_rows_per_sec`/`latency_seconds`, so the
+    * ~0.7 s/trigger scheduling floor stays on record without reading
+    * as the operator's throughput (r13 verdict item 3). */
   private[graft] def benchStreamingDedup(
       spark: SparkSession,
       sfDir: String,
@@ -1028,9 +1113,16 @@ object Bench {
       val fixedPerTrigger =
         math.max(0.0, (sec - secBig) / math.max(1, nSegments - 2))
       val marginalSec = math.max(1e-3, secBig - 2 * fixedPerTrigger)
-      s"""{"rows":$rows,"segments":$nSegments,"seconds":${r3(sec)},""" +
-        s""""sec_first":${r3(first)},"rows_per_sec":${r3(rows / sec)},""" +
-        s""""seconds_2seg":${r3(secBig)},"rows_per_sec_2seg":${r3(rows / secBig)},""" +
+      // headline = the THROUGHPUT-shaped drain (2 big triggers — how a
+      // deployment chasing rows/s actually configures the source); the
+      // many-small-trigger drain ships as latency_floor_* so the
+      // scheduling/commit floor stays on record without masquerading
+      // as the operator's throughput (r13 verdict item 3)
+      s"""{"rows":$rows,"segments":2,"seconds":${r3(secBig)},""" +
+        s""""rows_per_sec":${r3(rows / secBig)},""" +
+        s""""latency_segments":$nSegments,""" +
+        s""""latency_seconds":${r3(sec)},"sec_first":${r3(first)},""" +
+        s""""latency_floor_rows_per_sec":${r3(rows / sec)},""" +
         s""""fixed_sec_per_trigger":${r3(fixedPerTrigger)},""" +
         s""""marginal_rows_per_sec":${r3(rows / marginalSec)}}"""
     } catch {

@@ -2461,6 +2461,11 @@ object SparkEntry {
   private val m7PhashPairs = (s: SparkSession, d: String) =>
     Multimodal1.phashPairs(t(s, d, "documents"))
 
+  /** REAL image-resize + audio-resample codecs under the per-round
+    * value oracle — see [[Multimodal1.realCodecs]]. */
+  private val m10RealCodecs = (s: SparkSession, d: String) =>
+    Multimodal1.realCodecs(t(s, d, "documents"))
+
   /** Composed media-curation pipeline — x14's multimodal sibling
     * ([[Multimodal1.mediaCurate]]): modality gate → CAS chunk stats →
     * per-modality quota, oracled END-TO-END. The gate's rejections
@@ -2540,6 +2545,51 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"),
           col("resize_dims.w").as("w"), col("resize_dims.h").as("h"))
         .orderBy(col("doc_id"))
+
+    /** The REAL codec paths under the value-level oracle (r13 verdict
+      * item 5): synthesize per-doc media whose content is a pure
+      * integer function of doc_id ([[Multimodal.synthPng]] — 8×6 RGB,
+      * channels are mod-256 linear in (id, x, y); [[Multimodal
+      * .synthWav]] — 64-sample 16-bit PCM), push them through the REAL
+      * chains (PNG encode → ImageIO decode → integer area-average
+      * resize to 4×3 → PNG re-encode → decode → per-channel pixel
+      * sums; WAV emit → chunk-walk parse → factor-4 box-filter
+      * resample → canonical re-emit → parse → sample sum), and emit
+      * ONLY engine-independent integers. The byte streams never leave
+      * the JVM (a PNG encoder's output is not a cross-engine
+      * contract); the decoded VALUES are, and DuckDB recomputes them
+      * from first principles — 2×2 block floor-averages and
+      * truncated 4-sample means over the same integer functions. Any
+      * codec-roundtrip defect (lossy write, channel swap, boundary
+      * off-by-one, sign error in the PCM walk) lands in the sums. */
+    def realCodecs(docs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val ids = docs.select(col("doc_id"))
+      val mediaSchema = new StructType()
+        .add("doc_id", LongType, nullable = false)
+        .add("img", BinaryType, nullable = false)
+        .add("wav", BinaryType, nullable = false)
+      val media = ids.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, Multimodal.synthPng(id, 8, 6), Multimodal.synthWav(id, 64, 8000))
+        }
+      }(Encoders.row(mediaSchema))
+      val afterImg = Multimodal.imageStats(
+        Multimodal.resizeImage(media, "img", 4, 3), "img")
+        .select(col("doc_id"), col("wav"),
+          col("resize_dims.w").as("w"), col("resize_dims.h").as("h"),
+          col("img_w"), col("img_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+      Multimodal.wavStats(
+        Multimodal.resampleAudio(afterImg, "wav", 4), "wav")
+        .select(col("doc_id"), col("w"), col("h"),
+          col("img_w"), col("img_h"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          col("sample_rate"), col("n_samples"), col("sum_samples"))
+        .orderBy(col("doc_id"))
+    }
 
     /** Fixture + validation for m4: media = magic(doc_id%4) ++ utf8(text)
       * with octet-stream rows carrying no magic; declared mime follows
@@ -3926,11 +3976,14 @@ object SparkEntry {
     * median persists (|flags| rows) so the deviation pass's scans
     * don't re-run its selection DAG.
     *
-    * Cost note (round 12): 4.4 s at sf0.1 / 3.3 s at sf0.01 — the
-    * sf-insensitive part is AQE scheduling ~22 small stage-jobs for
-    * the 4 scans + 2 broadcast builds two SEQUENTIAL selections
-    * need; the data-dependent part is two map-side-combined
-    * histogram scans per median. The r11 sorted-index path cost
+    * Cost note: r12 measured 4.4 s at sf0.1 / 3.3 s at sf0.01 on the
+    * two-sequential-selection form — ~22 small AQE stage-jobs whose
+    * cost was LOCAL[32] SCHEDULING, not data (the sf-insensitive
+    * floor named in its budget comment). Since r14 the fused
+    * [[RelationalOps.groupedMedianMadShift]] runs the same four
+    * map-side-combined corpus scans but moves the metadata-width
+    * coarse/refine crossings onto bounded driver meta (gated,
+    * distributed fallback) — ~8 jobs. The r11 sorted-index path cost
     * 11.8 s at sf0.1 and grew with |distinct prices|. */
   private val a47Mad = (s: SparkSession, d: String) => {
     val staged = CachePool.register(t(s, d, "lineitem").select(
@@ -3939,19 +3992,10 @@ object SparkEntry {
         .cast("long").as("_price_cents"))
       .withColumn("_one", lit(1L))
       .persist()) // consumers: both medians' coarse and refine passes
-    val med = CachePool.register(RelationalOps.groupedMedianShift(
+    RelationalOps.groupedMedianMadShift(
       staged, "l_returnflag", "_price_cents", "_one")
       .withColumnRenamed("w_median", "median_cents")
-      .persist()) // |flags| rows; keeps the mad passes off med's DAG
-    val mad = RelationalOps.groupedMedianShift(
-      staged.join(broadcast(med), Seq("l_returnflag"))
-        .select(col("l_returnflag"),
-          abs(col("_price_cents") - col("median_cents")).as("_dev"),
-          col("_one")),
-      "l_returnflag", "_dev", "_one")
-      .withColumnRenamed("w_median", "mad_cents")
-    med.join(mad, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("median_cents"), col("mad_cents"))
+      .withColumnRenamed("w_mad", "mad_cents")
       .orderBy(col("l_returnflag"))
   }
 
@@ -6217,6 +6261,7 @@ object SparkEntry {
     "m1_multimodal_features" -> m1Features,
     "m2_frame_sample" -> m2Frames,
     "m3_resize_meta" -> m3Resize,
+    "m10_real_codecs" -> m10RealCodecs,
     "m4_modality_check" -> m4Modality,
     "m5_chunk_dedup" -> m5ChunkDedup,
     "m6_phash" -> m6PerceptualHash,
@@ -8863,6 +8908,39 @@ GROUP BY tok.doc_id ORDER BY tok.doc_id"""
       """SELECT doc_id, sha256(text || '224x224') AS resized_hex,
          64::BIGINT AS n_bytes, 224 AS w, 224 AS h
          FROM documents ORDER BY doc_id""",
+    "m10_real_codecs" ->
+      // the REAL codec chains' decoded VALUES recomputed from first
+      // principles: synthetic pixels/samples are integer functions of
+      // doc_id (see Multimodal.synthPng/synthWav), the 8x6->4x3 resize
+      // is 2x2-block floor-averages per channel, the factor-4 resample
+      // is a truncated 4-sample mean; any roundtrip defect in the
+      // engine's PNG/WAV encode-decode lands in these sums
+      """WITH cells AS (
+           SELECT doc_id, cx, cy,
+             CAST(SUM((31*doc_id + 7*(2*cx+dx) + 13*(2*cy+dy)) % 256) // 4 AS BIGINT) AS rp,
+             CAST(SUM((17*doc_id + 5*(2*cx+dx) + 3*(2*cy+dy)) % 256) // 4 AS BIGINT) AS gp,
+             CAST(SUM((11*doc_id + 2*(2*cx+dx) + 19*(2*cy+dy)) % 256) // 4 AS BIGINT) AS bp
+           FROM documents,
+             generate_series(0, 3) AS gx(cx), generate_series(0, 2) AS gy(cy),
+             generate_series(0, 1) AS gdx(dx), generate_series(0, 1) AS gdy(dy)
+           GROUP BY doc_id, cx, cy),
+         img AS (
+           SELECT doc_id, CAST(SUM(rp) AS BIGINT) AS sum_r,
+             CAST(SUM(gp) AS BIGINT) AS sum_g, CAST(SUM(bp) AS BIGINT) AS sum_b
+           FROM cells GROUP BY doc_id),
+         au AS (
+           SELECT doc_id, CAST(SUM(osamp) AS BIGINT) AS sum_samples,
+             COUNT(*) AS n_samples
+           FROM (
+             SELECT doc_id, i,
+               CAST(trunc(SUM((37*doc_id + 101*(4*i+j)) % 4096 - 2048) / 4.0) AS BIGINT) AS osamp
+             FROM documents,
+               generate_series(0, 15) AS gi(i), generate_series(0, 3) AS gj(j)
+             GROUP BY doc_id, i)
+           GROUP BY doc_id)
+         SELECT img.doc_id, 4 AS w, 3 AS h, 4 AS img_w, 3 AS img_h,
+           sum_r, sum_g, sum_b, 2000 AS sample_rate, n_samples, sum_samples
+         FROM img JOIN au USING (doc_id) ORDER BY doc_id""",
     "d6_neardup_pairs" ->
       // brute-force exact-Jaccard ground truth: same normalize/tokenize/
       // 3-shingle semantics as TextAnalysis, distinct shingle sets,

@@ -466,12 +466,17 @@ object Multimodal {
       val (sw, sh) = (img.getWidth, img.getHeight)
       val out = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // grid boundaries in Long: cx·sw (and cy·sh) overflow Int once
+      // source×target dimension products pass 2^31 (~50k × 50k) and
+      // would produce garbage block bounds (r13 ADVICE)
       var cy = 0
       while (cy < h) {
-        val y0 = cy * sh / h; val y1 = math.max(y0 + 1, (cy + 1) * sh / h)
+        val y0 = (cy.toLong * sh / h).toInt
+        val y1 = math.max(y0 + 1, ((cy + 1).toLong * sh / h).toInt)
         var cx = 0
         while (cx < w) {
-          val x0 = cx * sw / w; val x1 = math.max(x0 + 1, (cx + 1) * sw / w)
+          val x0 = (cx.toLong * sw / w).toInt
+          val x1 = math.max(x0 + 1, ((cx + 1).toLong * sw / w).toInt)
           var rs = 0L; var gs = 0L; var bs = 0L
           var y = y0
           while (y < y1) {
@@ -807,5 +812,131 @@ object Multimodal {
     segs.withColumn("seg_idx", row_number().over(byStart))
       .select(col(idCol), col("seg_idx"), col("start_win"), col("end_win"),
         col("n_wins"), col("energy_sum"))
+  }
+
+  /** Deterministic synthetic PNG for codec-roundtrip auditing: a w×h
+    * RGB image whose channel values are mod-256 LINEAR functions of
+    * (id, x, y) — r = (31·id + 7x + 13y) % 256, g = (17·id + 5x + 3y)
+    * % 256, b = (11·id + 2x + 19y) % 256 — so a SQL engine with no
+    * image codec can recompute every pixel from first principles. PNG
+    * is lossless: decode(synthPng(id)) returns exactly these values,
+    * which is what lets m10's oracle verify the REAL encode → decode →
+    * area-average-resize → decode chain value-for-value. */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((31L * id + 7L * x + 13L * y) % 256).toInt
+        val g = ((17L * id + 5L * x + 3L * y) % 256).toInt
+        val b = ((11L * id + 2L * x + 19L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[synthPng]]'s audio sibling: a canonical-header mono 16-bit PCM
+    * WAV of n samples at `rate` Hz, sample i = ((37·id + 101·i) % 4096)
+    * − 2048 — again a pure integer function a SQL oracle replays. */
+  def synthWav(id: Long, n: Int, rate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((37L * id + 101L * i) % 4096) - 2048).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Decoded-image integer audit stats — dims plus EXACT per-channel
+    * pixel sums (img_w, img_h, sum_r, sum_g, sum_b) recomputed from the
+    * actual decoded payload. This is how the REAL codec path gets under
+    * a value-level cross-engine oracle: a PNG byte stream is encoder-
+    * specific, but the decoded pixels (and so these sums) are not. One
+    * narrow mapPartitions pass, no shuffle. */
+  def imageStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = df.schema
+      .add("img_w", IntegerType, nullable = false)
+      .add("img_h", IntegerType, nullable = false)
+      .add("sum_r", LongType, nullable = false)
+      .add("sum_g", LongType, nullable = false)
+      .add("sum_b", LongType, nullable = false)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](mediaIdx)))
+        require(img != null, "imageStats: payload is not a decodable image")
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            rs += (rgb >> 16) & 0xff; gs += (rgb >> 8) & 0xff; bs += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, rs, gs, bs))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** [[imageStats]]'s audio sibling over RIFF/WAVE mono 16-bit PCM:
+    * (sample_rate, n_samples, sum_samples) parsed from the actual
+    * bytes with [[WavResampler]]'s chunk-walk rules. Narrow pass. */
+  def wavStats(df: DataFrame, mediaCol: String): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = df.schema
+      .add("sample_rate", IntegerType, nullable = false)
+      .add("n_samples", LongType, nullable = false)
+      .add("sum_samples", LongType, nullable = false)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](mediaIdx)
+        def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        def le32(off: Int): Int = le16(off) | (le16(off + 2) << 16)
+        def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+        require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+          "wavStats: not a RIFF/WAVE payload")
+        var pos = 12
+        var rate = -1
+        var dataOff = -1
+        var dataLen = 0
+        while (pos + 8 <= b.length) {
+          val id = tag(pos)
+          val sz = le32(pos + 4)
+          require(sz >= 0 && pos.toLong + 8L + sz <= b.length.toLong,
+            s"wavStats: chunk $id overruns the payload")
+          if (id == "fmt ") {
+            require(le16(pos + 8) == 1 && le16(pos + 10) == 1 &&
+              le16(pos + 22) == 16, "wavStats: need mono 16-bit PCM")
+            rate = le32(pos + 12)
+          } else if (id == "data") { dataOff = pos + 8; dataLen = sz }
+          pos += 8 + sz + (sz & 1)
+        }
+        require(rate >= 0 && dataOff >= 0, "wavStats: missing fmt/data chunk")
+        val n = dataLen / 2
+        var s = 0L
+        var i = 0
+        while (i < n) { s += le16(dataOff + 2 * i).toShort; i += 1 }
+        Row.fromSeq(r.toSeq ++ Seq[Any](rate, n.toLong, s))
+      }
+    }(Encoders.row(outSchema))
   }
 }

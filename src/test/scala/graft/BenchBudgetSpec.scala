@@ -195,6 +195,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "t19_bigram_fluency" -> 1.5,
     "t20_encoding_gate" -> 1.0,
     "m5_chunk_dedup" -> 1.5,
+    // real PNG/WAV encode->decode->transform->decode roundtrips per row
+    // (narrow, no shuffle); codec work is the cost, not the plan
+    "m10_real_codecs" -> 1.5,
     "m6_phash" -> 1.3,
     "m7_phash_pairs" -> 1.8,
     "j15_asof_within" -> 1.0,
@@ -296,13 +299,12 @@ class BenchBudgetSpec extends SparkTestBase {
     // window branches + a stitch union instead of one bare per-type lag
     // whose single-task sort was the 100 TB hazard; worth ~+1 s locally
     "e27_interarrival_median" -> 2.5,
-    // two sequential exact selections (median, then MAD of deviations
-    // FROM it) = 4 scan-stages + 2 broadcast builds that AQE runs as
-    // ~22 small jobs — a scheduling-latency floor of ~3 s at local[32]
-    // regardless of SF (sf0.1 measures 4.4 s, down from the r11 sorted-
-    // index path's 11.8 s). Data-dependent cost is the two map-side-
-    // combined histogram scans; see a47Mad's scaladoc.
-    "a47_mad" -> 4.0,
+    // fused groupedMedianMadShift (r14): the same 4 map-side-combined
+    // corpus scans, but the metadata-width coarse/refine crossings run
+    // on bounded driver meta — ~8 jobs instead of the two sequential
+    // selections' ~22 (sf0.1: 2.0-2.3 s, down from r12's 4.4 s and the
+    // r11 sorted-index path's 11.8 s). Budget tightened with the fix.
+    "a47_mad" -> 2.5,
     "t35_kl_divergence" -> 2.0,
     "t36_term_burstiness" -> 2.0,
     "x44_eb_shrink" -> 1.0,
@@ -314,6 +316,66 @@ class BenchBudgetSpec extends SparkTestBase {
     "a49_tukey_posthoc" -> 1.2,
     "t37_lang_confusion" -> 1.5,
   )
+
+  test("per-probe level gate: prior-artifact parsing, one retry, noise_suspect recording") {
+    // r13 verdict item 1: the section drift gate certified an artifact
+    // whose pagerank_sec_25x was a 7x single-probe host burst. Each
+    // probe now compares against the previous committed artifact.
+    val art = """{"metric":"total","value":1.0,"timing":"x",""" +
+      """"scale":{"sentinel_drift":0.99,"drift_gate":"pass",""" +
+      """"noise_suspect":[],"pagerank_sec_25x":4.0,"neardup_sec_1x":0.5,""" +
+      """"pagerank_growth_exp":0.38},"ann":{"k":1},"sf":"/d/sf0.1"}"""
+    assert(Bench.priorScaleValues(art, "/d/sf0.1") ==
+      Map("sentinel_drift" -> 0.99, "pagerank_sec_25x" -> 4.0,
+        "neardup_sec_1x" -> 0.5, "pagerank_growth_exp" -> 0.38))
+    // an artifact measured at a DIFFERENT sf must not arm the gate
+    assert(Bench.priorScaleValues(art, "/d/sf0.001").isEmpty)
+    assert(Bench.priorScaleValues("{}", "/d/sf0.1").isEmpty)
+    // threshold: > 2.5x prior + 0.2 s absolute slack
+    assert(!Bench.priorSuspect(Map("k" -> 4.0), "k", 10.1))
+    assert(Bench.priorSuspect(Map("k" -> 4.0), "k", 10.3))
+    assert(!Bench.priorSuspect(Map.empty, "k", 100.0), "no prior -> inert")
+    assert(!Bench.priorSuspect(Map("k" -> -1.0), "k", 100.0), "errored prior -> inert")
+    val quiet: String => Unit = _ => ()
+    // host burst on attempt 1, normal attempt 2: ONE retry, pointwise
+    // min shipped, nothing marked suspect (the r13 pagerank scenario)
+    var calls = 0
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = Bench.gatedProbes("syn", Seq("syn_sec_25x"),
+      Map("syn_sec_25x" -> 4.0), ns, log = quiet) { () =>
+      calls += 1
+      IndexedSeq((if (calls == 1) 27.96 else 4.2, 7L))
+    }
+    assert(calls == 2 && r == IndexedSeq((4.2, 7L)) && ns.isEmpty,
+      s"calls=$calls r=$r ns=$ns")
+    // persistently slow probe: retried once, value shipped honestly,
+    // key recorded in noise_suspect (level-shift-or-noise, reader decides)
+    var calls2 = 0
+    val ns2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r2 = Bench.gatedProbes("syn", Seq("syn_sec_25x"),
+      Map("syn_sec_25x" -> 4.0), ns2, log = quiet) { () =>
+      calls2 += 1; IndexedSeq((27.96, 7L))
+    }
+    assert(calls2 == 2 && r2.head._1 == 27.96 && ns2.toSeq == Seq("syn_sec_25x"),
+      s"calls=$calls2 r=$r2 ns=$ns2")
+    // in-band probe: no retry, no suspect
+    var calls3 = 0
+    val ns3 = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.gatedProbes("syn", Seq("syn_sec_25x"),
+      Map("syn_sec_25x" -> 4.0), ns3, log = quiet) { () =>
+      calls3 += 1; IndexedSeq((4.1, 7L))
+    }
+    assert(calls3 == 1 && ns3.isEmpty)
+    // the axis-shape gate (r12 monotonicity) still composes: non-monotone
+    // axis retries even with no prior at all
+    var calls4 = 0
+    Bench.gatedProbes("syn", Seq("a", "b", "c"), Map.empty,
+      scala.collection.mutable.ArrayBuffer.empty[String],
+      axisSuspect = ts => ts(0) > ts(1) * 1.3 + 0.2, log = quiet) { () =>
+      calls4 += 1; IndexedSeq((5.0, 1L), (1.0, 1L), (2.0, 1L))
+    }
+    assert(calls4 == 2, "non-monotone axis must re-measure once")
+  }
 
   test("scale probes run cache-isolated and stay within committed budgets") {
     // round-4 finding: the probes regressed 2.7-4.3x purely from cache
@@ -416,11 +478,21 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(w > 0, "windowed streaming bench failed to run")
     assert(w >= 400.0 * floorScale,
       f"windowed streaming throughput $w%.0f rows/s below floor ${400.0 * floorScale}%.0f")
+    // dedup's rows_per_sec is the 2-segment THROUGHPUT drain since r14
+    // (the old 4-segment latency number ships as latency_floor_*);
+    // measured 348 rows/s on this config post-swap → floor at ~½.
+    // The latency axis keeps its own ~½-median floor so a per-trigger
+    // fixed-cost regression (more jobs per batch) still trips.
     Bench.benchStreamingDedup(spark, dir, nSegments = 4) // warmup
-    val d = rps(Bench.benchStreamingDedup(spark, dir, nSegments = 4))
+    val dedupJson = Bench.benchStreamingDedup(spark, dir, nSegments = 4)
+    val d = rps(dedupJson)
     assert(d > 0, "streaming dedup bench failed to run")
-    assert(d >= 80.0 * floorScale,
-      f"streaming dedup throughput $d%.1f rows/s below floor ${80.0 * floorScale}%.1f")
+    assert(d >= 170.0 * floorScale,
+      f"streaming dedup throughput $d%.1f rows/s below floor ${170.0 * floorScale}%.1f")
+    val dLat = """"latency_floor_rows_per_sec":(-?[0-9.]+)""".r
+      .findFirstMatchIn(dedupJson).map(_.group(1).toDouble)
+    assert(dLat.exists(_ >= 80.0 * floorScale),
+      s"streaming dedup latency floor $dLat below ${80.0 * floorScale}")
     // transitions (round-10): sf0.001 drains are 8 batches × 125 rows,
     // so fixed per-batch cost dominates — measured ~170 rows/s at
     // local[8], floor at ~⅓ for the local[4] test config

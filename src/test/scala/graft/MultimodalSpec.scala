@@ -352,6 +352,43 @@ class MultimodalSpec extends SparkTestBase {
     bb.array()
   }
 
+  test("synthPng/synthWav + imageStats/wavStats: lossless roundtrip of the integer content functions") {
+    // synthPng's pixels are (31id+7x+13y, 17id+5x+3y, 11id+2x+19y) % 256
+    // and PNG is lossless, so the decoded channel sums equal the
+    // closed-form sums — the primitive m10's cross-engine oracle rests on
+    val id = 42L
+    def chSum(a: Long, bx: Long, cy: Long): Long =
+      (for (y <- 0 until 6; x <- 0 until 8)
+        yield (a * id + bx * x + cy * y) % 256).sum
+    val df = Seq(Tuple1(id)).toDF("doc_id")
+      .map(r => (r.getLong(0), Multimodal.synthPng(r.getLong(0), 8, 6)))
+      .toDF("doc_id", "img")
+    val st = Multimodal.imageStats(df, "img")
+      .select("img_w", "img_h", "sum_r", "sum_g", "sum_b").head()
+    assert((st.getInt(0), st.getInt(1)) == ((8, 6)))
+    assert((st.getLong(2), st.getLong(3), st.getLong(4)) ==
+      ((chSum(31, 7, 13), chSum(17, 5, 3), chSum(11, 2, 19))))
+    // synthWav: sample i = ((37id + 101i) % 4096) - 2048; wavStats
+    // re-parses the emitted bytes
+    val wdf = Seq(Tuple1(id)).toDF("doc_id")
+      .map(r => (r.getLong(0), Multimodal.synthWav(r.getLong(0), 64, 8000)))
+      .toDF("doc_id", "wav")
+    val ws = Multimodal.wavStats(wdf, "wav")
+      .select("sample_rate", "n_samples", "sum_samples").head()
+    val wantSum = (0 until 64).map(i => ((37L * id + 101L * i) % 4096) - 2048).sum
+    assert((ws.getInt(0), ws.getLong(1), ws.getLong(2)) == ((8000, 64L, wantSum)))
+    // and the m10 chain composes: resample then re-parse halves nothing,
+    // quarters the rate and sample count with truncated 4-sample means
+    val rs = Multimodal.wavStats(
+      Multimodal.resampleAudio(wdf, "wav", 4), "wav")
+      .select("sample_rate", "n_samples", "sum_samples").head()
+    val wantOut = (0 until 16).map { i =>
+      val s = (0 until 4).map(j => ((37L * id + 101L * (4 * i + j)) % 4096) - 2048).sum
+      s / 4 // Long division truncates toward zero, matching the resampler
+    }.sum
+    assert((rs.getInt(0), rs.getLong(1), rs.getLong(2)) == ((2000, 16L, wantOut)))
+  }
+
   test("WavResampler/resampleAudio: hand-computed box-filter bytes, header rewrite, tail drop, loud off-contract") {
     // factor 2 over [100, 300, -5, -6, 7]: means (200, -5) — the -11/2
     // sum truncates toward zero — and the odd tail sample drops

@@ -425,6 +425,36 @@ class RelationalOpsSpec extends SparkTestBase {
     for (sh <- Seq(1, 5, 12)) assert(shiftRun(pts, sh) == want, s"shift=$sh")
   }
 
+  test("groupedMedianMadShift: fused driver tier and distributed fallback both equal the two-selection model") {
+    val rnd = new scala.util.Random(4711)
+    val pts = (1 to 500).map { _ =>
+      val g = rnd.nextInt(4)
+      // dense ties, sparse near-unique, signed — the shift-family fixture
+      val v = if (g < 2) rnd.nextInt(50).toLong - 25L
+      else rnd.nextInt(1 << 24).toLong - (1 << 23)
+      (s"g$g", v, 1L + rnd.nextInt(9))
+    }
+    val med = wmModel(pts)
+    val mad = wmModel(pts.map { case (g, v, w) => (g, math.abs(v - med(g)), w) })
+    def run(shift: Int, maxMeta: Int): Map[String, (Long, Long)] =
+      RelationalOps.groupedMedianMadShift(
+        pts.toDF("g", "v", "w"), "g", "v", "w", shift, maxMeta)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = med.map { case (g, m) => g -> ((m, mad(g))) }
+    for (sh <- Seq(1, 5, 12)) {
+      assert(run(sh, 1 << 20) == want, s"driver tier diverged at shift=$sh")
+      assert(run(sh, 0) == want, s"distributed fallback diverged at shift=$sh")
+    }
+    // overflow gate: a maxMeta smaller than the coarse histogram must
+    // take the fallback (same answer), never a partial driver meta
+    assert(run(12, 3) == want, "overflowed meta must fall back, not truncate")
+    // single-group single-value edge
+    assert(RelationalOps.groupedMedianMadShift(
+      Seq(("a", 7L, 3L)).toDF("g", "v", "w"), "g", "v", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 7L, 0L)))
+  }
+
   test("slicedGaps equals the plain per-key lag pair multiset across slice widths (empty slices, ties, negatives)") {
     val rnd = new scala.util.Random(7)
     // clustered timestamps with long dead stretches (many empty slices
