@@ -76,6 +76,32 @@ class StreamingLshDedup(
 
   private def marker(batchId: Long) = new Path(s"$indexDir/_applied_$batchId")
 
+  /** On-disk layout version marker. v2 is the r13 split (id-only
+    * bucket rows under `data/`, shingles under `docs/`); a pre-v2
+    * index stored shingle arrays inline in `data/` and had no `docs/`
+    * store, so appending v2 rows into it would mix parquet schemas and
+    * the verify join would crash on the missing `docs/` path (r13
+    * ADVICE). Every writer calls [[ensureLayout]] first: an existing
+    * index without the marker fails FAST with a rebuild message
+    * instead of corrupting; a fresh index stamps the marker. */
+  private def layoutMarker = new Path(s"$indexDir/_layout_v2")
+
+  private def ensureLayout(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    val hasData = f.exists(new Path(s"$indexDir/data"))
+    if (hasData && !f.exists(layoutMarker))
+      throw new IllegalStateException(
+        s"$indexDir holds a pre-v2 index layout (data/ exists but the _layout_v2 " +
+          "marker does not). v2 stores id-only bucket rows under data/ and the " +
+          "shingle store under docs/; appending into the old layout would mix " +
+          "incompatible parquet schemas. Rebuild: delete the index directory and " +
+          "re-seed it (seedIndex) from the corpus, then restart the stream from a " +
+          "fresh checkpoint.")
+    if (!f.exists(layoutMarker)) {
+      f.mkdirs(new Path(indexDir))
+      f.create(layoutMarker, true).close()
+    }
+  }
+
   /** Per-doc staging for a batch — ONE narrow pass producing the
     * shingle set and its minhash signature; callers persist it (every
     * downstream consumer is a narrow derivation). */
@@ -121,6 +147,7 @@ class StreamingLshDedup(
   def processBatch(spark: SparkSession, docs: DataFrame, batchId: Long): Unit = {
     val f = fs(spark)
     if (f.exists(marker(batchId))) return // replay after recovery: no-op
+    ensureLayout(f)
     // ONE persisted staging; bucket rows re-derive narrowly from it
     // (an explode over a cached frame is cheaper than a second cache)
     val staged = stagedDocs(docs).persist()
@@ -148,8 +175,18 @@ class StreamingLshDedup(
       // exact-Jaccard verify: shingles join back onto the SURVIVING
       // candidate ids — new side from this batch's cache, old side
       // from the doc store (first batch: the old ids are batch docs)
+      // docs/ can hold duplicate doc_id rows (a doc both seeded and
+      // streamed, or re-ingested across batches): the id-pair distinct
+      // above runs BEFORE this join, so duplicates here would fan the
+      // verify into duplicate match rows (r13 ADVICE). One row per id
+      // wins; rows agree unless a re-ingest changed the text, in which
+      // case the winner is arbitrary — re-ingest-with-new-text callers
+      // should rebuild, not append. The dedup shuffles only the rows
+      // the verify join shuffles anyway (same doc_id key, and at scale
+      // the candidate-id runtime filter prunes it first).
       val oldSh =
-        if (indexExists) spark.read.parquet(s"$indexDir/docs")
+        if (indexExists)
+          spark.read.parquet(s"$indexDir/docs").dropDuplicates("doc_id")
         else staged.select(col("doc_id"), col("_sh"))
       candPairs
         .join(staged.select(col("doc_id").as("new_id"), col("_sh").as("_sn")),
@@ -184,6 +221,7 @@ class StreamingLshDedup(
     val f = fs(spark)
     val seedMarker = new Path(s"$indexDir/_seeded_$batchId")
     if (f.exists(seedMarker)) return // replay after recovery: no-op
+    ensureLayout(f)
     val staged = stagedDocs(docs).persist()
     try {
       bucketRows(staged).write.mode(SaveMode.Append)

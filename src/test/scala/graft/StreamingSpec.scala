@@ -210,6 +210,48 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
+  test("LSH dedup index: pre-v2 layout fails fast; duplicate doc_id rows in docs/ don't fan out match rows") {
+    import spark.implicits._
+    import graft.streaming.StreamingLshDedup
+    // pre-v2 layout: data/ exists without the _layout_v2 marker — every
+    // writer must refuse with a rebuild message rather than append
+    // id-only rows into a shingle-inline store (mixed parquet schemas)
+    val old = tmpDir("sdedup-oldlayout")
+    val oldDedup = new StreamingLshDedup(s"$old/index", s"$old/matches")
+    Seq((1L, "inline-shingle-era row")).toDF("doc_id", "sh")
+      .write.parquet(s"$old/index/data")
+    val ex = intercept[IllegalStateException] {
+      oldDedup.processBatch(
+        spark, Seq((2L, "some text here")).toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("_layout_v2") && ex.getMessage.contains("Rebuild"),
+      s"wrong failure message: ${ex.getMessage}")
+    val ex2 = intercept[IllegalStateException] {
+      oldDedup.seedIndex(spark, Seq((2L, "seed text")).toDF("doc_id", "text"), 0L)
+    }
+    assert(ex2.getMessage.contains("_layout_v2"))
+
+    // duplicate doc_id in docs/ (doc 1 both seeded and streamed): the
+    // id-pair distinct runs before the shingle join, so without the
+    // old-side dedupe each docs/ copy would emit its own match row
+    val base = tmpDir("sdedup-dupdoc")
+    val dedup = new StreamingLshDedup(s"$base/index", s"$base/matches")
+    val doc = "the quick brown fox jumps over the lazy dog again and again today"
+    dedup.seedIndex(spark, Seq((1L, doc)).toDF("doc_id", "text"), 0L)
+    // re-ingest of doc 1 through the stream: no self-match (same id is
+    // excluded from candidates) but docs/ now holds doc 1 TWICE
+    dedup.processBatch(spark, Seq((1L, doc)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$base/index/docs")
+      .filter($"doc_id" === 1L).count() == 2,
+      "fixture must actually create the duplicate docs/ rows this spec guards")
+    dedup.processBatch(
+      spark, Seq((10L, doc.replace("today", "tonight"))).toDF("doc_id", "text"), 1L)
+    val matchRows = spark.read.parquet(s"$base/matches")
+      .filter($"new_id" === 10L && $"old_id" === 1L).count()
+    assert(matchRows == 1L,
+      s"duplicate docs/ rows fanned the verify join into $matchRows match rows")
+  }
+
   test("seedIndex bootstraps the index without self-dedup; later batches match against it; autoIndexParts follows bytes") {
     import spark.implicits._
     import graft.streaming.StreamingLshDedup
