@@ -22,6 +22,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO's default stream cache is a TEMP FILE per read/write call
+    * (FileCache{Input,Output}Stream under java.io.tmpdir) — 4 file
+    * creations per m10 row, and the dominant cost of the real-codec
+    * pass at bench scale. Every payload here is an in-memory byte
+    * array, so the memory-cached streams are strictly better; the flag
+    * is JVM-global and flipping it is deliberate, documented library
+    * behavior (decoded bytes are identical either way — the cache only
+    * backs the stream, never the pixels). Each executor JVM flips it
+    * once, on first use of any codec entry point. */
+  private[multimodal] lazy val imageIoMemoryStreams: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   val mediaMetaType: StructType = new StructType()
     .add("mime", StringType)
     .add("n_bytes", LongType)
@@ -102,6 +114,7 @@ object Multimodal {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
       val g = math.sqrt(dim.toDouble).toInt
       require(g * g == dim, s"ImageIoDecoder needs a square dim, got $dim")
+      imageIoMemoryStreams
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null,
         "ImageIoDecoder: payload is not a decodable image — gate with validateModality")
@@ -460,6 +473,7 @@ object Multimodal {
   object ImageResizer extends Serializable {
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
       require(w > 0 && h > 0, s"ImageResizer: target ${w}x$h must be positive")
+      imageIoMemoryStreams
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null,
         "ImageResizer: payload is not a decodable image — gate with validateModality")
@@ -838,6 +852,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoMemoryStreams
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
   }
@@ -877,6 +892,7 @@ object Multimodal {
       .add("sum_g", LongType, nullable = false)
       .add("sum_b", LongType, nullable = false)
     df.mapPartitions { rows =>
+      imageIoMemoryStreams
       rows.map { r =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](mediaIdx)))
