@@ -155,8 +155,10 @@ class StreamingLshDedup(
     try {
       val indexExists = f.exists(new Path(s"$indexDir/data"))
       // candidate generation over ID-ONLY bucket rows: the distinct
-      // shuffles (new, old) pairs, never shingle arrays
-      val candPairs =
+      // shuffles (new, old) pairs, never shingle arrays. Persisted:
+      // consumed twice (old-side store restriction + the verify spine)
+      // and re-deriving it re-reads the index.
+      val candPairs = (
         if (indexExists)
           newBuckets.as("n")
             .join(prunedIndex(spark, newBuckets).as("o"),
@@ -172,31 +174,40 @@ class StreamingLshDedup(
                 col("a.doc_id") < col("b.doc_id"))
             .select(col("b.doc_id").as("new_id"), col("a.doc_id").as("old_id"))
             .distinct()
-      // exact-Jaccard verify: shingles join back onto the SURVIVING
-      // candidate ids — new side from this batch's cache, old side
-      // from the doc store (first batch: the old ids are batch docs)
-      // docs/ can hold duplicate doc_id rows (a doc both seeded and
-      // streamed, or re-ingested across batches): the id-pair distinct
-      // above runs BEFORE this join, so duplicates here would fan the
-      // verify into duplicate match rows (r13 ADVICE). One row per id
-      // wins; rows agree unless a re-ingest changed the text, in which
-      // case the winner is arbitrary — re-ingest-with-new-text callers
-      // should rebuild, not append. The dedup shuffles only the rows
-      // the verify join shuffles anyway (same doc_id key, and at scale
-      // the candidate-id runtime filter prunes it first).
-      val oldSh =
-        if (indexExists)
-          spark.read.parquet(s"$indexDir/docs").dropDuplicates("doc_id")
-        else staged.select(col("doc_id"), col("_sh"))
-      candPairs
-        .join(staged.select(col("doc_id").as("new_id"), col("_sh").as("_sn")),
-          Seq("new_id"))
-        .join(oldSh.select(col("doc_id").as("old_id"), col("_sh").as("_so")),
-          Seq("old_id"))
-        .withColumn("jaccard", Dedup.jaccardFromShingles(col("_sn"), col("_so")))
-        .filter(col("jaccard") >= threshold)
-        .select(col("new_id"), col("old_id"), col("jaccard"))
-        .write.mode(SaveMode.Append).parquet(matchesDir)
+      ).persist()
+      try {
+        // exact-Jaccard verify: shingles join back onto the SURVIVING
+        // candidate ids — new side from this batch's cache, old side
+        // from the doc store (first batch: the old ids are batch docs).
+        // docs/ can hold duplicate doc_id rows (a doc both seeded and
+        // streamed, or re-ingested across batches): the id-pair
+        // distinct above runs BEFORE the shingle join, so each copy
+        // would fan the verify into its own match row (r13 ADVICE).
+        // Restrict the store read to the batch's candidate ids FIRST
+        // (a left-semi against a set bucket-occupancy caps already
+        // bound — broadcastable), THEN drop duplicates: the dedupe
+        // aggregate runs over candidate-matched rows only, never as a
+        // whole-store shuffle per batch. One row per id wins; copies
+        // agree unless a re-ingest changed the text, in which case the
+        // winner is arbitrary — re-ingest-with-new-text callers should
+        // rebuild, not append.
+        val oldSh =
+          if (indexExists)
+            spark.read.parquet(s"$indexDir/docs")
+              .join(candPairs.select(col("old_id")).distinct(),
+                col("doc_id") === col("old_id"), "left_semi")
+              .dropDuplicates("doc_id")
+          else staged.select(col("doc_id"), col("_sh"))
+        candPairs
+          .join(staged.select(col("doc_id").as("new_id"), col("_sh").as("_sn")),
+            Seq("new_id"))
+          .join(oldSh.select(col("doc_id").as("old_id"), col("_sh").as("_so")),
+            Seq("old_id"))
+          .withColumn("jaccard", Dedup.jaccardFromShingles(col("_sn"), col("_so")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("new_id"), col("old_id"), col("jaccard"))
+          .write.mode(SaveMode.Append).parquet(matchesDir)
+      } finally candPairs.unpersist()
       newBuckets.write.mode(SaveMode.Append)
         .partitionBy("_bp").parquet(s"$indexDir/data")
       staged.select(col("doc_id"), col("_sh"))

@@ -293,7 +293,13 @@ class PlanSpec extends SparkTestBase {
     // r13: a41/a48 joined (their cents domains are bounded-span too —
     // the r12 verdict's item 2: a41's one sorted-index median cost more
     // than a47's two shift medians)
-    for (name <- Seq("a47_mad", "a44_exact_deciles", "a46_winsorized_mean",
+    // r14: a47 moved onto the FUSED groupedMedianMadShift, whose
+    // coarse/refine crossings run on bounded driver meta — its result
+    // plan is a metadata-width LocalTableScan with no windows AT ALL
+    // (the corpus touches are map-side-combined aggregate jobs), which
+    // satisfies the pin's actual guard (no corpus-width single-task
+    // sort) vacuously; the pin for it is "local result, zero windows".
+    for (name <- Seq("a44_exact_deciles", "a46_winsorized_mean",
         "a41_weighted_median", "a48_levene")) {
       val p = plan(SparkEntry.queries(name)(spark, dir))
       val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
@@ -303,6 +309,12 @@ class PlanSpec extends SparkTestBase {
           s"$name has a window not partitioned by the group: $w"))
       CachePool.releaseAll()
     }
+    val a47Plan = plan(SparkEntry.queries("a47_mad")(spark, dir))
+    assert(!a47Plan.contains("Window "),
+      s"a47_mad's fused driver tier must emit a window-free plan:\n$a47Plan")
+    assert(a47Plan.contains("LocalTableScan"),
+      s"a47_mad's result must be the metadata-width local frame:\n$a47Plan")
+    CachePool.releaseAll()
   }
 
   test("per-type gap machinery is day-sliced: no window sorts a whole type's history in one task (E27)") {
