@@ -653,17 +653,22 @@ object RelationalOps {
     *
     * Scale contract: corpus-width work is UNCHANGED (the same four
     * aggregate scans, map-side combined); only bounded meta moves to
-    * the driver. The gate is explicit — if the coarse histogram
-    * exceeds `maxMeta` rows ((span>>shift) × |groups| too big, or too
-    * many groups), it falls back to the two distributed
-    * [[groupedMedianShift]] calls rather than collecting unbounded
-    * rows. Refine collects are ≤ 2^shift × |groups| by construction.
+    * the driver. TWO explicit gates fall back to the two distributed
+    * [[groupedMedianShift]] calls rather than degrading: the coarse
+    * histogram exceeding `maxMeta` rows (unbounded collect), and the
+    * group count exceeding `maxGroups` — the driver tier plants a
+    * |groups|-branch literal predicate (refine filter) and CASE ladder
+    * (dev pass), which are codegen poison past a few hundred branches
+    * even though the collect itself would still be bounded. Refine
+    * collects are ≤ 2^shift × |groups| by construction.
     *
     * The caller's staged frame should be persisted (4 scans). */
   def groupedMedianMadShift(df: DataFrame, groupCol: String, valCol: String,
-      wCol: String, shift: Int = 12, maxMeta: Int = 1 << 20): DataFrame = {
+      wCol: String, shift: Int = 12, maxMeta: Int = 1 << 20,
+      maxGroups: Int = 256): DataFrame = {
     require(shift >= 1 && shift <= 40, s"shift must be in [1, 40]: $shift")
     require(maxMeta >= 0, s"maxMeta must be >= 0: $maxMeta")
+    require(maxGroups >= 0, s"maxGroups must be >= 0: $maxGroups")
     require(!df.columns.exists(
       Seq("_g", "_v", "_w", "_hb", "_dev").contains),
       "groupedMedianMadShift: _g/_v/_w/_hb/_dev are internal names")
@@ -677,8 +682,11 @@ object RelationalOps {
       .groupBy(col("_g"), shiftright(col("_v"), shift).as("_hb"))
       .agg(sum(col("_w")).as("_hw"))
     val coarseRows =
-      if (maxMeta > 0) coarse.limit(maxMeta + 1).collect() else Array.empty[Row]
-    if (maxMeta == 0 || coarseRows.length > maxMeta) {
+      if (maxMeta > 0 && maxGroups > 0) coarse.limit(maxMeta + 1).collect()
+      else Array.empty[Row]
+    val groupVals = coarseRows.map(_.get(0)).distinct
+    if (maxMeta == 0 || maxGroups == 0 ||
+        coarseRows.length > maxMeta || groupVals.length > maxGroups) {
       // distributed twin: two sequential shift selections (the pre-r14
       // a47 shape) — identical output, no driver meta. Renamed columns
       // keep groupedMedianShift's internal-name guard satisfied.
@@ -695,7 +703,7 @@ object RelationalOps {
       return med.join(mad, Seq("_mmg"))
         .select(col("_mmg").as(groupCol), col("w_median"), col("w_mad"))
     }
-    val groups = coarseRows.map(_.get(0)).distinct.toSeq
+    val groups = groupVals.toSeq
     // driver crossing over the coarse histogram picks each group's ONE
     // target bucket; collect-and-refine helper shared by all 4 passes
     def targetBuckets(rows: Array[Row]): Map[Any, Long] =

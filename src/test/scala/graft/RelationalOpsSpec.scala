@@ -448,6 +448,15 @@ class RelationalOpsSpec extends SparkTestBase {
     // overflow gate: a maxMeta smaller than the coarse histogram must
     // take the fallback (same answer), never a partial driver meta
     assert(run(12, 3) == want, "overflowed meta must fall back, not truncate")
+    // group-count gate (r14): the driver tier plants |groups|-branch
+    // literal predicates/CASE ladders — past maxGroups it must take
+    // the distributed fallback (same answer), never a giant plan
+    def runG(maxGroups: Int): Map[String, (Long, Long)] =
+      RelationalOps.groupedMedianMadShift(
+        pts.toDF("g", "v", "w"), "g", "v", "w", 12, 1 << 20, maxGroups)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(runG(2) == want, "over-maxGroups input must fall back, not blow the plan")
+    assert(runG(0) == want, "maxGroups=0 must force the distributed twin")
     // single-group single-value edge
     assert(RelationalOps.groupedMedianMadShift(
       Seq(("a", 7L, 3L)).toDF("g", "v", "w"), "g", "v", "w")
