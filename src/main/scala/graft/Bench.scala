@@ -85,6 +85,28 @@ object Bench {
       prior: Map[String, Double], key: String, v: Double): Boolean =
     prior.get(key).exists(p => p > 0 && v > p * 2.5 + 0.2)
 
+  /** Run-level sentinel gate (r14): the scale section's own bracket is
+    * symmetric, but the REGISTRY bracket (sentinel_pre → sentinel_post
+    * around all ~280 queries) was report-only — a run that STARTS on a
+    * degraded host and settles mid-run (the r13 driver rerun's 0.527;
+    * an r14 interim run's 0.652) shipped artifacts whose early-alphabet
+    * rows are inflated 1.5–3× with every gate green. Drift outside
+    * [0.77, 1.3] in EITHER direction now refuses the artifact FILE
+    * (the stdout line still carries the full self-describing data);
+    * -1 = no pre sentinel (targeted runs, which never write anyway). */
+  private[graft] def runDriftOk(drift: Double): Boolean =
+    drift < 0 || (drift >= 0.77 && drift <= 1.3)
+
+  /** The prior committed artifact's end-of-run sentinel total — the
+    * cross-round host-speed anchor behind the artifact's `host_factor`
+    * field (this run's post-sentinel / prior's): cross-round readers
+    * divide a level shift by it before calling anything a regression
+    * (r14: a 1.2× host factor explained every suspected regression of
+    * the round). */
+  private[graft] def priorSentinelPost(json: String): Option[Double] =
+    """"sentinel_post":\{[^}]*"total":(-?\d+(?:\.\d+)?)""".r
+      .findFirstMatchIn(json).map(_.group(1).toDouble)
+
   /** One gated measurement of `keys.length` probes — see [[priorSuspect]].
     * `probe()` must be re-runnable in place (fixtures still persisted). */
   private[graft] def gatedProbes(
@@ -221,10 +243,28 @@ object Bench {
     val ann = benchAnnQuality(spark)
     // sentinels again at the very end: post/pre = within-run drift
     val sentinelPost = timeSentinels(spark, sfDir)
+    val runDrift = sentinelPre match {
+      case Some((preT, _)) if preT > 0 =>
+        math.rint(sentinelPost._1 / preT * 1000) / 1000
+      case _ => -1.0
+    }
+    // cross-round host anchor: this run's post-sentinel vs the prior
+    // committed artifact's — see [[priorSentinelPost]]
+    val hostFactor = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LATEST.json")
+      val priorJson =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+        catch { case _: Throwable => "" }
+      priorSentinelPost(priorJson) match {
+        case Some(pp) if pp > 0 =>
+          math.rint(sentinelPost._1 / pp * 1000) / 1000
+        case _ => -1.0
+      }
+    }
     val noise = sentinelPre match {
-      case Some((preT, preJson)) =>
-        val drift = if (preT > 0) math.rint(sentinelPost._1 / preT * 1000) / 1000 else -1.0
-        s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},"noise":{"sentinel_drift":$drift},"""
+      case Some((_, preJson)) =>
+        s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},"noise":{"sentinel_drift":$runDrift,"host_factor":$hostFactor},"""
       case None => ""
     }
     // the timing field names the discipline so the round-over-round
@@ -241,12 +281,7 @@ object Bench {
     def rps(section: String): String =
       """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(section)
         .map(_.group(1)).getOrElse("-1")
-    val driftStr = sentinelPre match {
-      case Some((preT, _)) if preT > 0 =>
-        (math.rint(sentinelPost._1 / preT * 1000) / 1000).toString
-      case _ => "-1"
-    }
-    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"sentinel_drift":$driftStr,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
@@ -258,6 +293,13 @@ object Bench {
       // artifact FILE — the thing that gets committed — is refused.
       System.err.println(s"[bench] scale drift gate still failing after " +
         s"retry — NOT writing $out; re-run on a quiet host")
+    else if (!runDriftOk(runDrift))
+      // r14: same refusal for a host that shifted across the REGISTRY
+      // bracket in either direction — a degraded-start run's early-
+      // alphabet rows are inflated with every other gate green
+      System.err.println(f"[bench] run-level sentinel drift $runDrift%.3f " +
+        s"outside [0.77, 1.3] — host shifted across the registry pass; " +
+        s"NOT writing $out; re-run on a quiet host")
     else try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")

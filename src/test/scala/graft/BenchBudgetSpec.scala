@@ -375,6 +375,18 @@ class BenchBudgetSpec extends SparkTestBase {
       calls4 += 1; IndexedSeq((5.0, 1L), (1.0, 1L), (2.0, 1L))
     }
     assert(calls4 == 2, "non-monotone axis must re-measure once")
+    // r14: the run-level registry bracket gates the artifact write
+    // SYMMETRICALLY — a degraded-start run that settles mid-pass
+    // (drift 0.652, r14 interim; 0.527, r13 driver rerun) is as
+    // artifact-poisoning as a degrading one
+    assert(Bench.runDriftOk(1.0) && Bench.runDriftOk(0.77) && Bench.runDriftOk(1.3))
+    assert(!Bench.runDriftOk(0.652) && !Bench.runDriftOk(0.527) && !Bench.runDriftOk(1.5))
+    assert(Bench.runDriftOk(-1.0), "no pre sentinel -> inert (targeted runs)")
+    // host_factor anchor: prior post-sentinel parsed from the artifact
+    val art2 = art.replace(""""scale":""",
+      """"sentinel_post":{"a1":0.1,"total":1.689},"scale":""")
+    assert(Bench.priorSentinelPost(art2).contains(1.689))
+    assert(Bench.priorSentinelPost(art).isEmpty)
   }
 
   test("scale probes run cache-isolated and stay within committed budgets") {
