@@ -375,12 +375,14 @@ class BenchBudgetSpec extends SparkTestBase {
       calls4 += 1; IndexedSeq((5.0, 1L), (1.0, 1L), (2.0, 1L))
     }
     assert(calls4 == 2, "non-monotone axis must re-measure once")
-    // r14: the run-level registry bracket gates the artifact write
-    // SYMMETRICALLY — a degraded-start run that settles mid-pass
-    // (drift 0.652, r14 interim; 0.527, r13 driver rerun) is as
-    // artifact-poisoning as a degrading one
-    assert(Bench.runDriftOk(1.0) && Bench.runDriftOk(0.77) && Bench.runDriftOk(1.3))
-    assert(!Bench.runDriftOk(0.652) && !Bench.runDriftOk(0.527) && !Bench.runDriftOk(1.5))
+    // r14: the run-level registry bracket refuses the artifact when the
+    // host DEGRADED across the pass (drift > 1.3 — post slower than the
+    // cold-JVM pre). No lower bound: healthy runs read ~0.54-0.69 from
+    // warmup alone (the r13 committed artifact is 0.542), so low drift
+    // cannot distinguish warmup from a degraded start — host_factor
+    // (warm post vs prior warm post) is the cross-round anchor for that
+    assert(Bench.runDriftOk(1.0) && Bench.runDriftOk(0.542) && Bench.runDriftOk(1.3))
+    assert(!Bench.runDriftOk(1.31) && !Bench.runDriftOk(2.0))
     assert(Bench.runDriftOk(-1.0), "no pre sentinel -> inert (targeted runs)")
     // host_factor anchor: prior post-sentinel parsed from the artifact
     val art2 = art.replace(""""scale":""",
