@@ -48,23 +48,92 @@ object Bench {
     "a1_group_count_segment", "p1_range_slice", "w6_lag",
     "j2_sortmerge_fact", "t3_token_count")
 
-  /** Numeric key→value pairs of the previous committed artifact's
-    * "scale" object, for the per-probe level gate below. Returns empty
-    * (gate inert) when the file is missing, unparsable, or was measured
-    * at a DIFFERENT sf than the current run (a committed sf0.1 artifact
-    * must not flag an sf0.001 smoke, and vice versa). */
-  private[graft] def priorScaleValues(json: String, sfDir: String): Map[String, Double] = {
+  /** Numeric key→value pairs of a FLAT object `"objKey":{…}` in a prior
+    * artifact — the shared parse behind the scale-probe, registry-row
+    * and streaming-section level gates. Returns empty (gate inert) when
+    * the object is missing, unparsable, or the artifact was measured at
+    * a DIFFERENT sf than the current run (a committed sf0.1 artifact
+    * must not flag an sf0.001 smoke, and vice versa). The target object
+    * must be brace-flat (numeric/string leaves only) — every artifact
+    * object this is pointed at is. */
+  private[graft] def priorObjectValues(
+      json: String, objKey: String, sfDir: String): Map[String, Double] = {
     val sfRe = """"sf":"([^"]*)"""".r
     val recordedSf = sfRe.findFirstMatchIn(json).map(_.group(1))
     if (!recordedSf.contains(sfDir)) return Map.empty
-    val start = json.indexOf(""""scale":{""")
+    val start = json.indexOf(s""""$objKey":{""")
     if (start < 0) return Map.empty
-    val open = start + 8
+    val open = start + objKey.length + 3
     val close = json.indexOf('}', open)
     if (close < 0) return Map.empty
     val body = json.substring(open, close + 1)
     """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** The previous committed artifact's "scale" object — see
+    * [[priorObjectValues]]. */
+  private[graft] def priorScaleValues(json: String, sfDir: String): Map[String, Double] =
+    priorObjectValues(json, "scale", sfDir)
+
+  /** GATE-PRIOR HYGIENE (r14 verdict item 5): a prior artifact is fit
+    * to arm the level gates only if EVERY noise_suspect array it
+    * carries (scale-level, registry-level, streaming-level) is empty.
+    * The prior must be the BUILDER-committed consistent run — if a
+    * rerun with known outliers ever became the prior, the 2.5× bar
+    * would silently loosen around exactly the rows that were already
+    * suspect. A dirty prior makes the gates INERT (the loader logs
+    * which artifact it wanted), never quietly looser. */
+  private[graft] def priorArtifactClean(json: String): Boolean =
+    """"noise_suspect[a-z_]*":\[([^\]]*)\]""".r.findAllMatchIn(json)
+      .forall(_.group(1).trim.isEmpty)
+
+  /** Resolve the gate-prior artifact path. `SPARK_GRAFT_BENCH_PRIOR`
+    * names it (default BENCH_LATEST.json); a RELATIVE path resolves
+    * against the artifact OUTPUT's directory, not the cwd (r14 ADVICE:
+    * a bench launched from another directory silently lost its prior
+    * and ran ungated). The prior discipline lives in
+    * [[priorArtifactClean]]'s scaladoc: point this at the last
+    * builder-committed consistent artifact, never at a rerun with
+    * known outliers. */
+  private[graft] def priorArtifactPath(
+      prior: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LATEST.json"),
+      out: String = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json"))
+    : java.nio.file.Path = {
+    val raw = java.nio.file.Paths.get(prior)
+    if (raw.isAbsolute) raw
+    else Option(java.nio.file.Paths.get(out).toAbsolutePath.getParent)
+      .map(_.resolve(raw)).getOrElse(raw)
+  }
+
+  /** Read the gate-prior artifact's text; "" when missing or
+    * unreadable (narrow catch — an IO failure is logged, anything else
+    * propagates rather than silently disarming the gates). */
+  private[graft] def readPriorArtifact(
+      log: String => Unit = System.err.println): String = {
+    val path = priorArtifactPath()
+    try {
+      if (java.nio.file.Files.exists(path)) java.nio.file.Files.readString(path)
+      else ""
+    } catch {
+      case e: java.io.IOException =>
+        log(s"[bench] could not read gate prior $path: ${e.getMessage} — level gates inert")
+        ""
+    }
+  }
+
+  /** Prior values for one artifact object, hygiene-checked — the entry
+    * point every level gate loads through. */
+  private[graft] def loadGatePrior(
+      json: String, objKey: String, sfDir: String,
+      log: String => Unit = System.err.println): Map[String, Double] = {
+    if (json.isEmpty) Map.empty
+    else if (!priorArtifactClean(json)) {
+      log(s"[bench] gate prior ${priorArtifactPath()} carries a non-empty " +
+        "noise_suspect — level gates inert; commit a clean builder-run " +
+        "artifact as the prior")
+      Map.empty
+    } else priorObjectValues(json, objKey, sfDir)
   }
 
   /** Per-probe level gate (r13 verdict item 1): the section drift gate
@@ -141,6 +210,102 @@ object Bench {
     }
   }
 
+  /** Registry-row level gate (r14 verdict item 2): the per-probe gate
+    * protected only the scale/streaming-probe block, so the registry's
+    * ~280 per-query times had NO prior comparison — the r14 committed
+    * run carried d4 at 1.69× / d23 at 1.47× their r13 values while the
+    * driver rerun carried a18/a19 instead (disjoint outlier sets =
+    * noise nothing retried or flagged), and the one consistent shift
+    * (d21) was only visible by hand-diffing artifacts. Every registry
+    * row whose PRIOR committed value is ≥ `minPriorSec` (sub-second
+    * rows live inside the +0.2 s slack anyway, and retrying them
+    * re-times half the registry for nothing) now compares at the same
+    * 2.5×+0.2 s bar; a suspect row re-times its min-of-2 pair ONCE via
+    * `retime` and merges pointwise-min (noise only inflates a min);
+    * rows still over the bar after the retry land in the artifact's
+    * "noise_suspect_registry" array instead of silently shipping a
+    * level shift. Returns the merged seconds. */
+  private[graft] def gateRegistryRow(
+      name: String, sec: Double, prior: Map[String, Double],
+      noiseSuspect: scala.collection.mutable.Buffer[String],
+      retime: () => Double, minPriorSec: Double = 1.0,
+      log: String => Unit = System.err.println): Double = {
+    if (sec < 0 || !prior.get(name).exists(_ >= minPriorSec) ||
+      !priorSuspect(prior, name, sec)) sec
+    else {
+      log(f"[bench] registry row $name ${r3(sec)}%.3f s > 2.5x prior " +
+        f"${prior(name)}%.3f s — re-timing the min-of-2 pair once")
+      val again = retime()
+      val merged = if (again >= 0) math.min(sec, again) else sec
+      if (priorSuspect(prior, name, merged)) noiseSuspect += name
+      merged
+    }
+  }
+
+  /** The "seconds" leaf of a streaming-section JSON object. */
+  private[graft] def sectionSeconds(sectionJson: String): Option[Double] =
+    """"seconds":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(sectionJson)
+      .map(_.group(1).toDouble)
+
+  /** Streaming-section level gate (r14 verdict item 3): the streaming
+    * drains are min-of-2 WITHIN a section, but nothing compared a
+    * section round-over-round — r14's transitions/growth read 16–21%
+    * lower on a comparable host with no retry and no flag. Each
+    * section's headline "seconds" now compares against the prior
+    * committed artifact's at the [[priorSuspect]] bar; a suspect
+    * section re-runs ONCE (a third+fourth drain), the faster section
+    * JSON ships, and a section still over the bar lands in
+    * "noise_suspect_streaming". `prior` is keyed by section name with
+    * the prior section's "seconds" value. */
+  private[graft] def gatedSection(
+      key: String, prior: Map[String, Double],
+      noiseSuspect: scala.collection.mutable.Buffer[String],
+      log: String => Unit = System.err.println)(run: () => String): String = {
+    val a = run()
+    val secA = sectionSeconds(a).getOrElse(-1.0)
+    if (secA < 0 || !priorSuspect(prior, key, secA)) a
+    else {
+      log(f"[bench] streaming section $key ${r3(secA)}%.3f s > 2.5x prior " +
+        f"${prior(key)}%.3f s — re-running the section once")
+      val b = run()
+      val secB = sectionSeconds(b).getOrElse(Double.MaxValue)
+      val (best, bestSec) = if (secB < secA) (b, secB) else (a, secA)
+      if (priorSuspect(prior, key, bestSec)) noiseSuspect += key
+      best
+    }
+  }
+
+  /** Recall floors for the ANN configurations the engine RECOMMENDS
+    * (r14 verdict item 4). The panels were honest but ungated: a
+    * regression in a recommended config would have hidden in plain
+    * sight beside the documented-weak keys. A committed value below
+    * its floor refuses the artifact file, same as the drift gates.
+    *
+    * DOCUMENTED-WEAK keys (present for the tradeoff curve, NO floor —
+    * expected low, not operating points): `pq_recall_at5` /
+    * `pq_res_recall_at5` (ADC-only, uniform-random vectors — PQ's
+    * documented worst case), `lsh_recall_at5` (single-probe single-
+    * table sign-LSH), `ivf_recall_at5_nprobe4` (quarter probe depth on
+    * an unclustered corpus). */
+  private[graft] val recallFloors: Map[String, Double] = Map(
+    "ivf_recall_at5_nprobe16" -> 0.95, // scale: exact IVF at full probe depth
+    "pq_clustered_recall_at5" -> 0.95, // scale: PQ at its operating point
+    "mog_ivf_recall_at5_nprobe8" -> 0.9) // ann: clustered-corpus IVF
+
+  /** Floor violations across the given section JSONs — non-empty
+    * refuses the artifact. A key missing from every section is a
+    * violation too (a silently-dropped panel must not read as green). */
+  private[graft] def recallFloorFailures(sections: String*): Seq[String] =
+    recallFloors.toSeq.sortBy(_._1).flatMap { case (k, floor) =>
+      sections.flatMap(s =>
+        ("\"" + k + "\":(-?[0-9.]+)").r.findFirstMatchIn(s)
+          .map(_.group(1).toDouble)).headOption match {
+        case Some(v) if v >= floor => None
+        case Some(v) => Some(f"$k=$v%.4f < floor $floor%.2f")
+        case None => Some(s"$k missing from artifact")
+      }
+    }
+
   /** Time the sentinel set under the registry discipline (min-of-2,
     * cache-dropped); returns a JSON object of per-query seconds. */
   private def timeSentinels(spark: SparkSession, sfDir: String): (Double, String) = {
@@ -198,7 +363,12 @@ object Bench {
       case Some(sel) => SparkEntry.queries.filter(kv => sel(kv._1))
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // one prior read feeds every level gate this run (registry rows,
+    // streaming sections; benchScale re-reads through the same loader)
+    val priorJson = if (only.isEmpty) readPriorArtifact() else ""
+    val priorQueries = loadGatePrior(priorJson, "queries", sfDir)
+    val registryNoiseSuspect = scala.collection.mutable.ArrayBuffer.empty[String]
+    def timePair(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       System.gc() // isolate timed runs from the previous query's garbage
       // run 1 doubles as warmup (codegen/JIT/footers land here); run 2
       // is steady-state; min-of-2 with CachePool dropped between runs —
@@ -214,11 +384,15 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             None
         } finally CachePool.releaseAll()
-      val sec = (run(), run()) match {
+      (run(), run()) match {
         case (Some(a), Some(b)) => math.min(a, b)
         case _ => if (!errors.contains(name)) errors ::= name; -1.0
       }
-      name -> sec
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // registry-row level gate (r14 verdict item 2) — see gateRegistryRow
+      name -> gateRegistryRow(name, timePair(name, fn), priorQueries,
+        registryNoiseSuspect, () => timePair(name, fn))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
@@ -231,12 +405,23 @@ object Bench {
       spark.stop()
       return
     }
-    val streaming = benchStreaming(spark)
-    val streamingWindowed = benchStreamingWindowed(spark, sfDir)
-    val streamingDedup = benchStreamingDedup(spark, sfDir)
+    // streaming-section level gate (r14 verdict item 3): each section's
+    // headline seconds compares against the prior committed artifact's
+    // (hygiene already logged once by the priorQueries load above)
+    val priorStreaming: Map[String, Double] = Seq(
+      "streaming", "streaming_windowed", "streaming_dedup",
+      "streaming_transitions", "streaming_growth")
+      .flatMap(k => loadGatePrior(priorJson, k, sfDir, _ => ()).get("seconds").map(k -> _))
+      .toMap
+    val streamingNoiseSuspect = scala.collection.mutable.ArrayBuffer.empty[String]
+    def gated(key: String)(run: () => String): String =
+      gatedSection(key, priorStreaming, streamingNoiseSuspect)(run)
+    val streaming = gated("streaming")(() => benchStreaming(spark))
+    val streamingWindowed = gated("streaming_windowed")(() => benchStreamingWindowed(spark, sfDir))
+    val streamingDedup = gated("streaming_dedup")(() => benchStreamingDedup(spark, sfDir))
     val streamingDedupGrowth = benchStreamingDedupGrowth(spark, sfDir)
-    val streamingTransitions = benchStreamingTransitions(spark, sfDir)
-    val streamingGrowth = benchStreamingGrowth(spark, sfDir)
+    val streamingTransitions = gated("streaming_transitions")(() => benchStreamingTransitions(spark, sfDir))
+    val streamingGrowth = gated("streaming_growth")(() => benchStreamingGrowth(spark, sfDir))
     // drift-gated (r11 verdict item 2): one retry when the section's
     // own sentinel bracket says a host-speed shift landed inside it
     var scale = benchScale(spark, sfDir)
@@ -256,27 +441,45 @@ object Bench {
     }
     // cross-round host anchor: this run's post-sentinel vs the prior
     // committed artifact's — see [[priorSentinelPost]]
-    val hostFactor = {
-      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LATEST.json")
-      val priorJson =
-        try new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
-        catch { case _: Throwable => "" }
-      priorSentinelPost(priorJson) match {
-        case Some(pp) if pp > 0 =>
-          math.rint(sentinelPost._1 / pp * 1000) / 1000
-        case _ => -1.0
-      }
+    val hostFactor = priorSentinelPost(priorJson) match {
+      case Some(pp) if pp > 0 =>
+        math.rint(sentinelPost._1 / pp * 1000) / 1000
+      case _ =>
+        if (priorJson.nonEmpty)
+          // r14 ADVICE: a silent parse failure here would hide format
+          // drift — the anchor degrading to -1 must be visible
+          System.err.println(s"[bench] prior artifact ${priorArtifactPath()} " +
+            "exists but sentinel_post.total did not parse — host_factor -1 " +
+            "(artifact format drift?)")
+        -1.0
     }
+    // soft host-speed flag (r14 ADVICE): the run-drift gate is one-
+    // sided by design (it catches degradation ACROSS the pass), so a
+    // UNIFORMLY slow host still writes an artifact — flag it loudly so
+    // a degraded-host run is never committed as the gate prior unseen
+    val hostFactorFlag = if (hostFactor > 1.3) "slow-host" else "ok"
+    if (hostFactorFlag != "ok")
+      System.err.println(f"[bench] host_factor $hostFactor%.3f > 1.3 — this " +
+        "host is measurably slower than the prior artifact's; the artifact " +
+        """carries host_factor_flag:"slow-host" — do not commit it as the gate prior""")
     val noise = sentinelPre match {
       case Some((_, preJson)) =>
-        s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},"noise":{"sentinel_drift":$runDrift,"host_factor":$hostFactor},"""
+        s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},""" +
+          s""""noise":{"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag"},"""
       case None => ""
     }
+    // recall-floor gate (r14 verdict item 4): recommended ANN configs
+    // must hold their committed floors or the artifact file is refused
+    val recallFails = recallFloorFailures(scale, ann)
+    val recallGateOk = recallFails.isEmpty
+    val regNsJson = registryNoiseSuspect.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val strNsJson = streamingNoiseSuspect.distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // the timing field names the discipline so the round-over-round
     // series break at r7 (count() → full materialization) has its cause
     // recorded in the artifact itself
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"streaming_growth":$streamingGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries":$qs,"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,$noise"streaming":$streaming,"streaming_windowed":$streamingWindowed,"streaming_dedup":$streamingDedup,"streaming_dedup_growth":$streamingDedupGrowth,"streaming_transitions":$streamingTransitions,"streaming_growth":$streamingGrowth,"scale":$scale,"ann":$ann,"sf":"$sfDir"}"""
     println(line)
     // the round-capture harness keeps only the TAIL of stdout (r12: the
     // full line's head fell off the 2000-char window and the artifact's
@@ -287,7 +490,7 @@ object Bench {
     def rps(section: String): String =
       """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(section)
         .map(_.group(1)).getOrElse("-1")
-    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","recall_gate":"${if (recallGateOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
@@ -306,6 +509,13 @@ object Bench {
       System.err.println(f"[bench] run-level sentinel drift $runDrift%.3f " +
         s"> 1.3 — host degraded across the registry pass; " +
         s"NOT writing $out; re-run on a quiet host")
+    else if (!recallGateOk)
+      // r15: a recommended ANN config below its committed recall floor
+      // is a product regression, not noise — the artifact must not
+      // certify it (the documented-weak keys carry no floor; see
+      // recallFloors)
+      System.err.println(s"[bench] recall floors violated: " +
+        s"${recallFails.mkString("; ")} — NOT writing $out")
     else try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
@@ -359,14 +569,16 @@ object Bench {
     * operating regime IVF lists and PQ codewords are designed for.
     * nlist = 64 keeps nlist ≪ N (the √N-ish practice — no degenerate
     * every-vector-its-own-centroid artifact). */
-  private[graft] def benchAnnQuality(spark: SparkSession): String = {
+  private[graft] def benchAnnQuality(
+      spark: SparkSession, nOverride: Option[Long] = None): String = {
     try {
       import graft.operators.{ScaleFixture, Similarity}
       import org.apache.spark.sql.functions.col
       CachePool.releaseAll(blocking = true)
       spark.catalog.clearCache()
       System.gc()
-      val n = sys.env.getOrElse("SPARK_GRAFT_MOG_N", "20000").toLong
+      val n = nOverride.getOrElse(
+        sys.env.getOrElse("SPARK_GRAFT_MOG_N", "20000").toLong)
       val mog = ScaleFixture.mixtureOfGaussians(spark, n, dim = 64, clusters = 32)
         .persist()
       mog.count()
@@ -623,15 +835,10 @@ object Bench {
       // each probe also compares against the previous committed
       // artifact's value; > 2.5× prior retries the axis and, if still
       // over, lands in the artifact's "noise_suspect" array.
-      val prior: Map[String, Double] = {
-        val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "BENCH_LATEST.json")
-        try {
-          val f = java.nio.file.Paths.get(p)
-          if (java.nio.file.Files.exists(f))
-            priorScaleValues(java.nio.file.Files.readString(f), sfDir)
-          else Map.empty
-        } catch { case _: Throwable => Map.empty }
-      }
+      // hygiene-checked shared loader (r15): a dirty or unreadable
+      // prior disarms the gate loudly instead of quietly loosening it
+      val prior: Map[String, Double] =
+        loadGatePrior(readPriorArtifact(), "scale", sfDir)
       val noiseSuspect = scala.collection.mutable.ArrayBuffer.empty[String]
       def gatedAxis(name: String)(
           probe: => ((Double, Long), (Double, Long), (Double, Long)))

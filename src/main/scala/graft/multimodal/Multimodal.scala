@@ -30,9 +30,19 @@ object Multimodal {
     * is JVM-global and flipping it is deliberate, documented library
     * behavior (decoded bytes are identical either way — the cache only
     * backs the stream, never the pixels). Each executor JVM flips it
-    * once, on first use of any codec entry point. */
+    * once, on first use of any codec entry point.
+    *
+    * ESCAPE HATCH (r14 ADVICE): an embedding application whose OTHER
+    * ImageIO consumers depend on disk-backed streams (e.g. decoding
+    * images too large to double-buffer on heap) can opt out with
+    * `-Dgraft.imageio.memcache=false` — graft's codec paths then run
+    * against whatever cache mode the host application configured, at
+    * the documented ~4× cost for in-memory payloads (m10 6.7 s vs
+    * 1.5 s at sf0.1). Checked once per JVM, at first codec use. */
   private[multimodal] lazy val imageIoMemoryStreams: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
+    if (java.lang.Boolean.parseBoolean(
+      System.getProperty("graft.imageio.memcache", "true")))
+      javax.imageio.ImageIO.setUseCache(false)
 
   val mediaMetaType: StructType = new StructType()
     .add("mime", StringType)

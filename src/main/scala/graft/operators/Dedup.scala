@@ -696,7 +696,21 @@ object Dedup {
     * re-creating the round-10 quadratic recount for a ~0.6 s
     * generation saving. The pair volume itself (Σ df²_capped) is the
     * honest cost, linear-ish under the cap (committed growth exp
-    * 0.70). */
+    * 0.70; the r15 unordered-pair count halves the generated rows and
+    * the groupBy shuffle without changing the directed output).
+    *
+    * r14's ~1.4× artifact-level shift on this query (2.4 → 3.65/3.98 s
+    * in both runs) was chased per the r14 verdict and ATTRIBUTED TO
+    * HOST + JITTER, not code: the operator was untouched since r13,
+    * and r15 steady-state timing (QueryTimer, 8 min-of-2 pairs across
+    * 3 JVMs) spans 2.98–4.22 s on a host whose warm sentinel total
+    * reads 1.57× r13's (2.658 vs 1.689 s; the r14 hosts read
+    * 1.21–1.26×) — normalizing by host speed brackets r13's 2.4 s.
+    * This query's same-JVM spread (±0.5 s) is the widest in the d
+    * family: the rare×rare join's ~2 M-row shuffle + MEMORY_AND_DISK
+    * staging make it GC/page-cache sensitive. The r15 registry-row
+    * level gate (Bench.gateRegistryRow) now retries exactly this
+    * shape instead of requiring a hand-diff. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -724,11 +738,23 @@ object Dedup {
       .join(rare.groupBy(col(idCol)).agg(count(lit(1)).as("_nr")), Seq(idCol), "left")
       .select(col(idCol), col("_na"),
         (col("_na") - coalesce(col("_nr"), lit(0L))).as("_nu"))
+    // the rare-shingle intersection count is SYMMETRIC, so the self-
+    // join counts each UNORDERED pair once (id_a < id_b — half the
+    // join output and half the groupBy shuffle of the both-orientation
+    // form) and re-emits both directed orientations from the aggregate
+    // via explode — a narrow row-doubling over the ~distinct-pair-count
+    // frame, never a recompute of the join (r15; the directed survivor
+    // bound and recount below are unchanged)
     val interRare = rare.select(col("_h"), col(idCol).as("id_a"))
       .join(rare.select(col("_h"), col(idCol).as("id_b")), Seq("_h"))
-      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("_ir"))
+      .select(explode(array(
+        struct(col("id_a"), col("id_b")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b")))).as("_p"),
+        col("_ir"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"), col("_ir"))
     val survivors = interRare
       .join(stats.withColumnRenamed(idCol, "id_a"), Seq("id_a"))
       .filter((col("_ir") + col("_nu")).cast("double") / col("_na").cast("double")

@@ -963,13 +963,45 @@ object TextAnalysis {
     *   work — ONE tokenize + (word, freq) aggregate — is distributed
     *   either way; only the vocabulary-bounded rounds move, exactly
     *   the bounded-model discipline of the IVF centroid and MMR loops.
-    *   Pass 0 to force the distributed rounds (parity spec does). */
+    *   Pass 0 to force the distributed rounds (parity spec does).
+    * @param vocabCap OPT-IN scale tier for vocabularies PAST the
+    *   driver gate (r14 verdict, closing the "32k jobs at a real
+    *   budget" axis): when > 0 and the distinct-word table exceeds
+    *   `maxDriverVocab`, training keeps only the top `vocabCap` words
+    *   by (frequency desc, word) — one distributed top-k over the
+    *   vocab aggregate — and runs the incremental driver loop on that
+    *   truncated table instead of one Spark job per merge round. This
+    *   is the standard practice (Sennrich's learn_bpe prunes by
+    *   min-frequency; every production tokenizer trains on a capped/
+    *   sampled vocabulary): under a Zipfian token distribution the
+    *   dropped tail is a small fraction of PAIR MASS — each dropped
+    *   word contributes freq·len adjacencies, and a merge decision
+    *   flips only when the winner's lead over the runner-up is
+    *   smaller than that dropped mass, so the high-count head rules
+    *   are truncation-stable and divergence is confined to low-margin
+    *   tail reorderings. Measured (TextDedupSpec, deterministic
+    *   Zipf(α≈2) fixture, cap = half the vocabulary = 2.36% of pair
+    *   mass dropped, 60-rule budget): identical leading rules while
+    *   margins dominate (prefix 6), 87% rule-SET overlap overall —
+    *   and that fixture is ADVERSARIAL (uniform random strings; real
+    *   corpora concentrate pair mass in shared morphology, widening
+    *   every margin). The cap is opt-in, never silent: with
+    *   `vocabCap = 0` (default) an over-gate vocabulary still takes
+    *   the exact distributed rounds below. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
-      marker: String = "_", maxDriverVocab: Int = 1 << 20): DataFrame = {
+      marker: String = "_", maxDriverVocab: Int = 1 << 20,
+      vocabCap: Int = 0): DataFrame = {
     require(merges > 0, s"merges must be positive, got $merges")
     require(maxDriverVocab >= 0, s"maxDriverVocab must be >= 0: $maxDriverVocab")
     val spark = df.sparkSession
     import spark.implicits._
+    def driverResult(head: Array[org.apache.spark.sql.Row]): DataFrame = {
+      val learned = bpeTrainDriver(
+        head.map(r => (r.getString(0), r.getLong(1))), merges, marker)
+      learned.toDF("step", "left", "right", "pair_count")
+        .select(col("step").cast("long").as("step"), col("left"),
+          col("right"), col("pair_count"))
+    }
     val vocabAgg = graft.CachePool.register(
       withTokens(df.select(col(textCol)), textCol)
         .select(explode(col("_toks")).as("_w0"))
@@ -981,11 +1013,18 @@ object TextAnalysis {
       val head = vocabAgg.limit(maxDriverVocab + 1).collect()
       if (head.length <= maxDriverVocab) {
         vocabAgg.unpersist()
-        val learned = bpeTrainDriver(
-          head.map(r => (r.getString(0), r.getLong(1))), merges, marker)
-        return learned.toDF("step", "left", "right", "pair_count")
-          .select(col("step").cast("long").as("step"), col("left"),
-            col("right"), col("pair_count"))
+        return driverResult(head)
+      }
+      if (vocabCap > 0) {
+        // frequency-ranked truncation: a distributed TakeOrdered over
+        // the vocab aggregate (deterministic tie-break on the word),
+        // never a full collect — ≤ vocabCap rows reach the driver
+        val top = vocabAgg
+          .orderBy(col("f").desc, col("_w0"))
+          .limit(vocabCap)
+          .collect()
+        vocabAgg.unpersist()
+        return driverResult(top)
       }
     }
     var vocab = graft.CachePool.register(

@@ -81,21 +81,39 @@ class StreamingLshDedup(
     * index stored shingle arrays inline in `data/` and had no `docs/`
     * store, so appending v2 rows into it would mix parquet schemas and
     * the verify join would crash on the missing `docs/` path (r13
-    * ADVICE). Every writer calls [[ensureLayout]] first: an existing
-    * index without the marker fails FAST with a rebuild message
-    * instead of corrupting; a fresh index stamps the marker. */
+    * ADVICE). Every writer calls [[ensureLayout]] first.
+    *
+    * The marker postdates the v2 split itself (r14 ADVICE): a healthy
+    * v2 index built before the marker was introduced is marker-LESS,
+    * and refusing it by marker absence alone would force a needless
+    * full rebuild plus a fresh checkpoint on upgrade. So a marker-less
+    * `data/` is classified by its parquet SCHEMA, which distinguishes
+    * the layouts deterministically — v2 rows are id-only
+    * (doc_id, band, bucket [+ the `_bp` partition column]); v1 rows
+    * carried the inline `_sh` shingle array. A provably-v2 index is
+    * stamped and accepted; a v1-shaped (or unreadable) one fails FAST
+    * with a rebuild message instead of corrupting. */
   private def layoutMarker = new Path(s"$indexDir/_layout_v2")
 
-  private def ensureLayout(f: org.apache.hadoop.fs.FileSystem): Unit = {
+  private def ensureLayout(spark: SparkSession, f: org.apache.hadoop.fs.FileSystem): Unit = {
     val hasData = f.exists(new Path(s"$indexDir/data"))
-    if (hasData && !f.exists(layoutMarker))
-      throw new IllegalStateException(
-        s"$indexDir holds a pre-v2 index layout (data/ exists but the _layout_v2 " +
-          "marker does not). v2 stores id-only bucket rows under data/ and the " +
-          "shingle store under docs/; appending into the old layout would mix " +
-          "incompatible parquet schemas. Rebuild: delete the index directory and " +
-          "re-seed it (seedIndex) from the corpus, then restart the stream from a " +
-          "fresh checkpoint.")
+    if (hasData && !f.exists(layoutMarker)) {
+      val fields = scala.util.Try(
+        spark.read.parquet(s"$indexDir/data").schema.fieldNames.toSet)
+      val provablyV2 = fields.toOption.exists(fs =>
+        Set("doc_id", "band", "bucket").subsetOf(fs) && !fs.contains("_sh"))
+      if (!provablyV2)
+        throw new IllegalStateException(
+          s"$indexDir holds a pre-v2 index layout (data/ rows carry schema " +
+            s"${fields.toOption.map(_.mkString("[", ", ", "]")).getOrElse("<unreadable>")} " +
+            "instead of the id-only v2 shape doc_id/band/bucket). v2 stores id-only " +
+            "bucket rows under data/ and the shingle store under docs/; appending " +
+            "into the old layout would mix incompatible parquet schemas. Rebuild: " +
+            "delete the index directory and re-seed it (seedIndex) from the corpus, " +
+            "then restart the stream from a fresh checkpoint.")
+      // provably v2, just built before the marker existed: fall through
+      // and stamp it so future checks are a file-exists, not a schema read
+    }
     if (!f.exists(layoutMarker)) {
       f.mkdirs(new Path(indexDir))
       f.create(layoutMarker, true).close()
@@ -147,7 +165,7 @@ class StreamingLshDedup(
   def processBatch(spark: SparkSession, docs: DataFrame, batchId: Long): Unit = {
     val f = fs(spark)
     if (f.exists(marker(batchId))) return // replay after recovery: no-op
-    ensureLayout(f)
+    ensureLayout(spark, f)
     // ONE persisted staging; bucket rows re-derive narrowly from it
     // (an explode over a cached frame is cheaper than a second cache)
     val staged = stagedDocs(docs).persist()
@@ -232,7 +250,7 @@ class StreamingLshDedup(
     val f = fs(spark)
     val seedMarker = new Path(s"$indexDir/_seeded_$batchId")
     if (f.exists(seedMarker)) return // replay after recovery: no-op
-    ensureLayout(f)
+    ensureLayout(spark, f)
     val staged = stagedDocs(docs).persist()
     try {
       bucketRows(staged).write.mode(SaveMode.Append)

@@ -297,8 +297,12 @@ class BenchBudgetSpec extends SparkTestBase {
     "a46_winsorized_mean" -> 1.5,
     // r13: gaps ride the day-sliced two-pass (slicedGaps) — two bounded
     // window branches + a stitch union instead of one bare per-type lag
-    // whose single-task sort was the 100 TB hazard; worth ~+1 s locally
-    "e27_interarrival_median" -> 2.5,
+    // whose single-task sort was the 100 TB hazard; worth ~+1 s locally.
+    // r15 DELIBERATE re-baseline 2.5 → 3.0 (r14 verdict: the sf0.1
+    // artifact read 2.43–2.60 against 2.5 — the scale-safety trade left
+    // zero noise slack and the gate was about to flap on host jitter;
+    // the plan is pinned (PlanSpec) so a real regression still trips)
+    "e27_interarrival_median" -> 3.0,
     // fused groupedMedianMadShift (r14): the same 4 map-side-combined
     // corpus scans, but the metadata-width coarse/refine crossings run
     // on bounded driver meta — ~8 jobs instead of the two sequential
@@ -391,6 +395,154 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(Bench.priorSentinelPost(art).isEmpty)
   }
 
+  test("registry-row level gate: prior parsing, hygiene, one retry, noise_suspect_registry recording") {
+    val quiet: String => Unit = _ => ()
+    // r14 verdict item 2: the registry's ~280 per-query times had no
+    // prior comparison — disjoint outlier sets (d4/d23 committed vs
+    // a18/a19 rerun) shipped unflagged, and the one consistent shift
+    // (d21) was only visible by hand-diffing artifacts.
+    val art = """{"metric":"total","value":9.9,""" +
+      """"queries":{"d21_containment":2.4,"a1_group_count_segment":0.3},""" +
+      """"noise_suspect_registry":[],"scale":{"noise_suspect":[]},"sf":"/d/sf0.1"}"""
+    assert(Bench.priorObjectValues(art, "queries", "/d/sf0.1") ==
+      Map("d21_containment" -> 2.4, "a1_group_count_segment" -> 0.3))
+    assert(Bench.priorObjectValues(art, "queries", "/d/sf0.001").isEmpty,
+      "different sf must not arm the gate")
+    assert(Bench.loadGatePrior(art, "queries", "/d/sf0.1", quiet).nonEmpty)
+    // GATE-PRIOR HYGIENE (r14 verdict item 5): an artifact whose own
+    // noise_suspect is non-empty must NOT arm the gates — a rerun with
+    // known outliers as the prior silently loosens the 2.5x bar
+    assert(Bench.priorArtifactClean(art))
+    val dirtyScale = art.replace(""""noise_suspect":[]""",
+      """"noise_suspect":["pagerank_sec_25x"]""")
+    val dirtyReg = art.replace(""""noise_suspect_registry":[]""",
+      """"noise_suspect_registry":["a18_exact_moments"]""")
+    assert(!Bench.priorArtifactClean(dirtyScale))
+    assert(!Bench.priorArtifactClean(dirtyReg))
+    assert(Bench.loadGatePrior(dirtyScale, "queries", "/d/sf0.1", quiet).isEmpty)
+    assert(Bench.loadGatePrior(dirtyReg, "queries", "/d/sf0.1", quiet).isEmpty)
+    assert(Bench.loadGatePrior("", "queries", "/d/sf0.1", quiet).isEmpty)
+    // relative prior paths resolve against the artifact OUTPUT's dir,
+    // never the cwd (r14 ADVICE)
+    assert(Bench.priorArtifactPath("BENCH_LATEST.json", "/repo/out/BENCH_r15.json")
+      .toString == "/repo/out/BENCH_LATEST.json")
+    assert(Bench.priorArtifactPath("/abs/prior.json", "/repo/out/b.json")
+      .toString == "/abs/prior.json")
+    val prior = Map("d21_containment" -> 2.4, "a1_group_count_segment" -> 0.3)
+    // transient burst: retried once, min shipped, nothing recorded
+    var retries = 0
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merged = Bench.gateRegistryRow("d21_containment", 6.5, prior, ns,
+      () => { retries += 1; 2.5 }, log = quiet)
+    assert(retries == 1 && merged == 2.5 && ns.isEmpty, s"$retries $merged $ns")
+    // persistent shift: retried once, honest value ships, key recorded
+    var retries2 = 0
+    val ns2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val merged2 = Bench.gateRegistryRow("d21_containment", 6.5, prior, ns2,
+      () => { retries2 += 1; 6.4 }, log = quiet)
+    assert(retries2 == 1 && merged2 == 6.4 && ns2.toSeq == Seq("d21_containment"))
+    // sub-minPrior rows are exempt (retrying half the registry's
+    // sub-second jitter buys nothing)
+    var retries3 = 0
+    val v3 = Bench.gateRegistryRow("a1_group_count_segment", 5.0, prior,
+      scala.collection.mutable.ArrayBuffer.empty[String],
+      () => { retries3 += 1; 5.0 }, log = quiet)
+    assert(retries3 == 0 && v3 == 5.0)
+    // in-band, errored, and prior-less rows pass through untouched
+    assert(Bench.gateRegistryRow("d21_containment", 2.5, prior,
+      scala.collection.mutable.ArrayBuffer.empty[String],
+      () => fail("must not retime"), log = quiet) == 2.5)
+    assert(Bench.gateRegistryRow("d21_containment", -1.0, prior,
+      scala.collection.mutable.ArrayBuffer.empty[String],
+      () => fail("must not retime"), log = quiet) == -1.0)
+    assert(Bench.gateRegistryRow("zz_unknown", 9.0, prior,
+      scala.collection.mutable.ArrayBuffer.empty[String],
+      () => fail("must not retime"), log = quiet) == 9.0)
+    // a retry that errors (-1) must not replace the real reading
+    val ns4 = scala.collection.mutable.ArrayBuffer.empty[String]
+    assert(Bench.gateRegistryRow("d21_containment", 6.5, prior, ns4,
+      () => -1.0, log = quiet) == 6.5 && ns4.toSeq == Seq("d21_containment"))
+  }
+
+  test("streaming-section level gate: seconds parse, one section re-run, noise_suspect_streaming recording") {
+    val quiet: String => Unit = _ => ()
+    assert(Bench.sectionSeconds(
+      """{"rows":5,"seconds":3.25,"rows_per_sec":1.5,"latency_seconds":9.0}""")
+      .contains(3.25))
+    assert(Bench.sectionSeconds("""{"rows":0,"rows_per_sec":-1.0}""").isEmpty)
+    val prior = Map("streaming_transitions" -> 3.0)
+    // burst on the first section run: re-run once, faster section ships
+    var runs = 0
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = Bench.gatedSection("streaming_transitions", prior, ns, quiet) { () =>
+      runs += 1
+      if (runs == 1) """{"rows":5,"seconds":12.0,"rows_per_sec":0.4}"""
+      else """{"rows":5,"seconds":3.1,"rows_per_sec":1.6}"""
+    }
+    assert(runs == 2 && out.contains(""""seconds":3.1""") && ns.isEmpty)
+    // persistent shift: re-run once, honest section ships, key recorded
+    var runs2 = 0
+    val ns2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out2 = Bench.gatedSection("streaming_transitions", prior, ns2, quiet) { () =>
+      runs2 += 1; """{"rows":5,"seconds":12.0,"rows_per_sec":0.4}"""
+    }
+    assert(runs2 == 2 && out2.contains(""""seconds":12.0""") &&
+      ns2.toSeq == Seq("streaming_transitions"))
+    // in-band or prior-less: one run only
+    var runs3 = 0
+    Bench.gatedSection("streaming_transitions", prior,
+      scala.collection.mutable.ArrayBuffer.empty[String], quiet) { () =>
+      runs3 += 1; """{"rows":5,"seconds":3.2}"""
+    }
+    assert(runs3 == 1)
+    var runs4 = 0
+    Bench.gatedSection("streaming_growth", prior,
+      scala.collection.mutable.ArrayBuffer.empty[String], quiet) { () =>
+      runs4 += 1; """{"rows":5,"seconds":99.0}"""
+    }
+    assert(runs4 == 1, "no prior for this section -> inert")
+    // an errored section (no seconds key) never retries
+    var runs5 = 0
+    Bench.gatedSection("streaming_transitions", prior,
+      scala.collection.mutable.ArrayBuffer.empty[String], quiet) { () =>
+      runs5 += 1; """{"rows":0,"rows_per_sec":-1.0}"""
+    }
+    assert(runs5 == 1)
+  }
+
+  test("recall floors: recommended ANN configs are gated, documented-weak keys are not") {
+    // r14 verdict item 4: the panels were honest but nothing GATED
+    // them — a regression in a recommended config would hide beside the
+    // documented-weak keys (pq_res_recall_at5 = 0.0 ships by design)
+    val okScale = """{"ivf_recall_at5_nprobe16":1.0,"pq_clustered_recall_at5":1.0,""" +
+      """"pq_res_recall_at5":0.0,"lsh_recall_at5":0.08}"""
+    val okAnn = """{"mog_ivf_recall_at5_nprobe8":0.96}"""
+    assert(Bench.recallFloorFailures(okScale, okAnn).isEmpty)
+    // a recommended config under floor fails; the weak keys never do
+    val badScale = okScale.replace(""""ivf_recall_at5_nprobe16":1.0""",
+      """"ivf_recall_at5_nprobe16":0.6""")
+    val fails = Bench.recallFloorFailures(badScale, okAnn)
+    assert(fails.size == 1 && fails.head.startsWith("ivf_recall_at5_nprobe16"),
+      s"wrong failures: $fails")
+    // a silently-dropped panel reads as a violation, not as green
+    val missing = Bench.recallFloorFailures(okScale)
+    assert(missing.exists(_.contains("mog_ivf_recall_at5_nprobe8")), s"$missing")
+  }
+
+  test("recommended ANN configs hold their recall floors on the small clustered fixture") {
+    // the bench-scale committed values are 1.0 / 1.0 / 0.96; this pins
+    // the same recommended configs at sf-test scale so a codepath
+    // regression (not just an artifact regression) trips in-suite
+    val json = Bench.benchAnnQuality(spark, nOverride = Some(4000L))
+    def metric(name: String): Double = {
+      val m = ("\"" + name + "\":(-?[0-9.]+)").r.findFirstMatchIn(json)
+      assert(m.nonEmpty, s"$name missing from ann JSON: $json")
+      m.get.group(1).toDouble
+    }
+    assert(metric("mog_ivf_recall_at5_nprobe8") >= 0.9,
+      s"mog ivf@nprobe8 recall ${metric("mog_ivf_recall_at5_nprobe8")} < 0.9")
+  }
+
   test("scale probes run cache-isolated and stay within committed budgets") {
     // round-4 finding: the probes regressed 2.7-4.3x purely from cache
     // pressure left by earlier queries; gate them like any query so the
@@ -449,6 +601,15 @@ class BenchBudgetSpec extends SparkTestBase {
       val e = metric(name)
       assert(e < 1.05, f"$name = $e%.2f — superlinear growth on the corpus axis")
     }
+    // recommended-config recall floors (r14 verdict item 4): these two
+    // live in the scale section; the mog key has its own fixture test.
+    // The documented-weak keys (pq_res_recall_at5, lsh_recall_at5,
+    // nprobe4 points) are deliberately NOT asserted — see
+    // Bench.recallFloors.
+    assert(metric("ivf_recall_at5_nprobe16") >= 0.95,
+      s"ivf@nprobe16 recall ${metric("ivf_recall_at5_nprobe16")} < floor 0.95")
+    assert(metric("pq_clustered_recall_at5") >= 0.95,
+      s"pq_clustered recall ${metric("pq_clustered_recall_at5")} < floor 0.95")
   }
 
   test("streaming KPI throughput stays above a committed floor") {

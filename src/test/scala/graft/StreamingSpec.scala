@@ -210,26 +210,43 @@ class StreamingSpec extends SparkTestBase {
     assert(indexed == 5)
   }
 
-  test("LSH dedup index: pre-v2 layout fails fast; duplicate doc_id rows in docs/ don't fan out match rows") {
+  test("LSH dedup index: pre-v2 layout fails fast; marker-less v2 is stamped, not refused; duplicate doc_id rows in docs/ don't fan out match rows") {
     import spark.implicits._
     import graft.streaming.StreamingLshDedup
-    // pre-v2 layout: data/ exists without the _layout_v2 marker — every
-    // writer must refuse with a rebuild message rather than append
-    // id-only rows into a shingle-inline store (mixed parquet schemas)
+    // pre-v2 layout: data/ rows carry the inline shingle array (`_sh`)
+    // — every writer must refuse with a rebuild message rather than
+    // append id-only rows into a shingle-inline store (mixed schemas)
     val old = tmpDir("sdedup-oldlayout")
     val oldDedup = new StreamingLshDedup(s"$old/index", s"$old/matches")
-    Seq((1L, "inline-shingle-era row")).toDF("doc_id", "sh")
+    Seq((1L, Seq("inline", "shingle", "era"))).toDF("doc_id", "_sh")
       .write.parquet(s"$old/index/data")
     val ex = intercept[IllegalStateException] {
       oldDedup.processBatch(
         spark, Seq((2L, "some text here")).toDF("doc_id", "text"), 0L)
     }
-    assert(ex.getMessage.contains("_layout_v2") && ex.getMessage.contains("Rebuild"),
+    assert(ex.getMessage.contains("pre-v2") && ex.getMessage.contains("Rebuild"),
       s"wrong failure message: ${ex.getMessage}")
     val ex2 = intercept[IllegalStateException] {
       oldDedup.seedIndex(spark, Seq((2L, "seed text")).toDF("doc_id", "text"), 0L)
     }
-    assert(ex2.getMessage.contains("_layout_v2"))
+    assert(ex2.getMessage.contains("pre-v2"))
+
+    // marker-less v2: the marker postdates the split, so a healthy v2
+    // index built by the prior code has data/ in the id-only shape but
+    // no _layout_v2 file — the writer must classify it by schema,
+    // stamp the marker, and proceed (r14 ADVICE), never force a rebuild
+    val ml = tmpDir("sdedup-markerless")
+    val mlDedup = new StreamingLshDedup(s"$ml/index", s"$ml/matches")
+    val mlDoc = "the quick brown fox jumps over the lazy dog again and again today"
+    mlDedup.seedIndex(spark, Seq((1L, mlDoc)).toDF("doc_id", "text"), 0L)
+    val markerFile = new java.io.File(s"$ml/index/_layout_v2")
+    assert(markerFile.exists()); assert(markerFile.delete())
+    mlDedup.processBatch(
+      spark, Seq((10L, mlDoc.replace("today", "tonight"))).toDF("doc_id", "text"), 0L)
+    assert(markerFile.exists(), "provably-v2 index must be re-stamped, not refused")
+    val mlMatches = spark.read.parquet(s"$ml/matches")
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mlMatches.contains((10L, 1L)), s"marker-less v2 index lost its corpus: $mlMatches")
 
     // duplicate doc_id in docs/ (doc 1 both seeded and streamed): the
     // id-pair distinct runs before the shingle join, so without the
