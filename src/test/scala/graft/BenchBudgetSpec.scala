@@ -510,6 +510,37 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(runs5 == 1)
   }
 
+  test("multi-key section gate: dedup-growth probes compare per key, re-run once, record survivors") {
+    val quiet: String => Unit = _ => ()
+    assert(Bench.sectionValues("""{"probe_rows":5000,"sec_idx1x":2.5,"x":-1.0}""")
+      == Map("probe_rows" -> 5000.0, "sec_idx1x" -> 2.5, "x" -> -1.0))
+    val prior = Map("sec_idx1x" -> 2.0, "sec_idx5x" -> 2.5)
+    val keys = Seq("sec_idx1x", "sec_idx5x")
+    // burst on one key: section re-runs once, the better attempt ships
+    var runs = 0
+    val ns = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = Bench.gatedSectionKeys("sdg", keys, prior, ns, quiet) { () =>
+      runs += 1
+      if (runs == 1) """{"sec_idx1x":9.0,"sec_idx5x":2.6}"""
+      else """{"sec_idx1x":2.1,"sec_idx5x":2.6}"""
+    }
+    assert(runs == 2 && out.contains(""""sec_idx1x":2.1""") && ns.isEmpty)
+    // persistent shift: ships honestly with the key recorded
+    var runs2 = 0
+    val ns2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.gatedSectionKeys("sdg", keys, prior, ns2, quiet) { () =>
+      runs2 += 1; """{"sec_idx1x":9.0,"sec_idx5x":2.6}"""
+    }
+    assert(runs2 == 2 && ns2.toSeq == Seq("sec_idx1x"))
+    // in-band (or errored -1 values): one run only
+    var runs3 = 0
+    Bench.gatedSectionKeys("sdg", keys, prior,
+      scala.collection.mutable.ArrayBuffer.empty[String], quiet) { () =>
+      runs3 += 1; """{"sec_idx1x":2.2,"sec_idx5x":-1.0}"""
+    }
+    assert(runs3 == 1)
+  }
+
   test("recall floors: recommended ANN configs are gated, documented-weak keys are not") {
     // r14 verdict item 4: the panels were honest but nothing GATED
     // them — a regression in a recommended config would hide beside the
