@@ -242,6 +242,22 @@ object Bench {
     }
   }
 
+  /** Median fresh/prior ratio over registry rows with a prior above
+    * `minPriorSec` — the FIRST cross-round diagnostic (bench-noise
+    * discipline): a median ≈ 1 says the per-row tail is noise/warmup
+    * depth, a shifted median says the whole run moved (host, or a
+    * cross-cutting change). Recorded in the artifact so readers stop
+    * recomputing it by hand from two JSON files. -1 when no prior. */
+  private[graft] def registryMedianRatio(
+      results: Seq[(String, Double)], prior: Map[String, Double],
+      minPriorSec: Double = 0.5): Double = {
+    val rs = results.collect {
+      case (n, v) if v > 0 && prior.getOrElse(n, 0.0) > minPriorSec =>
+        v / prior(n)
+    }.sorted
+    if (rs.isEmpty) -1.0 else r3(rs(rs.size / 2))
+  }
+
   /** The "seconds" leaf of a streaming-section JSON object. */
   private[graft] def sectionSeconds(sectionJson: String): Option[Double] =
     """"seconds":(-?\d+(?:\.\d+)?)""".r.findFirstMatchIn(sectionJson)
@@ -507,10 +523,11 @@ object Bench {
       System.err.println(f"[bench] host_factor $hostFactor%.3f > 1.3 — this " +
         "host is measurably slower than the prior artifact's; the artifact " +
         """carries host_factor_flag:"slow-host" — do not commit it as the gate prior""")
+    val medianRatio = registryMedianRatio(results, priorQueries)
     val noise = sentinelPre match {
       case Some((_, preJson)) =>
         s""""sentinel_pre":$preJson,"sentinel_post":${sentinelPost._2},""" +
-          s""""noise":{"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag"},"""
+          s""""noise":{"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","registry_median_ratio":$medianRatio},"""
       case None => ""
     }
     // recall-floor gate (r14 verdict item 4): recommended ANN configs
@@ -535,7 +552,7 @@ object Bench {
     def rps(section: String): String =
       """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(section)
         .map(_.group(1)).getOrElse("-1")
-    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","recall_gate":"${if (recallGateOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","registry_median_ratio":$medianRatio,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","recall_gate":"${if (recallGateOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")

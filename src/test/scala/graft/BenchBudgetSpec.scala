@@ -510,6 +510,16 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(runs5 == 1)
   }
 
+  test("registry median fresh/prior ratio: prior-filtered, errored rows excluded, inert without prior") {
+    val prior = Map("a" -> 1.0, "b" -> 2.0, "c" -> 4.0, "tiny" -> 0.3)
+    // tiny prior excluded (0.3 < 0.5); errored row (-1) excluded;
+    // ratios 1.1 / 0.9 / 2.0 -> sorted (0.9, 1.1, 2.0), median 1.1
+    val res = Seq("a" -> 1.1, "b" -> 1.8, "c" -> 8.0, "tiny" -> 9.9, "d" -> -1.0)
+    assert(Bench.registryMedianRatio(res, prior) == 1.1)
+    assert(Bench.registryMedianRatio(res, Map.empty) == -1.0)
+    assert(Bench.registryMedianRatio(Seq("a" -> -1.0), prior) == -1.0)
+  }
+
   test("multi-key section gate: dedup-growth probes compare per key, re-run once, record survivors") {
     val quiet: String => Unit = _ => ()
     assert(Bench.sectionValues("""{"probe_rows":5000,"sec_idx1x":2.5,"x":-1.0}""")
