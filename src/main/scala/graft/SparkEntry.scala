@@ -794,6 +794,52 @@ object SparkEntry {
       .orderBy(col("lang_true"), col("lang_pred"))
   }
 
+  /** Per-script tokenizer fertility panel — the standard multilingual
+    * tokenizer-quality read (how many BPE tokens a word costs, and how
+    * many bytes a token buys, per script class): train the 10-rule
+    * fixture tokenizer (t30's loop), greedy-encode the corpus (t31's
+    * constant-plan pass), and aggregate exact integer word / BPE-token
+    * / UTF-8-byte sums per t21 dominant script. `fertility` =
+    * bpe_tokens/words and `bytes_per_token` = bytes/bpe_tokens are each
+    * ONE IEEE division of exact BIGINTs (NULL-guarded for empty
+    * classes), so the oracle replays them bit-exactly by composing the
+    * t21 script CASE ladder with the t30/t31 CTE unroll. A corpus
+    * whose non-Latin fertility balloons is the classic signal the
+    * tokenizer under-serves those languages (tokens-per-word rises,
+    * effective context shrinks); at 100 TB the shape is unchanged —
+    * one train, one narrow encode pass, one |scripts|-row aggregate. */
+  private val t38TokenFertility = (s: SparkSession, d: String) => {
+    val docs = t(s, d, "documents")
+    val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
+    val enc = TextAnalysis.bpeEncodeGreedy(docs, "text", table)
+      .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("_bpe"))
+    val perDoc = TextAnalysis.scriptMix(docs)
+      .select(col("doc_id"), col("dominant_script"))
+      .join(TextAnalysis.withTokens(docs.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"),
+          size(filter(col("_toks"), tk => tk =!= lit("")))
+            .cast("long").as("_words"),
+          octet_length(col("text")).cast("long").as("_bytes")),
+        Seq("doc_id"))
+      .join(enc, Seq("doc_id"))
+    perDoc.groupBy(col("dominant_script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_words")).as("n_words"),
+        sum(col("_bpe")).as("n_bpe_tokens"),
+        sum(col("_bytes")).as("n_bytes"))
+      .select(col("dominant_script"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_bytes"),
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        when(col("n_bpe_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_bytes").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("bytes_per_token"))
+      .orderBy(col("dominant_script"))
+  }
+
   private val t10Repetition = (s: SparkSession, d: String) =>
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
@@ -6397,6 +6443,7 @@ object SparkEntry {
     "a48_levene" -> a48Levene,
     "a49_tukey_posthoc" -> a49TukeyPosthoc,
     "t37_lang_confusion" -> t37LangConfusion,
+    "t38_token_fertility" -> t38TokenFertility,
   )
 
   /** DuckDB CTE chain replaying [[graft.operators.TextAnalysis.bpeTrain]]'s
@@ -6491,6 +6538,45 @@ object SparkEntry {
 SELECT tok.doc_id, CAST(sum(len(v10.syms)) AS BIGINT) AS n_bpe_tokens
 FROM tok JOIN v10 USING (w)
 GROUP BY tok.doc_id ORDER BY tok.doc_id"""
+    },
+    "t38_token_fertility" -> {
+      // per-script fertility: t21's script CASE ladder (per doc, plus
+      // strlen = UTF-8 bytes, Spark octet_length's exact twin) joined
+      // to the t31 per-doc word/BPE-token sums; both reported ratios
+      // are ONE division of exact BIGINTs, NULL-guarded like Spark's
+      bpeOracleRounds(10) +
+        """, sc AS (
+           SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+                       AND n_latin >= n_arabic AND n_latin > 0 THEN 'latin'
+                  WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+                       AND n_cyrillic > 0 THEN 'cyrillic'
+                  WHEN n_cjk >= n_arabic AND n_cjk > 0 THEN 'cjk'
+                  WHEN n_arabic > 0 THEN 'arabic'
+                  ELSE 'other' END AS dominant_script
+           FROM (
+             SELECT doc_id, text,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_latin,
+               CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+               CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk,
+               CAST(length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic
+             FROM documents)
+         ), wd AS (
+           SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                  CAST(sum(len(v10.syms)) AS BIGINT) AS n_bpe
+           FROM tok JOIN v10 USING (w) GROUP BY tok.doc_id
+         )
+SELECT sc.dominant_script,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(coalesce(sum(wd.n_words), 0) AS BIGINT) AS n_words,
+  CAST(coalesce(sum(wd.n_bpe), 0) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(sc.n_bytes) AS BIGINT) AS n_bytes,
+  CASE WHEN coalesce(sum(wd.n_words), 0) = 0 THEN NULL
+       ELSE CAST(sum(wd.n_bpe) AS DOUBLE) / CAST(sum(wd.n_words) AS DOUBLE) END AS fertility,
+  CASE WHEN coalesce(sum(wd.n_bpe), 0) = 0 THEN NULL
+       ELSE CAST(sum(sc.n_bytes) AS DOUBLE) / CAST(sum(wd.n_bpe) AS DOUBLE) END AS bytes_per_token
+FROM sc LEFT JOIN wd USING (doc_id)
+GROUP BY sc.dominant_script ORDER BY sc.dominant_script"""
     },
     "a1_group_count_segment" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",

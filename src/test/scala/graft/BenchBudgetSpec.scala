@@ -319,6 +319,9 @@ class BenchBudgetSpec extends SparkTestBase {
     "a48_levene" -> 2.0,
     "a49_tukey_posthoc" -> 1.2,
     "t37_lang_confusion" -> 1.5,
+    // trains the 10-rule fixture tokenizer + one greedy-encode pass +
+    // the t21 script ladder — t31's shape plus a |scripts|-row roll-up
+    "t38_token_fertility" -> 4.0,
   )
 
   test("per-probe level gate: prior-artifact parsing, one retry, noise_suspect recording") {

@@ -853,6 +853,37 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("t38 token fertility: per-script sums reconcile with the component queries and the ratios recompute") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = SparkEntry.queries("t38_token_fertility")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // doc partition: every document lands in exactly one script class
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "n_docs must partition the corpus")
+    // corpus-wide BPE token total equals the independently-computed
+    // t31 sum (same trained table, same encode pass)
+    val t31Total = SparkEntry.queries("t31_bpe_encode")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_bpe_tokens"))).head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == t31Total,
+      s"per-script BPE sums must reconcile with t31's corpus total $t31Total")
+    // byte total equals the raw corpus UTF-8 byte sum
+    val byteTotal = docs.agg(org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.octet_length(col("text")).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(4)).sum == byteTotal)
+    // the reported ratios are exactly the one-division recompute
+    rows.foreach { r =>
+      val (words, bpe, bytes) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (words > 0)
+        assert(r.getDouble(5) == bpe.toDouble / words.toDouble, s"fertility mismatch: $r")
+      else assert(r.isNullAt(5))
+      if (bpe > 0)
+        assert(r.getDouble(6) == bytes.toDouble / bpe.toDouble, s"bytes_per_token mismatch: $r")
+      else assert(r.isNullAt(6))
+    }
+  }
+
   test("bpeTrain vocabCap: frequency-truncated training reproduces the full-vocab table on a Zipf corpus") {
     import graft.operators.TextAnalysis
     // r14 verdict scale axis (closing it): a vocabulary past the
