@@ -840,6 +840,42 @@ object SparkEntry {
       .orderBy(col("dominant_script"))
   }
 
+  /** Context-window fit panel — the batch-shaping read a pre-training
+    * pipeline takes BEFORE choosing a packing strategy (x5 packs; this
+    * says what packing is up against): for each candidate context
+    * length C ∈ {512, 2048, 8192}, how many documents fit whole, how
+    * many chunks a ceil-split produces, and the padding waste a
+    * naive one-doc-per-chunk layout pays (chunks·C − tokens). All
+    * exact integer sums off ONE token-count pass × a 3-element
+    * literal explode; the two ratios are each ONE IEEE division
+    * (floor((n+C−1)/C) is exact in doubles for any corpus-scale n, so
+    * the ceil-division replays bit-identically in SQL). */
+  private val x45ContextFit = (s: SparkSession, d: String) => {
+    val toks = t(s, d, "documents")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("_n"))
+    val perRow = toks
+      .select(col("_n"),
+        explode(array(lit(512L), lit(2048L), lit(8192L))).as("ctx"))
+      .withColumn("_chunks",
+        when(col("_n") > 0L,
+          floor((col("_n") + col("ctx") - lit(1L)) / col("ctx")).cast("long"))
+          .otherwise(0L))
+    perRow.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_n") <= col("ctx"), 1L).otherwise(0L)).as("n_fit"),
+        sum(col("_chunks")).as("n_chunks"),
+        sum(col("_chunks") * col("ctx") - col("_n")).as("n_waste_tokens"))
+      .select(col("ctx"), col("n_docs"), col("n_fit"), col("n_chunks"),
+        col("n_waste_tokens"),
+        (col("n_fit").cast("double") / col("n_docs").cast("double"))
+          .as("fit_ratio"),
+        when(col("n_chunks") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_waste_tokens").cast("double") /
+            (col("n_chunks") * col("ctx")).cast("double"))
+          .as("waste_ratio"))
+      .orderBy(col("ctx"))
+  }
+
   private val t10Repetition = (s: SparkSession, d: String) =>
     TextAnalysis.repetitionSignals(t(s, d, "documents"), "text")
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("top_share"))
@@ -6444,6 +6480,7 @@ object SparkEntry {
     "a49_tukey_posthoc" -> a49TukeyPosthoc,
     "t37_lang_confusion" -> t37LangConfusion,
     "t38_token_fertility" -> t38TokenFertility,
+    "x45_context_fit" -> x45ContextFit,
   )
 
   /** DuckDB CTE chain replaying [[graft.operators.TextAnalysis.bpeTrain]]'s
@@ -6577,6 +6614,33 @@ SELECT sc.dominant_script,
        ELSE CAST(sum(sc.n_bytes) AS DOUBLE) / CAST(sum(wd.n_bpe) AS DOUBLE) END AS bytes_per_token
 FROM sc LEFT JOIN wd USING (doc_id)
 GROUP BY sc.dominant_script ORDER BY sc.dominant_script"""
+    },
+    "x45_context_fit" -> {
+      // t3's token count × a 3-element unnest; ceil-division as
+      // floor((n+C-1)/C) — BIGINT-exact through the double floor on
+      // both engines for any corpus-scale n
+      """WITH n AS (
+           SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n
+           FROM documents
+         ), x AS (
+           SELECT n.n, CAST(c.ctx AS BIGINT) AS ctx,
+             CASE WHEN n.n > 0
+                  THEN CAST(floor((n.n + c.ctx - 1) / c.ctx) AS BIGINT)
+                  ELSE 0 END AS chunks
+           FROM n, (SELECT unnest([512, 2048, 8192]) AS ctx) c
+         )
+         SELECT ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n <= ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+           CAST(sum(chunks) AS BIGINT) AS n_chunks,
+           CAST(sum(chunks * ctx - n) AS BIGINT) AS n_waste_tokens,
+           CAST(sum(CASE WHEN n <= ctx THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS fit_ratio,
+           CASE WHEN sum(chunks) = 0 THEN NULL
+                ELSE CAST(sum(chunks * ctx - n) AS DOUBLE)
+                  / CAST(sum(chunks) * ctx AS DOUBLE) END AS waste_ratio
+         FROM x GROUP BY ctx ORDER BY ctx"""
     },
     "a1_group_count_segment" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",

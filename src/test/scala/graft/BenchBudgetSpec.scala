@@ -322,6 +322,8 @@ class BenchBudgetSpec extends SparkTestBase {
     // trains the 10-rule fixture tokenizer + one greedy-encode pass +
     // the t21 script ladder — t31's shape plus a |scripts|-row roll-up
     "t38_token_fertility" -> 4.0,
+    // one token-count pass x a 3-element explode -> 3-row aggregate
+    "x45_context_fit" -> 1.2,
   )
 
   test("per-probe level gate: prior-artifact parsing, one retry, noise_suspect recording") {

@@ -884,6 +884,26 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("x45 context fit: panel equals a driver-side recompute from per-doc token counts") {
+    import graft.operators.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val ns = spark.read.parquet(s"$dir/documents.parquet")
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(_.getLong(0)) // sf0.001: 500 docs, fine to collect in-spec
+    val got = SparkEntry.queries("x45_context_fit")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(512L, 2048L, 8192L))
+    for (c <- Seq(512L, 2048L, 8192L)) {
+      val chunks = ns.map(n => if (n > 0) (n + c - 1) / c else 0L)
+      val fit = ns.count(_ <= c).toLong
+      val waste = ns.zip(chunks).map { case (n, ch) => ch * c - n }.sum
+      val want = (ns.length.toLong, fit, chunks.sum, waste,
+        fit.toDouble / ns.length, waste.toDouble / (chunks.sum * c))
+      assert(got(c) == want, s"ctx=$c: got ${got(c)}, want $want")
+    }
+  }
+
   test("bpeTrain vocabCap: frequency-truncated training reproduces the full-vocab table on a Zipf corpus") {
     import graft.operators.TextAnalysis
     // r14 verdict scale axis (closing it): a vocabulary past the
