@@ -1807,6 +1807,48 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Median time-to-convert per funnel stage pair — w10 counts HOW
+    * MANY users complete view→click→purchase; this says HOW LONG each
+    * hop takes (the latency read behind conversion-window and retention
+    * decisions). Reuses w10's exact ordered-first-times semantics (t2 =
+    * first click AFTER the first view, t3 = first purchase AFTER that
+    * click — same chained min-windows on the e7/w9/w10 user_id
+    * exchange), derives the three stage gaps by a literal explode
+    * (null gaps = funnel not reached, dropped), and takes the EXACT
+    * lower median per stage through the a41 shift selection — gaps are
+    * integer micros (differences of data values), so the reported
+    * median is a value from the data, bit-identical on any engine.
+    * Stage labels carry a 1_/2_/3_ prefix so the funnel order survives
+    * the alphabetical result sort. */
+  private val w28FunnelTime = (s: SparkSession, d: String) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val firsts = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("tus") > col("t1"),
+        col("tus"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("tus") > col("t2"),
+        col("tus"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1us"), min(col("t2")).as("t2us"), min(col("t3")).as("t3us"))
+    val gaps = CachePool.register(firsts
+      .select(explode(array(
+        struct(lit("1_view_to_click").as("stage"), (col("t2us") - col("t1us")).as("gap_us")),
+        struct(lit("2_click_to_purchase").as("stage"), (col("t3us") - col("t2us")).as("gap_us")),
+        struct(lit("3_view_to_purchase").as("stage"), (col("t3us") - col("t1us")).as("gap_us")))).as("_p"))
+      .select(col("_p.stage").as("stage"), col("_p.gap_us").as("gap_us"))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("_one", lit(1L))
+      .persist()) // two consumers: the median passes + the stage counts
+    val counts = gaps.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    RelationalOps.groupedMedianShift(gaps, "stage", "gap_us", "_one")
+      .select(col("stage"), col("w_median").as("median_gap_us"))
+      .join(broadcast(counts), Seq("stage"))
+      .select(col("stage"), col("n_users"), col("median_gap_us"))
+      .orderBy(col("stage"))
+  }
+
   /** Event-transition matrix — the Markov view of user behavior (what
     * follows what, and with what probability): consecutive event-type
     * pairs per user via ONE `lead` over the (user, time, id) order —
@@ -6481,6 +6523,7 @@ object SparkEntry {
     "t37_lang_confusion" -> t37LangConfusion,
     "t38_token_fertility" -> t38TokenFertility,
     "x45_context_fit" -> x45ContextFit,
+    "w28_funnel_time" -> w28FunnelTime,
   )
 
   /** DuckDB CTE chain replaying [[graft.operators.TextAnalysis.bpeTrain]]'s
@@ -6641,6 +6684,45 @@ GROUP BY sc.dominant_script ORDER BY sc.dominant_script"""
                 ELSE CAST(sum(chunks * ctx - n) AS DOUBLE)
                   / CAST(sum(chunks) * ctx AS DOUBLE) END AS waste_ratio
          FROM x GROUP BY ctx ORDER BY ctx"""
+    },
+    "w28_funnel_time" -> {
+      // w10's chained min-windows verbatim, stage gaps via UNION ALL,
+      // lower median by the a41 windowed-cumulative convention — an
+      // independent shape from the engine's two-level shift selection
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS tus, event_type FROM events
+         ), a AS (
+           SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+             OVER (PARTITION BY user_id) AS t1 FROM e
+         ), b AS (
+           SELECT *, min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+             OVER (PARTITION BY user_id) AS t2 FROM a
+         ), c AS (
+           SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+             OVER (PARTITION BY user_id) AS t3 FROM b
+         ), f AS (
+           SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+           FROM c GROUP BY 1
+         ), g AS (
+           SELECT '1_view_to_click' AS stage, t2 - t1 AS v FROM f WHERE t2 IS NOT NULL
+           UNION ALL
+           SELECT '2_click_to_purchase', t3 - t2 FROM f WHERE t3 IS NOT NULL
+           UNION ALL
+           SELECT '3_view_to_purchase', t3 - t1 FROM f WHERE t3 IS NOT NULL
+         ), agg AS (
+           SELECT stage, v, count(*) AS sw FROM g GROUP BY 1, 2
+         ), cc AS (
+           SELECT stage, v,
+             sum(sw) OVER (PARTITION BY stage ORDER BY v) AS cum,
+             sum(sw) OVER (PARTITION BY stage) AS tot
+           FROM agg
+         )
+         SELECT m.stage, n.n_users, m.median_gap_us
+         FROM (SELECT stage, CAST(min(v) AS BIGINT) AS median_gap_us
+               FROM cc WHERE 2 * cum >= tot GROUP BY stage) m
+         JOIN (SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+               FROM g GROUP BY stage) n USING (stage)
+         ORDER BY m.stage"""
     },
     "a1_group_count_segment" ->
       "SELECT c_mktsegment, count(*) AS cnt FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",

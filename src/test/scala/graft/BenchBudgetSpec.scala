@@ -324,6 +324,8 @@ class BenchBudgetSpec extends SparkTestBase {
     "t38_token_fertility" -> 4.0,
     // one token-count pass x a 3-element explode -> 3-row aggregate
     "x45_context_fit" -> 1.2,
+    // w10's chained min-windows + the a41 shift-median passes
+    "w28_funnel_time" -> 2.5,
   )
 
   test("per-probe level gate: prior-artifact parsing, one retry, noise_suspect recording") {

@@ -904,6 +904,30 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("w28 funnel time: stage medians equal a driver-side lower-median recompute from w10's stage times") {
+    val dir = "/root/testdata/sf0.001"
+    // w10's output IS the per-user stage-time table (independently
+    // oracled) — recompute each stage's gap population and lower
+    // median in plain Scala and compare
+    val f = SparkEntry.queries("w10_funnel")(spark, dir).collect()
+      .map { r =>
+        def at(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (at(1), at(2), at(3))
+      }
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val want = Map(
+      "1_view_to_click" -> f.collect { case (Some(a), Some(b), _) => b - a },
+      "2_click_to_purchase" -> f.collect { case (_, Some(b), Some(c)) => c - b },
+      "3_view_to_purchase" -> f.collect { case (Some(a), _, Some(c)) => c - a })
+    val got = SparkEntry.queries("w28_funnel_time")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == want.filter(_._2.nonEmpty).keySet)
+    want.filter(_._2.nonEmpty).foreach { case (stage, gaps) =>
+      assert(got(stage) == ((gaps.length.toLong, lowerMedian(gaps.toSeq))),
+        s"$stage: got ${got(stage)}, want (${gaps.length}, ${lowerMedian(gaps.toSeq)})")
+    }
+  }
+
   test("bpeTrain vocabCap: frequency-truncated training reproduces the full-vocab table on a Zipf corpus") {
     import graft.operators.TextAnalysis
     // r14 verdict scale axis (closing it): a vocabulary past the
