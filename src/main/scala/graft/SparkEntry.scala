@@ -824,10 +824,16 @@ object SparkEntry {
           octet_length(col("text")).cast("long").as("_bytes")),
         Seq("doc_id"))
       .join(enc, Seq("doc_id"))
+    // the word/token sums coalesce to 0 (r15 ADVICE): a script class
+    // consisting solely of null-text docs has every _words/_bpe NULL,
+    // and the oracle's LEFT JOIN + coalesce reports 0 there — a bare
+    // sum() would report NULL and hash-mismatch on that degenerate
+    // class; n_bytes stays un-coalesced on BOTH sides (NULL text has
+    // no byte count to claim)
     perDoc.groupBy(col("dominant_script"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("_words")).as("n_words"),
-        sum(col("_bpe")).as("n_bpe_tokens"),
+        coalesce(sum(col("_words")), lit(0L)).as("n_words"),
+        coalesce(sum(col("_bpe")), lit(0L)).as("n_bpe_tokens"),
         sum(col("_bytes")).as("n_bytes"))
       .select(col("dominant_script"), col("n_docs"), col("n_words"),
         col("n_bpe_tokens"), col("n_bytes"),

@@ -22,6 +22,43 @@ class BenchBudgetSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Committed suite-sentinel total on the builder host — the
+    * denominator of [[hostScale]]. Three fresh-JVM in-suite readings
+    * of the five bench sentinels (min-of-2 each, post-warmup) on the
+    * r16 builder host at this session config (local[4], 4 shuffle
+    * partitions, sf0.001): 1.361 / 1.240 / 1.197 s — committed at the
+    * median-ish 1.25 so builder-speed hosts read scale ≈ 1.0 and a
+    * 1.3× host (the r15 judge class) reads ≈ 1.3. */
+  private val committedSentinelTotalSec = 1.25
+
+  /** In-suite host-speed anchor (r15 verdict item 1): the budgets are
+    * 3× steady state on the BUILDER's host, so a host 1.1–1.5× slower
+    * failed zero-slack rows (a46 read 1.61/1.77 s against 1.5 on the
+    * r15 judge host) with NO plan change — the exact flapping class
+    * the e27 re-baseline fixed one row at a time. The suite now times
+    * the bench's five noise sentinels itself (same min-of-2 post-warmup
+    * discipline) and scales EVERY budget by max(1, measured/committed):
+    * budgets keep their builder-host meaning, slower hosts get
+    * proportionally more room, and a real plan regression still trips
+    * because it moves its one query, never the sentinel set. Never
+    * scales DOWN (a fast host must not tighten the committed bars). */
+  private lazy val hostScale: Double = {
+    val total = Bench.sentinelNames.map { n =>
+      val fn = SparkEntry.queries(n)
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // warmup: codegen/JIT/footers
+      math.min(one(), one())
+    }.sum
+    val s = math.max(1.0, total / committedSentinelTotalSec)
+    System.err.println(f"[budget-spec] sentinel total $total%.3f s " +
+      f"(committed $committedSentinelTotalSec%.2f) -> host scale $s%.2f")
+    s
+  }
+
   /** Seconds at sf0.001 on local[4] — see class doc for the formula. */
   private val budgets: Map[String, Double] = Map(
     "q0_flagship" -> 1.2,
@@ -294,7 +331,12 @@ class BenchBudgetSpec extends SparkTestBase {
     "a44_exact_deciles" -> 1.5,
     "d25_keep_best" -> 6.5,
     "a45_outlier_day" -> 1.0,
-    "a46_winsorized_mean" -> 1.5,
+    // r16 DELIBERATE re-baseline 1.5 → 2.0 (r15 verdict item 1: the
+    // judge host read 1.61/1.77 s against 1.5 with the PLAN unchanged
+    // across rounds — zero-slack budget, the a46 twin of r14's e27
+    // flap). hostScale now absorbs host speed; this row additionally
+    // gets real headroom so builder-speed noise can't flap it either.
+    "a46_winsorized_mean" -> 2.0,
     // r13: gaps ride the day-sliced two-pass (slicedGaps) — two bounded
     // window branches + a stitch union instead of one bare per-type lag
     // whose single-task sort was the 100 TB hazard; worth ~+1 s locally.
@@ -448,13 +490,23 @@ class BenchBudgetSpec extends SparkTestBase {
     val merged2 = Bench.gateRegistryRow("d21_containment", 6.5, prior, ns2,
       () => { retries2 += 1; 6.4 }, log = quiet)
     assert(retries2 == 1 && merged2 == 6.4 && ns2.toSeq == Seq("d21_containment"))
-    // sub-minPrior rows are exempt (retrying half the registry's
-    // sub-second jitter buys nothing)
+    // sub-minPrior rows are exempt (at a < 0.5 s prior the +0.2 s
+    // slack is >= 40% of the reading — a retry buys nothing)
     var retries3 = 0
     val v3 = Bench.gateRegistryRow("a1_group_count_segment", 5.0, prior,
       scala.collection.mutable.ArrayBuffer.empty[String],
       () => { retries3 += 1; 5.0 }, log = quiet)
     assert(retries3 == 0 && v3 == 5.0)
+    // r15 verdict item 3: the floor is 0.5 s now — a row with a prior
+    // in [0.5, 1.0) (the a44/x42/w23 class the old 1 s floor exempted)
+    // DOES gate: suspect at 0.7*2.5+0.2 = 1.95, retimed once, the
+    // in-band retime ships clean
+    val priorMid = prior + ("w23_stickiness" -> 0.7)
+    var retries5 = 0
+    val ns5 = scala.collection.mutable.ArrayBuffer.empty[String]
+    val v5 = Bench.gateRegistryRow("w23_stickiness", 2.0, priorMid, ns5,
+      () => { retries5 += 1; 0.8 }, log = quiet)
+    assert(retries5 == 1 && v5 == 0.8 && ns5.isEmpty, s"$retries5 $v5 $ns5")
     // in-band, errored, and prior-less rows pass through untouched
     assert(Bench.gateRegistryRow("d21_containment", 2.5, prior,
       scala.collection.mutable.ArrayBuffer.empty[String],
@@ -502,6 +554,16 @@ class BenchBudgetSpec extends SparkTestBase {
       runs3 += 1; """{"rows":5,"seconds":3.2}"""
     }
     assert(runs3 == 1)
+    // r15 verdict item 4: streaming sections gate at 1.5x (not the
+    // probe/registry 2.5x) — 5.0 s vs prior 3.0 (1.67x, under 2.5x)
+    // must re-run and, when persistent, record the suspect
+    var runs6 = 0
+    val ns6 = scala.collection.mutable.ArrayBuffer.empty[String]
+    Bench.gatedSection("streaming_transitions", prior, ns6, quiet) { () =>
+      runs6 += 1; """{"rows":5,"seconds":5.0,"rows_per_sec":1.0}"""
+    }
+    assert(runs6 == 2 && ns6.toSeq == Seq("streaming_transitions"),
+      s"1.5x bar must catch a 1.67x section shift: $runs6 $ns6")
     var runs4 = 0
     Bench.gatedSection("streaming_growth", prior,
       scala.collection.mutable.ArrayBuffer.empty[String], quiet) { () =>
@@ -525,6 +587,38 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(Bench.registryMedianRatio(res, prior) == 1.1)
     assert(Bench.registryMedianRatio(res, Map.empty) == -1.0)
     assert(Bench.registryMedianRatio(Seq("a" -> -1.0), prior) == -1.0)
+    // even-sized ratio sets take the LOWER median (r15 ADVICE: the old
+    // rs(size/2) was the upper middle) — ratios (0.9, 1.1, 1.5, 2.0)
+    val prior4 = prior + ("e" -> 1.0)
+    assert(Bench.registryMedianRatio(res :+ ("e" -> 1.5), prior4) == 1.1)
+  }
+
+  test("streaming throughput floors: committed envelope, missing section is a violation") {
+    // r15 verdict item 4's absolute half: the prior-relative bar can't
+    // stop a multi-round slide — the artifact refuses below ~1/3 of the
+    // r15 builder-committed section throughputs
+    val ok = Map(
+      "streaming" -> """{"rows":1,"seconds":1.0,"rows_per_sec":13200.0}""",
+      "streaming_windowed" -> """{"rows":1,"seconds":1.0,"rows_per_sec":30100.0}""",
+      "streaming_dedup" -> """{"rows":1,"seconds":1.0,"rows_per_sec":1273.0}""",
+      "streaming_transitions" -> """{"rows":1,"seconds":1.0,"rows_per_sec":7872.0}""",
+      "streaming_growth" -> """{"rows":1,"seconds":1.0,"rows_per_sec":8946.0}""")
+    assert(Bench.streamingFloorFailures(ok).isEmpty)
+    // the observed slow-host values (r15 driver rerun) must still pass
+    val slowHost = ok
+      .updated("streaming", """{"rows_per_sec":8487.3}""")
+      .updated("streaming_windowed", """{"rows_per_sec":17320.7}""")
+    assert(Bench.streamingFloorFailures(slowHost).isEmpty)
+    // a sustained collapse fails loudly
+    val collapsed = ok.updated("streaming_windowed", """{"rows_per_sec":5000.0}""")
+    val fails = Bench.streamingFloorFailures(collapsed)
+    assert(fails.size == 1 && fails.head.startsWith("streaming_windowed"), s"$fails")
+    // a silently-dropped section must not read as green
+    val missing = Bench.streamingFloorFailures(ok - "streaming_growth")
+    assert(missing.exists(_.contains("streaming_growth")), s"$missing")
+    // an errored section (rows_per_sec -1) is a violation, not a pass
+    val errored = ok.updated("streaming_dedup", """{"rows":0,"rows_per_sec":-1.0}""")
+    assert(Bench.streamingFloorFailures(errored).exists(_.startsWith("streaming_dedup")))
   }
 
   test("multi-key section gate: dedup-growth probes compare per key, re-run once, record survivors") {
@@ -628,10 +722,16 @@ class BenchBudgetSpec extends SparkTestBase {
       "pagerank_sec_25x" -> 9.0,
       "kcore_sec_1x" -> 3.0, "kcore_sec_5x" -> 5.0,
       "kcore_sec_25x" -> 8.0)
+    // same sentinel-scaled discipline as the registry budgets (r15
+    // verdict item 1) — the probe budgets were committed on the
+    // builder's host too
     val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
       val v = metric(name)
       assert(v >= 0, s"$name failed to run")
-      if (v > budget) Some(f"$name: $v%.2f s > budget $budget%.1f s") else None
+      if (v > budget * hostScale)
+        Some(f"$name: $v%.2f s > budget ${budget * hostScale}%.2f s" +
+          f" (committed $budget%.1f x host scale $hostScale%.2f)")
+      else None
     }
     assert(over.isEmpty, s"scale-probe budget regressions:\n${over.mkString("\n")}")
     // growth exponents over the 1x/5x/25x corpus axis: these probes are
@@ -671,8 +771,9 @@ class BenchBudgetSpec extends SparkTestBase {
     assert(m.nonEmpty, s"rows_per_sec missing from streaming JSON: $json")
     val rps = m.get.group(1).toDouble
     assert(rps > 0, s"streaming bench failed to run: $json")
-    assert(rps >= 1500.0,
-      f"streaming throughput $rps%.0f rows/s below committed floor 1500 rows/s")
+    assert(rps >= 1500.0 / hostScale,
+      f"streaming throughput $rps%.0f rows/s below committed floor " +
+        f"${1500.0 / hostScale}%.0f rows/s (1500 / host scale $hostScale%.2f)")
   }
 
   test("stateful streaming throughput stays above committed floors") {
@@ -689,8 +790,11 @@ class BenchBudgetSpec extends SparkTestBase {
     // regression now trips while ~30% machine noise does not.
     // SPARK_GRAFT_FLOOR_SCALE (default 1.0) rescales both floors for
     // slower hosts: the gate should track a product regression, not
-    // host speed (round-9 advice).
-    val floorScale = sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1.0").toDouble
+    // host speed (round-9 advice). Since r16 the in-suite sentinel
+    // anchor (hostScale) divides the floors automatically — the env
+    // knob stays as a manual override on top.
+    val floorScale =
+      sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1.0").toDouble / hostScale
     def rps(json: String): Double = {
       val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
       assert(m.nonEmpty, s"rows_per_sec missing: $json")
@@ -758,11 +862,28 @@ class BenchBudgetSpec extends SparkTestBase {
       try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
       (System.nanoTime() - t0) / 1e9
     }
-    val over = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    // budgets scale by the in-suite sentinel anchor — see hostScale
+    def budgetOf(name: String): Double = budgets(name) * hostScale
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // warmup: codegen/JIT/footer priming
       try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
-      val sec = timed(fn)
-      if (sec > budgets(name)) Some((name, fn, sec)) else None
+      (name, fn, timed(fn))
+    }
+    // persist the measured times for offline budget sweeps (the r15
+    // verdict's ">= 30% headroom on every row" audit needs the suite's
+    // own numbers, not the sf0.1 artifact's)
+    try {
+      val json = timings.map { case (n, _, s) => "\"" + n + "\":" + f"$s%.3f" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/budget_times.json"),
+        s"""{"host_scale":$hostScale,"times":$json}""" + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[budget-spec] could not write budget_times.json: ${e.getMessage}")
+    }
+    val over = timings.flatMap { case (name, fn, sec) =>
+      if (sec > budgetOf(name)) Some((name, fn, sec)) else None
     }
     // transient box stalls (GC, page-cache eviction under a loaded CI
     // host) produced one-off 4x spikes on queries whose plans had not
@@ -770,8 +891,9 @@ class BenchBudgetSpec extends SparkTestBase {
     // does not — re-measure offenders once and fail only on repeats
     val confirmed = over.flatMap { case (name, fn, first) =>
       val again = timed(fn)
-      if (again > budgets(name))
-        Some(f"$name: $first%.2f s then $again%.2f s > budget ${budgets(name)}%.1f s")
+      if (again > budgetOf(name))
+        Some(f"$name: $first%.2f s then $again%.2f s > budget ${budgetOf(name)}%.2f s" +
+          f" (committed ${budgets(name)}%.1f x host scale $hostScale%.2f)")
       else None
     }
     assert(confirmed.isEmpty, s"budget regressions (reproduced twice):\n${confirmed.mkString("\n")}")

@@ -884,6 +884,55 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("t38 token fertility: multi-script corpus with a null-text class matches the oracle's LEFT-JOIN semantics") {
+    // r15 ADVICE: the sf0.001 fixture emits ONE script row, so the
+    // multi-script and NULL-guard paths were never compared. This
+    // fixture forces four script classes plus an all-null 'other'
+    // class: the word/token sums there must read 0 (the oracle's
+    // LEFT JOIN + coalesce), never NULL, and the ratios stay NULL.
+    import spark.implicits._
+    val d = tmpDir("t38deg")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "hello world hello world hello"),
+      (3L, "привет мир привет"), // cyrillic
+      (4L, "你好 世界 你好"), // cjk
+      (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("t38_token_fertility")(spark, d).collect()
+    val byScript = rows.map(r => r.getString(0) -> r).toMap
+    // every doc lands in exactly one class; the null docs form 'other'
+    assert(rows.map(_.getLong(1)).sum == 6L, s"n_docs must partition: ${rows.mkString("; ")}")
+    assert(byScript.keySet == Set("latin", "cyrillic", "cjk", "other"), s"${byScript.keySet}")
+    val other = byScript("other")
+    assert(other.getLong(1) == 2L)
+    // the degenerate class: sums COALESCE to 0 (bigint), ratios NULL,
+    // and no byte count is claimed for text that does not exist
+    assert(other.getLong(2) == 0L && other.getLong(3) == 0L,
+      s"null-text class must report 0 words/tokens, got $other")
+    assert(other.isNullAt(4) && other.isNullAt(5) && other.isNullAt(6),
+      s"null-text class must report NULL bytes/ratios, got $other")
+    // the latin class carries real sums and exact one-division ratios
+    val latin = byScript("latin")
+    assert(latin.getLong(2) > 0 && latin.getLong(3) > 0 && latin.getLong(4) > 0, s"$latin")
+    assert(latin.getDouble(5) == latin.getLong(3).toDouble / latin.getLong(2).toDouble)
+    assert(latin.getDouble(6) == latin.getLong(4).toDouble / latin.getLong(3).toDouble)
+    // non-Latin classes: the fixture tokenizer normalizes to ASCII
+    // (reference F1 parity — and the oracle's tok CTE strips the SAME
+    // [^a-zA-Z0-9\s] class), so cyrillic/cjk words never reach the BPE
+    // stage: 0 words / 0 tokens via the same LEFT-JOIN coalesce, real
+    // byte counts, NULL ratios — the panel reading "this tokenizer
+    // does not serve these scripts at all", which is the signal t38
+    // exists to surface
+    for (k <- Seq("cyrillic", "cjk")) {
+      val r = byScript(k)
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L, s"$k: $r")
+      assert(r.getLong(4) > 0, s"$k must keep its byte count: $r")
+      assert(r.isNullAt(5) && r.isNullAt(6), s"$k ratios must be NULL: $r")
+    }
+  }
+
   test("x45 context fit: panel equals a driver-side recompute from per-doc token counts") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
@@ -1031,6 +1080,70 @@ class TextDedupSpec extends SparkTestBase {
     // under this (the bound exists to catch an accidental return to
     // the re-count form, which takes minutes here)
     assert(secs < 60.0, f"8k merges took $secs%.1f s — incremental loop regressed")
+  }
+
+  test("bpeTrain vocabCap: production-shaped budget — 1000 merges on a morphology corpus capped 20k -> 8k") {
+    import graft.operators.TextAnalysis
+    // r15 verdict item 7: the 60-merge Zipf pin shows the MECHANISM;
+    // this pins the tier at the shape it exists for — a four-digit
+    // merge budget over a capped real-corpus-LIKE vocabulary. Words
+    // are root+suffix compositions (real corpora concentrate pair
+    // mass in shared morphology; the uniform-random fixture above is
+    // the adversarial floor), Zipf(α≈1) frequencies — the classic
+    // natural-language exponent.
+    val rnd = new scala.util.Random(1009L)
+    val alphabet = "abcdefghijklmnop"
+    val roots = (0 until 4000).map { _ =>
+      val len = 4 + rnd.nextInt(5)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.distinct
+    val suffixes = Seq("", "s", "ing", "ed", "er", "ly", "tion", "ness")
+    val words = roots.flatMap(r => suffixes.map(r + _)).distinct
+      .take(20000)
+    // Zipf(α≈1), corpus tokens ≫ types (the production regime: ~1M
+    // token instances over 20k types — a fixture whose singleton tail
+    // carries double-digit token mass is NOT production-shaped and
+    // legitimately diverges under truncation): rank-i word appears
+    // 100000/(i+1) times, so even rank 20000 appears ~5×. The capped
+    // tail (ranks 8193..20000) carries ≈ ln(20000/8192)/H(20000) ≈
+    // 8.6% of token mass — α=1's log-band share, cap-invariant.
+    val freqs = words.zipWithIndex.map { case (w, i) =>
+      w -> math.max(1L, 100000L / (i + 1L)) }
+    val instances = freqs.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+    // pack 100 words per doc row: the 1M-instance corpus stays ~10k rows
+    val df = rnd.shuffle(instances).grouped(100).map(ws => Tuple1(ws.mkString(" ")))
+      .toSeq.toDF("text")
+    def run(maxDriverVocab: Int, vocabCap: Int): (Seq[(String, String)], Double) = {
+      val t0 = System.nanoTime()
+      val t = TextAnalysis.bpeTrain(df, "text", merges = 1000,
+        maxDriverVocab = maxDriverVocab, vocabCap = vocabCap)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      (t, (System.nanoTime() - t0) / 1e9)
+    }
+    val (full, fullSec) = run(1 << 20, 0) // exact: 20k words fit the driver gate
+    val cap = 8192
+    val (capped, cappedSec) = run(1024, cap) // gate forced low -> top-k tier
+    assert(full.size == 1000 && capped.size == 1000,
+      s"both tiers must spend the full budget: ${full.size}/${capped.size}")
+    val prefix = full.zip(capped).takeWhile { case (a, b) => a == b }.size
+    val overlap = (full.toSet & capped.toSet).size.toDouble / full.size
+    info(f"20k->8k cap at 1000 merges: identical prefix $prefix, " +
+      f"rule-set overlap ${overlap * 100}%.1f%%, full $fullSec%.1f s, capped $cappedSec%.1f s")
+    // COMMITTED PINS (deterministic seeded fixture — measurements, not
+    // probabilities; r16 builder host): identical prefix 11, rule-set
+    // overlap 81.1%, full tier 7.4 s, capped tier 2.7 s. Read: at an
+    // 8.6%-token-mass truncation the divergence is real but bounded —
+    // the head rules where margins exceed the dropped mass hold, ~81%
+    // of the full 1000-rule set survives, and the tail differences are
+    // low-margin reorderings. A production min-frequency cap drops
+    // 1–3% of token mass (hapax-class types), sitting well inside
+    // these margins. Asserted with slack for platform-hash wobble only.
+    assert(prefix >= 8, s"head-rule stability collapsed: prefix=$prefix")
+    assert(overlap >= 0.75, f"rule-set overlap $overlap%.2f below 0.75")
+    // wall-time pin: both tiers are seconds-class (the tier exists so
+    // an over-gate vocabulary does NOT pay 1000 distributed rounds —
+    // ~0.3 s/round scheduling floor would be ~300 s here)
+    assert(cappedSec < 60.0, f"capped tier took $cappedSec%.1f s — scale contract broken")
   }
 
   test("bpeEncodeGreedy: null text propagates null bpe_tokens/n_bpe_tokens like the fold form") {
