@@ -710,7 +710,17 @@ object Dedup {
     * family: the rare×rare join's ~2 M-row shuffle + MEMORY_AND_DISK
     * staging make it GC/page-cache sensitive. The r15 registry-row
     * level gate (Bench.gateRegistryRow) now retries exactly this
-    * shape instead of requiring a hand-diff. */
+    * shape instead of requiring a hand-diff.
+    *
+    * r16 spread check (r15 verdict item 6 — d21 4.23↔2.74 s and d24
+    * 4.23↔3.17 s between the two r15 runs): QueryTimer back-to-back
+    * same-JVM pairs read d21 4.90/5.16 (5% apart) and d24 4.33/4.61
+    * (6%) — TIGHT at any instant — while across JVMs minutes apart
+    * the same queries span d21 3.91–5.16 / d24 3.21–4.61, tracking
+    * the host sentinel (4.30 s vs the r15 committed artifact's 2.03
+    * during those runs). The committed-vs-rerun spread is HOST-BOUND,
+    * not plan variance; persisting the rare side differently cannot
+    * remove it (DataFrame persist is columnar at any StorageLevel). */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
