@@ -813,7 +813,10 @@ object SparkEntry {
     val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
-    val enc = TextAnalysis.bpeEncodeGreedy(docs, "text", table)
+    // select BEFORE the encode — its mapPartitions blocks column
+    // pruning below it (t31's r16 PlanSpec finding, same fix)
+    val enc = TextAnalysis.bpeEncodeGreedy(
+        docs.select(col("doc_id"), col("text")), "text", table)
       .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("_bpe"))
     val perDoc = TextAnalysis.scriptMix(docs)
       .select(col("doc_id"), col("dominant_script"))
@@ -3973,7 +3976,11 @@ object SparkEntry {
     val table = TextAnalysis.bpeTrain(docs, "text", merges = 10)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq // bounded: the model
-    TextAnalysis.bpeEncodeGreedy(docs, "text", table)
+    // select BEFORE the encode: its mapPartitions carries every input
+    // column through the deserialization boundary, so Catalyst cannot
+    // prune the scan below it — without this the documents scan reads
+    // all five columns for a two-column result (r16 PlanSpec finding)
+    TextAnalysis.bpeEncodeGreedy(docs.select(col("doc_id"), col("text")), "text", table)
       .select(col("doc_id"), col("n_bpe_tokens"))
       .orderBy(col("doc_id"))
   }

@@ -1245,7 +1245,13 @@ object TextAnalysis {
     * the pass is embarrassingly parallel — no shuffle, no join, the
     * model ships once per executor via the broadcast (the Spark
     * idiom for serving a trained model to a map). Same output columns
-    * and values as the other two forms. */
+    * and values as the other two forms.
+    *
+    * CALLER CONTRACT: select the columns you need BEFORE calling —
+    * the mapPartitions boundary carries every input column through
+    * deserialization, so Catalyst cannot prune the scan below it (at
+    * 100 TB an unselected call drags the whole table through the
+    * encode; PlanSpec pins the t31/t38 call sites narrow). */
   def bpeEncodeGreedy(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], marker: String = "_"): DataFrame = {
     require(merges.nonEmpty, "bpeEncodeGreedy needs a non-empty merge table")

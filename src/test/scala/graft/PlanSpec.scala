@@ -347,4 +347,51 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
     CachePool.releaseAll()
   }
+
+  test("context-fit panel prunes the documents scan to the text column (X45)") {
+    val q = SparkEntry.queries("x45_context_fit")(spark, dir)
+    val read = formatted(q).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    // one token-count pass needs text and NOTHING else — a scan
+    // dragging the metadata columns through the explode is 100 TB waste
+    assert(read.contains("text"), s"text column missing from scan: $read")
+    for (c <- Seq("source", "lang", "n_chars", "doc_id"))
+      assert(!read.contains(c), s"x45 scan reads unneeded column $c: $read")
+  }
+
+  test("funnel time-to-convert shares ONE user_id exchange across its chained windows (W28)") {
+    val q = SparkEntry.queries("w28_funnel_time")(spark, dir)
+    val p = plan(q)
+    // w10's three chained min-windows are all PARTITION BY user_id:
+    // Spark must plan them over a single hashpartitioning(user_id)
+    // exchange SUBTREE (window chaining preserves the child
+    // distribution, and the three consuming branches — stage gaps,
+    // n_users, median join — reuse it at execution). The printed
+    // pre-AQE tree repeats the subtree per branch, so the pin is on
+    // DISTINCT plan_ids: more than one means a second corpus shuffle
+    // on the same key actually exists
+    val userExchangeIds =
+      """Exchange hashpartitioning\(user_id[^\n]*plan_id=(\d+)""".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(userExchangeIds.size <= 1,
+      s"expected ONE user_id exchange subtree, saw ids $userExchangeIds:\n$p")
+    // events scan: user_id/ts/event_type only
+    val read = formatted(q).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    for (c <- Seq("value", "event_id"))
+      assert(!read.contains(c), s"w28 scan reads unneeded column $c: $read")
+    CachePool.releaseAll()
+  }
+
+  test("token-fertility panel prunes the documents scan to doc_id and text (T38)") {
+    val q = SparkEntry.queries("t38_token_fertility")(spark, dir)
+    val reads = formatted(q).linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    // the train collect + encode + script ladder all ride (doc_id,
+    // text); metadata columns must stay out of every scan
+    for (c <- Seq("source", "lang", "n_chars"))
+      assert(!reads.contains(c), s"t38 scans read unneeded column $c: $reads")
+    assert(!plan(q).contains("CartesianProduct"))
+    CachePool.releaseAll()
+  }
 }
