@@ -326,7 +326,13 @@ object Bench {
     * one-leaf form can't cover them. Every listed key compares at the
     * [[priorSuspect]] bar; any suspect re-runs the section ONCE, the
     * attempt with the smaller sum over the suspect keys ships, and
-    * keys still over the bar land in `noiseSuspect`. */
+    * keys still over the bar land in `noiseSuspect`.
+    *
+    * Deliberately kept at the 2.5× PROBE bar when the headline
+    * sections moved to [[streamingSectionBar]] (r16): these keys are
+    * single-shot seconds-valued probes — 1.5× on a 2 s single-shot
+    * reading would flap on ordinary jitter, where the headline
+    * sections' long min-of-2 drains support the tighter read. */
   private[graft] def gatedSectionKeys(
       name: String, keys: Seq[String], prior: Map[String, Double],
       noiseSuspect: scala.collection.mutable.Buffer[String],
@@ -419,8 +425,15 @@ object Bench {
     }
 
   /** Time the sentinel set under the registry discipline (min-of-2,
-    * cache-dropped); returns a JSON object of per-query seconds. */
-  private def timeSentinels(spark: SparkSession, sfDir: String): (Double, String) = {
+    * cache-dropped); returns a JSON object of per-query seconds.
+    * `warmup = true` adds one untimed run per sentinel first — the
+    * BenchBudgetSpec host anchor uses it so its committed constant
+    * means "warm steady state", while the bench's own pre/post
+    * brackets keep the cold first pair (that cold-vs-warm delta IS
+    * the run-drift signal). */
+  private[graft] def timeSentinels(
+      spark: SparkSession, sfDir: String,
+      warmup: Boolean = false): (Double, String) = {
     val res = sentinelNames.map { n =>
       val fn = SparkEntry.queries(n)
       def one(): Double = {
@@ -428,6 +441,7 @@ object Bench {
         try fullCount(fn(spark, sfDir)) finally CachePool.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
+      if (warmup) one()
       n -> math.min(one(), one())
     }
     val total = res.map(_._2).sum
@@ -451,7 +465,12 @@ object Bench {
         sys.exit(2)
       }
     }
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // normalized: a trailing slash in the env var would otherwise fail
+    // the prior artifact's exact recorded-sf match and silently disarm
+    // every level gate (r16 review finding)
+    val sfDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      .normalize().toString
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -601,9 +620,13 @@ object Bench {
     val recallFails = recallFloorFailures(scale, ann)
     val recallGateOk = recallFails.isEmpty
     // absolute streaming throughput floors (r15 verdict item 4's second
-    // half) — armed only at the committed bench scale, see streamingFloors
+    // half) — armed only at the committed bench scale, matched on the
+    // NORMALIZED basename so a trailing slash cannot silently disarm
+    // the backstop (and "mysf0.1" cannot arm it wrongly)
+    val atBenchScale = Option(java.nio.file.Paths.get(sfDir)
+      .normalize().getFileName).exists(_.toString == "sf0.1")
     val streamingFloorFails =
-      if (sfDir.endsWith("sf0.1")) streamingFloorFailures(Map(
+      if (atBenchScale) streamingFloorFailures(Map(
         "streaming" -> streaming, "streaming_windowed" -> streamingWindowed,
         "streaming_dedup" -> streamingDedup,
         "streaming_transitions" -> streamingTransitions,

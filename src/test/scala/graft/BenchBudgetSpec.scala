@@ -46,17 +46,28 @@ class BenchBudgetSpec extends SparkTestBase {
     * because it moves its one query, never the sentinel set. Never
     * scales DOWN (a fast host must not tighten the committed bars). */
   private lazy val hostScale: Double = {
-    val total = Bench.sentinelNames.map { n =>
-      val fn = SparkEntry.queries(n)
-      def one(): Double = {
-        val t0 = System.nanoTime()
-        try Bench.fullCount(fn(spark, dir)) finally CachePool.releaseAll()
-        (System.nanoTime() - t0) / 1e9
-      }
-      one() // warmup: codegen/JIT/footers
-      math.min(one(), one())
-    }.sum
-    val s = math.max(1.0, total / committedSentinelTotalSec)
+    // shares Bench.timeSentinels (one definition of "sentinel total");
+    // warmup = true so the reading means WARM steady state — the
+    // context the committed constant was measured in
+    def measure(): Double = Bench.timeSentinels(spark, dir, warmup = true)._1
+    val first = measure()
+    // one elevated measurement must not silently loosen every budget
+    // for the whole suite (review finding: a GC/page-cache storm during
+    // this one lazy-val init would multiply ~280 budgets unchecked) —
+    // re-measure once when the first reading is > 1.3x committed and
+    // keep the min, the same burst-vs-level discipline as the bench
+    val total =
+      if (first > committedSentinelTotalSec * 1.3) math.min(first, measure())
+      else first
+    val raw = math.max(1.0, total / committedSentinelTotalSec)
+    // hard cap: past 2.5x the host is no longer in the class the
+    // budgets can meaningfully scale to — fail LOUDLY rather than
+    // certify a suite whose bars sit anywhere
+    val s = math.min(raw, 2.5)
+    if (raw > 2.5)
+      System.err.println(f"[budget-spec] host scale $raw%.2f CAPPED at 2.5 — " +
+        "this host is pathologically slower than the committed anchor; " +
+        "budget failures below are about the host, not the plans")
     System.err.println(f"[budget-spec] sentinel total $total%.3f s " +
       f"(committed $committedSentinelTotalSec%.2f) -> host scale $s%.2f")
     s
@@ -882,12 +893,16 @@ class BenchBudgetSpec extends SparkTestBase {
     // verdict's ">= 30% headroom on every row" audit needs the suite's
     // own numbers, not the sf0.1 artifact's)
     try {
-      val json = timings.map { case (n, _, s) => "\"" + n + "\":" + f"$s%.3f" }
+      // locale-independent: Double.toString always uses '.', where the
+      // f"%.3f" interpolator would write "0,812" on comma-decimal
+      // locales and break the JSON (review finding)
+      def d3(v: Double): String = (math.rint(v * 1000) / 1000).toString
+      val json = timings.map { case (n, _, s) => "\"" + n + "\":" + d3(s) }
         .mkString("{", ",", "}")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/budget_times.json"),
-        s"""{"host_scale":$hostScale,"times":$json}""" + "\n")
+        s"""{"host_scale":${d3(hostScale)},"times":$json}""" + "\n")
     } catch { case e: java.io.IOException =>
       System.err.println(s"[budget-spec] could not write budget_times.json: ${e.getMessage}")
     }
