@@ -933,6 +933,27 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("x45 context fit: null and empty text follow the oracle's CASE semantics") {
+    // proactive degenerate pin (the t38 lesson): a NULL-text doc has
+    // an unknown token count — it counts in n_docs, contributes no
+    // chunks/waste, and does NOT count as fitting (CASE WHEN NULL <=
+    // ctx THEN .. ELSE 0 on both engines); an EMPTY doc counts 0
+    // tokens and fits every window with 0 chunks
+    import spark.implicits._
+    val d = tmpDir("x45deg")
+    Seq((1L, "one two three"), (2L, null.asInstanceOf[String]), (3L, ""))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("x45_context_fit")(spark, d).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L, s"n_docs counts null/empty docs: $r")
+      assert(r.getLong(2) == 2L, s"real + empty fit, null does not: $r")
+      assert(r.getLong(3) == 1L, s"one chunk from the real doc only: $r")
+      assert(r.getLong(4) == r.getLong(0) - 3L, s"waste = ctx - 3 tokens: $r")
+      assert(r.getDouble(5) == 2.0 / 3.0, s"fit_ratio: $r")
+    }
+  }
+
   test("x45 context fit: panel equals a driver-side recompute from per-doc token counts") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
@@ -951,6 +972,35 @@ class TextDedupSpec extends SparkTestBase {
         fit.toDouble / ns.length, waste.toDouble / (chunks.sum * c))
       assert(got(c) == want, s"ctx=$c: got ${got(c)}, want $want")
     }
+  }
+
+  test("w28 funnel time: a stage with zero converters is ABSENT, not a null/zero row") {
+    // the t38 lesson applied proactively: the sf fixtures always have
+    // converters at every stage, so the degenerate path — no purchases
+    // at all — was never compared. Engine contract (matching the
+    // oracle's WHERE t IS NOT NULL union branches): unconverted stages
+    // produce NO row; the one populated stage reports its exact lower
+    // median and converter count. Also pins the ordering guard: a
+    // click BEFORE the first view does not convert.
+    import spark.implicits._
+    val d = tmpDir("w28deg")
+    val base = 1700000000000000L // micros
+    Seq(
+      (1L, base, "view", 10L), (1L, base + 10000000L, "click", 11L),
+      (2L, base, "view", 20L), (2L, base + 5000000L, "click", 21L),
+      (3L, base, "click", 30L), (3L, base + 1000000L, "view", 31L))
+      .toDF("user_id", "tus", "event_type", "event_id")
+      .select(col("user_id"), timestamp_micros(col("tus")).as("ts"),
+        col("event_type"), col("event_id"))
+      .write.parquet(s"$d/events.parquet")
+    val rows = SparkEntry.queries("w28_funnel_time")(spark, d).collect()
+    assert(rows.length == 1,
+      s"zero-converter stages must be absent, got: ${rows.mkString("; ")}")
+    val r = rows.head
+    assert(r.getString(0) == "1_view_to_click" && r.getLong(1) == 2L,
+      s"user 3's pre-view click must not convert: $r")
+    // lower median of {5s, 10s} gaps = 5s, a value from the data
+    assert(r.getLong(2) == 5000000L, s"exact lower median: $r")
   }
 
   test("w28 funnel time: stage medians equal a driver-side lower-median recompute from w10's stage times") {
