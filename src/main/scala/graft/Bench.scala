@@ -274,7 +274,11 @@ object Bench {
       results: Seq[(String, Double)], prior: Map[String, Double],
       minPriorSec: Double = 0.5): Double = {
     val rs = results.collect {
-      case (n, v) if v > 0 && prior.getOrElse(n, 0.0) > minPriorSec =>
+      // >= : same boundary convention as gateRegistryRow, so a row with
+      // a prior of exactly minPriorSec is both level-gated AND counted
+      // in the median diagnostic (r16 ADVICE: > here vs >= there left
+      // the 0.500 s row gated but invisible to the median)
+      case (n, v) if v > 0 && prior.getOrElse(n, 0.0) >= minPriorSec =>
         v / prior(n)
     }.sorted
     if (rs.isEmpty) -1.0 else r3(rs((rs.size - 1) / 2))
@@ -395,19 +399,28 @@ object Bench {
     * vs LAST round, but a slow slide — each step in-band — could walk
     * throughput down unbounded across rounds; these floors anchor the
     * artifact to the product's committed envelope the way the ANN
-    * recall floors do). Set at ~⅓ of the r15 builder-committed values
-    * (KPI 13.2k, windowed 30.1k, transitions 7.6k, growth 8.9k, dedup
-    * headline-throughput 1.27k): tolerant of the observed 1.2–1.6×
-    * host spread, but a sustained collapse refuses the artifact FILE
-    * like the drift/recall gates. Only armed at the sf0.1 bench scale
-    * — the floors are committed numbers AT that scale; an sf0.001
-    * smoke or a targeted run must not trip them. */
+    * recall floors do). RATCHET RULE: floors only move UP, to ~½ of
+    * the best committed per-section rows_per_sec, with the source
+    * artifact named here — a floor that could be lowered to admit a
+    * regression is no floor. r17 ratchet (r16 verdict item 2: the r16
+    * floors sat at ~⅓ of r15 values while r16 committed ~2× those, so
+    * two consecutive in-band 1.4× slides could walk throughput to the
+    * floor without a gate failure): best committed = max over the two
+    * r16 artifacts (builder 45b8977: KPI 17314.8, windowed 33991,
+    * dedup 2154.2; driver-rerun 3a62982: transitions 8359.1, growth
+    * 9930.6 rows/s) → floors at ~½ of each. Tolerant of the observed
+    * 1.2–1.6× host spread (the 1.26×-host r16 rerun clears every one
+    * with ≥1.7× margin), but a sustained collapse refuses the artifact
+    * FILE like the drift/recall gates. Only armed at the sf0.1 bench
+    * scale — the floors are committed numbers AT that scale; an
+    * sf0.001 smoke or a targeted run must not trip them (the summary
+    * line then reports the gate as "disarmed", never "pass"). */
   private[graft] val streamingFloors: Map[String, Double] = Map(
-    "streaming" -> 4000.0,
-    "streaming_windowed" -> 10000.0,
-    "streaming_dedup" -> 400.0,
-    "streaming_transitions" -> 2500.0,
-    "streaming_growth" -> 2900.0)
+    "streaming" -> 8600.0,
+    "streaming_windowed" -> 16900.0,
+    "streaming_dedup" -> 1000.0,
+    "streaming_transitions" -> 4100.0,
+    "streaming_growth" -> 4900.0)
 
   /** Floor violations across the streaming section JSONs — non-empty
     * refuses the artifact when armed. A section missing its
@@ -633,6 +646,11 @@ object Bench {
         "streaming_growth" -> streamingGrowth))
       else Seq.empty
     val streamingFloorOk = streamingFloorFails.isEmpty
+    // a skipped check must not read as a checked pass in the round
+    // record (r16 ADVICE): off the committed bench scale the floors
+    // are not armed, and the summary says so
+    val streamingFloorGate =
+      if (!atBenchScale) "disarmed" else if (streamingFloorOk) "pass" else "fail"
     val regNsJson = registryNoiseSuspect.distinct.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val strNsJson = streamingNoiseSuspect.distinct.sorted
@@ -651,7 +669,7 @@ object Bench {
     def rps(section: String): String =
       """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(section)
         .map(_.group(1)).getOrElse("-1")
-    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","registry_median_ratio":$medianRatio,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","recall_gate":"${if (recallGateOk) "pass" else "fail"}","streaming_floor_gate":"${if (streamingFloorOk) "pass" else "fail"}","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
+    println(s"""{"metric":"total_summary","value":${r3(total)},"unit":"sec","timing":"full-output min-of-2 cache-dropped","queries_n":${results.size},"errors":$errJson,"noise_suspect_registry":$regNsJson,"noise_suspect_streaming":$strNsJson,"sentinel_drift":$runDrift,"host_factor":$hostFactor,"host_factor_flag":"$hostFactorFlag","registry_median_ratio":$medianRatio,"streaming_rows_per_sec":${rps(streaming)},"streaming_windowed_rows_per_sec":${rps(streamingWindowed)},"streaming_dedup_rows_per_sec":${rps(streamingDedup)},"streaming_transitions_rows_per_sec":${rps(streamingTransitions)},"streaming_growth_rows_per_sec":${rps(streamingGrowth)},"drift_gate":"${if (scaleGateOk) "pass" else "fail"}","run_drift_gate":"${if (runDriftOk(runDrift)) "pass" else "fail"}","recall_gate":"${if (recallGateOk) "pass" else "fail"}","streaming_floor_gate":"$streamingFloorGate","detail":"full line above; per-query map in the artifact file","sf":"$sfDir"}""")
     // stdout tails get size-capped by capture harnesses; the file copy
     // keeps the full per-query map parseable
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")

@@ -45,7 +45,16 @@ class BenchBudgetSpec extends SparkTestBase {
     * proportionally more room, and a real plan regression still trips
     * because it moves its one query, never the sentinel set. Never
     * scales DOWN (a fast host must not tighten the committed bars). */
-  private lazy val hostScale: Double = {
+  /** True once [[sentinelMeasurement]] has actually fired — lets the
+    * anchor-recalibration gate distinguish "measured this run, in this
+    * run's JVM context" from a targeted run that never timed the
+    * sentinels (where it cancels rather than judging a stale file). */
+  @volatile private var sentinelMeasured = false
+
+  /** (measured warm sentinel total, host scale) — one measurement
+    * shared by every budget consumer AND the anchor-recalibration
+    * gate, so the gate judges exactly the number the budgets used. */
+  private lazy val sentinelMeasurement: (Double, Double) = {
     // shares Bench.timeSentinels (one definition of "sentinel total");
     // warmup = true so the reading means WARM steady state — the
     // context the committed constant was measured in
@@ -70,7 +79,51 @@ class BenchBudgetSpec extends SparkTestBase {
         "budget failures below are about the host, not the plans")
     System.err.println(f"[budget-spec] sentinel total $total%.3f s " +
       f"(committed $committedSentinelTotalSec%.2f) -> host scale $s%.2f")
-    s
+    sentinelMeasured = true
+    (total, s)
+  }
+
+  private def measuredSentinelTotalSec: Double = sentinelMeasurement._1
+  private lazy val hostScale: Double = sentinelMeasurement._2
+
+  /** Committed pure-JVM CPU anchor (r17, from the r16 medium ADVICE):
+    * [[hostScale]] is derived from five PRODUCT sentinel queries, so a
+    * cross-cutting product regression (scan path, CachePool,
+    * GraftSession.tune, codegen) slows the sentinels too, inflates the
+    * anchor, and silently absorbs itself into all ~280 budgets and the
+    * floors. This anchor touches no graft and no Spark code — xorshift
+    * fill + Arrays.sort + sum over a fixed 2M-long array — so it moves
+    * with host speed ONLY; the recalibration gate divides the sentinel
+    * reading by this ratio before comparing against the committed
+    * constant, and a product-wide slowdown can no longer masquerade as
+    * a slow host. Calibrated on the r17 builder host: standalone JVM
+    * min-of-3 after 2 warmups read 0.166/0.166/0.166/0.171/0.170 s
+    * over five process launches — committed at the floor, 0.165. */
+  private val committedCpuAnchorSec = 0.165
+
+  /** One timed pass of the CPU anchor workload. Deterministic input
+    * (fixed xorshift seed), allocation inside the timed region on
+    * purpose — the budgets time allocation-heavy Spark work too. */
+  private def cpuAnchorOnce(): Double = {
+    val n = 2000000
+    val a = new Array[Long](n)
+    var x = 0x9E3779B97F4A7C15L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+    java.util.Arrays.sort(a)
+    var s = 0L
+    i = 0
+    while (i < n) { s += a(i); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (s == 42L) System.err.println("") // keep the sum live
+    sec
+  }
+
+  /** min-of-3 after 2 warmups — the committed constant's discipline. */
+  private def cpuAnchorSec(): Double = {
+    cpuAnchorOnce(); cpuAnchorOnce()
+    Seq.fill(3)(cpuAnchorOnce()).min
   }
 
   /** Seconds at sf0.001 on local[4] — see class doc for the formula. */
@@ -611,26 +664,35 @@ class BenchBudgetSpec extends SparkTestBase {
     // rs(size/2) was the upper middle) — ratios (0.9, 1.1, 1.5, 2.0)
     val prior4 = prior + ("e" -> 1.0)
     assert(Bench.registryMedianRatio(res :+ ("e" -> 1.5), prior4) == 1.1)
+    // boundary convention shared with gateRegistryRow (r16 ADVICE): a
+    // prior of EXACTLY minPriorSec (0.5) is level-gated, so it must be
+    // counted in the median too — >= on both consumers
+    val priorEdge = Map("edge" -> 0.5)
+    assert(Bench.registryMedianRatio(Seq("edge" -> 1.0), priorEdge) == 2.0)
   }
 
   test("streaming throughput floors: committed envelope, missing section is a violation") {
-    // r15 verdict item 4's absolute half: the prior-relative bar can't
-    // stop a multi-round slide — the artifact refuses below ~1/3 of the
-    // r15 builder-committed section throughputs
+    // r15 verdict item 4's absolute half, RATCHETED in r17 (r16 verdict
+    // item 2): floors only move up, now ~1/2 of the best committed
+    // per-section rows/s (see Bench.streamingFloors scaladoc for the
+    // source artifacts). Fixture values = the r16 best-committed levels.
     val ok = Map(
-      "streaming" -> """{"rows":1,"seconds":1.0,"rows_per_sec":13200.0}""",
-      "streaming_windowed" -> """{"rows":1,"seconds":1.0,"rows_per_sec":30100.0}""",
-      "streaming_dedup" -> """{"rows":1,"seconds":1.0,"rows_per_sec":1273.0}""",
-      "streaming_transitions" -> """{"rows":1,"seconds":1.0,"rows_per_sec":7872.0}""",
-      "streaming_growth" -> """{"rows":1,"seconds":1.0,"rows_per_sec":8946.0}""")
+      "streaming" -> """{"rows":1,"seconds":1.0,"rows_per_sec":17314.8}""",
+      "streaming_windowed" -> """{"rows":1,"seconds":1.0,"rows_per_sec":33991.0}""",
+      "streaming_dedup" -> """{"rows":1,"seconds":1.0,"rows_per_sec":2154.2}""",
+      "streaming_transitions" -> """{"rows":1,"seconds":1.0,"rows_per_sec":8359.1}""",
+      "streaming_growth" -> """{"rows":1,"seconds":1.0,"rows_per_sec":9930.6}""")
     assert(Bench.streamingFloorFailures(ok).isEmpty)
-    // the observed slow-host values (r15 driver rerun) must still pass
+    // a ~1.9x-slower host than the best committed run must still pass
+    // (the floors gate the product envelope, not host speed)
     val slowHost = ok
-      .updated("streaming", """{"rows_per_sec":8487.3}""")
-      .updated("streaming_windowed", """{"rows_per_sec":17320.7}""")
+      .updated("streaming", """{"rows_per_sec":9113.0}""")
+      .updated("streaming_windowed", """{"rows_per_sec":17890.0}""")
+      .updated("streaming_dedup", """{"rows_per_sec":1134.0}""")
     assert(Bench.streamingFloorFailures(slowHost).isEmpty)
-    // a sustained collapse fails loudly
-    val collapsed = ok.updated("streaming_windowed", """{"rows_per_sec":5000.0}""")
+    // a sustained throughput halving-of-the-half (2x under best
+    // committed was in-band for the old ~1/3 floors) now fails loudly
+    val collapsed = ok.updated("streaming_windowed", """{"rows_per_sec":15000.0}""")
     val fails = Bench.streamingFloorFailures(collapsed)
     assert(fails.size == 1 && fails.head.startsWith("streaming_windowed"), s"$fails")
     // a silently-dropped section must not read as green
@@ -808,13 +870,18 @@ class BenchBudgetSpec extends SparkTestBase {
     // which is the whole story of the r9 "regression") re-measured
     // 147/163/172 → floor 80. A ~2× state-store or index-join
     // regression now trips while ~30% machine noise does not.
-    // SPARK_GRAFT_FLOOR_SCALE (default 1.0) rescales both floors for
-    // slower hosts: the gate should track a product regression, not
-    // host speed (round-9 advice). Since r16 the in-suite sentinel
-    // anchor (hostScale) divides the floors automatically — the env
-    // knob stays as a manual override on top.
-    val floorScale =
-      sys.env.getOrElse("SPARK_GRAFT_FLOOR_SCALE", "1.0").toDouble / hostScale
+    // SPARK_GRAFT_FLOOR_SCALE rescales the floors for slower hosts:
+    // the gate should track a product regression, not host speed
+    // (round-9 advice). Since r16 the in-suite sentinel anchor
+    // (hostScale) divides the floors automatically; an EXPLICIT env
+    // value replaces that scaling entirely rather than compounding
+    // with it (r16 ADVICE: a user who had already calibrated the knob
+    // for a slow host — its documented purpose since round 9 — would
+    // otherwise get the manual and automatic loosening multiplied).
+    val floorScale = sys.env.get("SPARK_GRAFT_FLOOR_SCALE") match {
+      case Some(v) => v.toDouble
+      case None => 1.0 / hostScale
+    }
     def rps(json: String): Double = {
       val m = """"rows_per_sec":(-?[0-9.]+)""".r.findFirstMatchIn(json)
       assert(m.nonEmpty, s"rows_per_sec missing: $json")
@@ -902,7 +969,7 @@ class BenchBudgetSpec extends SparkTestBase {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/budget_times.json"),
-        s"""{"host_scale":${d3(hostScale)},"times":$json}""" + "\n")
+        s"""{"host_scale":${d3(hostScale)},"sentinel_total_sec":${d3(measuredSentinelTotalSec)},"times":$json}""" + "\n")
     } catch { case e: java.io.IOException =>
       System.err.println(s"[budget-spec] could not write budget_times.json: ${e.getMessage}")
     }
@@ -921,5 +988,84 @@ class BenchBudgetSpec extends SparkTestBase {
       else None
     }
     assert(confirmed.isEmpty, s"budget regressions (reproduced twice):\n${confirmed.mkString("\n")}")
+  }
+
+  test("budget anchor stays calibrated: sentinel total within a committed band of the anchor") {
+    // r16 verdict item 1: committedSentinelTotalSec is the ONE
+    // hand-maintained constant every budget multiplies through, and it
+    // was calibrated in the full-suite warm-JVM context — but the
+    // suite grows every round, JVM warmup depth at the lazy-val point
+    // moves with it, and a drifted anchor silently re-biases all ~280
+    // bars at once. This gate reads the run's own measurement (the
+    // exact number the budgets used — budget_times.json carries the
+    // same value, cross-checked below), normalizes it by the pure-JVM
+    // CPU anchor so host speed cancels out (r16 medium ADVICE: without
+    // that, a product-wide slowdown inflates the sentinel reading and
+    // masquerades as a slow host), and fails with a recalibration
+    // instruction when the suite's own context has moved the anchor.
+    //
+    // MEASUREMENT CONTEXT: the lazy-val reading itself is context-
+    // sensitive (full-suite warm 0.68–0.78 s vs fresh-JVM targeted
+    // 1.20–1.36 s on the same host — the scaladoc's documented split),
+    // so judging IT would flap on targeted runs. The gate instead
+    // re-measures the sentinel set HERE — after the budget test has
+    // executed every registry query twice, the deepest and most
+    // reproducible warm context either run mode can offer — and judges
+    // that reading, normalized by the pure-JVM CPU anchor.
+    //
+    // BAND RATIONALE (see COVERAGE.md "budget anchor"): upper 1.5x —
+    // post-registry warm readings sit at or below the committed
+    // full-suite constant (deeper JIT), so a host-normalized reading
+    // 1.5x OVER it means the warm context itself moved (suite growth →
+    // recalibrate) or a cross-cutting product change slowed the
+    // sentinel set (the CPU anchor rules out the host — investigate).
+    // Lower 0.45x — below that the committed constant OVERSTATES warm
+    // steady state, hostScale stays pinned at 1.0 on genuinely slow
+    // hosts, and the r15 a46 zero-slack failure class returns:
+    // recalibrate downward. The CPU ratio is floored at 0.5 so a freak
+    // near-zero anchor reading cannot explode the normalization.
+    assume(sentinelMeasured,
+      "sentinel anchor not measured this run (targeted run without a " +
+        "budget test) — the recalibration gate only judges post-registry context")
+    val warmTotal = Bench.timeSentinels(spark, dir, warmup = true)._1
+    val cpu = cpuAnchorSec()
+    val cpuRatio = math.max(cpu / committedCpuAnchorSec, 0.5)
+    val normalized = warmTotal / cpuRatio
+    System.err.println(f"[budget-spec] anchor gate: post-registry " +
+      f"sentinel $warmTotal%.3f s (lazy-val reading was " +
+      f"$measuredSentinelTotalSec%.3f), cpu anchor $cpu%.3f s " +
+      f"(committed $committedCpuAnchorSec%.3f -> ratio $cpuRatio%.2f), " +
+      f"host-normalized $normalized%.3f s vs committed " +
+      f"$committedSentinelTotalSec%.2f band [0.45x, 1.5x]")
+    assert(normalized <= committedSentinelTotalSec * 1.5,
+      f"host-normalized post-registry sentinel total $normalized%.3f s > " +
+        f"${committedSentinelTotalSec * 1.5}%.3f s (committed anchor " +
+        f"$committedSentinelTotalSec%.2f x 1.5; cpu ratio $cpuRatio%.2f " +
+        f"already credits host speed) — RECALIBRATE the anchor: if the " +
+        "suite's warm-JVM context moved it, re-measure " +
+        "committedSentinelTotalSec in the full-suite context and commit " +
+        "the new constant with the measurement in its scaladoc; if the " +
+        "CPU anchor did NOT move with it, suspect a cross-cutting " +
+        "product slowdown (scan path, CachePool, tune, codegen) that " +
+        "hostScale would otherwise silently absorb into every budget")
+    assert(normalized >= committedSentinelTotalSec * 0.45,
+      f"host-normalized post-registry sentinel total $normalized%.3f s < " +
+        f"${committedSentinelTotalSec * 0.45}%.3f s — the committed " +
+        "anchor now OVERSTATES the suite's warm context, so hostScale " +
+        "stays 1.0 on genuinely slow hosts and zero-slack budget rows " +
+        "flap there (the r15 a46 class) — RECALIBRATE downward")
+    // the file the offline sweeps read must carry the same number the
+    // budgets used (write failures are non-fatal there, so only
+    // cross-check when the file exists and has the field)
+    val p = java.nio.file.Paths.get("target/budget_times.json")
+    if (java.nio.file.Files.exists(p)) {
+      val j = java.nio.file.Files.readString(p)
+      """"sentinel_total_sec":(-?[0-9.]+)""".r.findFirstMatchIn(j)
+        .map(_.group(1).toDouble).foreach { v =>
+          assert(math.abs(v - measuredSentinelTotalSec) < 0.0011,
+            f"budget_times.json sentinel_total_sec $v%.3f != measured " +
+              f"$measuredSentinelTotalSec%.3f — file/run divergence")
+        }
+    }
   }
 }

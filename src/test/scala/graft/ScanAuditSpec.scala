@@ -1,0 +1,102 @@
+package graft
+
+import graft.tools.ScanAudit
+
+/** The scan-width audit as a GATE (r16 verdict item 4: the committed
+  * r16 sweep said zero full-width documents scans, but nothing stopped
+  * r17 adding one — "the audit ran once; make it a gate"). The whole
+  * registry's (query, table, ReadSchema) lines are regenerated on the
+  * test session every suite run and diffed against the committed
+  * golden `SCANAUDIT.txt`: a widened scan fails the suite, and
+  * widening one deliberately means re-running with
+  * `SPARK_GRAFT_REGEN_SCANAUDIT=1` and reviewing/committing the diff —
+  * the same discipline as a budget re-baseline.
+  *
+  * The golden file is the TEST session's output (local[4], no
+  * GraftSession.tune): scan blocks don't depend on parallelism, but
+  * pinning the producer removes any doubt about which environment the
+  * committed lines mean. */
+class ScanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val goldenPath = java.nio.file.Paths.get("SCANAUDIT.txt")
+
+  test("ReadSchema parser: nesting-tolerant columns, per-block table pairing") {
+    // depth-aware top-level split — the r16 ADVICE case: the old
+    // non-greedy [^>]* truncated at the first inner '>' of a nested
+    // struct and then misaligned every later (table, schema) pair
+    assert(ScanAudit.topLevelCols("a:int,b:string") == Seq("a", "b"))
+    assert(ScanAudit.topLevelCols("a:struct<b:int,c:array<int>>,d:int")
+      == Seq("a", "d"))
+    assert(ScanAudit.topLevelCols("v:array<struct<x:int,y:int>>") == Seq("v"))
+    assert(ScanAudit.topLevelCols("a:decimal(15,2),b:int") == Seq("a", "b"))
+    assert(ScanAudit.topLevelCols("") == Seq.empty)
+    val formatted =
+      """== Physical Plan ==
+        |* HashAggregate (3)
+        |+- Scan parquet  (1)
+        |
+        |(1) Scan parquet
+        |Output [1]: [doc_id#1L]
+        |Location: InMemoryFileIndex [file:/tmp/sf/documents.parquet]
+        |ReadSchema: struct<doc_id:bigint,meta:struct<w:int,h:int>>
+        |
+        |(2) Scan parquet
+        |Output: []
+        |ReadSchema: struct<>
+        |
+        |(3) HashAggregate
+        |Keys: []
+        |""".stripMargin
+    val scans = ScanAudit.scanBlocks(formatted)
+    // nested struct keeps ONE top-level column; the location-less
+    // zero-column scan reports ("?", 0 cols) for ITSELF without
+    // shifting the first block's pairing
+    assert(scans == Seq(("documents", Seq("doc_id", "meta")), ("?", Seq.empty)))
+  }
+
+  test("registry scan widths match the committed SCANAUDIT.txt golden") {
+    val lines = ScanAudit.auditLines(spark, dir)
+    // construction failures must surface here, not vanish from the audit
+    val errs = lines.filter(_.contains("\tERROR\t"))
+    assert(errs.isEmpty, s"queries failed to construct:\n${errs.mkString("\n")}")
+    // every registry query must appear (a query with zero parquet scans
+    // would be a registry anomaly worth failing on too)
+    val audited = lines.map(_.takeWhile(_ != '\t')).toSet
+    assert(audited == SparkEntry.queries.keySet,
+      s"audit coverage mismatch; missing=${(SparkEntry.queries.keySet -- audited).toSeq.sorted}, " +
+        s"extra=${(audited -- SparkEntry.queries.keySet).toSeq.sorted}")
+    // the r16 finding's hard backstop, independent of the golden: NO
+    // query may scan the documents table full-width (the t31/t38 class
+    // — a mapPartitions boundary upstream of the result blocking
+    // pruning and dragging all columns through a narrow output)
+    val docWidth = spark.read.parquet(s"$dir/documents.parquet").schema.size
+    val fullWidth = lines.filter { l =>
+      val p = l.split('\t'); p(1) == "documents" && p(2).toInt >= docWidth
+    }
+    assert(fullWidth.isEmpty,
+      s"full-width documents scans (all $docWidth cols):\n${fullWidth.mkString("\n")}")
+    if (sys.env.contains("SPARK_GRAFT_REGEN_SCANAUDIT")) {
+      java.nio.file.Files.writeString(goldenPath,
+        lines.mkString("", "\n", "\n"))
+      System.err.println(s"[scan-audit] regenerated $goldenPath " +
+        s"(${lines.size} lines) — review the diff before committing")
+    } else {
+      assert(java.nio.file.Files.exists(goldenPath),
+        "SCANAUDIT.txt missing — regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1 " +
+          "and commit it")
+      val golden = java.nio.file.Files.readString(goldenPath)
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val fresh = lines.toSet
+      val gold = golden.toSet
+      val widened = (fresh -- gold).toSeq.sorted
+      val gone = (gold -- fresh).toSeq.sorted
+      assert(widened.isEmpty && gone.isEmpty,
+        "scan-width drift vs committed SCANAUDIT.txt — review each line " +
+          "(a wider ReadSchema is wasted I/O at 100 TB), fix the query or " +
+          "deliberately regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1:\n" +
+          s"new/changed scans:\n${widened.mkString("\n")}\n" +
+          s"missing vs golden:\n${gone.mkString("\n")}")
+    }
+  }
+}
