@@ -422,6 +422,13 @@ object Bench {
     "streaming_transitions" -> 4100.0,
     "streaming_growth" -> 4900.0)
 
+  /** Summary-line label for the streaming-floor gate: a check that was
+    * never armed (off the sf0.1 bench scale) must read "disarmed" in
+    * the round record, never "pass" (r16 ADVICE: a skipped check was
+    * indistinguishable from a checked pass). */
+  private[graft] def streamingFloorGateLabel(armed: Boolean, ok: Boolean): String =
+    if (!armed) "disarmed" else if (ok) "pass" else "fail"
+
   /** Floor violations across the streaming section JSONs — non-empty
     * refuses the artifact when armed. A section missing its
     * rows_per_sec (errored drain) is a violation too. */
@@ -646,11 +653,7 @@ object Bench {
         "streaming_growth" -> streamingGrowth))
       else Seq.empty
     val streamingFloorOk = streamingFloorFails.isEmpty
-    // a skipped check must not read as a checked pass in the round
-    // record (r16 ADVICE): off the committed bench scale the floors
-    // are not armed, and the summary says so
-    val streamingFloorGate =
-      if (!atBenchScale) "disarmed" else if (streamingFloorOk) "pass" else "fail"
+    val streamingFloorGate = streamingFloorGateLabel(atBenchScale, streamingFloorOk)
     val regNsJson = registryNoiseSuspect.distinct.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val strNsJson = streamingNoiseSuspect.distinct.sorted

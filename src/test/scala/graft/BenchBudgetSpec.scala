@@ -707,6 +707,12 @@ class BenchBudgetSpec extends SparkTestBase {
     // an errored section (rows_per_sec -1) is a violation, not a pass
     val errored = ok.updated("streaming_dedup", """{"rows":0,"rows_per_sec":-1.0}""")
     assert(Bench.streamingFloorFailures(errored).exists(_.startsWith("streaming_dedup")))
+    // a never-armed gate reads "disarmed", never "pass" (r16 ADVICE:
+    // an sf0.001 smoke must not record a checked pass in the summary)
+    assert(Bench.streamingFloorGateLabel(armed = false, ok = true) == "disarmed")
+    assert(Bench.streamingFloorGateLabel(armed = false, ok = false) == "disarmed")
+    assert(Bench.streamingFloorGateLabel(armed = true, ok = true) == "pass")
+    assert(Bench.streamingFloorGateLabel(armed = true, ok = false) == "fail")
   }
 
   test("multi-key section gate: dedup-growth probes compare per key, re-run once, record survivors") {
