@@ -394,4 +394,31 @@ class PlanSpec extends SparkTestBase {
     assert(!plan(q).contains("CartesianProduct"))
     CachePool.releaseAll()
   }
+
+  test("Q2 shape: ONE fact aggregate, dims broadcast after the argmin, fact joined once (J25)") {
+    // j25 is the round-16/17 timing watch item (0.64 -> 0.90-1.14 s
+    // across contexts); the dedicated re-measure called it host/JIT
+    // band, and this pin makes the OTHER explanation — a silent plan
+    // drift — impossible to miss: the argmin must stay one map-side-
+    // combined aggregate over the fact, and every decoration join must
+    // broadcast against the |parts|-sized argmin result, never join
+    // or shuffle the fact itself
+    val q = SparkEntry.queries("j25_q2_shape")(spark, dir)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join anywhere in the Q2 shape:\n$p")
+    // exactly one aggregation pair (partial + final) over the fact:
+    // a second hashpartitioning exchange on l_partkey would mean the
+    // fact is shuffled beyond the single argmin
+    val factExchanges =
+      """Exchange hashpartitioning\(l_partkey""".r.findAllMatchIn(p).size
+    assert(factExchanges <= 1, s"fact must shuffle at most once (argmin):\n$p")
+    // the lineitem scan carries only the three argmin columns
+    val read = formatted(q).linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("l_partkey")).mkString
+    for (c <- Seq("l_quantity", "l_shipdate", "l_orderkey", "l_discount"))
+      assert(!read.contains(c), s"j25 fact scan reads unneeded column $c: $read")
+    CachePool.releaseAll()
+  }
 }
