@@ -90,21 +90,41 @@ object ScanAudit {
     * `(no-scan)` marker line, so the golden records that shape too. */
   private[graft] def auditLines(
       spark: SparkSession, sfDir: String, minCols: Int = 0): Seq[String] =
-    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    auditAll(spark, sfDir, minCols)._1
+
+  /** One pass over the registry producing BOTH committed goldens:
+    * the scan-width lines ([[auditLines]] format) and the shuffle
+    * profile (`query\t<n hash exchanges>\t<canonical key sets>`, via
+    * [[ShuffleAudit.exchangeProfile]]) — each query's DataFrame is
+    * constructed and planned ONCE and feeds both sweeps. The shuffle
+    * golden is the scan golden's twin for the other 100 TB axis: a
+    * new Exchange in an untouched query (the e12 double-shuffle
+    * class) fails the suite as a one-line diff. */
+  private[graft] def auditAll(
+      spark: SparkSession, sfDir: String,
+      minCols: Int = 0): (Seq[String], Seq[String]) = {
+    val both = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try {
         val out = new java.io.ByteArrayOutputStream()
         val df = fn(spark, sfDir)
         Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
         val scans = scanBlocks(out.toString)
-        if (scans.isEmpty) Seq(s"$name\t(no-scan)\t0\t")
-        else scans.collect {
-          case (t, cols) if cols.length >= minCols =>
-            s"$name\t$t\t${cols.length}\t${cols.mkString(",")}"
-        }.sorted
+        val scanLines =
+          if (scans.isEmpty) Seq(s"$name\t(no-scan)\t0\t")
+          else scans.collect {
+            case (t, cols) if cols.length >= minCols =>
+              s"$name\t$t\t${cols.length}\t${cols.mkString(",")}"
+          }.sorted
+        val (nEx, keySets) =
+          ShuffleAudit.exchangeProfile(df.queryExecution.executedPlan.toString)
+        (scanLines, s"$name\t$nEx\t${keySets.mkString(";")}")
       } catch {
-        case e: Throwable => Seq(s"$name\tERROR\t-\t${e.getMessage}")
+        case e: Throwable =>
+          (Seq(s"$name\tERROR\t-\t${e.getMessage}"), s"$name\tERROR\t${e.getMessage}")
       } finally graft.CachePool.releaseAll()
     }
+    (both.flatMap(_._1), both.map(_._2))
+  }
 
   def main(args: Array[String]): Unit = {
     val minCols = args.headOption.map(_.toInt).getOrElse(0)

@@ -18,6 +18,36 @@ import graft.{CachePool, GraftSession, SparkEntry}
   * one line per flagged query: the distinct hash-Exchange key sets.
   */
 object ShuffleAudit {
+
+  private val exchangeRe =
+    "Exchange hashpartitioning\\(([^)]*)\\)[^\\n]*plan_id=(\\d+)".r
+
+  /** (distinct hash-Exchange count, canonical key sets) of one
+    * physical-plan string — plan_id-deduped (cached subtrees print
+    * under every consumer), key sets with column ids stripped and
+    * members sorted so the profile is stable across runs. Feeds both
+    * the subset-pair hunter below and the committed
+    * `SHUFFLEAUDIT.txt` golden (r17): the scan golden catches I/O
+    * width creep, this one catches SHUFFLE creep — a new exchange in
+    * an untouched query is the next e12 double-shuffle, visible as a
+    * one-line golden diff instead of a per-query spot-check.
+    *
+    * NOTE: this profiles the printed PRE-AQE tree — iterative queries
+    * whose staged frames are consumed by several branches repeat the
+    * staging subtree per consumer (x33 prints 61 exchange nodes where
+    * execution reuses/caches most of them), so the number is a DRIFT
+    * detector for the plan shape, not a runtime shuffle count. */
+  private[graft] def exchangeProfile(physicalPlan: String): (Int, Seq[String]) = {
+    val byId = exchangeRe.findAllMatchIn(physicalPlan)
+      .map(m => m.group(2) -> m.group(1)).toMap
+    val keySets = byId.values.toSeq.map { keys =>
+      keys.split(",").map(_.trim.takeWhile(_ != '#'))
+        .filter(k => k.nonEmpty && !k.forall(_.isDigit))
+        .toSeq.sorted.mkString("(", ",", ")")
+    }.sorted
+    (keySets.size, keySets)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")

@@ -20,6 +20,33 @@ class ScanAuditSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
   private val goldenPath = java.nio.file.Paths.get("SCANAUDIT.txt")
+  private val shuffleGoldenPath = java.nio.file.Paths.get("SHUFFLEAUDIT.txt")
+
+  /** Both sweeps off ONE plan-construction pass over the registry —
+    * shared by the two golden tests below. */
+  private lazy val audits: (Seq[String], Seq[String]) =
+    ScanAudit.auditAll(spark, dir)
+
+  private def diffGolden(
+      lines: Seq[String], path: java.nio.file.Path, what: String): Unit = {
+    if (sys.env.contains("SPARK_GRAFT_REGEN_SCANAUDIT")) {
+      java.nio.file.Files.writeString(path, lines.mkString("", "\n", "\n"))
+      System.err.println(s"[scan-audit] regenerated $path " +
+        s"(${lines.size} lines) — review the diff before committing")
+    } else {
+      assert(java.nio.file.Files.exists(path),
+        s"$path missing — regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1 and commit it")
+      val golden = java.nio.file.Files.readString(path)
+        .linesIterator.filter(_.nonEmpty).toSeq
+      val widened = (lines.toSet -- golden.toSet).toSeq.sorted
+      val gone = (golden.toSet -- lines.toSet).toSeq.sorted
+      assert(widened.isEmpty && gone.isEmpty,
+        s"$what drift vs committed $path — review each line, fix the " +
+          "query or deliberately regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1:\n" +
+          s"new/changed:\n${widened.mkString("\n")}\n" +
+          s"missing vs golden:\n${gone.mkString("\n")}")
+    }
+  }
 
   test("ReadSchema parser: nesting-tolerant columns, per-block table pairing") {
     // depth-aware top-level split — the r16 ADVICE case: the old
@@ -56,7 +83,7 @@ class ScanAuditSpec extends SparkTestBase {
   }
 
   test("registry scan widths match the committed SCANAUDIT.txt golden") {
-    val lines = ScanAudit.auditLines(spark, dir)
+    val lines = audits._1
     // construction failures must surface here, not vanish from the audit
     val errs = lines.filter(_.contains("\tERROR\t"))
     assert(errs.isEmpty, s"queries failed to construct:\n${errs.mkString("\n")}")
@@ -76,27 +103,22 @@ class ScanAuditSpec extends SparkTestBase {
     }
     assert(fullWidth.isEmpty,
       s"full-width documents scans (all $docWidth cols):\n${fullWidth.mkString("\n")}")
-    if (sys.env.contains("SPARK_GRAFT_REGEN_SCANAUDIT")) {
-      java.nio.file.Files.writeString(goldenPath,
-        lines.mkString("", "\n", "\n"))
-      System.err.println(s"[scan-audit] regenerated $goldenPath " +
-        s"(${lines.size} lines) — review the diff before committing")
-    } else {
-      assert(java.nio.file.Files.exists(goldenPath),
-        "SCANAUDIT.txt missing — regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1 " +
-          "and commit it")
-      val golden = java.nio.file.Files.readString(goldenPath)
-        .linesIterator.filter(_.nonEmpty).toSeq
-      val fresh = lines.toSet
-      val gold = golden.toSet
-      val widened = (fresh -- gold).toSeq.sorted
-      val gone = (gold -- fresh).toSeq.sorted
-      assert(widened.isEmpty && gone.isEmpty,
-        "scan-width drift vs committed SCANAUDIT.txt — review each line " +
-          "(a wider ReadSchema is wasted I/O at 100 TB), fix the query or " +
-          "deliberately regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1:\n" +
-          s"new/changed scans:\n${widened.mkString("\n")}\n" +
-          s"missing vs golden:\n${gone.mkString("\n")}")
-    }
+    diffGolden(lines, goldenPath, "scan-width (wasted I/O at 100 TB)")
+  }
+
+  test("registry shuffle profiles match the committed SHUFFLEAUDIT.txt golden") {
+    // the scan golden's twin for the other scale axis: every query's
+    // distinct hash-Exchange count + canonical key sets are committed,
+    // so a NEW shuffle in an untouched query (the e12 double-shuffle
+    // class — a lost exchange reuse, a repartition creeping in, a join
+    // falling off its co-partitioning) fails the suite as a one-line
+    // diff instead of waiting for a bench-level timing drift
+    val lines = audits._2
+    val errs = lines.filter(_.contains("\tERROR"))
+    assert(errs.isEmpty, s"queries failed to plan:\n${errs.mkString("\n")}")
+    val audited = lines.map(_.takeWhile(_ != '\t')).toSet
+    assert(audited == SparkEntry.queries.keySet,
+      s"shuffle-audit coverage mismatch; missing=${(SparkEntry.queries.keySet -- audited).toSeq.sorted}")
+    diffGolden(lines, shuffleGoldenPath, "shuffle-profile (exchange creep)")
   }
 }
