@@ -437,7 +437,11 @@ class BenchBudgetSpec extends SparkTestBase {
     "e28_holt_winters" -> 1.5,
     "w27_survival_km" -> 1.2,
     "w26_period_over_period" -> 1.2,
-    "a48_levene" -> 2.0,
+    // r17 headroom sweep: the only row under 30% headroom (in-suite
+    // 1.437 s on a 1.04x host = 0.72 of the old 2.0) — re-baselined
+    // before it flaps; plan unchanged (two-level group-center + abs-
+    // deviation aggregate, same shape since it was added)
+    "a48_levene" -> 2.5,
     "a49_tukey_posthoc" -> 1.2,
     "t37_lang_confusion" -> 1.5,
     // trains the 10-rule fixture tokenizer + one greedy-encode pass +
