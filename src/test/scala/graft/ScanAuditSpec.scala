@@ -38,8 +38,21 @@ class ScanAuditSpec extends SparkTestBase {
         s"$path missing — regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1 and commit it")
       val golden = java.nio.file.Files.readString(path)
         .linesIterator.filter(_.nonEmpty).toSeq
-      val widened = (lines.toSet -- golden.toSet).toSeq.sorted
-      val gone = (golden.toSet -- lines.toSet).toSeq.sorted
+      // MULTISET comparison (r17 review finding: a set diff is blind
+      // to multiplicity, and the goldens legitimately carry duplicate
+      // lines — a22 scans customer twice — so an ADDED identical scan,
+      // exactly the wasted-I/O regression this gate exists for, would
+      // pass a set-based check silently)
+      def counts(ls: Seq[String]): Map[String, Int] =
+        ls.groupBy(identity).map { case (k, v) => k -> v.size }
+      val fresh = counts(lines)
+      val gold = counts(golden)
+      def delta(a: Map[String, Int], b: Map[String, Int]): Seq[String] =
+        a.collect { case (l, n) if n > b.getOrElse(l, 0) =>
+          s"$l  [x$n vs x${b.getOrElse(l, 0)}]"
+        }.toSeq.sorted
+      val widened = delta(fresh, gold)
+      val gone = delta(gold, fresh)
       assert(widened.isEmpty && gone.isEmpty,
         s"$what drift vs committed $path — review each line, fix the " +
           "query or deliberately regenerate with SPARK_GRAFT_REGEN_SCANAUDIT=1:\n" +
@@ -80,6 +93,27 @@ class ScanAuditSpec extends SparkTestBase {
     // zero-column scan reports ("?", 0 cols) for ITSELF without
     // shifting the first block's pairing
     assert(scans == Seq(("documents", Seq("doc_id", "meta")), ("?", Seq.empty)))
+  }
+
+  test("exchange parser: paren-balanced keys survive nesting, plan_id dedup, count dropped") {
+    // r17 review finding: the regex `([^)]*)` form truncated float
+    // keys (knownfloatingpointnormalized(normalizenanandzero(x#5)))
+    // at the FIRST nested ')' — the parser now balances parens and
+    // splits keys at depth 0 only
+    val plan =
+      "+- Exchange hashpartitioning(knownfloatingpointnormalized(normalizenanandzero(score#5)), xxhash64(_g#7, 42), 4), ENSURE_REQUIREMENTS, [plan_id=12]\n" +
+        "   +- Exchange hashpartitioning(user_id#3L, 4), REPARTITION_BY_COL, [plan_id=13]\n" +
+        // a cached subtree prints its node again under a second
+        // consumer with the SAME plan_id — must not double-count
+        "+- Exchange hashpartitioning(knownfloatingpointnormalized(normalizenanandzero(score#5)), xxhash64(_g#7, 42), 4), ENSURE_REQUIREMENTS, [plan_id=12]\n"
+    val ks = graft.tools.ShuffleAudit.exchangeKeySets(plan)
+    assert(ks == Seq(
+      Seq("knownfloatingpointnormalized(normalizenanandzero(score))", "xxhash64(_g, 42)"),
+      Seq("user_id")), s"$ks")
+    val (n, canonical) = graft.tools.ShuffleAudit.exchangeProfile(plan)
+    assert(n == 2 && canonical ==
+      Seq("(knownfloatingpointnormalized(normalizenanandzero(score)),xxhash64(_g, 42))",
+        "(user_id)"), s"$n $canonical")
   }
 
   test("registry scan widths match the committed SCANAUDIT.txt golden") {
