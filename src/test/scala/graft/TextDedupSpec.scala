@@ -853,6 +853,114 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("selectMergeBatch: each exactness rule pinned on hand-built pair orders") {
+    import graft.operators.TextAnalysis.selectMergeBatch
+    val syms = Set("a", "b", "c", "d", "e", "f", "_")
+    // rule (1): a pair sharing a symbol with an earlier selection ends
+    // the batch — its own count is about to change
+    assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("b", "c", 8L),
+      ("d", "e", 6L)), syms, 3) == IndexedSeq(("a", "b", 10L)))
+    // rule (2) boundary: want=2 means entry 3 is the UNFETCHED-order
+    // sentinel; (c,d)=8 ties it, and a new pair minted by the (a,b)
+    // merge could tie 8 too and win the string tie-break — truncated
+    assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("c", "d", 8L),
+      ("e", "a", 8L)), syms, 2) == IndexedSeq(("a", "b", 10L)))
+    // rule (2) exhausted universe: no entry ranks below the batch at
+    // all, so nothing can sneak between — both kept despite the tie
+    assert(selectMergeBatch(IndexedSeq(("a", "b", 8L), ("c", "d", 8L)),
+      syms, 3) == IndexedSeq(("a", "b", 8L), ("c", "d", 8L)))
+    // rule (3): an output string that already names a symbol can
+    // INFLATE counts anywhere below the probe — selected, then halt
+    assert(selectMergeBatch(IndexedSeq(("c", "d", 10L), ("a", "b", 8L),
+      ("e", "f", 6L)), syms + "ab", 3) ==
+      IndexedSeq(("c", "d", 10L), ("a", "b", 8L)))
+    // rule (3) at the head: one merge is sequential by definition
+    assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("e", "f", 6L)),
+      syms + "ab", 3) == IndexedSeq(("a", "b", 10L)))
+    // pending-output sharing: ("ab", c) can only appear in the same
+    // pre-round order as ("a","b") if "ab" already named a symbol, so
+    // `used` holding the pending output halts it
+    assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("ab", "c", 9L),
+      ("e", "f", 8L)), syms + "ab", 3) == IndexedSeq(("a", "b", 10L)))
+  }
+
+  test("bpeTrain: batched distributed rounds learn multiple merges per scheduling round (r16 residual)") {
+    import graft.operators.TextAnalysis
+    // symbol-disjoint top pairs with counts clear of the stop
+    // boundary: (a,b)=42 and (c,d)=26 both beat (b,a)=21, so ONE
+    // batched round learns what the one-merge loop takes two for
+    val df = Seq(Seq.fill(21)("abab").mkString(" "),
+      Seq.fill(13)("cdcd").mkString(" ")).map(Tuple1(_)).toDF("text")
+    def roundsAndTable(probe: Int) = {
+      val before = graft.CachePool.trackedCount
+      val t = TextAnalysis.bpeTrain(df, "text", merges = 2,
+        maxDriverVocab = 0, mergeBatchProbe = probe)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+      (graft.CachePool.trackedCount - before, t)
+    }
+    val (regSingle, tSingle) = roundsAndTable(1)
+    val (regBatched, tBatched) = roundsAndTable(64)
+    val expected = Seq((1L, "a", "b", 42L), (2L, "c", "d", 26L))
+    assert(tSingle == expected, s"probe=1 learned $tSingle")
+    assert(tBatched == expected, s"probe=64 learned $tBatched")
+    // registered frames = vocab agg + initial vocab + one per
+    // merge-learning round: two rounds at probe=1, ONE batched round
+    assert(regSingle == 4, s"single-merge path registered $regSingle frames")
+    assert(regBatched == 3, s"batched path registered $regBatched frames")
+    // lineage-truncation boundary: every 8th round rebuilds the vocab
+    // as an eager localCheckpoint (plan depth would otherwise grow
+    // with the merge budget — a 50-round run OOM'd an 8g driver
+    // building an execution-event plan string). A 10-round probe=1
+    // run crosses the boundary: parity with the driver loop must hold
+    // across the checkpoint, and the checkpointed round must register
+    // in the pool like any other (vocab agg + initial + 10 rounds)
+    val longDf = Seq(Tuple1(Seq.fill(5)("abcdefghijkl").mkString(" ")))
+      .toDF("text")
+    def longRun(gate: Int, probe: Int) = {
+      val before = graft.CachePool.trackedCount
+      val t = TextAnalysis.bpeTrain(longDf, "text", merges = 10,
+        maxDriverVocab = gate, mergeBatchProbe = probe)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+      (graft.CachePool.trackedCount - before, t)
+    }
+    val (regLong, tLong) = longRun(0, 1)
+    val (_, tOracle) = longRun(1 << 20, 1)
+    assert(tLong == tOracle,
+      s"parity broke across the checkpoint boundary:\n oracle=$tOracle\n got=$tLong")
+    assert(regLong == 12, s"10 probe=1 rounds must register 12 frames, got $regLong")
+  }
+
+  test("bpeTrain: batched rounds equal the sequential model on seeded random corpora (ties, collisions, truncation)") {
+    import graft.operators.TextAnalysis
+    // adversarial sweep for the batched-exact rounds: 1-3 letter
+    // alphabets force count ties, output-string collisions (two
+    // segmentations minting the same symbol) and boundary truncations
+    // far more often than real text; the driver loop is the oracle
+    // and probe=2 maximizes boundary-sentinel traffic
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 10).foreach { trial =>
+      val alpha = 1 + rnd.nextInt(3)
+      val docs = (1 to 3 + rnd.nextInt(4)).map { _ =>
+        val w = (1 to 1 + rnd.nextInt(5))
+          .map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString
+        Seq.fill(1 + rnd.nextInt(6))(w).mkString(" ")
+      }
+      val df = docs.map(Tuple1(_)).toDF("text")
+      def run(probe: Int, gate: Int) =
+        TextAnalysis.bpeTrain(df, "text", merges = 8,
+          maxDriverVocab = gate, mergeBatchProbe = probe)
+          .collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getLong(3))).toSeq.sortBy(_._1)
+      val oracle = run(64, 1 << 20) // driver loop
+      val b64 = run(64, 0)
+      assert(b64 == oracle, s"probe=64 diverged on trial $trial $docs:\n oracle=$oracle\n got=$b64")
+      val b2 = run(2, 0)
+      assert(b2 == oracle, s"probe=2 diverged on trial $trial $docs:\n oracle=$oracle\n got=$b2")
+    }
+  }
+
   test("t38 token fertility: per-script sums reconcile with the component queries and the ratios recompute") {
     import graft.operators.TextAnalysis
     val dir = "/root/testdata/sf0.001"
