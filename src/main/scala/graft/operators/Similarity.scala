@@ -459,28 +459,46 @@ object Similarity {
     * native vector-sum aggregate partial-aggregates map-side, so the
     * exchange carries one array per (list, partition) — NOT the
     * dim-exploded corpus the previous posexplode formulation shuffled.
-    * Empty lists keep their previous centroid. */
+    * Empty lists keep their previous centroid.
+    *
+    * Centroid state lives on the DRIVER between rounds, the
+    * [[pqRefineCodebooks]] shape (r17): the previous formulation
+    * chained each round's centroid FRAME to the last through the
+    * empty-list anti-join branch with nothing persisted, so round i's
+    * centroid collect re-ran every prior round's corpus aggregation —
+    * O(iters²) corpus passes in total, plus the caller's final
+    * collect re-running the whole chain once more. Centroids are
+    * maxNlist-bounded driver data by contract ([[collectCentroids]]'
+    * guard), so each round now costs exactly ONE corpus aggregation,
+    * empty-list carry-over is a driver-side map merge, and the result
+    * returns as a LocalRelation the caller's collect reads for free.
+    * Per-round math is unchanged (same assignment expression, same
+    * vector-sum aggregate, same float cast), so refined centroids are
+    * bit-identical to the chained form's. */
   def kmeansRefine(
       df: DataFrame,
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
       iters: Int): DataFrame = {
-    var c = centroids
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cents = collectCentroids(centroids)
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(df, c, idCol, vecCol)
+      val assigned = ivfAssignCollected(df, cents, idCol, vecCol)
       val means = assigned
         .groupBy(col("list_id"))
         // count(vecCol), not count(*): vecSum skips null vectors, so the
         // divisor must too, or centroids get biased toward zero
         .agg(VectorOps.vecSum(col(vecCol)).as("_vsum"), count(col(vecCol)).as("_n"))
-        .select(col("list_id").as("centroid_id"),
+        .select(col("list_id").cast("long").as("centroid_id"),
           transform(col("_vsum"), v => (v / col("_n")).cast("float")).as("centroid_vec"))
+        .collect() // bounded: ≤ nlist rows (the collectCentroids contract)
+      val refreshed = means.map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
       // lists that lost all members keep their old centroid
-      c = means.unionByName(
-        c.join(means.select(col("centroid_id")), Seq("centroid_id"), "left_anti"))
+      cents = cents.map { case (id, v) => (id, refreshed.getOrElse(id, v)) }
     }
-    c
+    cents.toSeq.toDF("centroid_id", "centroid_vec")
   }
 
   /** Assign every vector to its nearest centroid (highest cosine, ties to

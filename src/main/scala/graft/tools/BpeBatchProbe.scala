@@ -56,6 +56,7 @@ object BpeBatchProbe {
         graft.CachePool.releaseAll() // pool frames only; df's own cache survives
       }
     }
+    df.unpersist()
     spark.stop()
   }
 }
