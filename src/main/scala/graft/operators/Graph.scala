@@ -156,7 +156,7 @@ object Graph {
     var ed = CachePool.register(
       e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d"))).persist())
     var deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // ed already holds only edges among the previous round's
       // survivors, so removing edges touching NEWLY-dropped nodes
       // induces the identical subgraph the old survivor semi-join
@@ -164,10 +164,20 @@ object Graph {
       // (nodes with no surviving edges are absent from deg and from
       // ed alike: nothing to remove for them)
       val dropped = deg.filter(col("_deg") < k).select(col("_s").as("_n"))
-      ed = CachePool.register(ed
+      val next = ed
         .join(dropped, ed("_s") === col("_n"), "left_anti")
         .join(dropped, ed("_d") === col("_n"), "left_anti")
-        .persist())
+      // plan-depth truncation every 8th round — the BPE-loop lesson
+      // (TextAnalysis.bpeTrain r17): round-over-round nesting of
+      // cached plans makes execution-event plan strings grow
+      // multiplicatively with depth (a ~50-deep chain OOM'd an 8g
+      // driver BUILDING THE STRING), so a deep peel budget rebuilds
+      // the edge frame as an eager localCheckpoint (flat LogicalRDD
+      // plan) at the boundary. Shallow budgets (every registry peel)
+      // never reach a boundary and keep the fully-lazy persisted
+      // chain unchanged.
+      ed = CachePool.register(
+        if (r % 8 == 0) next.localCheckpoint(true) else next.persist())
       deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     }
     deg.filter(col("_deg") >= k)

@@ -135,4 +135,19 @@ class GraphSpec extends SparkTestBase {
     // after enough rounds only the triangle remains
     assert(coreRun(g, 2, 3).keySet == Set(1L, 2L, 3L))
   }
+
+  test("kCorePeel: a deep peel crosses the plan-truncation boundary with the model intact") {
+    // every 8th round rebuilds the edge frame as an eager
+    // localCheckpoint (the bpeTrain plan-depth lesson: nested cached
+    // plans OOM'd an 8g driver building an execution-event plan
+    // string at ~50 rounds). A 10-round cascade on a 9-node tail off
+    // a triangle crosses the boundary: rounds 9 and 10 read the
+    // checkpointed round-8 frame, and the peel must still match the
+    // driver model exactly.
+    val tail = (3L to 11L).sliding(2).map(w => (w(0), w(1))).toSeq
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ tail
+    for (r <- Seq(8, 9, 10))
+      assert(coreRun(g, 2, r) == coreModel(g, 2, r), s"rounds=$r")
+    assert(coreRun(g, 2, 10).keySet == Set(1L, 2L, 3L))
+  }
 }
