@@ -210,6 +210,13 @@ class SimilaritySpec extends SparkTestBase {
       5, nlist = 8, nprobe = 8, refineIters = 2)
       .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).sorted.toSeq
     assert(ivf == exact)
+    // structural pin (r17): refined centroids must come back driver-
+    // materialized — the chained-frame form re-ran every prior round's
+    // corpus aggregation per collect (O(iters²) corpus passes); a
+    // LocalRelation plan proves the rounds ran eagerly, once each
+    val plan = refined.queryExecution.optimizedPlan
+    assert(plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+      s"kmeansRefine must return a LocalRelation, got:\n$plan")
   }
 
   test("ivfAssign: every vector lands in exactly one list") {
