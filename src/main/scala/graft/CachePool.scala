@@ -23,6 +23,18 @@ import org.apache.spark.sql.DataFrame
 object CachePool {
 
   private val frames = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private val rdds = scala.collection.mutable.ListBuffer.empty[org.apache.spark.rdd.RDD[_]]
+
+  /** Shared plan-depth budget for iterative DataFrame loops that stack
+    * a round's cached/persisted frame on the previous round's
+    * (bpeTrain's merge rounds, kCorePeel's peel rounds): every
+    * `planTruncateEvery`-th round rebuilds the frame as an eager
+    * localCheckpoint so plan depth stays bounded whatever the round
+    * budget. The number comes from the r17 BpeBatchProbe measurement —
+    * a ~50-deep nested-cache chain OOM'd an 8g driver building an
+    * execution-event plan string — with ~6x headroom; ONE constant so
+    * a future retune moves every iterative loop together. */
+  val planTruncateEvery = 8
 
   /** Track a persisted frame for later release; returns it unchanged. */
   def register(df: DataFrame): DataFrame = synchronized {
@@ -30,16 +42,43 @@ object CachePool {
     df
   }
 
+  /** Eagerly localCheckpoint `df` and track BOTH the resulting frame
+    * (so iterative round counts stay observable) and the checkpoint's
+    * materialized RDD blocks, which `DataFrame.unpersist` cannot reach
+    * (CacheManager has no entry for checkpoint-backed frames — without
+    * this, the blocks wait for a GC to run the ContextCleaner, the
+    * nondeterministic-residency class [[releaseAll]] exists to
+    * prevent). The persistent-RDD diff is taken inside the pool lock:
+    * concurrent pool users cannot interleave, and any non-pool RDD a
+    * racing persist lands in the window is merely unpersisted at the
+    * same pipeline boundary releaseAll already clears. */
+  def registerLocalCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint(true)
+    rdds ++= sc.getPersistentRDDs.collect {
+      case (id, rdd) if !before(id) => rdd
+    }
+    frames += cp
+    cp
+  }
+
   /** Number of frames currently tracked (test observability). */
   def trackedCount: Int = synchronized(frames.size)
 
-  /** Unpersist every tracked frame and clear the registry. Failures on
-    * individual frames (e.g. a stopped session) never mask the rest. */
+  /** Unpersist every tracked frame and checkpoint RDD and clear the
+    * registry. Failures on individual entries (e.g. a stopped session)
+    * never mask the rest. */
   def releaseAll(blocking: Boolean = false): Unit = synchronized {
     frames.foreach { f =>
       try f.unpersist(blocking)
       catch { case _: Throwable => () }
     }
     frames.clear()
+    rdds.foreach { r =>
+      try r.unpersist(blocking)
+      catch { case _: Throwable => () }
+    }
+    rdds.clear()
   }
 }

@@ -167,17 +167,18 @@ object Graph {
       val next = ed
         .join(dropped, ed("_s") === col("_n"), "left_anti")
         .join(dropped, ed("_d") === col("_n"), "left_anti")
-      // plan-depth truncation every 8th round — the BPE-loop lesson
-      // (TextAnalysis.bpeTrain r17): round-over-round nesting of
-      // cached plans makes execution-event plan strings grow
+      // plan-depth truncation at the shared boundary — the BPE-loop
+      // lesson (TextAnalysis.bpeTrain r17): round-over-round nesting
+      // of cached plans makes execution-event plan strings grow
       // multiplicatively with depth (a ~50-deep chain OOM'd an 8g
       // driver BUILDING THE STRING), so a deep peel budget rebuilds
       // the edge frame as an eager localCheckpoint (flat LogicalRDD
-      // plan) at the boundary. Shallow budgets (every registry peel)
-      // never reach a boundary and keep the fully-lazy persisted
-      // chain unchanged.
-      ed = CachePool.register(
-        if (r % 8 == 0) next.localCheckpoint(true) else next.persist())
+      // plan, RDD blocks captured for deterministic release) at the
+      // boundary. Shallow budgets (every registry peel) never reach a
+      // boundary and keep the fully-lazy persisted chain unchanged.
+      ed =
+        if (r % CachePool.planTruncateEvery == 0) CachePool.registerLocalCheckpoint(next)
+        else CachePool.register(next.persist())
       deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     }
     deg.filter(col("_deg") >= k)

@@ -481,6 +481,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       iters: Int): DataFrame = {
+    // zero rounds stays the identity — the caller's frame unchanged,
+    // lazily, extra columns intact (the driver-state rewrite must not
+    // silently turn a pass-through into a collect + normalize)
+    if (iters == 0) return centroids
     val spark = df.sparkSession
     import spark.implicits._
     var cents = collectCentroids(centroids)

@@ -1156,7 +1156,7 @@ object TextAnalysis {
     // which preserves the no-2^merges-lineage guarantee the per-round
     // persists exist for
     var parent: Option[DataFrame] = None
-    val truncateEvery = 8
+    val truncateEvery = graft.CachePool.planTruncateEvery
     var roundsSinceTruncate = 0
     while (step <= merges && !exhausted) {
       val want = math.min(merges - step + 1, mergeBatchProbe)
@@ -1201,19 +1201,19 @@ object TextAnalysis {
         // `truncateEvery` rounds the vocab is rebuilt as an EAGER
         // localCheckpoint — its plan collapses to a flat scan of the
         // checkpointed blocks, so plan depth is bounded by the
-        // truncation period whatever the merge budget; the blocks
-        // (vocabulary-bounded) are reclaimed by the ContextCleaner
-        // once later rounds' plans stop referencing them. Checkpointed
-        // frames register in the CachePool like the persisted ones —
-        // unpersist on them is a safe no-op, and one pool registration
-        // per round keeps the round count observable (BpeBatchProbe,
+        // truncation period whatever the merge budget. Checkpoint
+        // rounds go through CachePool.registerLocalCheckpoint, which
+        // captures the checkpoint's materialized RDD for DETERMINISTIC
+        // release at the pipeline boundary (DataFrame.unpersist cannot
+        // reach checkpoint blocks) and keeps one pool registration per
+        // round so the round count stays observable (BpeBatchProbe,
         // the round-count spec).
         roundsSinceTruncate += 1
-        vocab = graft.CachePool.register(
+        vocab =
           if (roundsSinceTruncate >= truncateEvery) {
             roundsSinceTruncate = 0
-            next.localCheckpoint(true)
-          } else next.persist())
+            graft.CachePool.registerLocalCheckpoint(next)
+          } else graft.CachePool.register(next.persist())
       }
     }
     parent.foreach(_.unpersist())

@@ -242,11 +242,22 @@ class SimilaritySpec extends SparkTestBase {
     native.foreach { case (g, s) =>
       s.zip(exploded(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
     }
-    // the k-means mean step must not dim-explode: no Generate in the plan
-    val cents = Similarity.ivfCentroids(df, "vec_id", "embedding", 4)
-    val refined = Similarity.kmeansRefine(df, cents, "vec_id", "embedding", 1)
-    val p = refined.queryExecution.executedPlan.toString
-    assert(!p.contains("Generate"), s"refine must not posexplode:\n$p")
+    // the k-means mean step must not dim-explode. kmeansRefine now
+    // executes its rounds eagerly and returns a LocalRelation, so no
+    // lazily inspectable plan survives to assert on (the old
+    // no-Generate plan pin went vacuous — r17 review) — pin at the
+    // source level instead, the CacheLifecycleSpec sweep idiom: the
+    // refine body must keep the native vector-sum aggregate and never
+    // reintroduce the posexplode formulation this test's numeric half
+    // compares against
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/operators/Similarity.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val body = src.substring(src.indexOf("def kmeansRefine"), src.indexOf("def ivfAssign"))
+    assert(!body.contains("posexplode"),
+      "kmeansRefine regressed to a dim-exploding mean formulation")
+    assert(body.contains("vecSum"),
+      "kmeansRefine must keep the native vector-sum aggregate")
   }
 
   test("brute-force tiers fail loudly when the probe side is unbounded") {

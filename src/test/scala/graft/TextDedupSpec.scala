@@ -877,11 +877,20 @@ class TextDedupSpec extends SparkTestBase {
     // rule (3) at the head: one merge is sequential by definition
     assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("e", "f", 6L)),
       syms + "ab", 3) == IndexedSeq(("a", "b", 10L)))
-    // pending-output sharing: ("ab", c) can only appear in the same
-    // pre-round order as ("a","b") if "ab" already named a symbol, so
-    // `used` holding the pending output halts it
+    // a later pair whose members name an earlier batch OUTPUT: with
+    // "ab" already a symbol, the head ("a","b") collide-halts via
+    // rule (3) before ("ab","c") is examined — batch is head only
     assert(selectMergeBatch(IndexedSeq(("a", "b", 10L), ("ab", "c", 9L),
       ("e", "f", 8L)), syms + "ab", 3) == IndexedSeq(("a", "b", 10L)))
+    // pending-output collision, the used(l+r) branch (r17 review: the
+    // case above halts earlier and never reaches it): "bc" and "ab"
+    // are existing symbols but "abc" is FRESH, so ("a","bc") selects
+    // cleanly and ("ab","c") — disjoint SYMBOLS, same output STRING —
+    // is caught only by `used` holding the pending "abc"; it selects
+    // (exact at its own step) then halts the batch
+    assert(selectMergeBatch(IndexedSeq(("a", "bc", 10L), ("ab", "c", 9L),
+      ("e", "f", 6L)), syms + "bc" + "ab", 3) ==
+      IndexedSeq(("a", "bc", 10L), ("ab", "c", 9L)))
   }
 
   test("bpeTrain: batched distributed rounds learn multiple merges per scheduling round (r16 residual)") {
@@ -930,6 +939,16 @@ class TextDedupSpec extends SparkTestBase {
     assert(tLong == tOracle,
       s"parity broke across the checkpoint boundary:\n oracle=$tOracle\n got=$tLong")
     assert(regLong == 12, s"10 probe=1 rounds must register 12 frames, got $regLong")
+    // checkpoint blocks release DETERMINISTICALLY at the pool boundary
+    // (r17 review: DataFrame.unpersist cannot reach checkpoint-backed
+    // storage, so registerLocalCheckpoint captures the RDD itself) —
+    // a boundary-crossing run followed by releaseAll must leave no new
+    // persistent RDD behind
+    val preIds = spark.sparkContext.getPersistentRDDs.keySet
+    longRun(0, 1)
+    graft.CachePool.releaseAll(blocking = true)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet -- preIds
+    assert(leftover.isEmpty, s"checkpoint blocks survived releaseAll: $leftover")
   }
 
   test("bpeTrain: batched rounds equal the sequential model on seeded random corpora (ties, collisions, truncation)") {
