@@ -36,6 +36,21 @@ object CachePool {
     * a future retune moves every iterative loop together. */
   val planTruncateEvery = 8
 
+  /** Truncation period for iterative loops whose round plan references
+    * the previous round's frame MORE than once (kCorePeel: the induce
+    * step reads `ed` directly plus twice through the dropped-delta
+    * subtree — fan-out 3, so un-truncated plan TREE size is 3^rounds ×
+    * the base plan; persisting bounds recompute but tree STRINGS are
+    * built from the un-deduplicated logical plan). [[planTruncateEvery]]
+    * was calibrated on bpeTrain's fan-out-1 chain (linear growth; ~50
+    * rounds OOM'd an 8g driver, 8 gives ~6x headroom); at fan-out 3 the
+    * same 8 puts 3^8 ≈ 6.5k copies of the base plan into every
+    * execution-event string — measured as a reproducible 8g OOM in
+    * GraphSpec's 8-round peel. 4 bounds the tree at 3^4 = 81 copies
+    * (~20x headroom against the same budget) while keeping eager
+    * checkpoint materializations rare. */
+  val planTruncateEveryBranching = 4
+
   /** Track a persisted frame for later release; returns it unchanged. */
   def register(df: DataFrame): DataFrame = synchronized {
     frames += df

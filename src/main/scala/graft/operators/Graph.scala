@@ -167,17 +167,23 @@ object Graph {
       val next = ed
         .join(dropped, ed("_s") === col("_n"), "left_anti")
         .join(dropped, ed("_d") === col("_n"), "left_anti")
-      // plan-depth truncation at the shared boundary — the BPE-loop
-      // lesson (TextAnalysis.bpeTrain r17): round-over-round nesting
-      // of cached plans makes execution-event plan strings grow
-      // multiplicatively with depth (a ~50-deep chain OOM'd an 8g
-      // driver BUILDING THE STRING), so a deep peel budget rebuilds
-      // the edge frame as an eager localCheckpoint (flat LogicalRDD
-      // plan, RDD blocks captured for deterministic release) at the
-      // boundary. Shallow budgets (every registry peel) never reach a
-      // boundary and keep the fully-lazy persisted chain unchanged.
+      // plan-depth truncation — the BPE-loop lesson (TextAnalysis.
+      // bpeTrain r17): round-over-round nesting of cached plans makes
+      // execution-event plan strings grow with depth (a ~50-deep chain
+      // OOM'd an 8g driver BUILDING THE STRING), so a deep peel budget
+      // rebuilds the edge frame as an eager localCheckpoint (flat
+      // LogicalRDD plan, RDD blocks captured for deterministic
+      // release) at the boundary. This loop truncates at the BRANCHING
+      // boundary, not bpeTrain's linear one: `next` references `ed`
+      // three times (directly + twice via `dropped`), so the logical-
+      // plan TREE triples per round — 3^8 copies at the linear
+      // boundary reproducibly OOM'd an 8g driver, 3^4 = 81 is bounded
+      // (see [[CachePool.planTruncateEveryBranching]]). Shallow
+      // budgets (every registry peel) never reach a boundary and keep
+      // the fully-lazy persisted chain unchanged.
       ed =
-        if (r % CachePool.planTruncateEvery == 0) CachePool.registerLocalCheckpoint(next)
+        if (r % CachePool.planTruncateEveryBranching == 0)
+          CachePool.registerLocalCheckpoint(next)
         else CachePool.register(next.persist())
       deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     }

@@ -137,13 +137,15 @@ class GraphSpec extends SparkTestBase {
   }
 
   test("kCorePeel: a deep peel crosses the plan-truncation boundary with the model intact") {
-    // every 8th round rebuilds the edge frame as an eager
-    // localCheckpoint (the bpeTrain plan-depth lesson: nested cached
-    // plans OOM'd an 8g driver building an execution-event plan
-    // string at ~50 rounds). A 10-round cascade on a 9-node tail off
-    // a triangle crosses the boundary: rounds 9 and 10 read the
-    // checkpointed round-8 frame, and the peel must still match the
-    // driver model exactly.
+    // every 4th round (the BRANCHING boundary — kCorePeel's round plan
+    // references the previous frame 3x, so the tree triples per round;
+    // the linear boundary of 8 put 3^8 plan copies into the checkpoint
+    // round's execution-event string and reproducibly OOM'd the 8g
+    // test driver) rebuilds the edge frame as an eager localCheckpoint.
+    // A 10-round cascade on a 9-node tail off a triangle crosses the
+    // boundary twice: rounds 5-8 read the checkpointed round-4 frame,
+    // 9-10 the round-8 one, and the peel must still match the driver
+    // model exactly.
     val tail = (3L to 11L).sliding(2).map(w => (w(0), w(1))).toSeq
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ tail
     for (r <- Seq(8, 9, 10))
