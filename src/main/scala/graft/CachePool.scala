@@ -57,6 +57,34 @@ object CachePool {
     df
   }
 
+  /** Register a persisted frame AND materialize its cache NOW (one
+    * `count()` — the cache-lookup rewrite makes it an InMemoryTableScan
+    * that builds every cached buffer exactly once).
+    *
+    * Exists because `persist()` alone does not serialize CONCURRENT
+    * first consumers: AQE materializes independent shuffle/broadcast
+    * query stages in parallel futures, so when a staged frame feeds two
+    * or more sibling subtrees (bucket index + verify sides, self-join
+    * left + right, rank frame + cell frame), every sibling races to
+    * compute the not-yet-cached plan from scratch and only the first
+    * block per partition wins the cache ("Block rdd_N already exists on
+    * this machine" — 37 such races in one r17 bench run; StageProbe
+    * showed d21's staging stages duplicated wholesale: 92 s of task
+    * time for a plan whose honest work is less than half that). One
+    * eager count turns the race into cache reads — at any scale the
+    * staging pass is the expensive thing and computing it once is the
+    * point of the persist.
+    *
+    * Use for frames consumed by MULTIPLE sibling subtrees of the same
+    * action. Keep plain [[register]] for frames consumed once, consumed
+    * only sequentially (iterative rounds whose actions already
+    * materialize the previous round), or conditionally consumed. */
+  def registerEager(df: DataFrame): DataFrame = {
+    register(df)
+    df.count()
+    df
+  }
+
   /** Eagerly localCheckpoint `df` and track BOTH the resulting frame
     * (so iterative round counts stay observable) and the checkpoint's
     * materialized RDD blocks, which `DataFrame.unpersist` cannot reach

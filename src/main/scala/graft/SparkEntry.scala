@@ -2439,8 +2439,9 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   private val t8TopBigrams = (s: SparkSession, d: String) => {
+    // no spread repartition (r17): see Dedup's staging scaladoc — the
+    // round-robin text exchange lost its A/B against the plain scan
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism) // CPU-dense stage: spread
     val staged = TextAnalysis.withShingles(docs, "text", k = 2)
     staged
       .select(explode(col("_sh")).as("bigram"))
@@ -2491,7 +2492,6 @@ object SparkEntry {
   private val t16BigramStats = (s: SparkSession, d: String) => {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism)
     val bg = TextAnalysis.withTokens(docs, "text")
       .select(explode(expr(
         "transform(slice(_toks, 1, greatest(size(_toks)-1, 0))," +

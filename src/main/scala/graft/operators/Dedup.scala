@@ -82,15 +82,21 @@ object Dedup {
   }
 
   /** (id, band, bucket) exploded bucket membership — the LSH index table.
-    * Stages shingles then signature so each is computed once per doc. */
-  /** Signature computation is CPU-dense relative to document bytes, so
-    * spread rows across all cores first — a compressed doc file's scan
-    * splits (row groups) otherwise serialize the hashing onto few tasks.
-    * The text shuffle this costs is small against numHashes× per-shingle
-    * hash work; holds at cluster scale for the same reason. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-
+    * Stages shingles then signature so each is computed once per doc.
+    *
+    * NO pre-staging repartition (r17 — REMOVES the round-3 `spread`):
+    * the round-robin exchange that used to spread the text across all
+    * cores before tokenizing was re-measured with the staged persists
+    * and AQE in place, and it LOST on every staging consumer (A/B
+    * min-of-2 across 2 JVMs each: d21 4.37→4.51, d3 2.14→2.30, d8
+    * 2.20→3.03, d15 2.51→2.59, d23 2.37→2.83, d13 1.54→2.86, x14
+    * 3.83→4.41 s with the spread): it pays a full-text shuffle before
+    * any pruning, and the 32-way concurrent tokenize inflated total
+    * executor CPU ~4x (allocation/cache contention) where the scan-
+    * split-shaped pass ran clean. At cluster scale the scan itself
+    * provides the parallelism (thousands of splits), so the exchange
+    * was pure overhead there too — guide §2.4, remove shuffles
+    * outright. */
   /** Staged (id, shingles) frame, PERSISTED (memory, spill to disk): the
     * near-dup pipelines consume it twice or more (bucket index + verify
     * join per side), and normalize+tokenize+shingle is the dominant CPU
@@ -112,7 +118,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, k: Int,
       persist: Boolean = true): DataFrame = {
     val staged = TextAnalysis.withShingles(
-      spread(df.select(col(idCol), col(textCol))), textCol, k)
+      df.select(col(idCol), col(textCol)), textCol, k)
       .select(col(idCol), col("_sh"))
     if (persist) graft.CachePool.register(
       staged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -138,7 +144,7 @@ object Dedup {
       bands: Int = 8): DataFrame =
     bucketsFromShingles(
       TextAnalysis.withShingles(
-        spread(df.select(col(idCol), col(textCol))), textCol, k),
+        df.select(col(idCol), col(textCol)), textCol, k),
       idCol, numHashes, bands)
 
   /** Drop (band, bucket) groups larger than `maxBucketSize` — the
@@ -890,9 +896,10 @@ object Dedup {
       (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** Stage tokens, compute simhash — the df-level form. */
+  /** Stage tokens, compute simhash — the df-level form. No spread
+    * repartition (r17): see the staging scaladoc above. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame =
-    TextAnalysis.withTokens(spread(df), textCol, "_sh_toks")
+    TextAnalysis.withTokens(df, textCol, "_sh_toks")
       .withColumn(out, simhashFromTokens(col("_sh_toks")))
       .drop("_sh_toks")
 
@@ -1090,7 +1097,10 @@ object Dedup {
     val dfreq = ig.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
     val sizes = ig.groupBy(col(idCol)).agg(count(lit(1)).as("_n"))
     val byRarity = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_g"))
-    val prefixes = ig
+    // persisted + eager (r17): the candidate self-join reads prefixes
+    // on BOTH sides — unpersisted, each side re-ran the dfreq/sizes
+    // joins and the rarity window from scratch in parallel
+    val prefixes = graft.CachePool.registerEager(ig
       .join(dfreq, Seq("_g"))
       .join(sizes, Seq(idCol))
       .withColumn("_r", row_number().over(byRarity))
@@ -1098,6 +1108,7 @@ object Dedup {
       .filter(col("_r") <=
         col("_n") - expr(s"(_n * $tNum + ${tDen - 1}) div $tDen") + 1)
       .select(col(idCol), col("_n"), col("_g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // PPJoin length filter rides the candidate join: J ≥ t forces
     // min(|A|,|B|) ≥ t·max(|A|,|B|) (the intersection fits in the
     // smaller set), so size-incompatible prefix collisions never
