@@ -50,6 +50,17 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // let consumers of a persisted frame SEE the partitioning the frame
+    // was repartitioned to before the persist (guide §2.4 "two
+    // operations keyed the same way share one exchange"): without this,
+    // an InMemoryRelation whose child is an AdaptiveSparkPlan reports
+    // unknown partitioning and every keyed consumer re-shuffles the
+    // cache — the r18 pageRank loop paid one full edge-frame exchange
+    // PER ITERATION for exactly this reason (plans/r18/
+    // x38_pagerank_{before,after}.txt). Scale-independent semantics:
+    // the same plan shape is the win on a cluster.
+    spark.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     // HOF→native rewrite (VectorDotRewrite) — idempotent install so
     // user-authored zip_with/aggregate dot products hit the codegen path
     if (!spark.experimental.extraOptimizations.contains(graft.plans.VectorDotRewrite)) {

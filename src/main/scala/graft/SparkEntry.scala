@@ -3435,24 +3435,19 @@ object SparkEntry {
     * never a neighborhood cross product. The DuckDB twin counts by
     * brute 3-way self-join — two independent algorithms, one exact
     * integer. */
-  private val x33Triangles = (s: SparkSession, d: String) => {
-    val ui = Tables.events(s, d)
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .filter(col("item").isNotNull)
-      .repartition(col("user_id"))
-      .distinct()
-    val edges = ui.select(col("user_id"), col("item").as("item_a"))
-      .join(ui.select(col("user_id"), col("item").as("item_b")), Seq("user_id"))
-      .filter(col("item_a") < col("item_b"))
-      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("_n"))
-      .filter(col("_n") >= 40L)
-    Graph.triangleCount(edges, "item_a", "item_b")
-  }
+  private val x33Triangles = (s: SparkSession, d: String) =>
+    Graph.triangleCount(coEngagementEdges(s, d), "item_a", "item_b")
 
   /** x33's co-engagement item graph (users co-engaging >= 40 times),
     * shared by the three graph queries so x33/x38/x39 exercise three
-    * algorithms over ONE derivation. */
+    * algorithms over ONE derivation. The (user, item) frame is
+    * deliberately NOT persisted (r18 A/B): every caller persists the
+    * derivation's OUTPUT (pageRankInt/kCorePeel stage the canonical
+    * edges, triangleCount stages `_a/_b`), so the derivation runs once
+    * per query and its two self-join sides are concurrent scans that
+    * overlap in wall-clock — a ui cache build serialized them and
+    * measured SLOWER on all three consumers (x33 2.16→2.71 s,
+    * QueryTimer min-of-2). */
   private def coEngagementEdges(s: SparkSession, d: String): DataFrame = {
     val ui = Tables.events(s, d)
       .select(col("user_id"),
@@ -5716,10 +5711,18 @@ object SparkEntry {
       .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 5L)
-    val directed = pc.select(col("item_a").as("antecedent"),
-        col("item_b").as("consequent"), col("n_ab"))
-      .unionAll(pc.select(col("item_b").as("antecedent"),
-        col("item_a").as("consequent"), col("n_ab")))
+    // direct the rule both ways via ONE generate over the pair frame —
+    // the previous unionAll's two branches were SEPARATE plan subtrees,
+    // so the whole self-join + pair aggregate ran TWICE per action (the
+    // r17 before-plan's Union(40) carried two full copies of the pair
+    // pipeline); the explode keeps it to one pass (guide §2.4).
+    val directed = pc.select(explode(array(
+        struct(col("item_a").as("antecedent"),
+          col("item_b").as("consequent"), col("n_ab")),
+        struct(col("item_b").as("antecedent"),
+          col("item_a").as("consequent"), col("n_ab")))).as("_r"))
+      .select(col("_r.antecedent").as("antecedent"),
+        col("_r.consequent").as("consequent"), col("_r.n_ab").as("n_ab"))
     directed
       .join(broadcast(ic.select(col("item").as("antecedent"), col("_ci").as("_ca"))),
         Seq("antecedent"))

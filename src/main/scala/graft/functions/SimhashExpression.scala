@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Native 64-bit SimHash over an `array<string>` token column — ONE
   * tight primitive pass per row (hash each token once, 64 vote
@@ -32,6 +33,15 @@ case class SimhashFromTokenArray(child: Expression)
 
   override def prettyName: String = "simhash_from_tokens"
   override def dataType: DataType = LongType
+  // analysis-time type check: misuse on a non-array<string> column
+  // fails in the analyzer, not as a runtime ClassCastException
+  // (ExpectsInputTypes/AbstractDataType are private[sql] in Spark 4,
+  // so the check is a checkInputDataTypes override)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

@@ -1093,7 +1093,13 @@ object Dedup {
     * |S| − ⌈t·|S|⌉ + 1 is pure integer arithmetic on both engines.
     * Verification is the shared [[verifyStagedPairs]] exact-Jaccard
     * pass over the staged shingle frame (evaluated ONCE for sizes,
-    * prefixes and verify). Output: (id_a, id_b, jaccard ≥ t). */
+    * prefixes and verify). Output: (id_a, id_b, jaccard ≥ t).
+    *
+    * NOT fully lazy (r17): the prefix frame is materialized eagerly at
+    * plan-construction time ([[graft.CachePool.registerEager]]) so the
+    * candidate self-join's sides read one cache instead of racing to
+    * build it — callers that only `explain` the result, or never
+    * consume it, still pay that one materialization job. */
   def prefixFilterPairs(
       df: DataFrame,
       idCol: String,

@@ -42,7 +42,16 @@ object Graph {
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val s = col(srcCol)
     val d = col(dstCol)
-    val e = edges.select(s.as("_a"), d.as("_b")).filter(col("_a") =!= col("_b"))
+    // persisted (r18): `e` feeds THREE subtrees (both degree-count
+    // union branches + the decorate join) and `oriented` three more
+    // (both wedge sides + the closing set) — unpersisted, every
+    // consumer re-ran the caller's whole edge derivation; with the
+    // derivation itself staging a cache (coEngagementEdges), six
+    // sibling subtrees racing to build that cache measured 4x the
+    // persisted form (QueryTimer, x33 at sf0.1).
+    val e = CachePool.register(edges
+      .select(s.as("_a"), d.as("_b")).filter(col("_a") =!= col("_b"))
+      .persist())
     // degree per endpoint (both directions), then the (degree, id)
     // total order that makes the orientation acyclic and balanced.
     val deg = e.select(col("_a").as("_n")).unionAll(e.select(col("_b").as("_n")))
@@ -50,13 +59,14 @@ object Graph {
     val withDeg = e
       .join(deg.select(col("_n").as("_a"), col("_deg").as("_da")), Seq("_a"))
       .join(deg.select(col("_n").as("_b"), col("_deg").as("_db")), Seq("_b"))
-    val oriented = withDeg.select(
+    val oriented = CachePool.register(withDeg.select(
       when(col("_da") < col("_db") ||
         (col("_da") === col("_db") && col("_a") < col("_b")), col("_a"))
         .otherwise(col("_b")).as("_lo"),
       when(col("_da") < col("_db") ||
         (col("_da") === col("_db") && col("_a") < col("_b")), col("_b"))
         .otherwise(col("_a")).as("_hi"))
+      .persist())
     val wedges = oriented.select(col("_lo"), col("_hi").as("_w1"))
       .join(oriented.select(col("_lo"), col("_hi").as("_w2")), Seq("_lo"))
       .filter(col("_w1") < col("_w2"))
@@ -106,9 +116,19 @@ object Graph {
     val ed = e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d")))
     val deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     // edge list decorated with the source's out-degree, persisted once
-    // for the whole loop — the only corpus-width frame in play.
+    // for the whole loop — the only corpus-width frame in play. It is
+    // hash-partitioned AND sorted on the join key BEFORE the persist
+    // (guide §2.4: two operations keyed the same way share one
+    // exchange): the cached partitioning/ordering satisfies every
+    // round's sort-merge join, so the per-round plan exchanges only
+    // the |V|-row rank vector — without this the r17 plans re-shuffled
+    // AND re-sorted the edge frame on every iteration (Exchange+Sort
+    // above the cache scan, 5x at the registry budget; at 100 TB that
+    // is five full edge-list shuffles instead of zero).
     val edDeg = CachePool.register(
-      ed.join(deg, Seq("_s")).persist())
+      ed.join(deg, Seq("_s"))
+        .repartition(col("_s")).sortWithinPartitions(col("_s"))
+        .persist())
     var ranks = deg.select(col("_s").as("node"),
       lit(1000000L).as("pr"))
     for (_ <- 1 to iterations) {
@@ -153,8 +173,15 @@ object Graph {
     // [[pageRankInt]] double-derivation fix
     val e = CachePool.register(edges
       .select(col(srcCol).as("_s"), col(dstCol).as("_d")).persist())
+    // hash-partitioned on the degree key ONCE before the first persist
+    // (guide §2.4): the anti-joins against the broadcast delta preserve
+    // the streamed side's partitioning, so every round's degree
+    // aggregate — and every subsequent round's persisted frame — rides
+    // the same single exchange. Without this the r17 plans paid a full
+    // edge shuffle per peel round for the degree groupBy.
     var ed = CachePool.register(
-      e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d"))).persist())
+      e.unionAll(e.select(col("_d").as("_s"), col("_s").as("_d")))
+        .repartition(col("_s")).persist())
     var deg = ed.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
     for (r <- 1 to rounds) {
       // ed already holds only edges among the previous round's

@@ -363,6 +363,41 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("native simhash is bit-identical to the declarative HOF form") {
+    // token arrays chosen for the edge cases the oracle corpus never
+    // hits: null tokens (hash = the bare seed 42), empty arrays (0L),
+    // single tokens, duplicate tokens (vote magnitude 2), and 2/4-token
+    // arrays whose differing hash bits are exact vote TIES (tie → bit
+    // clear — the `when(v > 0)` rule)
+    val rows: Seq[Seq[String]] = Seq(
+      Seq.empty[String],
+      Seq("a"),
+      Seq(null),
+      Seq("a", null),
+      Seq(null, null),
+      Seq("a", "b"), // every differing bit is a tie
+      Seq("a", "a"),
+      Seq("a", "b", "c", "d"),
+      Seq("one", "two", "three", "two", "one"),
+      Seq("", "a", ""), // empty-string tokens hash normally
+      (0 until 100).map(i => s"tok$i"))
+    val df = rows.map(Tuple1(_)).toDF("_toks")
+    val both = df.select(
+      Dedup.simhashFromTokens(col("_toks")).as("native"),
+      Dedup.simhashFromTokensDeclarative(col("_toks")).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"native ${r.getLong(0)} != hof ${r.getLong(1)}")
+    }
+    // null array propagates null through both forms
+    val nullRow = Seq(Tuple1(null: Seq[String])).toDF("_toks").select(
+      Dedup.simhashFromTokens(col("_toks")).as("native"),
+      Dedup.simhashFromTokensDeclarative(col("_toks")).as("hof"))
+    nullRow.collect().foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    }
+  }
+
   test("simhash: near-identical texts within small hamming distance, unrelated far") {
     val df = Seq(
       (1L, "spark makes distributed data processing simple and fast for everyone"),
