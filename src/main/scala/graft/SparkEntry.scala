@@ -4223,7 +4223,15 @@ object SparkEntry {
       .select(col("event_type"), col("gap"))
       .withColumn("_one", lit(1L))
       .persist())
-    val med = RelationalOps.weightedMedianLower(
+    // radix selection, not the sorted-index path (r18): gaps in integer
+    // microseconds are NEAR-UNIQUE, so weightedMedianLower paid a
+    // global orderBy + row-index over |distinct gaps| rows (the
+    // single-partition window the r11 verdict flagged on a47's prices
+    // — the same distribution class); groupedMedianRadix replaces it
+    // with ≤4 map-side-combined histogram rounds over the persisted
+    // gap frame and picks the SAME lower-median value (randomized
+    // parity spec in RelationalOpsSpec; e27 oracle-green after swap)
+    val med = RelationalOps.groupedMedianRadix(
       gaps, "event_type", "gap", "_one")
     // n_gaps = events − 1 per type (every row except the type's global
     // first pairs with a predecessor) — ONE cheap aggregate over the
@@ -6240,9 +6248,15 @@ object SparkEntry {
     * shuffle cheaper still — this entry deliberately keeps the
     * semi/anti JOIN form because exercising that plan is the point. */
   private val j28Q21Shape = (s: SparkSession, d: String) => {
+    // three consumers: the late left side, l2, l3 — ALL of them join on
+    // l_orderkey, so the staged fact is hash-partitioned on it before
+    // the persist (guide §2.4): with cached-plan partitioning visible
+    // (GraftSession.tune), the semi/anti joins reuse the one exchange
+    // instead of re-shuffling the cache per consumer
     val l = CachePool.register(t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      .persist()) // three consumers: the late left side, l2, l3
+      .repartition(col("l_orderkey"))
+      .persist())
     val late = l.filter(col("l_returnflag") === "R")
     val supq = t(s, d, "supplier")
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))

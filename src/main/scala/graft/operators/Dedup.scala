@@ -744,9 +744,16 @@ object Dedup {
     // the distinct hashed-shingle set feeds FOUR consumers (df counts,
     // per-doc stats, and both recount sides) — unstaged, each re-runs
     // the explode + distinct shuffle (the j17 staging lesson)
+    // the explicit _h repartition rides the distinct (subset rule:
+    // hashpartitioning(_h) satisfies the (id, _h) dedup clustering) so
+    // the staged frame is partitioned on the key EVERY downstream hop
+    // uses: the df-count aggregate, the rare join, and the rare
+    // self-join are all partition-local over the cache (guide §2.4)
+    // instead of re-shuffling it per consumer
     val sh = graft.CachePool.register(stagedShingles(df, idCol, textCol, k)
       .select(col(idCol), explode(col("_sh")).as("_g"))
       .select(col(idCol), xxhash64(col("_g")).as("_h"))
+      .repartition(col("_h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = sh.groupBy(col("_h")).agg(count(lit(1)).as("_df"))

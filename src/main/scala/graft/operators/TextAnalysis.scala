@@ -413,9 +413,17 @@ object TextAnalysis {
     val toks = withTokens(df.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol), explode(col("_toks")).as("term"))
       .filter(col("term") =!= "")
-    val docTerm = toks.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // persisted (r18, the t33 discipline): docTerm feeds the df counts
+    // AND the final join probe, dfreq feeds the vocab cut AND the join
+    // — unstaged, each consumer re-ran the tokenize+explode+aggregate
+    // chain; both frames are the compact post-aggregate projections
+    val docTerm = graft.CachePool.register(
+      toks.groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist())
+    val dfreq = graft.CachePool.register(
+      docTerm.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .persist())
     val vocab = dfreq
       .orderBy(col("df").desc, col("term").asc)
       .limit(vocabSize)
@@ -1531,13 +1539,23 @@ object TextAnalysis {
       idCol: String,
       textCol: String): DataFrame = {
     val staged = withShingles(df.select(col(idCol), col(textCol)), textCol, k = 2)
-    // (doc, bigram, occ): map-side combined before any join
-    val docBi = staged
+    // (doc, bigram, occ): map-side combined before any join. Persisted
+    // (r18): the model side (cvw -> ctx -> model) AND the scoring probe
+    // both consume it, and the eager context-vocabulary count below
+    // otherwise re-runs the tokenize+shingle+aggregate chain a third
+    // time — the frame is the compact POST-aggregate projection, so
+    // caching it is cheap where caching the shingle arrays is not.
+    val docBi = graft.CachePool.register(staged
       .select(col(idCol), explode(col("_sh")).as("bg"))
       .filter(col("bg").contains(" ")) // <2-token docs collapse to a 1-shingle
       .groupBy(col(idCol), col("bg"))
       .agg(count(lit(1)).as("occ"))
-    val cvw = docBi.groupBy(col("bg")).agg(sum(col("occ")).as("cvw"))
+      .persist())
+    // distinct-bigram counts: consumed by the context marginal AND the
+    // per-bigram model join — tiny (|distinct bigrams| rows), persisted
+    val cvw = graft.CachePool.register(
+      docBi.groupBy(col("bg")).agg(sum(col("occ")).as("cvw"))
+        .persist())
     val ctx = cvw
       .withColumn("v", substring_index(col("bg"), " ", 1))
       .groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
