@@ -159,11 +159,17 @@ object TextAnalysis {
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nDocs = df.count()
-    val tf = withTokens(df.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), explode(col("_toks")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // persisted (r18, the t15/t33 discipline): tf feeds the df counts
+    // AND the scoring join probe — unstaged, each consumer re-ran the
+    // tokenize+explode+aggregate chain; the frame is the compact
+    // post-aggregate projection
+    val tf = graft.CachePool.register(
+      withTokens(df.select(col(idCol), col(textCol)), textCol)
+        .select(col(idCol), explode(col("_toks")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col(idCol), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist())
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = col("tf").cast("double") * lit(nDocs + 1L) / (col("df") + lit(1L))
     val w = Window.partitionBy(col(idCol)).orderBy(score.desc, col("term").asc)
